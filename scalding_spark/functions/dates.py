@@ -1,0 +1,132 @@
+"""Date algebra — parity with scalding-date (RichDate.scala, DateRange.scala,
+Duration.scala, AbsoluteDuration.scala, Globifier.scala).
+
+Driver-side classes orchestrate which partitions a job reads (the reference's
+Globifier turns a DateRange into minimal path globs, Globifier.scala:28-145);
+inside queries, time logic is plain Catalyst expressions (date_trunc /
+date_add / windows) so partition pruning stays free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+_FORMATS = [
+    "%Y",
+    "%Y-%m",
+    "%Y-%m-%d",
+    "%Y-%m-%d %H",
+    "%Y-%m-%d %H:%M",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y%m%d",
+]
+
+
+def parse_date(s: str | datetime, now: datetime | None = None) -> datetime:
+    """RichDate string parsing (DateOps.scala:61-91) incl. the natural-language
+    subset the reference gets from Natty ('now', 'today', 'yesterday')."""
+    if isinstance(s, datetime):
+        return s
+    lowered = s.strip().lower()
+    if lowered in ("now", "today", "yesterday"):
+        base = now or datetime.now()
+        day = base.replace(hour=0, minute=0, second=0, microsecond=0)
+        return {"now": base, "today": day, "yesterday": day - timedelta(days=1)}[lowered]
+    for fmt in _FORMATS:
+        try:
+            return datetime.strptime(s.strip(), fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable date: {s!r}")
+
+
+@dataclass(frozen=True)
+class Duration:
+    """Calendar durations (Duration.scala:40-99). Months/years shift the
+    calendar; the rest are exact (AbsoluteDuration.scala:26)."""
+    unit: str  # minutes|hours|days|weeks|months|years
+    count: int
+
+    def add_to(self, d: datetime) -> datetime:
+        if self.unit == "minutes":
+            return d + timedelta(minutes=self.count)
+        if self.unit == "hours":
+            return d + timedelta(hours=self.count)
+        if self.unit == "days":
+            return d + timedelta(days=self.count)
+        if self.unit == "weeks":
+            return d + timedelta(weeks=self.count)
+        if self.unit == "months":
+            month = d.month - 1 + self.count
+            year = d.year + month // 12
+            return d.replace(year=year, month=month % 12 + 1)
+        if self.unit == "years":
+            return d.replace(year=d.year + self.count)
+        raise ValueError(self.unit)
+
+
+def days(n: int) -> Duration:
+    return Duration("days", n)
+
+
+def hours(n: int) -> Duration:
+    return Duration("hours", n)
+
+
+@dataclass(frozen=True)
+class DateRange:
+    """Closed interval [start, end] (DateRange.scala:26-79)."""
+    start: datetime
+    end: datetime
+
+    @classmethod
+    def of(cls, start: str | datetime, end: str | datetime) -> "DateRange":
+        return cls(parse_date(start), parse_date(end))
+
+    def contains(self, d: datetime) -> bool:
+        return self.start <= d <= self.end
+
+    def embiggen(self, delta: Duration) -> "DateRange":
+        """Extend both ends (DateRange.scala:55-60)."""
+        neg = Duration(delta.unit, -delta.count)
+        return DateRange(neg.add_to(self.start), delta.add_to(self.end))
+
+    def extend(self, delta: Duration) -> "DateRange":
+        return DateRange(self.start, delta.add_to(self.end))
+
+    def each(self, span: Duration) -> list["DateRange"]:
+        """Partition into consecutive sub-ranges of ``span``
+        (DateRange.scala:64-79) — powers period-chained jobs."""
+        out = []
+        cur = self.start
+        while cur <= self.end:
+            nxt = span.add_to(cur)
+            out.append(DateRange(cur, min(nxt - timedelta(microseconds=1), self.end)))
+            cur = nxt
+        return out
+
+    def days_in(self) -> list[datetime]:
+        cur = self.start.replace(hour=0, minute=0, second=0, microsecond=0)
+        out = []
+        while cur <= self.end:
+            out.append(cur)
+            cur += timedelta(days=1)
+        return out
+
+
+def globify(template: str, date_range: DateRange, span: Duration | None = None) -> list[str]:
+    """Expand a strftime-style path template over a DateRange — the role of
+    the reference's Globifier (Globifier.scala:28-145). The reference emits
+    minimal '*' globs; we emit the explicit path list (equivalent input to
+    ``spark.read.parquet(*paths)``, and exact rather than glob-overlapping).
+
+    Template example: '/data/%Y/%m/%d' with span=days(1).
+    """
+    span = span or days(1)
+    seen: list[str] = []
+    for sub in date_range.each(span):
+        p = sub.start.strftime(template)
+        if p not in seen:
+            seen.append(p)
+    return seen

@@ -1,0 +1,179 @@
+"""Deduplication operators for training-data pipelines, 100 TB-first.
+
+Four tiers, in increasing recall for near-duplicates:
+
+1. exact        — hash-groupBy on normalized content. One shuffle on a 64-bit
+                  fingerprint (never the full text — shuffle bytes stay tiny).
+2. ngram-Jaccard— exact set-similarity via shingle inverted index; prunes by
+                  requiring a shared shingle, so no all-pairs blowup.
+3. MinHash+LSH  — signature bands → bucket join → candidate pairs → exact
+                  Jaccard verify. The scale path: cost ∝ documents + candidate
+                  pairs, never O(n²).
+4. SimHash      — 64-bit near-dup fingerprint, hamming-banded.
+
+All but SimHash are pure Column expressions. Everything keys intermediate
+shuffles on small fixed-width values (hashes / band ids), not text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from scalding_spark.functions.text import normalize_for_fingerprint, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact normalized content.
+
+    Plan: fingerprint → window min over the fingerprint → filter. The window
+    shuffles 8-byte keys; at 100 TB the exchange carries hashes + ids only
+    (Catalyst prunes the text column until after the filter if it isn't
+    selected downstream)."""
+    fp = F.xxhash64(normalize_for_fingerprint(F.col(text_col)))
+    w = Window.partitionBy("__fp")
+    return (df.withColumn("__fp", fp)
+            .withColumn("__keep", F.min(id_col).over(w))
+            .where(F.col(id_col) == F.col("__keep"))
+            .drop("__fp", "__keep"))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Duplicate-group summary: (representative id, n_dups) per content group
+    with >1 member — the audit view of exact_dedup."""
+    norm = normalize_for_fingerprint(F.col(text_col))
+    return (df.select(norm.alias("__norm"), F.col(id_col))
+            .groupBy("__norm")
+            .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+            .where(F.col("n_dups") > 1)
+            .select("rep_id", "n_dups"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via an inverted shingle index.
+
+    Plan: explode distinct shingles → self-join on shingle (the inverted
+    index: only docs sharing ≥1 shingle ever meet) → count shared shingles →
+    jaccard = shared / (|A| + |B| - shared). Returns (id_a, id_b, jaccard)
+    with id_a < id_b.
+
+    Scale: the self-join key is a shingle hash (8 bytes); hot shingles are
+    the skew risk — AQE skew-join splits them, and ultra-common shingles can
+    be pre-filtered by document frequency (stop-shingle pruning) upstream."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(F.col(text_col), n)).alias("sh")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("shared")))
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (shared.join(sz_a, "id_a").join(sz_b, "id_b")
+            .withColumn("jaccard",
+                        F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """Per-document MinHash signature: for seed s, sig[s] = min over shingles
+    of xxhash64(shingle, s). One explode + one hash-aggregation computing all
+    ``num_hashes`` minima in the same partial-agg pass (map-side combined —
+    the reference's AggregateBy pattern, GroupBuilder.scala:46).
+
+    Returns (id, sig array<bigint>). Deterministic (xxhash64 is seeded)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    mins = [F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}") for s in range(num_hashes)]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 3, threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
+
+    Plan (all shuffles on 8-byte keys):
+      signatures → explode into ``bands`` band-hashes → groupBy band-hash
+      (bucket join) → distinct candidate pairs → verify with exact shingle
+      Jaccard on just the candidates.
+
+    Band math: rows-per-band r = num_hashes/bands; P(candidate) = 1-(1-j^r)^b,
+    steep around j ≈ (1/b)^(1/r) — defaults target j ≈ 0.5-0.7."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_arr = F.array(*[
+        F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b))
+        for b in range(bands)])
+    buckets = sigs.select("id", F.explode(band_arr).alias("bucket"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cands = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                    & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+             .distinct())
+    # exact verify on candidates only
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("shs"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    verified = (cands.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
+                .withColumn("uni", F.size("shs_a") + F.size("shs_b") - F.col("inter"))
+                .withColumn("jaccard", F.when(F.col("uni") > 0,
+                                              F.col("inter") / F.col("uni")).otherwise(0.0))
+                .where(F.col("jaccard") >= threshold))
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of token-hash bits.
+
+    Expression-only formulation: explode tokens → for each of 64 bits,
+    sum(±1 by bit of xxhash64(token)) in ONE hash aggregation (64 partial
+    aggregates, map-side combined) → reassemble the sign bits into a bigint.
+    Returns (id, simhash)."""
+    from scalding_spark.functions.text import tokenize
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokenize(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(63)  # bit 63 (sign) excluded: keep result non-negative
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sim = None
+    for b in range(63):
+        bit = F.when(F.col(f"b{b}") > 0,
+                     F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, banded:
+    split the 64-bit hash into (max_hamming+1) chunks — any pair within the
+    distance budget must agree exactly on ≥1 chunk (pigeonhole), so the join
+    key is a 16-bit chunk value + chunk id, never all-pairs."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sims = simhash64(df, text_col, id_col)
+    chunk_cols = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned("simhash", c * width).bitwiseAND(
+                     F.lit((1 << width) - 1)).alias("key"))
+        for c in range(chunks)])
+    exploded = sims.select("id", "simhash", F.explode(chunk_cols).alias("ck"))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    cands = (l.join(r, (F.col("l.ck") == F.col("r.ck")) & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cands.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

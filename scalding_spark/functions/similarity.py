@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — exact, one broadcast of the query set,
+no shuffle of the corpus (the scan streams; per-row dot products are
+JVM-side higher-order functions). Scale path: LSH bucketing (random
+hyperplanes) so each query only meets its bucket's candidates, turning
+all-pairs O(N·Q) into O(candidates).
+
+At 100 TB / 1e10 vectors: brute force is the per-bucket verifier, LSH (or an
+IVF coarse quantizer — same plan shape: assign → co-partition → local top-k)
+is the pruner. Both live here with the same output contract.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, left-to-right (deterministic)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan: broadcast the (small) query set → crossJoin streams the corpus once
+    with zero shuffle → window top-k per query (the only exchange, keyed by
+    query id). Self-matches excluded. Returns (query_id, neighbor_id, cosine).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH (driver-side, tiny)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit b = sign(vec · plane_b). Expression-only —
+    the planes are literal arrays folded into the plan (broadcast by value)."""
+    bucket = F.lit(0).cast("bigint")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(vec, p) > 0,
+                     F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int | None = None, n_planes: int = 8,
+                    n_tables: int = 4, seed: int = 42) -> DataFrame:
+    """Approximate top-k cosine: multi-table sign-LSH candidate generation +
+    exact re-rank within buckets.
+
+    Plan: each side computes ``n_tables`` bucket ids (pure expressions) →
+    explode → equi-join on (table, bucket) — corpus rows only meet queries
+    landing in the same bucket → exact cosine on candidates → window top-k.
+    The join key is 12 bytes; the corpus shuffles once on bucket ids (or not
+    at all when the query side is broadcast, the common case)."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col)).first()
+        dim = first[0]
+    tables = [random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)]
+
+    def with_buckets(df: DataFrame, idc: str, vecc: str, id_out: str, vec_out: str) -> DataFrame:
+        buckets = F.array(*[
+            F.struct(F.lit(t).alias("t"), lsh_bucket(F.col(vecc), tables[t]).alias("b"))
+            for t in range(len(tables))])
+        return df.select(F.col(idc).alias(id_out), F.col(vecc).alias(vec_out),
+                         F.explode(buckets).alias("bk"))
+
+    cb = with_buckets(corpus, id_col, vec_col, "neighbor_id", "c_vec")
+    qb = with_buckets(queries, id_col, vec_col, "query_id", "q_vec")
+    cands = (cb.join(F.broadcast(qb), on=[cb.bk == qb.bk])
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id", "q_vec", "c_vec")
+             .distinct())
+    scored = cands.select("query_id", "neighbor_id",
+                          cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             n_planes: int = 10, n_tables: int = 4,
+                             seed: int = 42, dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup tier 5): LSH-bucketed
+    self-join + exact cosine ≥ threshold. Same plan shape as cosine_topk_lsh
+    with both sides the corpus. Returns (id_a, id_b, cosine), id_a < id_b."""
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
+    tables = [random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)]
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("t"), lsh_bucket(F.col(vec_col), tables[t]).alias("b"))
+        for t in range(len(tables))])
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                  F.explode(buckets).alias("bk"))
+    l, r = e.alias("l"), e.alias("r")
+    cands = (l.join(r, (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col("l.vec").alias("va"), F.col("r.vec").alias("vb"))
+             .distinct())
+    return (cands.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+            .where(F.col("cosine") >= threshold))

@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path operators are Column expressions (JVM-side, codegen) — no Python
+UDFs — so they hold up on a 100 TB documents table: tokenization and scoring
+are embarrassingly parallel per row, with no shuffle at all.
+
+The reference's analog is free-form lambdas over lines (e.g. the WordCount
+tokenizer, README.md:14-31); these are the engine-native, SQL-oracle-checkable
+versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword language-id
+# heuristic. Deliberately small and deterministic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "de", "que", "es", "una", "por", "con", "para"],
+}
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize(col: Column) -> Column:
+    """Lowercase word tokens; empty tokens filtered. Mirrors the WordCount
+    tokenizer contract (reference README.md:14-31)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace/punct token count — the cheap pre-BPE budget estimate."""
+    return F.size(tokenize(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-approximating token estimate: words + digits + punctuation runs
+    each count; long words count ceil(len/6) subword units. Pure expression."""
+    words = tokenize(col)
+    subwords = F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(6.0)).cast("int"))
+    punct = F.length(F.regexp_replace(col, "[a-zA-Z0-9\\s]+", ""))
+    return (subwords + punct).alias("bpe_tokens")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty strings)."""
+    total = F.length(col)
+    punct = F.length(F.regexp_replace(col, "[a-zA-Z0-9\\s]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords (counting duplicates)."""
+    toks = tokenize(col)
+    stops = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    n = F.size(toks)
+    return F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    healthy stopword density. Deterministic, expression-only."""
+    n_tok = token_count(col)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 5000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(col) > 0.05, 1.0).otherwise(0.0)
+    return ((len_ok + punct_ok + stop_ok) / F.lit(3.0))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language evidence: number of DISTINCT stopwords present.
+    Distinctness makes the score order-insensitive and engine-portable."""
+    toks = tokenize(col)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        stops = F.array([F.lit(w) for w in words])
+        out[lang] = F.size(F.array_distinct(
+            F.filter(toks, lambda t: F.array_contains(stops, t))))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language with deterministic tie-break (language name asc,
+    'und' when no evidence)."""
+    scores = lang_scores(col)
+    pairs = F.array(*[F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+                      for lang, s in sorted(scores.items())])
+    # max by (score, reversed-lang) with stable smallest-lang-wins tie-break:
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def normalize_for_fingerprint(col: Column) -> Column:
+    """Canonical form for content fingerprinting: lowercase, collapse
+    whitespace/punct runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit content fingerprint of the normalized text (xxhash64 — one
+    JVM-side hash, the engine's analog of a rolling-hash document id)."""
+    return F.xxhash64(normalize_for_fingerprint(col))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) — the unit set for Jaccard/MinHash
+    dedup. Expression-only: sliding join over the token array."""
+    toks = tokenize(col)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.when(k > 0, F.array(F.array_join(toks, " "))).otherwise(F.array().cast("array<string>")))

@@ -1,0 +1,346 @@
+"""``GroupBuilder`` — the aggregation suite and ordered group-stream ops.
+
+Parity target: the reference's ``GroupBuilder`` (GroupBuilder.scala:37),
+``ReduceOperations`` (ReduceOperations.scala) and ``StreamOperations``
+(StreamOperations.scala). The reference's physical split — map-side-combinable
+``AggregateBy`` vs reducer-only ``Every`` chains (GroupBuilder.scala:266-303) —
+maps onto Spark as:
+
+- combinable aggregations → ``groupBy().agg(exprs)``; Catalyst ALWAYS plans
+  partial (map-side) + final hash aggregation, the upgrade the reference gets
+  only via its 100k-entry SummingCache (Operations.scala:103-163);
+- order-dependent stream ops (sortBy + take/scan/fold/mapStream) → Window
+  specs or sorted higher-order-function folds, with ``applyInPandas`` as the
+  last-resort escape hatch.
+
+Every aggregation here compiles to Column expressions (JVM-side, codegen).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from scalding_spark.pipe import Pipe
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+class GroupBuilder:
+    """Accumulates aggregations over one grouping, like the reference's
+    ``pipe.groupBy('k){ _.size.sum('x).max('x) }`` (GroupBuilder.scala:46-72).
+
+    Chain agg methods, then ``done()`` schedules one ``groupBy().agg(...)``.
+    Order-dependent ops are entered via ``sort_by(...)`` which returns a
+    :class:`SortedGroup` (the reference's groupMode=GroupByMode switch,
+    GroupBuilder.scala:266-303).
+    """
+
+    def __init__(self, df: DataFrame, keys: list):
+        self._df = df
+        self._keys = keys
+        self._aggs: list[Column] = []
+
+    # -- scheduling --------------------------------------------------------
+
+    def agg(self, *exprs: Column) -> "GroupBuilder":
+        """Raw aggregation escape hatch (the reference's ``every``,
+        GroupBuilder.scala:121-140)."""
+        self._aggs.extend(exprs)
+        return self
+
+    def done(self) -> Pipe:
+        """Schedule the accumulated aggregations (GroupBuilder.scala:266-303)."""
+        if not self._aggs:
+            # identity GroupBy == distinct on keys
+            return Pipe(self._df.select(*self._keys).distinct())
+        if self._keys:
+            return Pipe(self._df.groupBy(*self._keys).agg(*self._aggs))
+        return Pipe(self._df.agg(*self._aggs))
+
+    # -- combinable aggregations (ReduceOperations.scala) ------------------
+
+    def size(self, out: str = "size") -> "GroupBuilder":
+        """COUNT(*) per key (ReduceOperations.scala:402-405)."""
+        return self.agg(F.count(F.lit(1)).alias(out))
+
+    def sum(self, col, out: str | None = None) -> "GroupBuilder":
+        """SUM / monoid-plus (ReduceOperations.scala:327-339)."""
+        return self.agg(F.sum(_c(col)).alias(out or f"sum_{col}"))
+
+    def times(self, col, out: str | None = None) -> "GroupBuilder":
+        """Product of values per key — Ring.times (ReduceOperations.scala:357-370)."""
+        return self.agg(F.product(_c(col)).alias(out or f"prod_{col}"))
+
+    def average(self, col, out: str | None = None) -> "GroupBuilder":
+        """Mean (ReduceOperations.scala:83-84; the reference's AveragedValue
+        online-mean monoid is Catalyst's partial avg: (sum, count) pairs)."""
+        return self.agg(F.avg(_c(col)).alias(out or f"avg_{col}"))
+
+    def size_ave_stdev(self, col, outs=("size", "mean", "stdev")) -> "GroupBuilder":
+        """count/mean/stddev in one pass via Moments monoid
+        (ReduceOperations.scala:192-195) — Catalyst computes all three as
+        partial aggregates in the same hash-agg pass."""
+        c = _c(col)
+        return self.agg(
+            F.count(F.lit(1)).alias(outs[0]),
+            F.avg(c).alias(outs[1]),
+            F.stddev_pop(c).alias(outs[2]),
+        )
+
+    def max(self, col, out: str | None = None) -> "GroupBuilder":
+        """(ReduceOperations.scala:252-268). Multi-column extrema: pass
+        F.struct(...) — matches the reference's tuple dictionary order."""
+        return self.agg(F.max(_c(col)).alias(out or f"max_{col}"))
+
+    def min(self, col, out: str | None = None) -> "GroupBuilder":
+        return self.agg(F.min(_c(col)).alias(out or f"min_{col}"))
+
+    def count_where(self, pred: Column, out: str = "count") -> "GroupBuilder":
+        """Conditional count (ReduceOperations.scala:135-137)."""
+        return self.agg(F.sum(F.when(pred, 1).otherwise(0)).alias(out))
+
+    def forall(self, pred: Column, out: str = "forall") -> "GroupBuilder":
+        """AND over the group (ReduceOperations.scala:200-202)."""
+        return self.agg(F.min(pred.cast("boolean")).alias(out))
+
+    def exists(self, pred: Column, out: str = "exists") -> "GroupBuilder":
+        return self.agg(F.max(pred.cast("boolean")).alias(out))
+
+    def head(self, col, out: str | None = None) -> "GroupBuilder":
+        """First value in arrival order (ReduceOperations.scala:207-214).
+        Arrival order is partition-dependent in both engines; for a
+        deterministic head use sort_by(...).head()."""
+        return self.agg(F.first(_c(col)).alias(out or f"head_{col}"))
+
+    def last(self, col, out: str | None = None) -> "GroupBuilder":
+        return self.agg(F.last(_c(col)).alias(out or f"last_{col}"))
+
+    def to_list(self, col, out: str | None = None, sort: bool = False) -> "GroupBuilder":
+        """Group values → array column (ReduceOperations.scala:375-378).
+        The reference's List is reverse-arrival-order and drops nulls;
+        collect_list drops nulls too. ``sort=True`` gives a deterministic
+        order (recommended — arrival order is partition-dependent)."""
+        e = F.collect_list(_c(col))
+        if sort:
+            e = F.array_sort(e)
+        return self.agg(e.alias(out or f"list_{col}"))
+
+    def to_set(self, col, out: str | None = None, sort: bool = True) -> "GroupBuilder":
+        """toSet / sum of Set monoid (TypedPipe.scala:319-324)."""
+        e = F.collect_set(_c(col))
+        if sort:
+            e = F.array_sort(e)
+        return self.agg(e.alias(out or f"set_{col}"))
+
+    def mk_string(self, col, sep: str = ",", out: str | None = None,
+                  sort: bool = True) -> "GroupBuilder":
+        """String-join of the group (ReduceOperations.scala:276-290)."""
+        e = F.collect_list(_c(col).cast("string"))
+        if sort:
+            e = F.array_sort(e)
+        return self.agg(F.array_join(e, sep).alias(out or f"mkstring_{col}"))
+
+    def dot(self, left, right, out: str = "dot") -> "GroupBuilder":
+        """Sum of products per key (ReduceOperations.scala:389-397)."""
+        return self.agg(F.sum(_c(left) * _c(right)).alias(out))
+
+    def approximate_unique_count(self, col, err_percent: float = 1.0,
+                                 out: str | None = None) -> "GroupBuilder":
+        """HLL distinct estimate (ReduceOperations.scala:103-129; default 1%
+        error ≈ the reference's 16kB/key sketch). Maps to Spark's
+        approx_count_distinct(rsd) — also an HLL++ partial aggregate."""
+        return self.agg(
+            F.approx_count_distinct(_c(col), rsd=err_percent / 100.0)
+            .alias(out or f"approx_distinct_{col}")
+        )
+
+    def hll_sketch(self, col, out: str | None = None, lg_k: int = 12) -> "GroupBuilder":
+        """Mergeable HLL sketch column (the reference carries Algebird HLL
+        objects in tuple slots; we carry DataSketches binary sketches —
+        reaggregatable with hll_union_agg)."""
+        return self.agg(F.hll_sketch_agg(_c(col), lg_k).alias(out or f"hll_{col}"))
+
+    def unique_count(self, col, out: str | None = None) -> "GroupBuilder":
+        """Exact distinct count (expand+dedup under Catalyst)."""
+        return self.agg(F.countDistinct(_c(col)).alias(out or f"n_{col}"))
+
+    def sorted_take(self, cols: list, k: int, out: str = "top",
+                    reverse: bool = False) -> "GroupBuilder":
+        """Bounded top-k per key (ReduceOperations.scala:420-444). The
+        reference keeps k-sized heaps on the map side (PriorityQueueMonoid);
+        Spark's partial collect_list + sort_array + slice bounds reducer
+        input similarly for small k; for per-key rankings over huge groups
+        prefer SortedGroup.take (window row_number)."""
+        struct = F.struct(*[_c(c) for c in cols])
+        arr = F.sort_array(F.collect_list(struct), asc=not reverse)
+        return self.agg(F.slice(arr, 1, k).alias(out))
+
+    def reduce(self, col, zero: Any, merge: Callable[[Column, Column], Column],
+               out: str, finish: Callable[[Column], Column] | None = None,
+               sort: bool = False) -> "GroupBuilder":
+        """Generic fold over group values — the ``mapReduceMap`` kernel
+        (GroupBuilder.scala:175-199, ReduceOperations.scala:58). Collects the
+        group to an array and folds it JVM-side with the higher-order
+        ``aggregate`` expression; ``sort=True`` gives foldLeft's deterministic
+        non-commutative order (GroupBuilder.scala:154-161). For groups too
+        large to collect, use SortedGroup.map_stream (applyInPandas)."""
+        arr = F.collect_list(_c(col))
+        if sort:
+            arr = F.array_sort(arr)
+        e = F.aggregate(arr, F.lit(zero), merge, finish) if finish else \
+            F.aggregate(arr, F.lit(zero), merge)
+        return self.agg(e.alias(out))
+
+    # -- non-chained group ops that reshape rows ---------------------------
+
+    def pivot(self, feature_col: str, value_col: str, values: list | None = None,
+              agg: Column | None = None) -> Pipe:
+        """Long→wide (ReduceOperations.scala:174-186). The reference errors on
+        duplicate keys; we take first() by default. Passing explicit
+        ``values`` avoids the extra distinct-scan job."""
+        g = self._df.groupBy(*self._keys)
+        p = g.pivot(feature_col, values) if values else g.pivot(feature_col)
+        return Pipe(p.agg(agg if agg is not None else F.first(value_col)))
+
+    def histogram(self, col, bin_width: float = 1.0, bin_out: str = "bin",
+                  count_out: str = "count") -> Pipe:
+        """Map[bin→count] histogram (ReduceOperations.scala:446-450,
+        mathematics/Histogram.scala). Returns one row per (key, bin) — the
+        COO form scales where the reference's in-memory Map does not.
+        Summary stats (median/quartiles) via functions.histogram_summary."""
+        b = (F.floor(_c(col) / bin_width) * bin_width).alias(bin_out)
+        return Pipe(
+            self._df.groupBy(*self._keys, b).agg(F.count(F.lit(1)).alias(count_out))
+        )
+
+    # -- ordered ops -------------------------------------------------------
+
+    def sort_by(self, *cols, reverse: bool = False) -> "SortedGroup":
+        """Secondary sort (GroupBuilder.scala:308-318): switch to ordered
+        group-stream semantics over (keys, sort columns)."""
+        def order_col(c):
+            col = _c(c)
+            # A Column that is already a SortOrder (x.desc()/x.asc()) must not
+            # be wrapped again — nested SortOrder is unevaluable in Spark.
+            rep = str(col)
+            if " ASC" in rep or " DESC" in rep:
+                return col
+            return col.desc() if reverse else col.asc()
+
+        order = [order_col(c) for c in cols]
+        names = [c if isinstance(c, str) else None for c in cols]
+        return SortedGroup(self._df, self._keys, order, [_c(c) for c in cols], names)
+
+    def reducers(self, n: int) -> "GroupBuilder":
+        """Reducer-count parity (GroupBuilder.scala:88-93) → explicit
+        repartition on the keys. Usually unnecessary: AQE picks partition
+        counts; keep only for skew/bucketing control."""
+        self._df = self._df.repartition(n, *[_c(k) for k in self._keys])
+        return self
+
+
+class SortedGroup:
+    """Per-key ordered value-stream ops (StreamOperations.scala; SURVEY.md §2.4).
+
+    Sorted windows give ROWS-frame semantics identical to the reference's
+    reducer value-streams. All ops are Window expressions (JVM-side); only
+    ``map_stream`` drops to applyInPandas.
+    """
+
+    def __init__(self, df: DataFrame, keys: list, order: list[Column],
+                 sort_cols: list[Column], sort_names: list[str | None] | None = None):
+        self._df = df
+        self._keys = keys
+        self._order = order
+        self._sort_cols = sort_cols
+        self._sort_names = [n for n in (sort_names or []) if n]
+        self._w = Window.partitionBy(*keys).orderBy(*order) if keys else \
+            Window.partitionBy().orderBy(*order)
+
+    def _rn(self) -> Column:
+        return F.row_number().over(self._w)
+
+    def take(self, n: int) -> Pipe:
+        """First n per key (StreamOperations.scala:80-83) → row_number ≤ n.
+        With AQE, the rank filter prunes early; for huge groups this is the
+        scalable form of the reference's reducer-side take."""
+        return Pipe(
+            self._df.withColumn("__rn", self._rn()).where(F.col("__rn") <= n).drop("__rn")
+        )
+
+    def drop(self, n: int) -> Pipe:
+        """(StreamOperations.scala:55-58)."""
+        return Pipe(
+            self._df.withColumn("__rn", self._rn()).where(F.col("__rn") > n).drop("__rn")
+        )
+
+    def take_while(self, pred: Column) -> Pipe:
+        """Prefix while pred holds (StreamOperations.scala:84-94): running
+        max of the violation flag; keep rows before the first violation."""
+        bad = F.max(F.when(~pred, 1).otherwise(0)).over(
+            self._w.rowsBetween(Window.unboundedPreceding, 0))
+        return Pipe(self._df.withColumn("__bad", bad).where(F.col("__bad") == 0).drop("__bad"))
+
+    def drop_while(self, pred: Column) -> Pipe:
+        bad = F.max(F.when(~pred, 1).otherwise(0)).over(
+            self._w.rowsBetween(Window.unboundedPreceding, 0))
+        return Pipe(self._df.withColumn("__bad", bad).where(F.col("__bad") == 1).drop("__bad"))
+
+    def scan_left(self, col, out: str, agg: Callable[[Column], Column] = F.sum) -> Pipe:
+        """Running accumulation emitting every step (GroupBuilder.scala:252-264,
+        StreamOperations.scala:69-75) → cumulative window aggregate."""
+        cum = agg(_c(col)).over(self._w.rowsBetween(Window.unboundedPreceding, 0))
+        return Pipe(self._df.withColumn(out, cum))
+
+    def rank(self, out: str = "rank", dense: bool = False) -> Pipe:
+        """Analytic ranking — the reference expresses these via sortBy+scanLeft
+        (SURVEY.md §2.4 note); we expose them as first-class window functions."""
+        return Pipe(self._df.withColumn(out, (F.dense_rank() if dense else F.rank()).over(self._w)))
+
+    def row_number(self, out: str = "rn") -> Pipe:
+        return Pipe(self._df.withColumn(out, self._rn()))
+
+    def lag(self, col, n: int = 1, out: str | None = None) -> Pipe:
+        return Pipe(self._df.withColumn(out or f"lag_{col}", F.lag(_c(col), n).over(self._w)))
+
+    def head(self) -> Pipe:
+        """Deterministic first row per key (ReduceOperations.scala:207-214
+        with sort) — min-by via window rank."""
+        return self.take(1)
+
+    def last(self) -> Pipe:
+        rev = Window.partitionBy(*self._keys).orderBy(*[c.desc() for c in self._sort_cols])
+        rn = F.row_number().over(rev)
+        return Pipe(self._df.withColumn("__rn", rn).where(F.col("__rn") == 1).drop("__rn"))
+
+    def fold_left(self, value_col, zero: Any, merge: Callable[[Column, Column], Column],
+                  out: str) -> Pipe:
+        """Non-commutative fold in sort order (GroupBuilder.scala:154-161;
+        forces reducers in the reference). Values are collected in sort order
+        (sort_array over (sortkey, value) structs) and folded JVM-side via the
+        higher-order aggregate expression — one hash aggregation, no Python."""
+        pair = F.struct(*self._sort_cols, _c(value_col).alias("__v"))
+        arr = F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["__v"])
+        folded = F.aggregate(arr, F.lit(zero), merge)
+        keys = [_c(k) if not isinstance(k, str) else F.col(k) for k in self._keys]
+        return Pipe(self._df.groupBy(*keys).agg(folded.alias(out)))
+
+    def map_stream(self, fn, schema: str) -> Pipe:
+        """Arbitrary iterator→iterator transform over each key's sorted stream
+        (GroupBuilder.scala:219-228, Operations.scala:382-414) → applyInPandas.
+        ``fn(pdf) -> pdf`` receives each group sorted by the sort columns
+        (requires sort_by to have been called with string column names)."""
+        if not self._sort_names:
+            raise ValueError("map_stream requires sort_by(...) with string column names")
+        sort_names = self._sort_names
+
+        def sorted_fn(pdf):
+            return fn(pdf.sort_values(sort_names, kind="mergesort"))
+
+        return Pipe(self._df.groupBy(*self._keys).applyInPandas(sorted_fn, schema=schema))

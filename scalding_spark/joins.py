@@ -1,0 +1,113 @@
+"""Join algorithms — parity with the reference's ``JoinAlgorithms``
+(scalding-core/src/main/scala/com/twitter/scalding/JoinAlgorithms.scala) and
+the typed joins (typed/CoGrouped2.scala, typed/HashCoGrouped2.scala).
+
+Strategy mapping (SURVEY.md §2.5):
+
+- ``joinWithSmaller/Larger``  → sort-merge/shuffle-hash equi-join; Catalyst +
+  AQE pick the physical algorithm and handle skew splitting.
+- ``joinWithTiny``            → ``F.broadcast`` replicated hash join (no shuffle
+  of the big side — the critical 100 TB pattern for dimension tables).
+- ``blockJoin/skewJoin``      → AQE skew-join covers the common case; an
+  explicit salted join is provided for extreme single-key skew where even one
+  AQE-split partition is too large.
+- semi/anti                   → native left_semi/left_anti (the reference
+  emulates with join+null-filter, Matrix.scala:632-693).
+- ``coGroupBy`` n-way         → chained joins, or true cogroup via
+  ``applyInPandas`` over ``df.groupBy(k).cogroup(...)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scalding_spark.pipe import Pipe
+
+
+def _df(p) -> DataFrame:
+    return p.df if isinstance(p, Pipe) else p
+
+
+def join_with_smaller(left, right, on, how: str = "inner") -> Pipe:
+    """Reduce-side equi-join (JoinAlgorithms.scala:155-182). Both sides
+    shuffle on the key; Spark's sort-merge join streams both sides instead of
+    buffering the right per key, so "call on the larger pipe" no longer
+    matters for memory — kept for API parity."""
+    return Pipe(_df(left).join(_df(right), on=on, how=how))
+
+
+def join_with_larger(left, right, on, how: str = "inner") -> Pipe:
+    """(JoinAlgorithms.scala:187-189) — same physical plan under Catalyst."""
+    return join_with_smaller(left, right, on, how)
+
+
+def join_with_tiny(left, right, on, how: str = "inner") -> Pipe:
+    """Map-side replicated hash join (JoinAlgorithms.scala:221-236): the tiny
+    side is broadcast to every task; the big side never shuffles. The
+    reference forbids outer/right here (the replicated side can't observe
+    global misses) — broadcast right-outer is likewise refused."""
+    if how in ("right", "rightouter", "right_outer", "outer", "full", "fullouter", "full_outer"):
+        raise ValueError(f"joinWithTiny does not support how={how!r} (JoinAlgorithms.scala:233)")
+    return Pipe(_df(left).join(F.broadcast(_df(right)), on=on, how=how))
+
+
+def cross_with_tiny(left, right) -> Pipe:
+    """Cartesian with a replicated tiny side (JoinAlgorithms.scala:70-75)."""
+    return Pipe(_df(left).crossJoin(F.broadcast(_df(right))))
+
+
+def semi_join(left, right, on) -> Pipe:
+    """keepRowsBy / keepElementsBy (Matrix.scala:632-667) → native left_semi."""
+    return Pipe(_df(left).join(_df(right), on=on, how="left_semi"))
+
+
+def anti_join(left, right, on) -> Pipe:
+    """removeRowsBy / removeElementsBy (Matrix.scala:669-693) → left_anti."""
+    return Pipe(_df(left).join(_df(right), on=on, how="left_anti"))
+
+
+def salted_skew_join(left, right, on: list[str], salt: int = 16,
+                     how: str = "inner") -> Pipe:
+    """Explicit replicate-fragment join for extreme key skew — the
+    blockJoin/skewJoin family (JoinAlgorithms.scala:265-458,
+    SkewReplication.scala:21-66), as a static-salting recipe:
+
+    - left rows get a random fragment id in [0, salt);
+    - right rows are replicated once per fragment (explode over sequence);
+    - the join key becomes (key..., fragment), spreading each hot key over
+      ``salt`` reducers.
+
+    Prefer AQE's sampled skew handling (on by default in session.py); use
+    this when a single key exceeds what one AQE-split partition can hold or
+    for non-AQE deployments. Inner/left only, like the reference's block join
+    validity matrix (JoinAlgorithms.scala:286-293)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted skew join supports inner/left only (JoinAlgorithms.scala:286)")
+    ldf, rdf = _df(left), _df(right)
+    ldf = ldf.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    rdf = rdf.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    joined = ldf.join(rdf, on=on + ["__salt"], how=how).drop("__salt")
+    return Pipe(joined)
+
+
+def cogroup(left, right, keys: list[str], fn: Callable, schema: str) -> Pipe:
+    """True n=2 cogroup (typed cogroup, TypedPipe.scala:476-482,
+    CoGroupBuilder.scala:27-50): ``fn(key_tuple, left_pdf, right_pdf) -> pdf``
+    runs once per key with both sides' rows — Arrow-batched, both sides
+    shuffled on the key (one co-partitioned exchange each)."""
+    g = _df(left).groupBy(*keys).cogroup(_df(right).groupBy(*keys))
+    return Pipe(g.applyInPandas(fn, schema=schema))
+
+
+def multi_join(pipes: list, on: list[str], hows: list[str] | None = None) -> Pipe:
+    """coGroupBy star join (JoinAlgorithms.scala:53-55): n-way equi-join on a
+    shared key. Catalyst reuses the key's hash partitioning across the chained
+    joins, so the fact table shuffles once, not n times."""
+    hows = hows or ["inner"] * (len(pipes) - 1)
+    out = _df(pipes[0])
+    for p, how in zip(pipes[1:], hows):
+        out = out.join(_df(p), on=on, how=how)
+    return Pipe(out)

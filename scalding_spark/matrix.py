@@ -1,0 +1,259 @@
+"""Sparse COO linear algebra — parity with the reference's Matrix library
+(scalding-core/src/main/scala/com/twitter/scalding/mathematics/Matrix.scala,
+MatrixProduct.scala, SizeHint.scala).
+
+A matrix is an *infinite, sparse* map (row, col) → val represented as a
+DataFrame with columns ``row, col, val`` (Matrix.scala:34-50); absent entries
+are zero and operations that produce zeros prune them (Matrix.scala:150-152).
+
+Scale design:
+- matmul = join on the inner dimension + groupBy(row,col) sum
+  (MatrixProduct.scala:340-377). The SizeHint cost model
+  (SizeHint.scala:37-132) decides whether the smaller operand is broadcast
+  (the reference's maxTinyJoin=100k elements, MatrixProduct.scala:88) —
+  otherwise it's a shuffled join that AQE can re-plan.
+- elementwise ops = full outer join with monoid-zero fill
+  (Matrix.scala:449-480, zip semantics Matrix.scala:580-627).
+- per-row/col reductions = one hash aggregation; normalizations re-join the
+  row norms back via a broadcast when the row count is small, else a window.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# The reference's broadcast cutoff: MatrixProduct.maxTinyJoin = 100000 elements
+# (MatrixProduct.scala:88).
+MAX_TINY_JOIN = 100_000
+
+
+@dataclass(frozen=True)
+class SizeHint:
+    """Micro cost model (SizeHint.scala:37-132): optional bounds on the
+    element count, used to pick broadcast vs shuffle for products."""
+    rows: int | None = None
+    cols: int | None = None
+    sparsity: float = 1.0
+
+    @property
+    def total(self) -> float | None:
+        if self.rows is None or self.cols is None:
+            return None
+        return self.rows * self.cols * self.sparsity
+
+    def transpose(self) -> "SizeHint":
+        return SizeHint(self.cols, self.rows, self.sparsity)
+
+    def times(self, other: "SizeHint") -> "SizeHint":
+        # FiniteHint product algebra (SizeHint.scala:60-132)
+        if self.rows is None or other.cols is None:
+            return SizeHint()
+        return SizeHint(self.rows, other.cols,
+                        min(1.0, self.sparsity * other.sparsity * (self.cols or 1)))
+
+
+class Matrix:
+    """Sparse matrix over a (row, col, val) DataFrame (Matrix.scala:184)."""
+
+    def __init__(self, df: DataFrame, row: str = "row", col: str = "col",
+                 val: str = "val", hint: SizeHint = SizeHint()):
+        self.df = df.select(
+            F.col(row).alias("row"), F.col(col).alias("col"), F.col(val).alias("val"))
+        self.hint = hint
+
+    # -- construction (Matrix.scala:54-142) --------------------------------
+
+    @classmethod
+    def from_df(cls, df: DataFrame, row: str, col: str, val: str,
+                hint: SizeHint = SizeHint()) -> "Matrix":
+        return cls(df, row, col, val, hint)
+
+    # -- elementwise / structural (Matrix.scala:211-252,505-520) -----------
+
+    def map_values(self, fn) -> "Matrix":
+        """mapValues with zero-pruning (Matrix.scala:211-216,150-152)."""
+        out = self.df.withColumn("val", fn(F.col("val"))).where(F.col("val") != 0)
+        return Matrix(out, hint=self.hint)
+
+    def filter_values(self, pred) -> "Matrix":
+        return Matrix(self.df.where(pred(F.col("val"))), hint=self.hint)
+
+    def binarize(self) -> "Matrix":
+        """binarizeAs (Matrix.scala:231-241)."""
+        return Matrix(self.df.withColumn("val", F.lit(1.0)), hint=self.hint)
+
+    def transpose(self) -> "Matrix":
+        return Matrix(
+            self.df.select(F.col("col").alias("row"), F.col("row").alias("col"), "val"),
+            hint=self.hint.transpose())
+
+    def diagonal(self) -> "Matrix":
+        """(Matrix.scala:505-520)."""
+        return Matrix(self.df.where(F.col("row") == F.col("col")), hint=self.hint)
+
+    def get_row(self, r) -> "Matrix":
+        return Matrix(self.df.where(F.col("row") == r), hint=SizeHint(1, self.hint.cols))
+
+    def get_col(self, c) -> "Matrix":
+        return Matrix(self.df.where(F.col("col") == c), hint=SizeHint(self.hint.rows, 1))
+
+    # -- reductions (Matrix.scala:255-272,395-401,496-503) -----------------
+
+    def sum_row_vectors(self) -> DataFrame:
+        """Sum over columns per row → (row, val)."""
+        return self.df.groupBy("row").agg(F.sum("val").alias("val"))
+
+    def sum_col_vectors(self) -> DataFrame:
+        return self.df.groupBy("col").agg(F.sum("val").alias("val"))
+
+    def trace(self) -> DataFrame:
+        """(Matrix.scala:734-755)."""
+        return self.df.where(F.col("row") == F.col("col")).agg(F.sum("val").alias("trace"))
+
+    def total_sum(self) -> DataFrame:
+        """Matrix.sum (Matrix.scala:496-503)."""
+        return self.df.agg(F.sum("val").alias("sum"))
+
+    # -- top-k (Matrix.scala:296-322) --------------------------------------
+
+    def top_row_elems(self, k: int) -> "Matrix":
+        """Top-k entries per row by value. The reference switches heap vs
+        sort at k=1000 (Matrix.scala:297); the window-rank plan bounds
+        per-partition state for any k."""
+        w = Window.partitionBy("row").orderBy(F.col("val").desc(), F.col("col"))
+        out = (self.df.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k).drop("__rn"))
+        return Matrix(out, hint=self.hint)
+
+    # -- normalizations (Matrix.scala:324-385) -----------------------------
+
+    def row_l1_normalize(self) -> "Matrix":
+        """Divide each row by its L1 norm — one window aggregation; no join,
+        no second shuffle when the input is already partitioned by row."""
+        w = Window.partitionBy("row")
+        norm = F.sum(F.abs(F.col("val"))).over(w)
+        return Matrix(self.df.withColumn("val", F.col("val") / norm), hint=self.hint)
+
+    def row_l2_normalize(self) -> "Matrix":
+        w = Window.partitionBy("row")
+        norm = F.sqrt(F.sum(F.col("val") * F.col("val")).over(w))
+        return Matrix(self.df.withColumn("val", F.col("val") / norm), hint=self.hint)
+
+    def row_mean_centering(self) -> "Matrix":
+        w = Window.partitionBy("row")
+        return Matrix(self.df.withColumn("val", F.col("val") - F.avg("val").over(w)),
+                      hint=self.hint)
+
+    # -- elementwise algebra (Matrix.scala:449-480, zip :580-627) ----------
+
+    def _elementwise(self, other: "Matrix", combine) -> "Matrix":
+        """Full outer join on (row, col); absent entries are monoid zero
+        (the reference's zip + Monoid.zero fill, Matrix.scala:544-554)."""
+        a = self.df.alias("a")
+        b = other.df.alias("b")
+        joined = a.join(b, on=["row", "col"], how="full_outer")
+        la = F.coalesce(F.col("a.val"), F.lit(0.0))
+        rb = F.coalesce(F.col("b.val"), F.lit(0.0))
+        out = (joined.select("row", "col", combine(la, rb).alias("val"))
+               .where(F.col("val") != 0))
+        return Matrix(out, hint=self.hint)
+
+    def __add__(self, other: "Matrix") -> "Matrix":
+        return self._elementwise(other, lambda a, b: a + b)
+
+    def __sub__(self, other: "Matrix") -> "Matrix":
+        return self._elementwise(other, lambda a, b: a - b)
+
+    def h_prod(self, other: "Matrix") -> "Matrix":
+        """Hadamard product (Matrix.scala:478-480). Inner join suffices —
+        zero × anything is zero (pruned)."""
+        a, b = self.df.alias("a"), other.df.alias("b")
+        out = (a.join(b, on=["row", "col"], how="inner")
+               .select("row", "col", (F.col("a.val") * F.col("b.val")).alias("val")))
+        return Matrix(out, hint=self.hint)
+
+    def scale(self, s: float) -> "Matrix":
+        """scalar·matrix (MatrixProduct.scala:110-284)."""
+        return self.map_values(lambda v: v * s)
+
+    # -- products (MatrixProduct.scala:340-377) ----------------------------
+
+    def matmul(self, other: "Matrix") -> "Matrix":
+        """A*B: join A.col == B.row → multiply → groupBy (A.row, B.col) sum.
+
+        Physical strategy chosen from SizeHints (MatrixProduct.scala:86-108):
+        an operand known to be under MAX_TINY_JOIN elements is broadcast, so
+        the big side neither shuffles for the join nor for the partial
+        aggregation's map side. Otherwise both sides hash-shuffle on the
+        inner dimension and AQE balances skewed inner keys."""
+        a = self.df.select(F.col("row").alias("a_row"), F.col("col").alias("k"),
+                           F.col("val").alias("a_val"))
+        b = other.df.select(F.col("row").alias("k"), F.col("col").alias("b_col"),
+                            F.col("val").alias("b_val"))
+        a_total, b_total = self.hint.total, other.hint.total
+        if b_total is not None and b_total <= MAX_TINY_JOIN:
+            b = F.broadcast(b)
+        elif a_total is not None and a_total <= MAX_TINY_JOIN:
+            a = F.broadcast(a)
+        prod = a.join(b, on="k")
+        out = (prod.groupBy(F.col("a_row").alias("row"), F.col("b_col").alias("col"))
+               .agg(F.sum(F.col("a_val") * F.col("b_val")).alias("val"))
+               .where(F.col("val") != 0))
+        return Matrix(out, hint=self.hint.times(other.hint))
+
+    def propagate(self, vec: DataFrame) -> DataFrame:
+        """Graph message passing: (bool) matrix × col vector
+        (Matrix.scala:485-492) — one PageRank-style step.
+        ``vec`` has columns (row, val) keyed by this matrix's *col* ids."""
+        v = vec.select(F.col("row").alias("k"), F.col("val").alias("v_val"))
+        m = self.df.select("row", F.col("col").alias("k"), "val")
+        return (m.join(v, on="k")
+                .groupBy("row").agg(F.sum(F.col("val") * F.col("v_val")).alias("val")))
+
+    # -- row/col filtering by another pipe (Matrix.scala:632-693) ----------
+
+    def keep_rows_by(self, keys: DataFrame) -> "Matrix":
+        """left_semi on row ids (the reference's join+null-filter idiom)."""
+        k = keys.select(F.col(keys.columns[0]).alias("row"))
+        return Matrix(self.df.join(F.broadcast(k), on="row", how="left_semi"), hint=self.hint)
+
+    def remove_rows_by(self, keys: DataFrame) -> "Matrix":
+        k = keys.select(F.col(keys.columns[0]).alias("row"))
+        return Matrix(self.df.join(F.broadcast(k), on="row", how="left_anti"), hint=self.hint)
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             alpha: float = 0.85, iterations: int = 10, n_nodes: int | None = None) -> DataFrame:
+    """Iterative PageRank on an edge list — the reference's examples/PageRank.scala:22-179
+    expressed as a driver-side loop of DataFrame steps with persist() between
+    iterations (Job.next chaining parity). Returns (node, rank).
+
+    Scale notes: the transition matrix is row-L1-normalized once and
+    persisted; each iteration is one join + one aggregation on the same key
+    partitioning. The reference caps ~10 iterations per flow
+    (PageRank.scala:13-14) — same default here.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))).distinct().persist()
+    n = n_nodes or nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    trans = (e.join(deg, on="src")
+             .select(F.col("dst").alias("row"), F.col("src").alias("col"),
+                     (F.lit(1.0) / F.col("deg")).alias("val"))).persist()
+    ranks = nodes.select(F.col("node").alias("row"), F.lit(1.0 / n).alias("val")).persist()
+    m = Matrix(trans)
+    for _ in range(iterations):
+        contrib = m.propagate(ranks)
+        new_ranks = (nodes.join(contrib, nodes.node == contrib.row, "left")
+                     .select(F.col("node").alias("row"),
+                             (F.lit((1 - alpha) / n)
+                              + F.lit(alpha) * F.coalesce(F.col("val"), F.lit(0.0))).alias("val")))
+        new_ranks = new_ranks.persist()
+        new_ranks.count()  # materialize before unpersisting the parent
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks.select(F.col("row").alias("node"), F.col("val").alias("rank"))

@@ -1,0 +1,304 @@
+"""``Pipe`` — the fields-API surface of the engine.
+
+Parity target: the reference's ``RichPipe`` (scalding-core/src/main/scala/com/
+twitter/scalding/RichPipe.scala) — project/discard/rename/insert/map/flatMap/
+filter/limit/sample/unpivot/pack/unpack/merge/groupBy/debug/normalize/traps.
+
+Design: a thin, immutable wrapper over a ``DataFrame``. Every operator is a
+declarative Column expression so consecutive ops fuse under Catalyst's
+CollapseProject + whole-stage codegen (the reference hand-fuses map chains in
+TypedPipe.scala:80-143; Catalyst does it for free). Python lambdas are the
+escape hatch, never the default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Mapping
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _to_col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+class Pipe:
+    """A named-field tuple stream (reference: Cascading pipe) backed by a DataFrame.
+
+    Unlike the reference's untyped ``Fields`` (FieldConversions.scala:114-131),
+    the schema is statically typed (``df.schema``) — a deliberate upgrade.
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_iterable(cls, spark: SparkSession, rows: Iterable, schema) -> "Pipe":
+        """IterableSource parity (IterableSource.scala:44-84)."""
+        return cls(spark.createDataFrame(list(rows), schema=schema))
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str) -> "Pipe":
+        return cls(spark.read.parquet(path))
+
+    # -- plumbing ----------------------------------------------------------
+
+    @property
+    def fields(self) -> list[str]:
+        return self.df.columns
+
+    def then(self, fn: Callable[["Pipe"], "Pipe"]) -> "Pipe":
+        """Plug a function block into the chain (RichPipe.scala:139)."""
+        return fn(self)
+
+    def name(self, alias: str) -> "Pipe":
+        """Name the pipe (RichPipe.scala:67) → DataFrame alias for self-joins."""
+        return Pipe(self.df.alias(alias))
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    # -- map-phase operators (RichPipe Each ops; SURVEY.md §2.2) -----------
+
+    def project(self, *cols: str | Column) -> "Pipe":
+        """Keep columns (RichPipe.scala:126-128) → column pruning reaches the scan."""
+        return Pipe(self.df.select(*cols))
+
+    def discard(self, *cols: str) -> "Pipe":
+        """Drop columns (RichPipe.scala:134)."""
+        return Pipe(self.df.drop(*cols))
+
+    def rename(self, mapping: Mapping[str, str]) -> "Pipe":
+        """Rename fields (RichPipe.scala:296-302)."""
+        return Pipe(self.df.withColumnsRenamed(dict(mapping)))
+
+    def insert(self, field: str, value: Any) -> "Pipe":
+        """Constant column (RichPipe.scala:277-278)."""
+        return Pipe(self.df.withColumn(field, F.lit(value)))
+
+    def map(self, **exprs: Column) -> "Pipe":
+        """1-row→1-row transform, appending/replacing named outputs
+        (RichPipe.scala:372-383, ALL/REPLACE modes). Column-expression only —
+        stays inside whole-stage codegen."""
+        return Pipe(self.df.withColumns(dict(exprs)))
+
+    def map_to(self, *exprs: Column, **named: Column) -> "Pipe":
+        """mapTo — keep only results (RichPipe.scala:378)."""
+        cols = list(exprs) + [e.alias(n) for n, e in named.items()]
+        return Pipe(self.df.select(*cols))
+
+    def flat_map(self, expr: Column, out: str, keep: Iterable[str] = ()) -> "Pipe":
+        """1→0..n rows by exploding an array-valued expression
+        (RichPipe.scala:384-395). ``flatten`` (RichPipe.scala:406-421) is
+        flat_map(F.col(c), c)."""
+        keep = list(keep) or [c for c in self.df.columns]
+        return Pipe(self.df.select(*keep, F.explode(expr).alias(out)))
+
+    def flat_map_outer(self, expr: Column, out: str) -> "Pipe":
+        """explode_outer variant — keeps rows whose array is empty/null as null."""
+        return Pipe(self.df.withColumn(out, F.explode_outer(expr)))
+
+    def filter(self, cond: Column | str) -> "Pipe":
+        """Keep rows (RichPipe.scala:307-311) → predicate pushdown via Catalyst."""
+        return Pipe(self.df.where(cond))
+
+    def limit(self, n: int) -> "Pipe":
+        """≤ n rows. Exact (the reference's is per-task approximate,
+        RichPipe.scala:481 — documented semantic upgrade, SURVEY.md §7.3)."""
+        return Pipe(self.df.limit(n))
+
+    def sample(self, fraction: float, seed: int | None = None) -> "Pipe":
+        """Bernoulli sample (RichPipe.scala:488-489)."""
+        return Pipe(self.df.sample(fraction=fraction, seed=seed))
+
+    def debug(self, n: int = 20) -> "Pipe":
+        """Print tuples (RichPipe.scala:494)."""
+        self.df.show(n, truncate=False)
+        return self
+
+    def unpivot(self, ids: list[str], cols: list[str], var_name: str = "feature",
+                value_name: str = "value") -> "Pipe":
+        """Wide→long (RichPipe.scala:469-474) → native df.unpivot (melt)."""
+        return Pipe(self.df.unpivot(ids, cols, var_name, value_name))
+
+    def pack(self, out: str, *cols: str) -> "Pipe":
+        """N fields → one struct column (RichPipe.scala:550-565; the reference
+        uses reflection-based TuplePacker — structs are the typed analog)."""
+        return Pipe(self.df.withColumn(out, F.struct(*cols)).drop(*cols))
+
+    def unpack(self, col: str) -> "Pipe":
+        """One struct column → N fields (RichPipe.scala:577-594)."""
+        others = [c for c in self.df.columns if c != col]
+        return Pipe(self.df.select(*others, f"{col}.*"))
+
+    def __add__(self, other: "Pipe") -> "Pipe":
+        """Merge / UNION ALL (RichPipe.scala:170)."""
+        return Pipe(self.df.unionByName(other.df))
+
+    def union_all(self, *others: "Pipe") -> "Pipe":
+        out = self.df
+        for o in others:
+            out = out.unionByName(o.df)
+        return Pipe(out)
+
+    # -- set ops (SURVEY.md §2.7; semi/anti idioms Matrix.scala:632-693) ---
+
+    def intersect(self, other: "Pipe") -> "Pipe":
+        return Pipe(self.df.intersect(other.df))
+
+    def except_all(self, other: "Pipe") -> "Pipe":
+        return Pipe(self.df.exceptAll(other.df))
+
+    def distinct(self, *cols: str) -> "Pipe":
+        """Dedup on columns (RichPipe.scala:160-165; typed TypedPipe.scala:121-125).
+        Hash-shuffle on the key columns; partial distinct happens map-side."""
+        if cols:
+            return Pipe(self.df.select(*cols).distinct())
+        return Pipe(self.df.distinct())
+
+    # -- grouping ----------------------------------------------------------
+
+    def group_by(self, *keys: str | Column):
+        """Enter the aggregation builder (RichPipe.scala:153-155)."""
+        from scalding_spark.grouping import GroupBuilder
+        return GroupBuilder(self.df, list(keys))
+
+    def group_all(self):
+        """Single-group global agg (RichPipe.scala:178-194). Unlike the
+        reference's 1-reducer bottleneck, Catalyst computes partial aggregates
+        on every partition and merges — no repartition(1)."""
+        from scalding_spark.grouping import GroupBuilder
+        return GroupBuilder(self.df, [])
+
+    # -- randomized repartition / shuffle (RichPipe.scala:199-267) ---------
+
+    def shard(self, n: int, seed: int | None = None) -> "Pipe":
+        """groupRandomly/shard — random repartition into n groups."""
+        if seed is None:
+            return Pipe(self.df.repartition(n))
+        part = F.pmod(F.hash(F.rand(seed)), F.lit(n))
+        return Pipe(self.df.repartition(n, part))
+
+    def shuffle(self, shards: int, seed: int = 12345) -> "Pipe":
+        """Global seeded random reorder (RichPipe.scala:243-267). The engine
+        defines its own stable seeded shuffle (SURVEY.md §7.3) — a range
+        partition + sort on rand(seed), parallel at any scale."""
+        return Pipe(
+            self.df.withColumn("__r", F.rand(seed))
+            .repartitionByRange(shards, "__r")
+            .sortWithinPartitions("__r")
+            .drop("__r")
+        )
+
+    # -- misc parity -------------------------------------------------------
+
+    def normalize(self, col: str, out: str | None = None) -> "Pipe":
+        """Divide a column by its global sum (RichPipe.scala:528-538). The
+        reference does groupAll+crossWithTiny; here a scalar aggregate is
+        broadcast back via a window over the empty partition spec — one extra
+        exchange, no driver round-trip."""
+        from pyspark.sql import Window
+        total = F.sum(col).over(Window.partitionBy())
+        return Pipe(self.df.withColumn(out or col, F.col(col) / total))
+
+    def partition_agg(self, tag_expr: Column, tag: str, build) -> "Pipe":
+        """partition(fs->tag)(part)(aggs) (RichPipe.scala:324-340): derive a
+        partition key, group by it, aggregate. ``build`` receives a
+        GroupBuilder and must return it."""
+        from scalding_spark.grouping import GroupBuilder
+        tagged = self.df.withColumn(tag, tag_expr)
+        return build(GroupBuilder(tagged, [tag])).done()
+
+    def force_to_disk(self) -> "Pipe":
+        """Materialization barrier (RichPipe.scala:428) → persist()."""
+        return Pipe(self.df.persist())
+
+    def map_partitions(self, fn, schema, barrier_setup: Callable | None = None) -> "Pipe":
+        """``using(resource).map`` parity (RichPipe.scala:73-119): per-batch
+        stateful transform with setup/teardown, via Arrow-batched mapInPandas.
+        ``fn(resource, iterator_of_pdf) -> iterator_of_pdf``; ``barrier_setup``
+        builds the per-task resource (returned value is passed to fn)."""
+        if barrier_setup is None:
+            return Pipe(self.df.mapInPandas(fn, schema=schema))
+
+        def wrapped(it):
+            resource = barrier_setup()
+            try:
+                yield from fn(resource, it)
+            finally:
+                close = getattr(resource, "close", None) or getattr(resource, "release", None)
+                if close:
+                    close()
+
+        return Pipe(self.df.mapInPandas(wrapped, schema=schema))
+
+    def add_trap(self, fn, schema: str, trap_path: str | None = None,
+                 error_col: str = "__error") -> "Pipe":
+        """Error-row diversion (RichPipe.scala:515-518). Rows for which ``fn``
+        raises are quarantined (written to ``trap_path`` as parquet with an
+        ``__error`` message column) instead of failing the job. ``fn`` is a
+        per-row dict→dict transform applied in Arrow batches.
+
+        The reference captures only op-visible fields and no exception info
+        (RichPipe.scala:508-514); we keep the full row plus the error —
+        a cleaner but compatible quarantine schema (SURVEY.md §7.3)."""
+        import pandas as pd
+
+        out_schema = schema + f", {error_col} string"
+
+        def runner(it):
+            for pdf in it:
+                oks, bads = [], []
+                for rec in pdf.to_dict("records"):
+                    try:
+                        res = fn(rec)
+                        res[error_col] = None
+                        oks.append(res)
+                    except Exception as e:  # noqa: BLE001 - trap semantics
+                        rec[error_col] = f"{type(e).__name__}: {e}"
+                        bads.append(rec)
+                if oks or bads:
+                    yield pd.DataFrame(oks + bads)
+
+        result = self.df.mapInPandas(runner, schema=out_schema).persist()
+        if trap_path:
+            result.where(F.col(error_col).isNotNull()).write.mode("append").parquet(trap_path)
+        return Pipe(result.where(F.col(error_col).isNull()).drop(error_col))
+
+    # -- joins (delegates; see joins.py) -----------------------------------
+
+    def join_with_smaller(self, on, right: "Pipe", how: str = "inner") -> "Pipe":
+        from scalding_spark import joins
+        return joins.join_with_smaller(self, right, on, how)
+
+    def join_with_tiny(self, on, right: "Pipe", how: str = "inner") -> "Pipe":
+        from scalding_spark import joins
+        return joins.join_with_tiny(self, right, on, how)
+
+    def cross_with_tiny(self, right: "Pipe") -> "Pipe":
+        from scalding_spark import joins
+        return joins.cross_with_tiny(self, right)
+
+    # -- sinks -------------------------------------------------------------
+
+    def write_parquet(self, path: str, mode: str = "overwrite",
+                      partition_by: list[str] | None = None) -> "Pipe":
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return self
+
+    def write_tsv(self, path: str, header: bool = False) -> "Pipe":
+        """Tsv sink parity (FileSource.scala:244-258)."""
+        self.df.write.mode("overwrite").option("sep", "\t").option("header", header).csv(path)
+        return self
+
+    def write_json(self, path: str) -> "Pipe":
+        """JsonLine sink parity (FileSource.scala:450-503)."""
+        self.df.write.mode("overwrite").json(path)
+        return self

@@ -1,0 +1,68 @@
+"""SparkSession factory with engine defaults.
+
+Replaces the reference's Mode/Config plumbing (Mode.scala:42, Job.scala:132-156):
+where Scalding injects spill thresholds and Kryo serializers into the Hadoop
+config, we set the Catalyst/AQE knobs that govern the same physical behaviors
+(partial aggregation, broadcast threshold, skew-join splitting).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "scalding_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    Defaults are tuned so the SAME logical plans behave at local test scale
+    and at cluster scale: AQE coalesces the shuffle-partition count at
+    runtime, skew joins split hot partitions, and broadcast joins kick in
+    for dimension tables (the reference's joinWithTiny, JoinAlgorithms.scala:221).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Shuffle partitions ~= cores locally; AQE coalesces at runtime so a
+        # higher static value is safe on a real cluster.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deterministic oracle comparisons: DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas_udf / applyInPandas / toPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # Read TIMESTAMP(NANOS) parquet columns as raw nanos longs (Spark has
+        # no ns timestamp type); sources convert with timestamp_micros(div 1000).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read the driver's parquet tables; returns dict name -> DataFrame.
+
+    Parquet scans are columnar with predicate pushdown — the engine's
+    canonical storage (replacing the reference's Tsv/SequenceFile taps,
+    FileSource.scala:244-258).
+    """
+    names = names or (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
