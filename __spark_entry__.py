@@ -436,6 +436,82 @@ def q_matrix_reductions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows
 
 
+def q_matrix_col_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-axis L2 normalization + per-column top-k (Matrix.scala:407-430)."""
+    a = _supplier_part_matrix(spark, sf_dir)
+    out = a.col_l2_normalize().top_col_elems(2)
+    return out.df.select("row", "col", F.round("val", 6).alias("val"))
+
+
+def q_matrix_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keepRowsBy + removeColsBy + removeElementsBy (Matrix.scala:632-693)."""
+    a = _supplier_part_matrix(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 10).select("s_suppkey")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") > 40).select("p_partkey")
+    out = (a.keep_rows_by(s).remove_cols_by(p)
+           .remove_elements_by(a.diagonal()))
+    return out.df.select("row", "col", F.round("val", 2).alias("val"))
+
+
+def q_matrix_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip with monoid-zero fill (Matrix.scala:580-627): pair every entry of
+    A with A's per-row top-1 entry mask."""
+    a = _supplier_part_matrix(spark, sf_dir)
+    z = a.zip_matrix(a.top_row_elems(1))
+    return z.select("row", "col",
+                    F.round("val_left", 2).alias("val_left"),
+                    F.round("val_right", 2).alias("val_right"))
+
+
+def q_matrix_map_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row transform (Matrix.scala:277-293): divide each row by its max."""
+    a = _supplier_part_matrix(spark, sf_dir)
+
+    def row_max_normalize(entries):
+        mx = F.array_max(F.transform(entries, lambda e: e["val"]))
+        return F.transform(
+            entries,
+            lambda e: F.struct(e["col"].alias("col"), (e["val"] / mx).alias("val")))
+
+    out = a.map_rows(row_max_normalize)
+    return out.df.select("row", "col", F.round("val", 6).alias("val"))
+
+
+def q_vector_matrix_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RowVector × Matrix (MatrixProduct.scala:287-340): supplier account
+    balances as weights over the supplier×part matrix → per-part weighted sum."""
+    from scalding_spark.matrix import RowVector
+    a = _supplier_part_matrix(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("col"), F.col("s_acctbal").alias("val"))
+    rv = RowVector(s)
+    out = rv.times_matrix(a)
+    return out.df.select("col", F.round("val", 2).alias("val"))
+
+
+def q_diag_inverse_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiagonalMatrix.inverse + trace (Matrix.scala:734-755) of the gram
+    matrix's diagonal."""
+    a = _supplier_part_matrix(spark, sf_dir)
+    g = a.matmul(a.transpose())
+    inv = g.diagonal_inverse()
+    return inv.trace().select(F.round("trace", 10).alias("trace"))
+
+
+def q_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nCk table generation (Combinatorics.scala:92-116): 10 choose 3."""
+    from scalding_spark import combinatorics
+    return combinatorics.combinations(spark, list(range(1, 11)), 3)
+
+
+def q_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subsetSum (Combinatorics.scala:202-227): subsets of [3,5,7,11,13]
+    summing to 18 ± 0.5."""
+    from scalding_spark import combinatorics
+    return combinatorics.subset_sum(spark, [3, 5, 7, 11, 13], 18, 0.5) \
+        .select(*[F.col(f"x{i}").cast("int").alias(f"x{i}") for i in range(1, 6)])
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank (examples/PageRank.scala) on the customer→supplier
     purchase graph. No SQL oracle (iterative) — rows-only check."""
@@ -606,6 +682,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
         "q_matrix_elementwise": q_matrix_elementwise,
         "q_matrix_reductions": q_matrix_reductions,
+        "q_matrix_col_normalize": q_matrix_col_normalize,
+        "q_matrix_filter_ops": q_matrix_filter_ops,
+        "q_matrix_zip": q_matrix_zip,
+        "q_matrix_map_rows": q_matrix_map_rows,
+        "q_vector_matrix_product": q_vector_matrix_product,
+        "q_diag_inverse_trace": q_diag_inverse_trace,
+        "q_combinations": q_combinations,
+        "q_subset_sum": q_subset_sum,
         "q_pagerank": q_pagerank,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -866,6 +950,69 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT l_suppkey, sum(l_quantity) AS val
                   FROM lineitem GROUP BY l_suppkey, l_partkey)
             GROUP BY l_suppkey
+        """,
+        "q_matrix_col_normalize": """
+            WITH a AS (SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val
+                       FROM lineitem GROUP BY 1, 2),
+            n AS (SELECT row, col, val / sqrt(sum(val * val) OVER (PARTITION BY col)) AS val
+                  FROM a)
+            SELECT row, col, round(val, 6) AS val FROM n
+            QUALIFY row_number() OVER (PARTITION BY col ORDER BY val DESC, row) <= 2
+        """,
+        "q_matrix_filter_ops": """
+            WITH a AS (SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT row, col, round(val, 2) AS val FROM a
+            WHERE row IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 10)
+              AND col NOT IN (SELECT p_partkey FROM part WHERE p_size > 40)
+              AND row != col
+        """,
+        "q_matrix_zip": """
+            WITH a AS (SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val
+                       FROM lineitem GROUP BY 1, 2),
+            top1 AS (SELECT row, col, val FROM a
+                     QUALIFY row_number() OVER (PARTITION BY row
+                         ORDER BY val DESC, col) <= 1)
+            SELECT a.row AS row, a.col AS col,
+                   round(a.val, 2) AS val_left,
+                   round(coalesce(t.val, 0.0), 2) AS val_right
+            FROM a LEFT JOIN top1 t ON a.row = t.row AND a.col = t.col
+        """,
+        "q_matrix_map_rows": """
+            WITH a AS (SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT row, col,
+                   round(val / max(val) OVER (PARTITION BY row), 6) AS val
+            FROM a
+        """,
+        "q_vector_matrix_product": """
+            WITH a AS (SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT a.col AS col, round(sum(s.s_acctbal * a.val), 2) AS val
+            FROM a JOIN supplier s ON s.s_suppkey = a.row
+            GROUP BY a.col HAVING sum(s.s_acctbal * a.val) != 0
+        """,
+        "q_diag_inverse_trace": """
+            WITH a AS (SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val
+                       FROM lineitem GROUP BY 1, 2),
+            diag AS (SELECT row, sum(val * val) AS val FROM a GROUP BY row)
+            SELECT round(sum(1.0 / val), 10) AS trace FROM diag WHERE val != 0
+        """,
+        "q_combinations": """
+            SELECT a.r AS c1, b.r AS c2, c.r AS c3
+            FROM (SELECT unnest(generate_series(1, 10)) AS r) a,
+                 (SELECT unnest(generate_series(1, 10)) AS r) b,
+                 (SELECT unnest(generate_series(1, 10)) AS r) c
+            WHERE a.r < b.r AND b.r < c.r
+        """,
+        "q_subset_sum": """
+            SELECT x1, x2, x3, x4, x5
+            FROM (SELECT unnest([0, 1]) AS x1) a,
+                 (SELECT unnest([0, 1]) AS x2) b,
+                 (SELECT unnest([0, 1]) AS x3) c,
+                 (SELECT unnest([0, 1]) AS x4) d,
+                 (SELECT unnest([0, 1]) AS x5) e
+            WHERE abs(x1 * 3 + x2 * 5 + x3 * 7 + x4 * 11 + x5 * 13 - 18) <= 0.5
         """,
         "q_exact_dedup": f"""
             SELECT doc_id, source FROM (

@@ -147,6 +147,64 @@ class Matrix:
         return Matrix(self.df.withColumn("val", F.col("val") - F.avg("val").over(w)),
                       hint=self.hint)
 
+    def row_l0_normalize(self) -> "Matrix":
+        """Divide by the count of nonzero entries per row (L0 'norm')."""
+        w = Window.partitionBy("row")
+        return Matrix(self.df.withColumn("val", F.col("val") / F.count("val").over(w)),
+                      hint=self.hint)
+
+    def row_size_ave_stdev(self) -> DataFrame:
+        """Per-row (size, mean, stdev) — Matrix.scala:370-385. One hash agg."""
+        return self.df.groupBy("row").agg(
+            F.count("val").alias("size"),
+            F.avg("val").alias("mean"),
+            F.coalesce(F.stddev_pop("val"), F.lit(0.0)).alias("stdev"))
+
+    # Column-axis variants (Matrix.scala:395-430) — transpose symmetry.
+
+    def col_l1_normalize(self) -> "Matrix":
+        return self.transpose().row_l1_normalize().transpose()
+
+    def col_l2_normalize(self) -> "Matrix":
+        return self.transpose().row_l2_normalize().transpose()
+
+    def col_mean_centering(self) -> "Matrix":
+        return self.transpose().row_mean_centering().transpose()
+
+    def col_size_ave_stdev(self) -> DataFrame:
+        out = self.transpose().row_size_ave_stdev()
+        return out.withColumnRenamed("row", "col")
+
+    def top_col_elems(self, k: int) -> "Matrix":
+        """Top-k entries per column (Matrix.scala:407-409)."""
+        w = Window.partitionBy("col").orderBy(F.col("val").desc(), F.col("row"))
+        out = (self.df.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k).drop("__rn"))
+        return Matrix(out, hint=self.hint)
+
+    def map_rows(self, fn) -> "Matrix":
+        """Whole-row transform (Matrix.scala:277-293): ``fn`` maps an
+        ``array<struct<col,val>>`` Column to a same-shaped Column. Expression
+        -only — one shuffle to assemble rows, explode back, zero-prune.
+
+        For arbitrary Python row logic use ``map_rows_pandas``."""
+        assembled = (self.df.groupBy("row")
+                     .agg(F.collect_list(F.struct("col", "val")).alias("entries")))
+        transformed = assembled.select("row", fn(F.col("entries")).alias("entries"))
+        out = (transformed.select("row", F.explode("entries").alias("e"))
+               .select("row", F.col("e.col").alias("col"), F.col("e.val").alias("val"))
+               .where(F.col("val") != 0))
+        return Matrix(out, hint=self.hint)
+
+    def map_cols(self, fn) -> "Matrix":
+        return self.transpose().map_rows(fn).transpose()
+
+    def map_rows_pandas(self, fn, schema: str = "row long, col long, val double") -> "Matrix":
+        """Whole-row transform with arbitrary Python logic via applyInPandas
+        (the escape hatch the reference's Scala lambdas imply)."""
+        out = self.df.groupBy("row").applyInPandas(fn, schema=schema)
+        return Matrix(out.where(F.col("val") != 0), hint=self.hint)
+
     # -- elementwise algebra (Matrix.scala:449-480, zip :580-627) ----------
 
     def _elementwise(self, other: "Matrix", combine) -> "Matrix":
@@ -166,6 +224,32 @@ class Matrix:
 
     def __sub__(self, other: "Matrix") -> "Matrix":
         return self._elementwise(other, lambda a, b: a - b)
+
+    def elem_wise_op(self, other: "Matrix", combine) -> "Matrix":
+        """Generic elementwise combine with monoid-zero fill for absent
+        entries (Matrix.scala:464-476 elemWiseOp)."""
+        return self._elementwise(other, combine)
+
+    def zip_matrix(self, other: "Matrix") -> DataFrame:
+        """zip (Matrix.scala:580-627): pair up entries by (row, col) via full
+        outer join, coalescing indices (Matrix.scala:544-554); absent side is
+        monoid zero. Returns (row, col, val_left, val_right)."""
+        a, b = self.df.alias("a"), other.df.alias("b")
+        joined = a.join(b, on=["row", "col"], how="full_outer")
+        return joined.select(
+            "row", "col",
+            F.coalesce(F.col("a.val"), F.lit(0.0)).alias("val_left"),
+            F.coalesce(F.col("b.val"), F.lit(0.0)).alias("val_right"))
+
+    def zip_col_vector(self, vec: DataFrame) -> DataFrame:
+        """zip with a column vector keyed by row id (Matrix.scala:580-600):
+        every matrix entry pairs with its row's vector value (zero when
+        absent). Returns (row, col, val, vec_val)."""
+        v = vec.select(F.col(vec.columns[0]).alias("row"),
+                       F.col(vec.columns[1]).alias("vec_val"))
+        return (self.df.join(v, on="row", how="left")
+                .select("row", "col", "val",
+                        F.coalesce(F.col("vec_val"), F.lit(0.0)).alias("vec_val")))
 
     def h_prod(self, other: "Matrix") -> "Matrix":
         """Hadamard product (Matrix.scala:478-480). Inner join suffices —
@@ -223,6 +307,110 @@ class Matrix:
     def remove_rows_by(self, keys: DataFrame) -> "Matrix":
         k = keys.select(F.col(keys.columns[0]).alias("row"))
         return Matrix(self.df.join(F.broadcast(k), on="row", how="left_anti"), hint=self.hint)
+
+    def keep_cols_by(self, keys: DataFrame) -> "Matrix":
+        """keepColsBy (Matrix.scala:652-662)."""
+        k = keys.select(F.col(keys.columns[0]).alias("col"))
+        return Matrix(self.df.join(F.broadcast(k), on="col", how="left_semi")
+                      .select("row", "col", "val"), hint=self.hint)
+
+    def remove_cols_by(self, keys: DataFrame) -> "Matrix":
+        k = keys.select(F.col(keys.columns[0]).alias("col"))
+        return Matrix(self.df.join(F.broadcast(k), on="col", how="left_anti")
+                      .select("row", "col", "val"), hint=self.hint)
+
+    def keep_elements_by(self, other: "Matrix") -> "Matrix":
+        """keepElementsBy (Matrix.scala:632-640): keep entries whose (row,col)
+        appears in the other matrix — left_semi on the composite key."""
+        k = other.df.select("row", "col")
+        return Matrix(self.df.join(k, on=["row", "col"], how="left_semi"), hint=self.hint)
+
+    def remove_elements_by(self, other: "Matrix") -> "Matrix":
+        """removeElementsBy (Matrix.scala:642-650)."""
+        k = other.df.select("row", "col")
+        return Matrix(self.df.join(k, on=["row", "col"], how="left_anti"), hint=self.hint)
+
+    def diagonal_inverse(self) -> "Matrix":
+        """DiagonalMatrix.inverse (Matrix.scala:734-755): 1/val on the
+        diagonal, zero entries skipped (stay zero)."""
+        return Matrix(
+            self.df.where((F.col("row") == F.col("col")) & (F.col("val") != 0))
+            .withColumn("val", F.lit(1.0) / F.col("val")),
+            hint=self.hint)
+
+
+# -- vectors (Matrix.scala:706-996) -----------------------------------------
+
+
+class ColVector:
+    """Sparse column vector as a (row, val) DataFrame (Matrix.scala:876-996)."""
+
+    def __init__(self, df: DataFrame, row: str = "row", val: str = "val"):
+        self.df = df.select(F.col(row).alias("row"), F.col(val).alias("val"))
+
+    def transpose(self) -> "RowVector":
+        return RowVector(self.df.select(F.col("row").alias("col"), "val"))
+
+    def l1_normalize(self) -> "ColVector":
+        w = Window.partitionBy()
+        return ColVector(self.df.withColumn(
+            "val", F.col("val") / F.sum(F.abs(F.col("val"))).over(w)))
+
+    def l2_normalize(self) -> "ColVector":
+        w = Window.partitionBy()
+        return ColVector(self.df.withColumn(
+            "val", F.col("val") / F.sqrt(F.sum(F.col("val") * F.col("val")).over(w))))
+
+    def top_elems(self, k: int) -> "ColVector":
+        """topElems (Matrix.scala:956-975): global top-k — Spark plans
+        orderBy+limit as TakeOrderedAndProject (no single-reducer sort)."""
+        return ColVector(self.df.orderBy(F.col("val").desc(), F.col("row")).limit(k))
+
+    def diag(self) -> Matrix:
+        """Lift to a diagonal matrix (Matrix.scala:930-940)."""
+        return Matrix(self.df.select(F.col("row"), F.col("row").alias("col"), "val"))
+
+    def outer_product(self, row_vec: "RowVector") -> Matrix:
+        """col ⊗ row outer product — a broadcast cross join; every (i,j) pair
+        (MatrixProduct.scala:287-453)."""
+        r = F.broadcast(row_vec.df.select(F.col("col"), F.col("val").alias("r_val")))
+        out = (self.df.crossJoin(r)
+               .select("row", "col", (F.col("val") * F.col("r_val")).alias("val"))
+               .where(F.col("val") != 0))
+        return Matrix(out)
+
+
+class RowVector:
+    """Sparse row vector as a (col, val) DataFrame (Matrix.scala:706-871)."""
+
+    def __init__(self, df: DataFrame, col: str = "col", val: str = "val"):
+        self.df = df.select(F.col(col).alias("col"), F.col(val).alias("val"))
+
+    def transpose(self) -> ColVector:
+        return ColVector(self.df.select(F.col("col").alias("row"), "val"))
+
+    def dot(self, other: ColVector) -> DataFrame:
+        """Inner product row·col → 1-row scalar DataFrame."""
+        o = other.df.select(F.col("row").alias("col"), F.col("val").alias("o_val"))
+        return (self.df.join(o, on="col")
+                .agg(F.sum(F.col("val") * F.col("o_val")).alias("dot")))
+
+    def times_matrix(self, m: Matrix) -> "RowVector":
+        """row-vector × matrix (MatrixProduct.scala:287-340): broadcast the
+        vector (it is one row), join on the matrix's row id, sum per col."""
+        v = F.broadcast(self.df.select(F.col("col").alias("k"), F.col("val").alias("v_val")))
+        md = m.df.select(F.col("row").alias("k"), "col", "val")
+        out = (md.join(v, on="k")
+               .groupBy("col").agg(F.sum(F.col("val") * F.col("v_val")).alias("val"))
+               .where(F.col("val") != 0))
+        return RowVector(out)
+
+    def propagate(self, m: Matrix) -> "RowVector":
+        """RowVector.propagate (Matrix.scala:820-823) = vector × bool matrix."""
+        return self.times_matrix(m)
+
+    def top_elems(self, k: int) -> "RowVector":
+        return RowVector(self.df.orderBy(F.col("val").desc(), F.col("col")).limit(k))
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
