@@ -182,6 +182,41 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram derived stats (mathematics/Histogram.scala:3-47): bin-
+    resolution min/max/mean/stdDev/quartiles/IQR per return flag."""
+    li = _p(spark, sf_dir, "lineitem")
+    out = li.group_by("l_returnflag").histogram_summary("l_quantity", bin_width=5.0)
+    return out.map_to(
+        F.col("l_returnflag"), F.col("hmin"), F.col("hmax"),
+        F.col("q1"), F.col("median"), F.col("q3"), F.col("iqr"),
+        mean=F.round("mean", 6), std_dev=F.round("std_dev", 6)).df
+
+
+def q_maplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapList (ReduceOperations.scala:231-241): whole-group function over the
+    sorted value list — here the mid-range (max+min)/2 of quantities."""
+    li = _p(spark, sf_dir, "lineitem")
+    out = (li.group_by("l_suppkey")
+           .map_list("l_quantity",
+                     lambda arr: (F.element_at(arr, -1) + F.element_at(arr, 1)) / 2,
+                     out="mid_range")
+           .done())
+    return out.map_to(F.col("l_suppkey"), mid_range=F.round("mid_range", 2)).df
+
+
+def q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """blockJoinWithSmaller (JoinAlgorithms.scala:265-341): replicated-
+    fragment join must produce exactly the plain join's aggregate."""
+    o = _p(spark, sf_dir, "orders").map_to(custkey=F.col("o_custkey"),
+                                           o_totalprice=F.col("o_totalprice"))
+    c = _p(spark, sf_dir, "customer").map_to(custkey=F.col("c_custkey"),
+                                             c_mktsegment=F.col("c_mktsegment"))
+    j = joins.block_join(o, c, on=["custkey"], left_repl=2, right_repl=2)
+    return (j.group_by("c_mktsegment").sum("o_totalprice", "revenue").size("n").done()
+            .map_to(F.col("c_mktsegment"), F.col("n"), revenue=F.round("revenue", 2)).df)
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _p(spark, sf_dir, "lineitem")
     return (
@@ -661,6 +696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_stats": q_group_stats,
         "q_mkstring": q_mkstring,
         "q_histogram": q_histogram,
+        "q_histogram_summary": q_histogram_summary,
+        "q_maplist": q_maplist,
+        "q_block_join": q_block_join,
         "q_pivot": q_pivot,
         "q_normalize": q_normalize,
         "q_dot": q_dot,
@@ -807,6 +845,39 @@ def oracle_sql() -> dict[str, str]:
         "q_histogram": """
             SELECT l_returnflag, floor(l_quantity / 5.0) * 5.0 AS bin, count(*) AS n
             FROM lineitem GROUP BY 1, 2
+        """,
+        "q_histogram_summary": """
+            WITH bins AS (
+                SELECT l_returnflag AS k, floor(l_quantity / 5.0) * 5.0 AS bin,
+                       count(*) AS n
+                FROM lineitem GROUP BY 1, 2),
+            c AS (
+                SELECT k, bin, n,
+                       sum(n) OVER (PARTITION BY k ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(n) OVER (PARTITION BY k) AS tot
+                FROM bins)
+            SELECT k AS l_returnflag,
+                   min(bin) AS hmin, max(bin) AS hmax,
+                   round(sum(bin * n) / any_value(tot), 6) AS mean,
+                   round(sqrt(sum(bin * bin * n) / any_value(tot)
+                              - pow(sum(bin * n) / any_value(tot), 2)), 6) AS std_dev,
+                   min(CASE WHEN cum >= 0.25 * tot THEN bin END) AS q1,
+                   min(CASE WHEN cum >= 0.50 * tot THEN bin END) AS median,
+                   min(CASE WHEN cum >= 0.75 * tot THEN bin END) AS q3,
+                   min(CASE WHEN cum >= 0.75 * tot THEN bin END)
+                     - min(CASE WHEN cum >= 0.25 * tot THEN bin END) AS iqr
+            FROM c GROUP BY k
+        """,
+        "q_maplist": """
+            SELECT l_suppkey,
+                   round((max(l_quantity) + min(l_quantity)) / 2, 2) AS mid_range
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "q_block_join": """
+            SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "q_pivot": """
             SELECT l_returnflag,

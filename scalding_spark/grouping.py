@@ -219,6 +219,57 @@ class GroupBuilder:
             self._df.groupBy(*self._keys, b).agg(F.count(F.lit(1)).alias(count_out))
         )
 
+    def histogram_summary(self, col, bin_width: float = 1.0) -> Pipe:
+        """The reference Histogram object's derived stats
+        (mathematics/Histogram.scala:3-47): min/max/mean/stdDev/median/q1/q3/
+        IQR — all computed from the *binned* representation (bin keys weighted
+        by counts), matching the reference's resolution exactly.
+
+        Plan: one hash agg to bins, then per-key cdf percentile picks — two
+        exchanges total, no per-row state."""
+        b = (F.floor(_c(col) / bin_width) * bin_width).alias("__bin")
+        bins = (self._df.groupBy(*self._keys, b)
+                .agg(F.count(F.lit(1)).alias("__n")))
+        keys = [str(k) if isinstance(k, str) else k for k in self._keys]
+        w = Window.partitionBy(*keys).orderBy("__bin") \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wk = Window.partitionBy(*keys)
+        cum = bins.select(
+            *keys, "__bin", "__n",
+            F.sum("__n").over(w).alias("__cum"),
+            F.sum("__n").over(wk).alias("__tot"))
+
+        def pct(p):
+            """Smallest bin whose cumulative count reaches p·total
+            (Histogram.scala percentile/cdf)."""
+            return F.min(F.when(F.col("__cum") >= p * F.col("__tot"),
+                                F.col("__bin")))
+
+        out = cum.groupBy(*keys).agg(
+            F.min("__bin").alias("hmin"),
+            F.max("__bin").alias("hmax"),
+            (F.sum(F.col("__bin") * F.col("__n")) / F.first("__tot")).alias("mean"),
+            F.sqrt(F.sum(F.col("__bin") * F.col("__bin") * F.col("__n"))
+                   / F.first("__tot")
+                   - F.pow(F.sum(F.col("__bin") * F.col("__n"))
+                           / F.first("__tot"), 2)).alias("std_dev"),
+            pct(0.25).alias("q1"),
+            pct(0.50).alias("median"),
+            pct(0.75).alias("q3"))
+        return Pipe(out.withColumn("iqr", F.col("q3") - F.col("q1")))
+
+    def map_list(self, col, fn, out: str, sort: bool = True) -> "GroupBuilder":
+        """mapList (ReduceOperations.scala:231-241): collect the group's
+        values to an array and apply an expression function array→scalar.
+        ``sort=True`` gives the deterministic order the reference gets from
+        an explicit sortBy (arrival order is undefined in both engines).
+        Memory note: the whole group materializes per key — same caveat as
+        the reference's in-memory List."""
+        arr = F.collect_list(_c(col))
+        if sort:
+            arr = F.array_sort(arr)
+        return self.agg(fn(arr).alias(out))
+
     # -- ordered ops -------------------------------------------------------
 
     def sort_by(self, *cols, reverse: bool = False) -> "SortedGroup":

@@ -93,6 +93,38 @@ def salted_skew_join(left, right, on: list[str], salt: int = 16,
     return Pipe(joined)
 
 
+def block_join(left, right, on: list[str], left_repl: int = 1,
+               right_repl: int = 1, how: str = "inner", seed: int = 42) -> Pipe:
+    """Replicate-fragment ("block") join (JoinAlgorithms.scala:265-341):
+    handles skew on BOTH sides by spreading each key over a
+    ``left_repl × right_repl`` grid —
+
+    - each left row gets a random fragment j ∈ [0, right_repl) and is
+      replicated for every i ∈ [0, left_repl);
+    - each right row gets a random fragment i ∈ [0, left_repl) and is
+      replicated for every j ∈ [0, right_repl);
+    - joining on (key, i, j) meets every (left row, right row) pair exactly
+      once.
+
+    Validity matrix as in the reference (JoinAlgorithms.scala:286-293):
+    inner allows both factors; left requires left_repl == 1; right requires
+    right_repl == 1 (a replicated outer side would duplicate misses)."""
+    if how == "left" and left_repl != 1:
+        raise ValueError("left block join requires left_repl == 1 (JoinAlgorithms.scala:288)")
+    if how == "right" and right_repl != 1:
+        raise ValueError("right block join requires right_repl == 1 (JoinAlgorithms.scala:289)")
+    if how not in ("inner", "left", "right"):
+        raise ValueError(f"block join does not support how={how!r} (JoinAlgorithms.scala:286)")
+    ldf = (_df(left)
+           .withColumn("__j", (F.rand(seed=seed) * right_repl).cast("int"))
+           .withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(left_repl - 1)))))
+    rdf = (_df(right)
+           .withColumn("__i", (F.rand(seed=seed + 1) * left_repl).cast("int"))
+           .withColumn("__j", F.explode(F.sequence(F.lit(0), F.lit(right_repl - 1)))))
+    joined = ldf.join(rdf, on=on + ["__i", "__j"], how=how).drop("__i", "__j")
+    return Pipe(joined)
+
+
 def cogroup(left, right, keys: list[str], fn: Callable, schema: str) -> Pipe:
     """True n=2 cogroup (typed cogroup, TypedPipe.scala:476-482,
     CoGroupBuilder.scala:27-50): ``fn(key_tuple, left_pdf, right_pdf) -> pdf``

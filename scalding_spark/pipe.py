@@ -246,28 +246,37 @@ class Pipe:
         The reference captures only op-visible fields and no exception info
         (RichPipe.scala:508-514); we keep the full row plus the error —
         a cleaner but compatible quarantine schema (SURVEY.md §7.3)."""
+        import json
+
         import pandas as pd
 
-        out_schema = schema + f", {error_col} string"
+        orig_col = "__orig"
+        out_cols = [c.strip().split()[0] for c in schema.split(",")]
+        out_schema = schema + f", {error_col} string, {orig_col} string"
 
         def runner(it):
             for pdf in it:
-                oks, bads = [], []
+                recs = []
                 for rec in pdf.to_dict("records"):
                     try:
-                        res = fn(rec)
+                        res = dict(fn(rec))
                         res[error_col] = None
-                        oks.append(res)
+                        res[orig_col] = None
+                        recs.append(res)
                     except Exception as e:  # noqa: BLE001 - trap semantics
-                        rec[error_col] = f"{type(e).__name__}: {e}"
-                        bads.append(rec)
-                if oks or bads:
-                    yield pd.DataFrame(oks + bads)
+                        bad = {c: None for c in out_cols}
+                        bad[error_col] = f"{type(e).__name__}: {e}"
+                        bad[orig_col] = json.dumps(rec, default=str)
+                        recs.append(bad)
+                if recs:
+                    yield pd.DataFrame(recs, columns=out_cols + [error_col, orig_col])
 
         result = self.df.mapInPandas(runner, schema=out_schema).persist()
         if trap_path:
-            result.where(F.col(error_col).isNotNull()).write.mode("append").parquet(trap_path)
-        return Pipe(result.where(F.col(error_col).isNull()).drop(error_col))
+            (result.where(F.col(error_col).isNotNull())
+             .select(orig_col, error_col)
+             .write.mode("append").parquet(trap_path))
+        return Pipe(result.where(F.col(error_col).isNull()).drop(error_col, orig_col))
 
     # -- joins (delegates; see joins.py) -----------------------------------
 

@@ -1,0 +1,94 @@
+"""Operator-level unit tests (the reference's per-operator spec style,
+CoreTest.scala): literal inputs, golden outputs computed in Python."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark.pipe import Pipe
+from scalding_spark import joins
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return Pipe(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, "c", 40.0)],
+        "id long, grp string, x double"))
+
+
+def test_block_join_equals_plain_join(spark, people):
+    right = Pipe(spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "grp string, name string"))
+    plain = sorted((r.id, r.name) for r in
+                   people.join_with_smaller("grp", right).df.collect())
+    blocked = sorted((r.id, r.name) for r in
+                     joins.block_join(people, right, on=["grp"],
+                                      left_repl=3, right_repl=2).df.collect())
+    assert blocked == plain
+
+
+def test_block_join_validity_matrix():
+    with pytest.raises(ValueError):
+        joins.block_join(None, None, on=["k"], left_repl=2, how="left")
+    with pytest.raises(ValueError):
+        joins.block_join(None, None, on=["k"], right_repl=2, how="right")
+    with pytest.raises(ValueError):
+        joins.block_join(None, None, on=["k"], how="outer")
+
+
+def test_join_with_tiny_refuses_outer(people):
+    with pytest.raises(ValueError):
+        joins.join_with_tiny(people, people, on="grp", how="outer")
+
+
+def test_shard_partitions_and_preserves_rows(people):
+    out = people.shard(2)
+    assert out.df.rdd.getNumPartitions() == 2
+    assert sorted(r.id for r in out.df.collect()) == [1, 2, 3, 4]
+
+
+def test_shuffle_seeded_deterministic(people):
+    a = [r.id for r in people.shuffle(2, seed=7).df.collect()]
+    b = [r.id for r in people.shuffle(2, seed=7).df.collect()]
+    assert a == b and sorted(a) == [1, 2, 3, 4]
+
+
+def test_sample_seeded_subset(people):
+    rows = people.sample(0.5, seed=1).df.collect()
+    assert all(r.id in (1, 2, 3, 4) for r in rows)
+
+
+def test_limit_exact(people):
+    assert people.limit(2).df.count() == 2
+
+
+def test_histogram_summary_golden(spark):
+    # values 1..10, width 2 → bins 0(1),2(2,3),4(4,5),6(6,7),8(8,9),10(10)
+    p = Pipe(spark.createDataFrame([(float(i),) for i in range(1, 11)], "x double"))
+    row = p.group_all().__class__  # group_all returns GroupBuilder on const key
+    out = p.group_all().histogram_summary("x", bin_width=2.0).df.collect()[0]
+    assert out.hmin == 0.0 and out.hmax == 10.0
+    # cdf: cum counts 1,3,5,7,9,10 of 10 → q1: first cum>=2.5 → bin 2;
+    # median: cum>=5 → bin 4; q3: cum>=7.5 → bin 8
+    assert out.q1 == 2.0 and out.median == 4.0 and out.q3 == 8.0
+    assert out.iqr == 6.0
+
+
+def test_map_list(spark):
+    p = Pipe(spark.createDataFrame(
+        [("a", 3.0), ("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double"))
+    out = {r.k: r.first_sorted for r in
+           (p.group_by("k")
+            .map_list("v", lambda arr: F.element_at(arr, 1), out="first_sorted")
+            .done().df.collect())}
+    assert out == {"a": 1.0, "b": 5.0}
+
+
+def test_add_trap_quarantines_bad_rows(spark, people, tmp_path):
+    def fn(row):
+        if row["id"] == 3:
+            raise ValueError("boom")
+        return {"id": row["id"], "doubled": row["x"] * 2}
+
+    out = people.add_trap(fn, "id long, doubled double", str(tmp_path / "trap"))
+    got = sorted((r.id, r.doubled) for r in out.df.collect())
+    assert got == [(1, 20.0), (2, 40.0), (4, 80.0)]
