@@ -1,0 +1,91 @@
+"""Source/sink round-trip tests (the reference's FileSourceTest/SourceSpec
+strategy), on tmp dirs."""
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark.functions.dates import DateRange
+from scalding_spark.sources import extras, files, time_pathed
+
+
+@pytest.fixture()
+def df3(spark):
+    return spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", 2.5), (3, "z", 3.5)], "id long, s string, v double")
+
+
+def test_tsv_with_header_roundtrip(spark, df3, tmp_path):
+    p = str(tmp_path / "data.tsv")
+    extras.write_tsv_with_header(df3, p)
+    assert os.path.exists(p + ".HEADER")
+    back = extras.read_tsv_with_header(spark, p, schema="id long, s string, v double")
+    assert sorted(tuple(r) for r in back.collect()) == \
+        sorted(tuple(r) for r in df3.collect())
+    assert back.columns == ["id", "s", "v"]
+
+
+def test_codec_source_budget(spark, tmp_path):
+    raw = spark.createDataFrame(
+        [(b"1:a",), (b"2:b",), (b"garbage",), (b"3:c",)], "bytes binary")
+
+    def decode(b: bytes) -> dict:
+        k, v = b.decode().split(":")
+        return {"k": int(k), "v": v}
+
+    out, check = extras.read_codec(spark, raw, decode, "k long, v string",
+                                   max_failures=1)
+    rows = sorted((r.k, r.v) for r in out.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    assert check() == 1
+
+    out2, check2 = extras.read_codec(spark, raw, decode, "k long, v string",
+                                     max_failures=0)
+    out2.count()
+    with pytest.raises(extras.DecodeBudgetExceeded):
+        check2()
+
+
+def test_distributed_cache_file(spark, tmp_path):
+    f = tmp_path / "lookup.txt"
+    f.write_text("hello")
+    name = extras.distributed_cache_file(spark, str(f))
+
+    def use_cache(it):
+        import pandas as pd
+        from scalding_spark.sources.extras import cached_path
+        with open(cached_path(name), encoding="utf-8") as fh:
+            content = fh.read()
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["tag"] = content
+            yield pdf
+
+    df = spark.range(2).mapInPandas(use_cache, "id long, tag string")
+    assert {r.tag for r in df.collect()} == {"hello"}
+
+
+def test_pail_partitioned_store(spark, df3, tmp_path):
+    root = str(tmp_path / "pail")
+    extras.write_pail(df3, root, ["s"])
+    assert os.path.isdir(os.path.join(root, "s=x"))
+    pruned = extras.read_pail(spark, root, where=F.col("s") == "y")
+    assert [r.id for r in pruned.collect()] == [2]
+
+
+def test_daily_prefab_write_read(spark, df3, tmp_path):
+    src = extras.daily_suffix_source(str(tmp_path / "daily"))
+    rng = DateRange(datetime(2026, 8, 10), datetime(2026, 8, 12))
+    src.write(df3, rng)                       # writes to the END date dir
+    assert os.path.isdir(str(tmp_path / "daily/2026/08/12"))
+    back = src.read(spark, rng, strict=False)
+    assert back.count() == 3
+    latest = time_pathed.most_recent_good(spark, src, rng)
+    assert latest.count() == 3
+
+
+def test_text_line_strict_validation(spark, tmp_path):
+    with pytest.raises(files.InvalidSourceException):
+        files.text_line(spark, str(tmp_path / "nope.txt"))
