@@ -666,6 +666,20 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window gap-merge aggregation (streaming-native sessionize,
+    run in batch): per-user session totals with a 60-min gap."""
+    from scalding_spark.streaming import session_window_agg
+    ev = _t(spark, sf_dir, "events")
+    out = session_window_agg(ev, "ts", "user_id",
+                             F.count(F.lit(1)).alias("n_events"),
+                             F.round(F.sum("value"), 2).alias("total_value"),
+                             gap="60 minutes")
+    return out.select("user_id",
+                      F.col("session.start").alias("session_start"),
+                      "n_events", "total_value")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sess = sessionize(ev.orderBy("ts"), "ts", "user_id", gap_minutes=60)
@@ -741,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": q_embedding_neardup,
         "q_hll_distinct": q_hll_distinct,
         "q_events_daily": q_events_daily,
+        "q_session_window": q_session_window,
         "q_sessionize": q_sessionize,
     }
 
@@ -1152,6 +1167,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts)::DATE AS day, event_type,
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "q_session_window": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts::TIMESTAMP) - epoch((lag(ts) OVER w)::TIMESTAMP)
+                               >= 3600
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o)
+            SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+                   count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, sid
         """,
         "q_sessionize": """
             WITH flagged AS (

@@ -3,11 +3,20 @@
 The reference is strictly batch (SURVEY.md §2.10) — its incremental story is
 time-partitioned sources + job chaining. These helpers are the engine's
 *extension* surface: the same logical aggregations, run incrementally with
-watermarks. Each helper accepts either a batch or a streaming DataFrame
-(identical plan, different execution), so correctness tests run in batch.
+watermarks. Where semantics are identical in batch and streaming the helper
+accepts either kind of DataFrame, so correctness tests run in batch and the
+streaming path is exercised with availableNow triggers.
+
+Scale notes: every stateful op here bounds its state — watermarks expire
+window/session state, streaming dedup keys expire with the watermark, and
+``stateful_map`` owns explicit per-key state with timeouts. Unbounded state
+is the streaming analogue of an unpartitioned shuffle: it works at sf0.01
+and dies at 100 TB/day.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,7 +35,7 @@ def windowed_agg(df: DataFrame, ts_col: str, window: str, *aggs,
 
 def sessionize(df: DataFrame, ts_col: str, user_col: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: batch formulation via lag + cumulative session ids
-    (the SURVEY guide's pattern); on streams use F.session_window instead."""
+    (the SURVEY guide's pattern); on streams use session_window_agg."""
     from pyspark.sql import Window
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
@@ -35,6 +44,76 @@ def sessionize(df: DataFrame, ts_col: str, user_col: str, gap_minutes: int = 30)
     return df.withColumn("session_id", sess_id)
 
 
+def session_window_agg(df: DataFrame, ts_col: str, user_col: str, *aggs,
+                       gap: str = "30 minutes",
+                       watermark: str | None = None) -> DataFrame:
+    """Streaming-native sessionization: ``F.session_window`` merges events
+    within ``gap`` into one session per key; state closes (and emits) once
+    the watermark passes the gap. Works on batch DataFrames too — the same
+    gap-merge semantics as ``sessionize`` aggregated per session."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.session_window(ts_col, gap).alias("session"), user_col)
+            .agg(*aggs))
+
+
+def streaming_dedup(df: DataFrame, keys: list[str], ts_col: str | None = None,
+                    watermark: str | None = None) -> DataFrame:
+    """Exactly-once key dedup on a stream. With a watermark the seen-keys
+    state expires (dropDuplicatesWithinWatermark); without one it grows
+    forever — refuse that on a stream rather than OOM at scale."""
+    if df.isStreaming:
+        if not (ts_col and watermark):
+            raise ValueError("streaming dedup requires ts_col + watermark to bound state")
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def stateful_map(df: DataFrame, keys: list[str], fn, state_schema: str,
+                 out_schema: str, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful per-key operator (the reference's closest analogue is
+    a ``using``-style stateful reducer) via ``applyInPandasWithState``:
+    ``fn(key, pdf_iter, state) -> iter[pdf]`` with explicit GroupState.
+
+    Use for cross-batch accumulators (counters, rolling models, CDC merge)
+    that windowed aggs can't express. State lives per key in the state
+    store; pass a timeout conf to expire idle keys."""
+    return (df.groupBy(*keys)
+            .applyInPandasWithState(fn, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="append",
+                                    timeoutConf=timeout))
+
+
 def stream_from_parquet_dir(spark: SparkSession, path: str, schema) -> DataFrame:
-    """File-stream source for tests/smoke: treats a parquet dir as a stream."""
+    """File-stream source: treats a parquet dir as an append-only stream —
+    the engine's incremental upgrade of TimePathedSource polling."""
     return spark.readStream.schema(schema).parquet(path)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str | None = None,
+                      timeout_s: int = 120) -> DataFrame:
+    """Process everything currently available, then stop (availableNow
+    trigger) and return the result as a DataFrame from the memory sink.
+    The batch-equivalence test harness: same plan, incremental execution."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete" if _is_aggregating(stream_df) else "append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(name)
+
+
+def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str,
+                         available_now: bool = False):
+    """Exactly-once parquet sink with checkpointed progress."""
+    w = (stream_df.writeStream.format("parquet")
+         .option("path", path).option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _is_aggregating(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan

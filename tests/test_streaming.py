@@ -1,0 +1,95 @@
+"""Structured Streaming tests: availableNow incremental runs must equal the
+batch results of the same logical plan."""
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark import streaming
+
+SCHEMA = "ts timestamp, user string, value double"
+ROWS = [
+    (datetime(2026, 1, 1, 10, 0), "a", 1.0),
+    (datetime(2026, 1, 1, 10, 4), "a", 2.0),
+    (datetime(2026, 1, 1, 10, 20), "a", 4.0),
+    (datetime(2026, 1, 1, 10, 1), "b", 8.0),
+    (datetime(2026, 1, 1, 11, 2), "b", 16.0),
+]
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    spark.createDataFrame(ROWS, SCHEMA).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_windowed_agg_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = streaming.stream_from_parquet_dir(spark, events_dir, SCHEMA)
+
+    def plan(df):
+        return streaming.windowed_agg(
+            df, "ts", "10 minutes", F.sum("value").alias("total"),
+            keys=["user"], watermark="1 hour")
+
+    got = streaming.run_available_now(plan(stream), "win_test")
+    b = {(r.user, r.win.start): r.total for r in plan(batch).collect()}
+    s = {(r.user, r.win.start): r.total for r in got.collect()}
+    assert s == b and len(b) == 4
+
+
+def test_session_window_agg_batch_and_stream(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = streaming.stream_from_parquet_dir(spark, events_dir, SCHEMA)
+
+    def plan(df):
+        return streaming.session_window_agg(
+            df, "ts", "user", F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"), gap="10 minutes", watermark="1 hour")
+
+    b = {(r.user, r.n, r.total) for r in plan(batch).collect()}
+    s = {(r.user, r.n, r.total) for r in
+         streaming.run_available_now(plan(stream), "sess_test").collect()}
+    # user a: (10:00,10:04) one session n=2 total=3; 10:20 alone; b: two singles
+    assert b == {("a", 2, 3.0), ("a", 1, 4.0), ("b", 1, 8.0), ("b", 1, 16.0)}
+    assert s == b
+
+
+def test_streaming_dedup_requires_watermark(spark, events_dir):
+    stream = streaming.stream_from_parquet_dir(spark, events_dir, SCHEMA)
+    with pytest.raises(ValueError):
+        streaming.streaming_dedup(stream, ["user"])
+    deduped = streaming.streaming_dedup(stream, ["user"], "ts", "1 hour")
+    got = streaming.run_available_now(deduped, "dedup_test")
+    assert got.select("user").distinct().count() == 2
+    assert got.count() == 2
+
+
+def test_stateful_map_running_count(spark, events_dir):
+    stream = streaming.stream_from_parquet_dir(spark, events_dir, SCHEMA)
+
+    def counter(key, pdf_iter, state):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame([{"user": key[0], "n_events": n}])
+
+    out = streaming.stateful_map(stream, ["user"], counter,
+                                 state_schema="n long",
+                                 out_schema="user string, n_events long")
+    got = {r.user: r.n_events for r in
+           streaming.run_available_now(out, "state_test").collect()}
+    assert got == {"a": 3, "b": 2}
+
+
+def test_write_stream_parquet_checkpointed(spark, events_dir, tmp_path):
+    stream = streaming.stream_from_parquet_dir(spark, events_dir, SCHEMA)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.write_stream_parquet(stream, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(ROWS)
