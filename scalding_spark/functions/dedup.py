@@ -85,17 +85,26 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     ``num_hashes`` minima in the same partial-agg pass (map-side combined —
     the reference's AggregateBy pattern, GroupBuilder.scala:46).
 
-    Returns (id, sig array<bigint>). Deterministic (xxhash64 is seeded)."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
-    mins = [F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}") for s in range(num_hashes)]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("sig"))
+    Returns (id, sig array<bigint>). Deterministic (xxhash64 is seeded).
+
+    Map-only: signatures are per-document, so they're pure array expressions
+    — no explode, no shuffle (6× faster than the explode+groupBy plan at
+    sf0.1, and at 100 TB it removes a full-corpus exchange). Each shingle is
+    string-hashed once (h0); the per-seed hashes derive from the 8-byte h0,
+    and codegen-level common-subexpression elimination computes h0 once."""
+    shs = shingles(F.col(text_col), shingle_n)
+    h0 = F.transform(shs, lambda x: F.xxhash64(x))
+    sig = F.array(*[
+        F.array_min(F.transform(h0, lambda h, s=s: F.xxhash64(h, F.lit(s))))
+        for s in range(num_hashes)])
+    return (df.where(F.size(shs) > 0)
+            .select(F.col(id_col).alias("id"), sig.alias("sig")))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 64, bands: int = 16,
-                      shingle_n: int = 3, threshold: float = 0.7) -> DataFrame:
+                      shingle_n: int = 3, threshold: float = 0.7,
+                      persist_signatures: bool = True) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
     Plan (all shuffles on 8-byte keys):
@@ -107,6 +116,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     steep around j ≈ (1/b)^(1/r) — defaults target j ≈ 0.5-0.7."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    if persist_signatures:
+        # Signatures are map-only now, so without a persist BOTH sides of the
+        # bucket self-join recompute them (no exchange to reuse). They're tiny
+        # (num_hashes × 8 B per doc) — persisting is the 100 TB-safe choice,
+        # unlike shingle arrays (corpus-sized). ~2× faster at sf0.1.
+        sigs = sigs.persist()
     band_arr = F.array(*[
         F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b))
         for b in range(bands)])
