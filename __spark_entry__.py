@@ -631,6 +631,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary content column → Arrow-batched
+    decode (deterministic stub: sha256 digest head) → per-source feature
+    rollup. The oracle reproduces the stub's digest math in SQL, proving the
+    batching/schema plumbing is value-exact."""
+    from scalding_spark.functions import multimodal as mm
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"), "source",
+                        F.encode("text", "utf-8").alias("content"))
+    feats = mm.extract_image_features(media)
+    return (feats.select("source", F.element_at("features", 1).alias("f0"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_media"),
+                 F.round(F.avg("f0"), 6).alias("avg_f0")))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -763,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
+        "q_multimodal_features": q_multimodal_features,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_topk_lsh": q_cosine_topk_lsh,
         "q_embedding_neardup": q_embedding_neardup,
@@ -1161,6 +1178,12 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": f"""
             SELECT count(DISTINCT {_NORM_TEXT}) AS n_unique, count(*) AS n_docs
             FROM documents
+        """,
+        "q_multimodal_features": """
+            SELECT source, count(*) AS n_media,
+                   round(avg(('0x' || substr(sha256(text), 1, 2))::INT / 255.0), 6)
+                       AS avg_f0
+            FROM documents GROUP BY source
         """,
         "q_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
