@@ -401,6 +401,19 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sampled_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewJoinWithSmaller (JoinAlgorithms.scala:365-458): sample → per-key
+    replication → fragment join; must equal the plain join."""
+    li = _p(spark, sf_dir, "lineitem").map_to(partkey=F.col("l_partkey"),
+                                              l_quantity=F.col("l_quantity"))
+    p = _p(spark, sf_dir, "part").map_to(partkey=F.col("p_partkey"),
+                                         p_size=F.col("p_size"))
+    j = joins.skew_join(li, p, on=["partkey"], sample_rate=0.05,
+                        rows_per_fragment=10_000)
+    return (j.group_by("p_size").sum("l_quantity", "qty").size("n").done()
+            .map_to(F.col("p_size"), F.col("n"), qty=F.round("qty", 2)).df)
+
+
 def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True cogroup via applyInPandas (typed cogroup, TypedPipe.scala:476-482)."""
     import pandas as pd
@@ -757,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_anti": q_semi_anti,
         "q_cross_tiny": q_cross_tiny,
         "q_salted_skew_join": q_salted_skew_join,
+        "q_sampled_skew_join": q_sampled_skew_join,
         "q_cogroup": q_cogroup,
         "q3_shipping_priority": q3_shipping_priority,
         "q_matmul": q_matmul,
@@ -1017,6 +1031,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        "q_sampled_skew_join": """
+            SELECT p_size, count(*) AS n, round(sum(l_quantity), 2) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_size
         """,
         "q_cogroup": """
             SELECT coalesce(c.k, o.k) AS custkey,

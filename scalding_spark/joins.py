@@ -125,6 +125,61 @@ def block_join(left, right, on: list[str], left_repl: int = 1,
     return Pipe(joined)
 
 
+def skew_join(left, right, on: list[str], sample_rate: float = 0.001,
+              rows_per_fragment: int = 100_000, max_repl: int = 32,
+              seed: int = 42) -> Pipe:
+    """Sampled skew join (JoinAlgorithms.scala:365-458): sample both sides →
+    per-key counts → per-key replication factors → replicate-fragment join,
+    the reference's SkewReplication strategy expressed as one broadcast of
+    the hot-key table:
+
+    1. each side is sampled at ``sample_rate`` and counted per key (two tiny
+       aggregations);
+    2. a key's fragment grid is (L_k, R_k) with
+       L_k = clamp(est_right_rows / rows_per_fragment), R_k symmetric —
+       mirroring SkewReplication's "replicate each side by the other side's
+       volume" rule (SkewReplication.scala:38-66) with the strategy-B caps;
+    3. only keys with a factor > 1 enter the broadcast hot-key map; cold keys
+       join on the plain key with zero overhead.
+
+    Equivalent results to a plain inner join (the reference's own test
+    criterion, SkewJoinTest.scala:100-140). Under AQE this is usually
+    unnecessary — keep for single-hot-key extremes and non-AQE deployments."""
+    ldf, rdf = _df(left), _df(right)
+    est = 1.0 / sample_rate
+
+    def hot_counts(df, out):
+        return (df.sample(sample_rate, seed=seed).groupBy(*on)
+                .agg((F.count(F.lit(1)) * est).alias(out)))
+
+    lc = hot_counts(ldf, "l_est")
+    rc = hot_counts(rdf, "r_est")
+    hot = (lc.join(rc, on=on, how="full_outer")
+           .select(*on,
+                   F.least(F.greatest(F.ceil(F.coalesce(F.col("r_est"), F.lit(0.0))
+                                             / rows_per_fragment), F.lit(1)),
+                           F.lit(max_repl)).cast("int").alias("__lr"),
+                   F.least(F.greatest(F.ceil(F.coalesce(F.col("l_est"), F.lit(0.0))
+                                             / rows_per_fragment), F.lit(1)),
+                           F.lit(max_repl)).cast("int").alias("__rr"))
+           .where((F.col("__lr") > 1) | (F.col("__rr") > 1)))
+    hot = F.broadcast(hot)
+
+    lx = (ldf.join(hot, on=on, how="left")
+          .withColumn("__lr", F.coalesce("__lr", F.lit(1)))
+          .withColumn("__rr", F.coalesce("__rr", F.lit(1)))
+          .withColumn("__j", (F.rand(seed=seed) * F.col("__rr")).cast("int"))
+          .withColumn("__i", F.explode(F.sequence(F.lit(0), F.col("__lr") - 1)))
+          .drop("__lr", "__rr"))
+    rx = (rdf.join(hot, on=on, how="left")
+          .withColumn("__lr", F.coalesce("__lr", F.lit(1)))
+          .withColumn("__rr", F.coalesce("__rr", F.lit(1)))
+          .withColumn("__i", (F.rand(seed=seed + 1) * F.col("__lr")).cast("int"))
+          .withColumn("__j", F.explode(F.sequence(F.lit(0), F.col("__rr") - 1)))
+          .drop("__lr", "__rr"))
+    return Pipe(lx.join(rx, on=on + ["__i", "__j"], how="inner").drop("__i", "__j"))
+
+
 def cogroup(left, right, keys: list[str], fn: Callable, schema: str) -> Pipe:
     """True n=2 cogroup (typed cogroup, TypedPipe.scala:476-482,
     CoGroupBuilder.scala:27-50): ``fn(key_tuple, left_pdf, right_pdf) -> pdf``
