@@ -79,3 +79,32 @@ class Job:
             if not job.run():
                 raise RuntimeError(f"{type(job).__name__} failed")
             job = job.next()
+
+
+class CascadeJob(Job):
+    """Multi-flow job (CascadeJob.scala:6-32): override ``jobs()`` to return
+    the member jobs; they run in order sharing the SparkSession."""
+
+    def jobs(self) -> list[Job]:
+        raise NotImplementedError
+
+    def run(self) -> bool:
+        for j in self.jobs():
+            if not j.run():
+                return False
+        return True
+
+
+class ScriptJob(Job):
+    """Shell-step job (Job.scala:305-325): override ``scripts()`` to return
+    the command lists; a non-zero exit fails the chain."""
+
+    def scripts(self) -> list[list[str]]:
+        raise NotImplementedError
+
+    def run(self) -> bool:
+        import subprocess
+        for cmd in self.scripts():
+            if subprocess.run(cmd, check=False).returncode != 0:
+                return False
+        return True
