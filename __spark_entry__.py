@@ -189,6 +189,36 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_times_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """times (Ring product, ReduceOperations.scala:357-370): per-order
+    product of (1 - discount)."""
+    li = _p(spark, sf_dir, "lineitem")
+    out = (li.map(keep=1 - F.col("l_discount"))
+           .group_by("l_orderkey").times("keep", "keep_product").done())
+    return out.map_to(F.col("l_orderkey"), keep_product=F.round("keep_product", 6)).df
+
+
+def q_head_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """head on the sorted group stream (ReduceOperations.scala:207-221):
+    each supplier's first shipment."""
+    li = _p(spark, sf_dir, "lineitem")
+    return (li.group_by("l_suppkey")
+            .sort_by("l_shipdate", "l_orderkey", "l_linenumber")
+            .head()
+            .project("l_suppkey", "l_orderkey", "l_linenumber")
+            .df)
+
+
+def q_toset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toSet-style collect (ReduceOperations.scala:375-378 family): distinct
+    order priorities per order status, joined to one string for stable
+    compare."""
+    o = _p(spark, sf_dir, "orders")
+    out = o.group_by("o_orderstatus").to_set("o_orderpriority", "prios").done()
+    return out.map_to(F.col("o_orderstatus"),
+                      prios=F.array_join("prios", "|")).df
+
+
 def q_histogram_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram derived stats (mathematics/Histogram.scala:3-47): bin-
     resolution min/max/mean/stdDev/quartiles/IQR per return flag."""
@@ -752,6 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_stats": q_group_stats,
         "q_mkstring": q_mkstring,
         "q_histogram": q_histogram,
+        "q_times_product": q_times_product,
+        "q_head_last": q_head_last,
+        "q_toset": q_toset,
         "q_histogram_summary": q_histogram_summary,
         "q_maplist": q_maplist,
         "q_block_join": q_block_join,
@@ -904,6 +937,20 @@ def oracle_sql() -> dict[str, str]:
         "q_histogram": """
             SELECT l_returnflag, floor(l_quantity / 5.0) * 5.0 AS bin, count(*) AS n
             FROM lineitem GROUP BY 1, 2
+        """,
+        "q_times_product": """
+            SELECT l_orderkey, round(product(1 - l_discount), 6) AS keep_product
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "q_head_last": """
+            SELECT l_suppkey, l_orderkey, l_linenumber FROM lineitem
+            QUALIFY row_number() OVER (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+        """,
+        "q_toset": """
+            SELECT o_orderstatus,
+                   array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS prios
+            FROM orders GROUP BY o_orderstatus
         """,
         "q_histogram_summary": """
             WITH bins AS (

@@ -330,6 +330,13 @@ class Matrix:
         k = other.df.select("row", "col")
         return Matrix(self.df.join(k, on=["row", "col"], how="left_anti"), hint=self.hint)
 
+    def row_cosine_similarity(self) -> "Matrix":
+        """Pairwise cosine similarity between rows: L2-normalize then gram
+        (the reference's matrix-API cosine example, MatrixTest.scala:29-259).
+        Same join+agg plan as matmul; output entry (i,j) = cos(rowᵢ, rowⱼ)."""
+        n = self.row_l2_normalize()
+        return n.matmul(n.transpose())
+
     def diagonal_inverse(self) -> "Matrix":
         """DiagonalMatrix.inverse (Matrix.scala:734-755): 1/val on the
         diagonal, zero entries skipped (stay zero)."""
@@ -414,25 +421,32 @@ class RowVector:
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
-             alpha: float = 0.85, iterations: int = 10, n_nodes: int | None = None) -> DataFrame:
+             alpha: float = 0.85, iterations: int = 10, n_nodes: int | None = None,
+             weight: str | None = None) -> DataFrame:
     """Iterative PageRank on an edge list — the reference's examples/PageRank.scala:22-179
     expressed as a driver-side loop of DataFrame steps with persist() between
     iterations (Job.next chaining parity). Returns (node, rank).
+
+    ``weight``: optional edge-weight column → WeightedPageRank
+    (examples/WeightedPageRank.scala:28): each node's rank flows out
+    proportionally to edge weight instead of 1/out-degree.
 
     Scale notes: the transition matrix is row-L1-normalized once and
     persisted; each iteration is one join + one aggregation on the same key
     partitioning. The reference caps ~10 iterations per flow
     (PageRank.scala:13-14) — same default here.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     w.cast("double").alias("w"))
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))).distinct().persist()
     n = n_nodes or nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     trans = (e.join(deg, on="src")
              .select(F.col("dst").alias("row"), F.col("src").alias("col"),
-                     (F.lit(1.0) / F.col("deg")).alias("val"))).persist()
-    ranks = nodes.select(F.col("node").alias("row"), F.lit(1.0 / n).alias("val")).persist()
+                     (F.col("w") / F.col("deg")).alias("val"))).persist()
+    ranks = nodes.select(F.col("node").alias("row"), F.lit(1.0 / n).alias("val"))
     m = Matrix(trans)
     for _ in range(iterations):
         contrib = m.propagate(ranks)
@@ -440,8 +454,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                      .select(F.col("node").alias("row"),
                              (F.lit((1 - alpha) / n)
                               + F.lit(alpha) * F.coalesce(F.col("val"), F.lit(0.0))).alias("val")))
-        new_ranks = new_ranks.persist()
-        new_ranks.count()  # materialize before unpersisting the parent
-        ranks.unpersist()
-        ranks = new_ranks
+        # Eager localCheckpoint: materializes AND truncates lineage — without
+        # it the logical plan doubles per iteration (exponential analysis
+        # cost; driver OOM building plan strings past ~20 iterations).
+        ranks = new_ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("row").alias("node"), F.col("val").alias("rank"))
