@@ -1,0 +1,91 @@
+"""Physical-plan contracts: the scale properties that make these operators
+viable at 100 TB, asserted against the optimized plan so a regression shows
+up as a test failure, not a production incident.
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema);
+- joinWithTiny really broadcasts (no shuffle of the big side);
+- map-phase pipelines have ZERO exchanges;
+- aggregations get map-side partial aggregation (two HashAggregate levels);
+- global top-k plans as TakeOrderedAndProject, not a total sort.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark.functions import dedup
+from scalding_spark.pipe import Pipe
+from scalding_spark import joins
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(li):
+    q = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    p = plan(q)
+    assert "PushedFilters: [" in p and "GreaterThan(l_quantity,45" in p
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_join_with_tiny_broadcasts(spark, li):
+    nation = Pipe(spark.read.parquet(f"{SF}/nation.parquet"))
+    j = joins.join_with_tiny(Pipe(li.withColumn("k", F.col("l_suppkey") % 25)),
+                             nation, on=[F.col("k") == F.col("n_nationkey")])
+    p = plan(j.df)
+    assert "BroadcastHashJoin" in p
+    # the big (lineitem) side must not shuffle for the join
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_map_phase_pipeline_has_no_exchange(li):
+    q = (Pipe(li)
+         .filter(F.col("l_discount") > 0)
+         .map(rev=F.col("l_extendedprice") * (1 - F.col("l_discount")))
+         .project("l_orderkey", "rev"))
+    assert "Exchange" not in plan(q.df)
+
+
+def test_aggregation_is_partial_then_final(li):
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    p = plan(q)
+    # two HashAggregate levels around one exchange = map-side combine
+    assert p.count("HashAggregate") == 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_global_topk_is_take_ordered(li):
+    q = li.orderBy(F.col("l_extendedprice").desc()).limit(5)
+    p = plan(q)
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort materialization
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 3)
+    assert "Exchange" not in plan(sigs)
+
+
+def test_whole_stage_codegen_covers_map_ops(li):
+    q = (Pipe(li).map(x=F.col("l_quantity") * 2)
+         .filter(F.col("x") > 10).project("l_orderkey", "x"))
+    # '*(n)' prefixes mark operators inside a WholeStageCodegen span
+    p = plan(q.df)
+    assert "*(1) Project" in p and "*(1) Filter" in p
+
+
+def test_semi_anti_native(spark, li):
+    cust = Pipe(spark.read.parquet(f"{SF}/customer.parquet")
+                .select(F.col("c_custkey").alias("l_suppkey")))
+    semi = joins.semi_join(Pipe(li), cust, on="l_suppkey")
+    anti = joins.anti_join(Pipe(li), cust, on="l_suppkey")
+    assert "LeftSemi" in plan(semi.df)
+    assert "LeftAnti" in plan(anti.df)
