@@ -66,6 +66,10 @@ class Job:
         raise NotImplementedError
 
     def run(self) -> bool:
+        if self.args.boolean("explain"):
+            # --explain: sinks print optimized plans instead of executing
+            # (the reference's --tool.graph DOT dump, Tool.scala:74-102).
+            self.spark.conf.set("scalding_spark.explain", "true")
         self.build()
         return True
 

@@ -59,6 +59,13 @@ def cross_with_tiny(left, right) -> Pipe:
     return Pipe(_df(left).crossJoin(F.broadcast(_df(right))))
 
 
+def cross_with_smaller(left, right) -> Pipe:
+    """Cartesian with a non-tiny right side (JoinAlgorithms.scala:81-86):
+    plain crossJoin — AQE balances the replication that the reference's
+    blockJoin replication factor hand-tuned."""
+    return Pipe(_df(left).crossJoin(_df(right)))
+
+
 def semi_join(left, right, on) -> Pipe:
     """keepRowsBy / keepElementsBy (Matrix.scala:632-667) → native left_semi."""
     return Pipe(_df(left).join(_df(right), on=on, how="left_semi"))

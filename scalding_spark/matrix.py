@@ -81,6 +81,13 @@ class Matrix:
     def filter_values(self, pred) -> "Matrix":
         return Matrix(self.df.where(pred(F.col("val"))), hint=self.hint)
 
+    def map_with_index(self, fn) -> "Matrix":
+        """mapWithIndex (Matrix.scala:218-229): ``fn(val, row, col) -> val``
+        with zero-pruning."""
+        out = (self.df.withColumn("val", fn(F.col("val"), F.col("row"), F.col("col")))
+               .where(F.col("val") != 0))
+        return Matrix(out, hint=self.hint)
+
     def binarize(self) -> "Matrix":
         """binarizeAs (Matrix.scala:231-241)."""
         return Matrix(self.df.withColumn("val", F.lit(1.0)), hint=self.hint)

@@ -294,8 +294,21 @@ class Pipe:
 
     # -- sinks -------------------------------------------------------------
 
+    def _explain_only(self) -> bool:
+        """--explain mode (Tool parity with --tool.graph, Tool.scala:74-102):
+        sinks print their optimized plan instead of executing."""
+        try:
+            return self.df.sparkSession.conf.get(
+                "scalding_spark.explain", "false") == "true"
+        except Exception:  # noqa: BLE001 - conf access is best-effort
+            return False
+
     def write_parquet(self, path: str, mode: str = "overwrite",
-                      partition_by: list[str] | None = None) -> "Pipe":
+                     partition_by: list[str] | None = None) -> "Pipe":
+        if self._explain_only():
+            print(f"== sink: parquet {path} ==")
+            self.df.explain(mode="formatted")
+            return self
         w = self.df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -304,10 +317,18 @@ class Pipe:
 
     def write_tsv(self, path: str, header: bool = False) -> "Pipe":
         """Tsv sink parity (FileSource.scala:244-258)."""
+        if self._explain_only():
+            print(f"== sink: tsv {path} ==")
+            self.df.explain(mode="formatted")
+            return self
         self.df.write.mode("overwrite").option("sep", "\t").option("header", header).csv(path)
         return self
 
     def write_json(self, path: str) -> "Pipe":
         """JsonLine sink parity (FileSource.scala:450-503)."""
+        if self._explain_only():
+            print(f"== sink: json {path} ==")
+            self.df.explain(mode="formatted")
+            return self
         self.df.write.mode("overwrite").json(path)
         return self
