@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scalding_spark.pipe import Pipe
@@ -194,6 +194,55 @@ def cogroup(left, right, keys: list[str], fn: Callable, schema: str) -> Pipe:
     shuffled on the key (one co-partitioned exchange each)."""
     g = _df(left).groupBy(*keys).cogroup(_df(right).groupBy(*keys))
     return Pipe(g.applyInPandas(fn, schema=schema))
+
+
+def as_of_join(left, right, on: list[str], left_ts: str, right_ts: str,
+               tolerance_seconds: float | None = None) -> Pipe:
+    """As-of join (absent in the reference — SURVEY §2.5 extension): for each
+    left row, attach the LATEST right row with right_ts ≤ left_ts per key.
+
+    Plan — the scalable union+window formulation, NOT a non-equi range join
+    (which Spark can only plan as a broadcast-nested-loop):
+
+      union both sides tagged → one window per key ordered by (ts, side) →
+      last non-null right payload carried forward → keep left rows.
+
+    One shuffle on the key, state bounded by the window frame. ``tolerance``
+    nulls out matches older than the budget (pandas merge_asof semantics).
+    """
+    ldf, rdf = _df(left), _df(right)
+    l_payload = [c for c in ldf.columns if c not in on]
+    r_payload = [c for c in rdf.columns if c not in on + [right_ts]]
+
+    lu = ldf.select(
+        *on, F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
+        F.struct(*l_payload).alias("__l"), F.lit(None).cast("double").alias("__rts"),
+        F.lit(None).cast(
+            rdf.select(F.struct(*r_payload).alias("s")).schema["s"].dataType
+        ).alias("__r"))
+    ru = rdf.select(
+        *on, F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            ldf.select(F.struct(*l_payload).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.col(right_ts).cast("double").alias("__rts"),
+        F.struct(*r_payload).alias("__r"))
+
+    u = lu.unionByName(ru)
+    w = (Window.partitionBy(*on).orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = (u.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+               .withColumn("__match_ts", F.last("__rts", ignorenulls=True).over(w))
+               .where(F.col("__side") == 1))
+    if tolerance_seconds is not None:
+        in_budget = (F.col("__ts").cast("double") - F.col("__match_ts")) <= tolerance_seconds
+        carried = carried.withColumn(
+            "__match", F.when(in_budget, F.col("__match")))
+    out = carried.select(
+        *on, F.col("__ts").alias(left_ts),
+        *[F.col("__l")[c].alias(c) for c in l_payload],
+        *[F.col("__match")[c].alias(c) for c in r_payload])
+    return Pipe(out)
 
 
 def multi_join(pipes: list, on: list[str], hows: list[str] | None = None) -> Pipe:
