@@ -705,6 +705,15 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse quantize → probe → exact re-rank) —
+    rows-only check (centroid picks aren't SQL-reproducible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.cosine_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — rows-only check. Threshold 0.3:
     the synthetic embeddings are i.i.d. Gaussian (no true near-dups), so a
@@ -829,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_topk_lsh": q_cosine_topk_lsh,
+        "q_cosine_topk_ivf": q_cosine_topk_ivf,
         "q_embedding_neardup": q_embedding_neardup,
         "q_hll_distinct": q_hll_distinct,
         "q_events_daily": q_events_daily,

@@ -110,6 +110,59 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("__rn") <= k).drop("__rn"))
 
 
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  seed: int = 42) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: pick ``n_cells`` corpus vectors by
+    seeded hash as centroids (a k-means init without the iterations — cell
+    QUALITY only affects recall/speed, never correctness, since the verify
+    step is exact). Driver-side list, tiny (n_cells × dim floats)."""
+    rows = (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
+            .orderBy("__h").limit(n_cells).collect())
+    return [[float(x) for x in r.v] for r in rows]
+
+
+def _nearest_cell(vec: Column, centroids: list[list[float]], n_probe: int = 1) -> Column:
+    """Array of the ``n_probe`` nearest centroid ids by dot product —
+    centroids are plan literals, so assignment is pure expression."""
+    scored = F.array(*[
+        F.struct(_dot(vec, F.array(*[F.lit(x) for x in c])).alias("score"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)])
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return F.transform(top, lambda s: s["cell"])
+
+
+def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_cells: int = 16, n_probe: int = 4,
+                    seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: assign corpus vectors to their nearest coarse
+    cell (1 cell each); queries probe their ``n_probe`` nearest cells; exact
+    cosine re-rank inside the probed cells.
+
+    Same plan shape as the LSH variant — assign (map-only expression) →
+    equi-join on cell id → window top-k — so the 100 TB path is identical:
+    the corpus shuffles once on an int key (or not at all when queries are
+    broadcast). Recall scales with n_probe/n_cells; correctness of returned
+    scores is exact."""
+    centroids = ivf_centroids(corpus, n_cells, id_col, vec_col, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        F.element_at(_nearest_cell(F.col(vec_col), centroids, 1), 1).alias("cell"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.explode(_nearest_cell(F.col(vec_col), centroids, n_probe)).alias("cell"))
+    scored = (c.join(F.broadcast(q), on="cell")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              n_planes: int = 10, n_tables: int = 4,

@@ -1,0 +1,73 @@
+"""ANN tests: exact scores, bounded candidate sets, recall sanity on
+clustered (non-adversarial) data."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark.functions import similarity
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """3 well-separated clusters — data where ANN recall is meaningful."""
+    rng = random.Random(7)
+    centers = [[5.0 if i == c else 0.0 for i in range(8)] for c in range(3)]
+    rows = []
+    for vid in range(90):
+        c = centers[vid % 3]
+        rows.append((vid, [x + rng.gauss(0, 0.3) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def exact_topk(df, k=5):
+    out = similarity.cosine_topk_bruteforce(df, df.where(F.col("vec_id") < 6), k=k)
+    return {(r.query_id, r.neighbor_id) for r in out.collect()}
+
+
+def test_bruteforce_scores_exact(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = {(r.query_id, r.neighbor_id): r.cosine
+           for r in similarity.cosine_topk_bruteforce(df, df, k=2).collect()}
+    assert out[(0, 1)] == pytest.approx(1.0)
+    assert out[(0, 2)] == pytest.approx(0.0)
+    assert (0, 0) not in out  # self excluded
+
+
+def test_ivf_recall_on_clustered(clustered):
+    exact = exact_topk(clustered)
+    ivf = similarity.cosine_topk_ivf(
+        clustered, clustered.where(F.col("vec_id") < 6), k=5,
+        n_cells=8, n_probe=3)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall} too low on clustered data"
+
+
+def test_ivf_scores_match_bruteforce_where_found(clustered):
+    queries = clustered.where(F.col("vec_id") < 3)
+    bf = {(r.query_id, r.neighbor_id): r.cosine
+          for r in similarity.cosine_topk_bruteforce(clustered, queries, k=20).collect()}
+    ivf = similarity.cosine_topk_ivf(clustered, queries, k=5, n_cells=8, n_probe=3)
+    for r in ivf.collect():
+        assert bf[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine)
+
+
+def test_lsh_recall_on_clustered(clustered):
+    exact = exact_topk(clustered)
+    lsh = similarity.cosine_topk_lsh(
+        clustered, clustered.where(F.col("vec_id") < 6), k=5,
+        dim=8, n_planes=4, n_tables=6)
+    got = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, f"LSH recall {recall} too low on clustered data"
+
+
+def test_ivf_centroids_deterministic(clustered):
+    a = similarity.ivf_centroids(clustered, 4)
+    b = similarity.ivf_centroids(clustered, 4)
+    assert a == b and len(a) == 4
