@@ -89,3 +89,31 @@ def test_daily_prefab_write_read(spark, df3, tmp_path):
 def test_text_line_strict_validation(spark, tmp_path):
     with pytest.raises(files.InvalidSourceException):
         files.text_line(spark, str(tmp_path / "nope.txt"))
+
+
+def test_versioned_keyval_incremental(spark, tmp_path):
+    from pyspark.sql import functions as F
+    src = time_pathed.VersionedKeyValSource(str(tmp_path / "vkv"))
+    base = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "key string, val double")
+    v0 = src.write(base)
+    assert v0 == 0 and src.versions() == [0]
+    delta = spark.createDataFrame([("a", 5.0), ("c", 7.0)], "key string, val double")
+    v1 = src.write_incremental(spark, delta)
+    assert v1 == 1
+    merged = {r.key: r.val for r in src.read(spark).collect()}
+    assert merged == {"a": 6.0, "b": 2.0, "c": 7.0}  # monoid sum merge
+    # older version still readable
+    assert {r.key for r in src.read(spark, version=0).collect()} == {"a", "b"}
+
+
+def test_checkpoint_memoizes(spark, tmp_path):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.createDataFrame([(1,)], "x long")
+
+    a = time_pathed.checkpoint(spark, "memo", str(tmp_path), build)
+    b = time_pathed.checkpoint(spark, "memo", str(tmp_path), build)
+    assert a.collect() == b.collect()
+    assert len(calls) == 1  # second call read the memo
