@@ -30,7 +30,11 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     shuffles 8-byte keys; at 100 TB the exchange carries hashes + ids only
     (Catalyst prunes the text column until after the filter if it isn't
     selected downstream)."""
-    fp = F.xxhash64(normalize_for_fingerprint(F.col(text_col)))
+    # 128-bit fingerprint: at 1e10 docs a 64-bit hash has >90% probability of
+    # some collision (birthday bound) — i.e. silently dropped distinct docs;
+    # md5's 128 bits push that below 1e-18. Shuffle key is 32 bytes, still
+    # tiny next to the text it replaces.
+    fp = F.md5(normalize_for_fingerprint(F.col(text_col)))
     w = Window.partitionBy("__fp")
     return (df.withColumn("__fp", fp)
             .withColumn("__keep", F.min(id_col).over(w))
@@ -50,7 +54,8 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+                        n: int = 3, threshold: float = 0.8,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted shingle index.
 
     Plan: explode distinct shingles → self-join on shingle (the inverted
@@ -59,11 +64,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     with id_a < id_b.
 
     Scale: the self-join key is a shingle hash (8 bytes); hot shingles are
-    the skew risk — AQE skew-join splits them, and ultra-common shingles can
-    be pre-filtered by document frequency (stop-shingle pruning) upstream."""
+    the skew risk — AQE skew-join splits them, and ``max_doc_freq`` drops
+    shingles appearing in more than that many documents from the index
+    (stop-shingle pruning). A shingle in d docs generates d² candidate pairs,
+    so one boilerplate sentence across 1e6 docs would alone produce 1e12
+    pairs — pruning it costs recall only for pairs whose ONLY shared content
+    is boilerplate. Sizes are computed before pruning so Jaccard values stay
+    exact for surviving pairs... but shared counts exclude pruned shingles,
+    making the score an under-estimate for those pairs (conservative)."""
     sh = (df.select(F.col(id_col).alias("id"),
                     F.explode(shingles(F.col(text_col), n)).alias("sh")))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq is not None:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        keep = dfreq.where(F.col("__df") <= max_doc_freq).select("sh")
+        sh = sh.join(keep, on="sh", how="left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
