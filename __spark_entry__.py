@@ -191,10 +191,15 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_times_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """times (Ring product, ReduceOperations.scala:357-370): per-order
-    product of (1 - discount)."""
+    product of (1 - discount), via the sorted reduce kernel so the multiply
+    order (and thus the float result to the last ulp) matches the oracle —
+    F.product's partial-aggregation order is nondeterministic in the last
+    digit, which the value hash would catch at sf0.1."""
     li = _p(spark, sf_dir, "lineitem")
     out = (li.map(keep=1 - F.col("l_discount"))
-           .group_by("l_orderkey").times("keep", "keep_product").done())
+           .group_by("l_orderkey")
+           .reduce("keep", 1.0, lambda a, b: a * b, out="keep_product", sort=True)
+           .done())
     return out.map_to(F.col("l_orderkey"), keep_product=F.round("keep_product", 6)).df
 
 
@@ -949,7 +954,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1, 2
         """,
         "q_times_product": """
-            SELECT l_orderkey, round(product(1 - l_discount), 6) AS keep_product
+            SELECT l_orderkey,
+                   round(list_reduce(list_prepend(1.0::DOUBLE,
+                         list(1 - l_discount ORDER BY 1 - l_discount)),
+                         (acc, x) -> acc * x), 6) AS keep_product
             FROM lineitem GROUP BY l_orderkey
         """,
         "q_head_last": """

@@ -92,3 +92,12 @@ def test_add_trap_quarantines_bad_rows(spark, people, tmp_path):
     out = people.add_trap(fn, "id long, doubled double", str(tmp_path / "trap"))
     got = sorted((r.id, r.doubled) for r in out.df.collect())
     assert got == [(1, 20.0), (2, 40.0), (4, 80.0)]
+
+
+def test_times_product_exact(spark):
+    # powers of two: exact in floating point regardless of multiply order
+    p = Pipe(spark.createDataFrame(
+        [("a", 2.0), ("a", 4.0), ("a", 0.5), ("b", 8.0)], "k string, v double"))
+    out = {r.k: r.product for r in
+           p.group_by("k").times("v", "product").done().df.collect()}
+    assert out == {"a": 4.0, "b": 8.0}
