@@ -58,11 +58,19 @@ class Duration:
         if self.unit == "weeks":
             return d + timedelta(weeks=self.count)
         if self.unit == "months":
+            import calendar
             month = d.month - 1 + self.count
             year = d.year + month // 12
-            return d.replace(year=year, month=month % 12 + 1)
+            month = month % 12 + 1
+            # clamp the day like java.util.Calendar.add does (Jan 31 + 1
+            # month = Feb 28/29), instead of raising
+            day = min(d.day, calendar.monthrange(year, month)[1])
+            return d.replace(year=year, month=month, day=day)
         if self.unit == "years":
-            return d.replace(year=d.year + self.count)
+            import calendar
+            year = d.year + self.count
+            day = min(d.day, calendar.monthrange(year, d.month)[1])
+            return d.replace(year=year, day=day)
         raise ValueError(self.unit)
 
 

@@ -275,18 +275,22 @@ class GroupBuilder:
     def sort_by(self, *cols, reverse: bool = False) -> "SortedGroup":
         """Secondary sort (GroupBuilder.scala:308-318): switch to ordered
         group-stream semantics over (keys, sort columns)."""
-        def order_col(c):
+        order, specs, names = [], [], []
+        for c in cols:
             col = _c(c)
-            # A Column that is already a SortOrder (x.desc()/x.asc()) must not
-            # be wrapped again — nested SortOrder is unevaluable in Spark.
             rep = str(col)
             if " ASC" in rep or " DESC" in rep:
-                return col
-            return col.desc() if reverse else col.asc()
-
-        order = [order_col(c) for c in cols]
-        names = [c if isinstance(c, str) else None for c in cols]
-        return SortedGroup(self._df, self._keys, order, [_c(c) for c in cols], names)
+                # Already a SortOrder (x.desc()/x.asc()): usable in windows,
+                # but the raw column can't be recovered for struct-based ops
+                # (fold_left) — record direction, no raw col.
+                order.append(col)
+                specs.append((None, " ASC" in rep))
+            else:
+                asc = not reverse
+                order.append(col.asc() if asc else col.desc())
+                specs.append((col, asc))
+            names.append(c if isinstance(c, str) else None)
+        return SortedGroup(self._df, self._keys, order, specs, names)
 
     def reducers(self, n: int) -> "GroupBuilder":
         """Reducer-count parity (GroupBuilder.scala:88-93) → explicit
@@ -305,14 +309,25 @@ class SortedGroup:
     """
 
     def __init__(self, df: DataFrame, keys: list, order: list[Column],
-                 sort_cols: list[Column], sort_names: list[str | None] | None = None):
+                 specs: list[tuple[Column | None, bool]],
+                 sort_names: list[str | None] | None = None):
         self._df = df
         self._keys = keys
         self._order = order
-        self._sort_cols = sort_cols
-        self._sort_names = [n for n in (sort_names or []) if n]
+        self._specs = specs  # (raw col | None, ascending) per sort column
+        names = sort_names or []
+        self._sort_names = [n for n in names if n]
+        self._name_asc = [asc for n, (_, asc) in zip(names, specs) if n]
         self._w = Window.partitionBy(*keys).orderBy(*order) if keys else \
             Window.partitionBy().orderBy(*order)
+
+    def _raw_cols(self, op: str) -> list[Column]:
+        raws = [raw for raw, _ in self._specs]
+        if any(r is None for r in raws):
+            raise ValueError(
+                f"{op} needs plain sort columns — pass strings/Columns with "
+                f"reverse=..., not pre-built .asc()/.desc() SortOrders")
+        return raws
 
     def _rn(self) -> Column:
         return F.row_number().over(self._w)
@@ -366,19 +381,39 @@ class SortedGroup:
         return self.take(1)
 
     def last(self) -> Pipe:
-        rev = Window.partitionBy(*self._keys).orderBy(*[c.desc() for c in self._sort_cols])
-        rn = F.row_number().over(rev)
-        return Pipe(self._df.withColumn("__rn", rn).where(F.col("__rn") == 1).drop("__rn"))
+        """Last row in the stream's own order — direction-agnostic: the row
+        whose row_number equals the group size (flipping the window would
+        silently return head() again for descending sorts)."""
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(*self._keys))
+        return Pipe(self._df.withColumn("__rn", self._rn())
+                    .withColumn("__n", cnt)
+                    .where(F.col("__rn") == F.col("__n")).drop("__rn", "__n"))
 
     def fold_left(self, value_col, zero: Any, merge: Callable[[Column, Column], Column],
                   out: str) -> Pipe:
         """Non-commutative fold in sort order (GroupBuilder.scala:154-161;
         forces reducers in the reference). Values are collected in sort order
         (sort_array over (sortkey, value) structs) and folded JVM-side via the
-        higher-order aggregate expression — one hash aggregation, no Python."""
-        pair = F.struct(*self._sort_cols, _c(value_col).alias("__v"))
-        arr = F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["__v"])
-        folded = F.aggregate(arr, F.lit(zero), merge)
+        higher-order aggregate expression — one hash aggregation, no Python.
+        Honors each sort column's direction via an array_sort comparator."""
+        raws = self._raw_cols("fold_left")
+        fields = [r.alias(f"__s{i}") for i, r in enumerate(raws)]
+        pair = F.struct(*fields, _c(value_col).alias("__v"))
+        arr = F.collect_list(pair)
+        if all(asc for _, asc in self._specs):
+            ordered = F.array_sort(arr)
+        else:
+            def cmp(a, b):
+                res = F.lit(0)
+                for i, (_, asc) in reversed(list(enumerate(self._specs))):
+                    fa, fb = a[f"__s{i}"], b[f"__s{i}"]
+                    lt, gt = (-1, 1) if asc else (1, -1)
+                    res = (F.when(fa < fb, F.lit(lt))
+                           .when(fa > fb, F.lit(gt)).otherwise(res))
+                return res
+            ordered = F.array_sort(arr, cmp)
+        vals = F.transform(ordered, lambda s: s["__v"])
+        folded = F.aggregate(vals, F.lit(zero), merge)
         keys = [_c(k) if not isinstance(k, str) else F.col(k) for k in self._keys]
         return Pipe(self._df.groupBy(*keys).agg(folded.alias(out)))
 
@@ -389,9 +424,10 @@ class SortedGroup:
         (requires sort_by to have been called with string column names)."""
         if not self._sort_names:
             raise ValueError("map_stream requires sort_by(...) with string column names")
-        sort_names = self._sort_names
+        sort_names, ascending = self._sort_names, self._name_asc
 
         def sorted_fn(pdf):
-            return fn(pdf.sort_values(sort_names, kind="mergesort"))
+            return fn(pdf.sort_values(sort_names, ascending=ascending,
+                                      kind="mergesort"))
 
         return Pipe(self._df.groupBy(*self._keys).applyInPandas(sorted_fn, schema=schema))

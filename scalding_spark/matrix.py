@@ -365,15 +365,19 @@ class ColVector:
     def transpose(self) -> "RowVector":
         return RowVector(self.df.select(F.col("row").alias("col"), "val"))
 
+    def _scale_by_global(self, norm_agg) -> "ColVector":
+        """Broadcast cross join of the 1-row norm — not an empty-partition
+        window, which would funnel the whole vector through one task."""
+        total = F.broadcast(self.df.agg(norm_agg.alias("__n")))
+        return ColVector(self.df.crossJoin(total)
+                         .withColumn("val", F.col("val") / F.col("__n"))
+                         .drop("__n"))
+
     def l1_normalize(self) -> "ColVector":
-        w = Window.partitionBy()
-        return ColVector(self.df.withColumn(
-            "val", F.col("val") / F.sum(F.abs(F.col("val"))).over(w)))
+        return self._scale_by_global(F.sum(F.abs(F.col("val"))))
 
     def l2_normalize(self) -> "ColVector":
-        w = Window.partitionBy()
-        return ColVector(self.df.withColumn(
-            "val", F.col("val") / F.sqrt(F.sum(F.col("val") * F.col("val")).over(w))))
+        return self._scale_by_global(F.sqrt(F.sum(F.col("val") * F.col("val"))))
 
     def top_elems(self, k: int) -> "ColVector":
         """topElems (Matrix.scala:956-975): global top-k — Spark plans

@@ -96,6 +96,9 @@ class Pipe:
         (RichPipe.scala:384-395). ``flatten`` (RichPipe.scala:406-421) is
         flat_map(F.col(c), c)."""
         keep = list(keep) or [c for c in self.df.columns]
+        # the exploded output may replace a kept column of the same name
+        # (the flatten idiom) — drop it from keep to avoid an ambiguous dup
+        keep = [c for c in keep if c != out]
         return Pipe(self.df.select(*keep, F.explode(expr).alias(out)))
 
     def flat_map_outer(self, expr: Column, out: str) -> "Pipe":
@@ -197,13 +200,15 @@ class Pipe:
     # -- misc parity -------------------------------------------------------
 
     def normalize(self, col: str, out: str | None = None) -> "Pipe":
-        """Divide a column by its global sum (RichPipe.scala:528-538). The
-        reference does groupAll+crossWithTiny; here a scalar aggregate is
-        broadcast back via a window over the empty partition spec — one extra
-        exchange, no driver round-trip."""
-        from pyspark.sql import Window
-        total = F.sum(col).over(Window.partitionBy())
-        return Pipe(self.df.withColumn(out or col, F.col(col) / total))
+        """Divide a column by its global sum (RichPipe.scala:528-538) — the
+        reference's groupAll+crossWithTiny, as a broadcast cross join of the
+        1-row aggregate. (A window over the empty partition spec would compute
+        the same thing but moves EVERY row to one task — the 1-reducer
+        bottleneck this engine exists to avoid.)"""
+        total = F.broadcast(self.df.agg(F.sum(col).alias("__total")))
+        return Pipe(self.df.crossJoin(total)
+                    .withColumn(out or col, F.col(col) / F.col("__total"))
+                    .drop("__total"))
 
     def partition_agg(self, tag_expr: Column, tag: str, build) -> "Pipe":
         """partition(fs->tag)(part)(aggs) (RichPipe.scala:324-340): derive a
@@ -250,8 +255,12 @@ class Pipe:
 
         import pandas as pd
 
+        from pyspark.sql.types import _parse_datatype_string
+
         orig_col = "__orig"
-        out_cols = [c.strip().split()[0] for c in schema.split(",")]
+        # parse via Spark so parameterized types (decimal(10,2), map<..>)
+        # don't break a naive comma split
+        out_cols = [f.name for f in _parse_datatype_string(schema).fields]
         out_schema = schema + f", {error_col} string, {orig_col} string"
 
         def runner(it):
@@ -272,7 +281,10 @@ class Pipe:
                     yield pd.DataFrame(recs, columns=out_cols + [error_col, orig_col])
 
         result = self.df.mapInPandas(runner, schema=out_schema).persist()
-        if trap_path:
+        if trap_path and not self._explain_only():
+            # NOTE: the trap write is an eager action (Spark has no lazy
+            # multi-sink); appends accumulate across job runs by design —
+            # point each run at a fresh trap dir if that's unwanted.
             (result.where(F.col(error_col).isNotNull())
              .select(orig_col, error_col)
              .write.mode("append").parquet(trap_path))

@@ -69,32 +69,45 @@ def read_codec(spark: SparkSession, df: DataFrame, decode: Callable[[bytes], dic
                max_failures: int = 0) -> tuple[DataFrame, Callable[[], int]]:
     """Decode a binary column with a bounded failure budget
     (CodecSource.scala:44-48): rows whose ``decode`` raises are dropped and
-    counted in a Spark accumulator. Returns ``(decoded_df, check)`` where
-    ``check()`` (call AFTER an action) raises ``DecodeBudgetExceeded`` if
-    failures > max_failures — the reference's MaxFailuresCheck, with the
-    count distributed instead of per-task."""
+    counted. Returns ``(decoded_df, check)``; ``check()`` raises
+    ``DecodeBudgetExceeded`` if failures > max_failures — the reference's
+    MaxFailuresCheck.
+
+    Failures are counted in the data flow (an ``__ok`` marker column on a
+    persisted intermediate), NOT a Spark accumulator: accumulators re-add on
+    every re-evaluation (second actions, task retries, speculation), which
+    would inflate the count past the budget spuriously."""
     import pandas as pd
 
-    acc = spark.sparkContext.accumulator(0)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_cols = [f.name for f in _parse_datatype_string(schema).fields]
 
     def runner(it):
         for pdf in it:
             recs = []
             for raw in pdf[bytes_col]:
                 try:
-                    recs.append(decode(bytes(raw)))
+                    rec = dict(decode(bytes(raw)))
+                    rec["__ok"] = True
                 except Exception:  # noqa: BLE001 - budgeted decode
-                    acc.add(1)
+                    rec = {c: None for c in out_cols}
+                    rec["__ok"] = False
+                recs.append(rec)
             if recs:
-                yield pd.DataFrame(recs)
+                yield pd.DataFrame(recs, columns=out_cols + ["__ok"])
 
-    out = df.select(bytes_col).mapInPandas(runner, schema=schema)
+    marked = df.select(bytes_col).mapInPandas(
+        runner, schema=schema + ", __ok boolean").persist()
+    out = marked.where(F.col("__ok")).drop("__ok")
 
     def check() -> int:
-        if acc.value > max_failures:
+        n = marked.where(~F.col("__ok")).count()
+        if n > max_failures:
             raise DecodeBudgetExceeded(
-                f"{acc.value} decode failures > budget {max_failures}")
-        return acc.value
+                f"{n} decode failures > budget {max_failures}")
+        return n
 
     return out, check
 

@@ -18,7 +18,14 @@ class InvalidSourceException(Exception):
 
 
 def _validate(paths: list[str], strict: bool) -> list[str]:
-    existing = [p for p in paths if os.path.exists(p.split("*")[0].rstrip("/")) or "*" in p]
+    import glob as _glob
+
+    def exists(p: str) -> bool:
+        # glob patterns must MATCH something — a bare '*' is not a free pass
+        return bool(_glob.glob(p)) if any(ch in p for ch in "*?[") \
+            else os.path.exists(p)
+
+    existing = [p for p in paths if exists(p)]
     if strict and len(existing) != len(paths):
         missing = sorted(set(paths) - set(existing))
         raise InvalidSourceException(f"missing inputs: {missing}")

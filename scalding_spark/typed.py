@@ -140,13 +140,21 @@ class TypedGrouped:
 
     def fold_left(self, zero: Any, merge: Callable[[Column, Column], Column],
                   sort: bool = True) -> DataFrame:
+        from pyspark.sql import types as T
+
         arr = F.collect_list(VALUE)
         if sort:
             arr = F.array_sort(arr)
-        # F.aggregate needs zero's type to match the merge result; align the
-        # literal with the value column's type (the reference Kryo-copies a
-        # typed init instead, GroupBuilder.scala:154-161).
-        zero_col = F.lit(zero).cast(self.kv.schema[VALUE].dataType)
+        # F.aggregate needs zero's type to match the merge result. Align a
+        # NUMERIC zero with a numeric value column (int literal vs bigint
+        # values is the common mismatch); a zero of a different kind (e.g. ''
+        # for a string-concat fold over numbers) must keep its own type —
+        # casting it to the element type would null it and poison the fold.
+        zero_col = F.lit(zero)
+        vt = self.kv.schema[VALUE].dataType
+        if isinstance(zero, (int, float)) and not isinstance(zero, bool) \
+                and isinstance(vt, T.NumericType):
+            zero_col = zero_col.cast(vt)
         return self._agg(F.aggregate(arr, zero_col, merge))
 
     # -- ordered stream ops (TypedPipe.scala:230-317) ----------------------
