@@ -337,6 +337,20 @@ def q_scan_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scanLeft with a non-sum accumulator (StreamOperations.scala:69-75):
+    running max order value per customer."""
+    o = _p(spark, sf_dir, "orders")
+    return (
+        o.group_by("o_custkey")
+        .sort_by("o_orderdate", "o_orderkey")
+        .scan_left("o_totalprice", "running_max", agg=F.max)
+        .map_to(F.col("o_custkey"), F.col("o_orderkey"),
+                running_max=F.round("running_max", 2))
+        .df
+    )
+
+
 def q_take_drop_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     """takeWhile over each customer's order history: orders before the first
     one over 300k."""
@@ -809,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fold_reduce": q_fold_reduce,
         "q_topk_per_group": q_topk_per_group,
         "q_scan_cumsum": q_scan_cumsum,
+        "q_scan_running_max": q_scan_running_max,
         "q_take_drop_while": q_take_drop_while,
         "q_rank_lag": q_rank_lag,
         "q_join_revenue_by_segment": q_join_revenue_by_segment,
@@ -1042,6 +1057,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey
                          ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM orders
+        """,
+        "q_scan_running_max": """
+            SELECT o_custkey, o_orderkey,
+                   round(max(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING), 2) AS running_max
             FROM orders
         """,
         "q_take_drop_while": """

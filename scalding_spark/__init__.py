@@ -24,12 +24,20 @@ Layout
 - ``functions``  date algebra, text analysis, dedup, similarity search —
                  the scalar/extension layer.
 - ``streaming``  Structured Streaming extensions (beyond the batch-only reference).
+- ``typed``      TypedPipe/TypedGrouped — typed-API parity (TypedPipe.scala).
+- ``combinatorics`` permutations/combinations/subsetSum (mathematics/Combinatorics.scala).
 - ``job``        Job/Args/Mode harness (reference Job.scala, Args.scala, Mode.scala).
+- ``tool``       reflection CLI driver (reference Tool.scala); ``--explain`` dumps plans.
 """
 
+from scalding_spark.job import Args, CascadeJob, Job, ScriptJob
+from scalding_spark.matrix import ColVector, Matrix, RowVector, SizeHint, pagerank
 from scalding_spark.pipe import Pipe
 from scalding_spark.session import get_spark
-from scalding_spark.matrix import Matrix
+from scalding_spark.typed import TypedPipe
 
-__all__ = ["Pipe", "get_spark", "Matrix"]
+__all__ = [
+    "Args", "CascadeJob", "ColVector", "Job", "Matrix", "Pipe", "RowVector",
+    "ScriptJob", "SizeHint", "TypedPipe", "get_spark", "pagerank",
+]
 __version__ = "0.1.0"

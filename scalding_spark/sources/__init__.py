@@ -5,6 +5,14 @@ pruning); TextLine/Tsv/Csv/Json are kept for parity I/O. Time-partitioned and
 versioned sources live in ``time_pathed``.
 """
 
+from scalding_spark.sources.bucketed import (
+    bucketed_join, read_bucketed, write_bucketed,
+)
+from scalding_spark.sources.extras import (
+    daily_suffix_source, distributed_cache_file, cached_path,
+    hourly_suffix_source, read_codec, read_pail, read_tsv_with_header,
+    write_pail, write_tsv_with_header,
+)
 from scalding_spark.sources.files import (
     text_line, tsv, csv, json_line, iterable_source, null_sink,
 )
@@ -15,4 +23,8 @@ from scalding_spark.sources.time_pathed import (
 __all__ = [
     "text_line", "tsv", "csv", "json_line", "iterable_source", "null_sink",
     "TimePathedSource", "most_recent_good", "VersionedKeyValSource", "checkpoint",
+    "daily_suffix_source", "hourly_suffix_source", "read_codec",
+    "distributed_cache_file", "cached_path", "write_pail", "read_pail",
+    "write_tsv_with_header", "read_tsv_with_header",
+    "write_bucketed", "read_bucketed", "bucketed_join",
 ]
