@@ -499,6 +499,49 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_orderpriority", "revenue"))
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join chain (lineitem⋈orders⋈customer⋈supplier⋈
+    nation⋈region) with dimension broadcasts — the optimizer showcase: one
+    fact-table scan, dims broadcast, single shuffle for the final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(s, (li.l_suppkey == s.s_suppkey)
+               & (c.c_nationkey == s.s_nationkey))
+         .join(n, s.s_nationkey == n.n_nationkey)
+         .join(r, n.n_regionkey == r.r_regionkey))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate → HAVING → semi-join back into the fact
+    table → top-k. Exercises agg-filter pushback and reuse of the orderkey
+    partitioning across the semi-join and final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+           .where(F.col("qty") > 150).select("l_orderkey"))
+    j = (o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(li, o.o_orderkey == li.l_orderkey))
+    agg = (j.groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty")))
+    return (agg.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(20)
+            .select("c_custkey", "o_orderkey",
+                    F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty"))
+
+
 # ---------------------------------------------------------------------------
 # matrix library (SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -835,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sampled_skew_join": q_sampled_skew_join,
         "q_cogroup": q_cogroup,
         "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q18_large_volume_customer": q18_large_volume_customer,
         "q_matmul": q_matmul,
         "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
         "q_matrix_elementwise": q_matrix_elementwise,
@@ -1147,6 +1192,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, l_orderkey
             LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "q18_large_volume_customer": """
+            WITH big AS (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+            )
+            SELECT c_custkey, o_orderkey, o_orderdate::DATE AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(sum(l_quantity), 2) AS total_qty
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+            GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY orders.o_totalprice DESC, o_orderkey
+            LIMIT 20
         """,
         "q_matmul": """
             WITH a AS (SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val
