@@ -736,6 +736,39 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic injected PII (the synthetic
+    corpus has none): append an email, an IPv4 and a phone per doc, then run
+    the redaction cascade and roll up match counts + redacted length per
+    source. Oracle repeats the same injection + RE2-portable cascade in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id"),
+                 F.lit("@mail.example.com at 10.0."),
+                 F.col("doc_id") % 256, F.lit(".7 or +1 (555) 010-"),
+                 F.lit(1000) + F.col("doc_id") % 9000))
+    c = tx.pii_counts(F.col("text"))
+    per = injected.select("source", c.alias("c"),
+                          F.length(tx.pii_redact(F.col("text"))).alias("red_len"))
+    return (per.groupBy("source")
+            .agg(F.sum(F.col("c.emails")).alias("n_emails"),
+                 F.sum(F.col("c.ips")).alias("n_ips"),
+                 F.sum(F.col("c.phones")).alias("n_phones"),
+                 F.sum("red_len").alias("total_redacted_len")))
+
+
+def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: most-frequent-token fraction per doc,
+    top-20 most repetitive (deterministic doc_id tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = tx.top_word_fraction(docs, "text", "doc_id")
+    return (per.orderBy(F.col("top_word_frac").desc(), "doc_id").limit(20)
+            .select("doc_id", "top_cnt", "n_toks",
+                    F.round("top_word_frac", 6).alias("top_word_frac")))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary content column → Arrow-batched
     decode (deterministic stub: sha256 digest head) → per-source feature
@@ -900,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
+        "q_pii_redact": q_pii_redact,
+        "q_top_word_fraction": q_top_word_fraction,
         "q_multimodal_features": q_multimodal_features,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_topk_lsh": q_cosine_topk_lsh,
@@ -940,6 +975,30 @@ def _lang_sql() -> str:
         WITH t AS (SELECT {_TOKENS} AS toks FROM documents),
         s AS (SELECT {scores} FROM t)
         SELECT {pick} AS lang, count(*) AS n_docs FROM s GROUP BY 1
+    """
+
+
+def _pii_sql() -> str:
+    """Same injection + redaction cascade as q_pii_redact, with the regex
+    literals taken from the SAME constants the Spark side uses."""
+    from scalding_spark.functions.text import (PII_EMAIL_RE, PII_IPV4_RE,
+                                               PII_PHONE_RE)
+    e, i, p = PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+    return f"""
+        WITH inj AS (
+            SELECT source,
+                   text || ' contact user' || doc_id || '@mail.example.com at 10.0.' ||
+                   (doc_id % 256) || '.7 or +1 (555) 010-' || (1000 + doc_id % 9000) AS text
+            FROM documents),
+        s1 AS (SELECT source, len(regexp_extract_all(text, '{e}')) AS emails,
+                      regexp_replace(text, '{e}', '<EMAIL>', 'g') AS t FROM inj),
+        s2 AS (SELECT source, emails, len(regexp_extract_all(t, '{i}')) AS ips,
+                      regexp_replace(t, '{i}', '<IP>', 'g') AS t FROM s1),
+        s3 AS (SELECT source, emails, ips, len(regexp_extract_all(t, '{p}')) AS phones,
+                      regexp_replace(t, '{p}', '<PHONE>', 'g') AS t FROM s2)
+        SELECT source, sum(emails) AS n_emails, sum(ips) AS n_ips,
+               sum(phones) AS n_phones, sum(len(t)) AS total_redacted_len
+        FROM s3 GROUP BY source
     """
 
 
@@ -1358,6 +1417,18 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": f"""
             SELECT count(DISTINCT {_NORM_TEXT}) AS n_unique, count(*) AS n_docs
             FROM documents
+        """,
+        "q_pii_redact": _pii_sql(),
+        "q_top_word_fraction": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+            cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+            per AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_toks
+                    FROM cnt GROUP BY 1)
+            SELECT doc_id, top_cnt, n_toks,
+                   round(top_cnt::DOUBLE / n_toks, 6) AS top_word_frac
+            FROM per
+            ORDER BY top_cnt::DOUBLE / n_toks DESC, doc_id
+            LIMIT 20
         """,
         "q_multimodal_features": """
             SELECT source, count(*) AS n_media,

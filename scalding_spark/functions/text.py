@@ -112,6 +112,50 @@ def fingerprint64(col: Column) -> Column:
     return F.xxhash64(normalize_for_fingerprint(col))
 
 
+# PII patterns — RE2/Java-regex portable (no lookaround/backrefs) so the same
+# pattern string runs in Spark and in SQL oracles. The redaction CASCADE order
+# is part of the contract: email → ipv4 → phone (IPs are redacted before the
+# phone pass so dotted digit runs aren't mis-tagged as phone numbers).
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_IPV4_RE = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+PII_PHONE_RE = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace emails/IPv4s/phone-ish digit runs with typed placeholder
+    tokens. Pure JVM-side regexp cascade — no UDF, scales linearly."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column) -> Column:
+    """struct(emails, ips, phones) match counts, counted along the same
+    cascade as :func:`pii_redact` (phone counted after email/IP removal)."""
+    after_email = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    return F.struct(
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), 0)).alias("emails"),
+        F.size(F.regexp_extract_all(after_email, F.lit(PII_IPV4_RE), 0)).alias("ips"),
+        F.size(F.regexp_extract_all(after_ip, F.lit(PII_PHONE_RE), 0)).alias("phones"))
+
+
+def top_word_fraction(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition signal: count of the most frequent token over
+    the total token count (Gopher-style repetition filter input).
+
+    Scale: explode + two combinable aggs — the (id, token) partial agg
+    happens map-side, so the shuffle carries one row per distinct token per
+    doc, not one per token occurrence.
+    Returns (id_col, top_cnt, n_toks, top_word_frac)."""
+    ex = df.select(id_col, F.explode(tokenize(F.col(text_col))).alias("tok"))
+    cnt = ex.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
+    return (cnt.groupBy(id_col)
+            .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_toks"))
+            .withColumn("top_word_frac",
+                        F.col("top_cnt").cast("double") / F.col("n_toks")))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) — the unit set for Jaccard/MinHash
     dedup. Expression-only: sliding join over the token array."""
