@@ -20,6 +20,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "q1_pricing_summary",        # scan + filter + multi-agg
     "q3_shipping_priority",      # 3-way join + agg + top-k
+    "q5_local_supplier_volume",  # 6-way star join, dims broadcast
     "q_group_multi_agg",         # wide agg suite incl. distinct count
     "q_join_revenue_by_segment", # shuffle join + agg
     "q_broadcast_join",          # chained broadcast joins

@@ -82,6 +82,46 @@ def test_whole_stage_codegen_covers_map_ops(li):
     assert "*(1) Project" in p and "*(1) Filter" in p
 
 
+def test_q5_dims_broadcast_single_agg_shuffle(spark):
+    """TPC-H Q5 shape: nation/region (explicitly) and the other dims (by AQE
+    or size estimate at this SF) should broadcast; the fact table must reach
+    the final aggregation through at most one hash-partitioning exchange of
+    its own rows."""
+    import __spark_entry__ as e
+    p = plan(e.q5_local_supplier_volume(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2  # nation+region forced
+    # orderdate range filter must reach the orders scan
+    assert "PushedFilters" in p and "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q18_semi_join_shape(spark):
+    import __spark_entry__ as e
+    p = plan(e.q18_large_volume_customer(spark, SF))
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p  # top-20, not a global sort
+
+
+def test_pii_redact_stays_in_codegen(spark):
+    """The PII cascade is pure JVM expression work — no exchange, no UDF
+    (BatchEvalPython/ArrowEvalPython) in the plan."""
+    from scalding_spark.functions import text as tx
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select(tx.pii_redact(F.col("text")).alias("r"))
+    p = plan(q)
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_top_word_fraction_partial_aggs(spark):
+    """Both aggs in the repetition stat are map-side combinable: 2 aggs ×
+    2 levels = 4 HashAggregates, 2 exchanges (token, then doc)."""
+    from scalding_spark.functions import text as tx
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(tx.top_word_fraction(docs, "text", "doc_id"))
+    assert p.count("HashAggregate") == 4
+    assert p.count("Exchange hashpartitioning") == 2
+
+
 def test_semi_anti_native(spark, li):
     cust = Pipe(spark.read.parquet(f"{SF}/customer.parquet")
                 .select(F.col("c_custkey").alias("l_suppkey")))
