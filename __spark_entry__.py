@@ -664,7 +664,7 @@ def q_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank (examples/PageRank.scala) on the customer→supplier
-    purchase graph. No SQL oracle (iterative) — rows-only check."""
+    purchase graph. Oracle: 5 iterations unrolled as chained CTEs."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     edges = (li.join(o, li.l_orderkey == o.o_orderkey)
@@ -819,6 +819,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine threshold pairs — the oracle-checked truth set
+    for the LSH near-dup variant (threshold 0.35 keeps output small on the
+    i.i.d. Gaussian synthetic embeddings)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup_exact(emb, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approximateUniqueCount (ReduceOperations.scala:103-129) — rows-only
     (HLL implementations differ across engines)."""
@@ -940,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk_lsh": q_cosine_topk_lsh,
         "q_cosine_topk_ivf": q_cosine_topk_ivf,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_embedding_neardup_exact": q_embedding_neardup_exact,
         "q_hll_distinct": q_hll_distinct,
         "q_events_daily": q_events_daily,
         "q_session_window": q_session_window,
@@ -976,6 +986,35 @@ def _lang_sql() -> str:
         s AS (SELECT {scores} FROM t)
         SELECT {pick} AS lang, count(*) AS n_docs FROM s GROUP BY 1
     """
+
+
+def _pagerank_sql(iters: int = 5, alpha: float = 0.85) -> str:
+    """Fixed-iteration PageRank unrolled as chained CTEs (recursive CTEs
+    can't aggregate over the recursive term). Constants are embedded with
+    Python repr so both engines divide the SAME IEEE doubles."""
+    teleport = repr(1 - alpha)  # 1-0.85 is 0.15000000000000002 in IEEE
+    ctes = [
+        """edges AS (
+            SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "deg AS (SELECT src, sum(1.0) AS deg FROM edges GROUP BY src)",
+        """trans AS (SELECT dst AS row, src AS col, 1.0 / deg AS val
+                     FROM edges JOIN deg USING (src))""",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""r{i + 1} AS (
+            SELECT n.node,
+                   {teleport} / (SELECT n FROM nn)
+                   + {alpha!r} * coalesce(c.s, 0.0) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT t.row AS node, sum(t.val * r.rank) AS s
+                FROM trans t JOIN r{i} r ON t.col = r.node
+                GROUP BY t.row) c ON n.node = c.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, round(rank, 8) AS rank FROM r{iters}")
 
 
 def _pii_sql() -> str:
@@ -1417,6 +1456,18 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": f"""
             SELECT count(DISTINCT {_NORM_TEXT}) AS n_unique, count(*) AS n_docs
             FROM documents
+        """,
+        "q_pagerank": _pagerank_sql(),
+        "q_embedding_neardup_exact": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_inner_product(a.vec, b.vec)
+                       / (sqrt(list_inner_product(a.vec, a.vec))
+                          * sqrt(list_inner_product(b.vec, b.vec))) AS cos_raw
+                FROM v a JOIN v b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+            FROM pairs WHERE cos_raw >= 0.35
         """,
         "q_pii_redact": _pii_sql(),
         "q_top_word_fraction": f"""

@@ -163,6 +163,21 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("__rn") <= k).drop("__rn"))
 
 
+def embedding_near_dup_exact(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs near-dup baseline — the truth set the LSH variant's
+    recall is measured against. O(n²) by construction: use it on modest
+    corpora (recall evaluation, small dims); embedding_near_dup_pairs is the
+    100 TB path. Returns (id_a, id_b, cosine), id_a < id_b."""
+    l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = l.join(r, F.col("id_a") < F.col("id_b"))
+    return (pairs.select("id_a", "id_b",
+                         cosine(F.col("va"), F.col("vb")).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              n_planes: int = 10, n_tables: int = 4,

@@ -71,3 +71,21 @@ def test_ivf_centroids_deterministic(clustered):
     a = similarity.ivf_centroids(clustered, 4)
     b = similarity.ivf_centroids(clustered, 4)
     assert a == b and len(a) == 4
+
+
+def test_near_dup_lsh_subset_of_exact(clustered):
+    """LSH near-dup pairs exact-verify candidates, so every emitted pair must
+    appear in the exact all-pairs truth set with the same cosine."""
+    exact = {(r.id_a, r.id_b): r.cosine for r in
+             similarity.embedding_near_dup_exact(clustered, threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine for r in
+           similarity.embedding_near_dup_pairs(clustered, threshold=0.9, dim=8).collect()}
+    assert lsh, "clustered data must produce near-dup pairs"
+    for pair, cos in lsh.items():
+        assert pair in exact
+        assert cos == pytest.approx(exact[pair], abs=1e-12)
+
+
+def test_near_dup_exact_symmetric_ordering(clustered):
+    out = similarity.embedding_near_dup_exact(clustered, threshold=0.9).collect()
+    assert all(r.id_a < r.id_b for r in out)
