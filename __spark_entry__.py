@@ -828,6 +828,25 @@ def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.5 extension): for each click event, the latest
+    error event at-or-before it per user, rolled up to exact-integer gap
+    sums. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from scalding_spark import joins
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("ts").alias("err_ts"))
+    j = joins.as_of_join(clicks, errors, on=["user_id"],
+                         left_ts="ts", right_ts="ts").df
+    return (j.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks"),
+                 F.count("err_ts").alias("n_matched"),
+                 F.coalesce(F.sum(F.unix_micros(F.col("ts"))
+                                  - F.unix_micros(F.col("err_ts"))),
+                            F.lit(0)).alias("total_gap_us")))
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approximateUniqueCount (ReduceOperations.scala:103-129) — rows-only
     (HLL implementations differ across engines)."""
@@ -950,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk_ivf": q_cosine_topk_ivf,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_exact": q_embedding_neardup_exact,
+        "q_asof_join": q_asof_join,
         "q_hll_distinct": q_hll_distinct,
         "q_events_daily": q_events_daily,
         "q_session_window": q_session_window,
@@ -1458,6 +1478,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_pagerank": _pagerank_sql(),
+        "q_asof_join": """
+            WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+            errors AS (SELECT user_id AS e_user, ts AS err_ts FROM events
+                       WHERE event_type = 'error'),
+            j AS (SELECT user_id, ts, err_ts
+                  FROM clicks ASOF LEFT JOIN errors
+                  ON clicks.user_id = errors.e_user AND clicks.ts >= errors.err_ts)
+            SELECT user_id, count(*) AS n_clicks, count(err_ts) AS n_matched,
+                   coalesce(sum(epoch_us(ts) - epoch_us(err_ts)), 0) AS total_gap_us
+            FROM j GROUP BY user_id
+        """,
         "q_embedding_neardup_exact": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
             pairs AS (

@@ -211,7 +211,7 @@ def as_of_join(left, right, on: list[str], left_ts: str, right_ts: str,
     nulls out matches older than the budget (pandas merge_asof semantics).
     """
     ldf, rdf = _df(left), _df(right)
-    l_payload = [c for c in ldf.columns if c not in on]
+    l_payload = [c for c in ldf.columns if c not in on + [left_ts]]
     r_payload = [c for c in rdf.columns if c not in on + [right_ts]]
 
     lu = ldf.select(
