@@ -847,6 +847,24 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.lit(0)).alias("total_gap_us")))
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within 60 minutes AFTER an error, per user —
+    bucketed equi-join formulation vs a plain inequality-join oracle."""
+    from scalding_spark import joins
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("end_ts"))
+    j = joins.range_join(clicks, errors, point_ts="ts",
+                         start_ts="err_ts", end_ts="end_ts",
+                         on=["user_id"], bucket_seconds=3600).df
+    return (j.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.unix_micros(F.col("ts"))
+                       - F.unix_micros(F.col("err_ts"))).alias("total_gap_us")))
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approximateUniqueCount (ReduceOperations.scala:103-129) — rows-only
     (HLL implementations differ across engines)."""
@@ -970,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_exact": q_embedding_neardup_exact,
         "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "q_hll_distinct": q_hll_distinct,
         "q_events_daily": q_events_daily,
         "q_session_window": q_session_window,
@@ -1478,6 +1497,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_pagerank": _pagerank_sql(),
+        "q_range_join": """
+            WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+            errs AS (SELECT user_id AS e_user, ts AS err_ts,
+                            ts + INTERVAL 60 MINUTE AS end_ts
+                     FROM events WHERE event_type = 'error'),
+            j AS (SELECT user_id, ts, err_ts FROM clicks JOIN errs
+                  ON user_id = e_user AND ts >= err_ts AND ts <= end_ts)
+            SELECT user_id, count(*) AS n_pairs,
+                   sum(epoch_us(ts) - epoch_us(err_ts)) AS total_gap_us
+            FROM j GROUP BY user_id
+        """,
         "q_asof_join": """
             WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
             errors AS (SELECT user_id AS e_user, ts AS err_ts FROM events

@@ -245,6 +245,38 @@ def as_of_join(left, right, on: list[str], left_ts: str, right_ts: str,
     return Pipe(out)
 
 
+def range_join(points, intervals, point_ts: str, start_ts: str, end_ts: str,
+               on: list[str] | None = None, bucket_seconds: int = 600) -> Pipe:
+    """Point-in-interval join (SURVEY §2.5 extension): each ``points`` row
+    matched to every ``intervals`` row with start ≤ point ≤ end (inclusive),
+    optionally under equality keys ``on``.
+
+    Plan — bucketed equi-join, NOT the naive non-equi join (which Spark can
+    only plan as a broadcast-nested-loop, quadratic at scale): both sides are
+    binned to fixed-width time buckets, intervals replicated to every bucket
+    they overlap, then a plain shuffled equi-join on (keys, bucket) + exact
+    range filter. A point's bucket is unique, so each match appears exactly
+    once — no dedup pass. Pick ``bucket_seconds`` near the typical interval
+    length: replication factor is len/width + 1.
+
+    Caller renames clashing payload columns (standard join contract).
+    """
+    on = on or []
+    us = int(bucket_seconds) * 1_000_000
+    p = _df(points).withColumn(
+        "__bin", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(us)))
+    i = _df(intervals).withColumn(
+        "__bin",
+        F.explode(F.sequence(
+            F.floor(F.unix_micros(F.col(start_ts)) / F.lit(us)),
+            F.floor(F.unix_micros(F.col(end_ts)) / F.lit(us)))))
+    j = (p.join(i, on=on + ["__bin"])
+         .where((F.col(point_ts) >= F.col(start_ts))
+                & (F.col(point_ts) <= F.col(end_ts)))
+         .drop("__bin"))
+    return Pipe(j)
+
+
 def multi_join(pipes: list, on: list[str], hows: list[str] | None = None) -> Pipe:
     """coGroupBy star join (JoinAlgorithms.scala:53-55): n-way equi-join on a
     shared key. Catalyst reuses the key's hash partitioning across the chained

@@ -122,6 +122,16 @@ def test_top_word_fraction_partial_aggs(spark):
     assert p.count("Exchange hashpartitioning") == 2
 
 
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join must plan as a hash/sort-merge equi-join on
+    (keys, bucket) — never the quadratic BroadcastNestedLoopJoin a naive
+    non-equi join degenerates to."""
+    import __spark_entry__ as e
+    p = plan(e.q_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
 def test_semi_anti_native(spark, li):
     cust = Pipe(spark.read.parquet(f"{SF}/customer.parquet")
                 .select(F.col("c_custkey").alias("l_suppkey")))
