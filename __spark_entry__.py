@@ -888,6 +888,20 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one pass produces
+    (day, event_type), per-day, and grand-total aggregates via ROLLUP
+    (partial-agg friendly — Spark expands grouping sets map-side)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    return (ev.select(day, "event_type", "value")
+            .rollup("day", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"),
+                 F.grouping("day").alias("g_day"),
+                 F.grouping("event_type").alias("g_type")))
+
+
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window gap-merge aggregation (streaming-native sessionize,
     run in batch): per-user session totals with a 60-min gap."""
@@ -991,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_hll_distinct": q_hll_distinct,
         "q_events_daily": q_events_daily,
+        "q_events_rollup": q_events_rollup,
         "q_session_window": q_session_window,
         "q_sessionize": q_sessionize,
     }
@@ -1566,6 +1581,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts)::DATE AS day, event_type,
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "q_events_rollup": """
+            SELECT date_trunc('day', ts)::DATE AS day, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total_value,
+                   GROUPING(date_trunc('day', ts)::DATE) AS g_day,
+                   GROUPING(event_type) AS g_type
+            FROM events
+            GROUP BY ROLLUP(date_trunc('day', ts)::DATE, event_type)
         """,
         "q_session_window": """
             WITH o AS (
