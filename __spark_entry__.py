@@ -49,6 +49,24 @@ def _p(spark: SparkSession, sf_dir: str, name: str) -> Pipe:
     return Pipe(_t(spark, sf_dir, name))
 
 
+def _exact_sum(col, scale: int = 4):
+    """Order-insensitive money/quantity sum: the inputs are exact ≤`scale`-
+    decimal rationals (price×discount is 2dp×2dp → 4dp), so each term×10^scale
+    rounds to an exact bigint and the integer sum is associative — immune to
+    the float-summation-order rounding flips that plague round(sum(x), 2)
+    across engines (and across partition counts). Bounded by 2^53/10^scale
+    total, fine for the oracle scales; production would use DECIMAL columns.
+    The SQL mirror is ``_XS``."""
+    m = 10 ** scale
+    return F.sum(F.round(col * m).cast("bigint")) / F.lit(float(m))
+
+
+def _XS(expr: str, scale: int = 4) -> str:
+    """DuckDB mirror of :func:`_exact_sum`."""
+    m = 10 ** scale
+    return f"sum(CAST(round(({expr}) * {m}) AS BIGINT)) / {m}.0"
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -59,9 +77,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .group_by("l_returnflag", "l_linestatus")
-        .sum("l_quantity", "sum_qty")
-        .sum("l_extendedprice", "sum_base_price")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"))
+        .agg(_exact_sum(F.col("l_quantity")).alias("sum_qty"))
+        .agg(_exact_sum(F.col("l_extendedprice")).alias("sum_base_price"))
+        .agg(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"))
         .average("l_quantity", "avg_qty")
         .average("l_discount", "avg_disc")
         .size("count_order")
@@ -255,7 +273,7 @@ def q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _p(spark, sf_dir, "customer").map_to(custkey=F.col("c_custkey"),
                                              c_mktsegment=F.col("c_mktsegment"))
     j = joins.block_join(o, c, on=["custkey"], left_repl=2, right_repl=2)
-    return (j.group_by("c_mktsegment").sum("o_totalprice", "revenue").size("n").done()
+    return (j.group_by("c_mktsegment").agg(_exact_sum(F.col("o_totalprice"), 2).alias("revenue")).size("n").done()
             .map_to(F.col("c_mktsegment"), F.col("n"), revenue=F.round("revenue", 2)).df)
 
 
@@ -391,7 +409,8 @@ def q_join_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _p(spark, sf_dir, "orders")
     return (
         o.join_with_smaller(F.col("o_custkey") == F.col("c_custkey"), c)
-        .group_by("c_mktsegment").sum("o_totalprice", "revenue").size("n_orders").done()
+        .group_by("c_mktsegment").agg(_exact_sum(F.col("o_totalprice"), 2)
+                                      .alias("revenue")).size("n_orders").done()
         .map_to(F.col("c_mktsegment"), F.col("n_orders"), revenue=F.round("revenue", 2))
         .df
     )
@@ -445,7 +464,7 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              c_nationkey=F.col("c_nationkey"))
     j = joins.salted_skew_join(o, c, on=["custkey"], salt=8)
     return (
-        j.group_by("c_nationkey").sum("o_totalprice", "revenue").size("n").done()
+        j.group_by("c_nationkey").agg(_exact_sum(F.col("o_totalprice"), 2).alias("revenue")).size("n").done()
         .map_to(F.col("c_nationkey"), F.col("n"), revenue=F.round("revenue", 2)).df
     )
 
@@ -492,7 +511,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (li.join(o, li.l_orderkey == o.o_orderkey)
          .join(F.broadcast(c), o.o_custkey == c.c_custkey))
     agg = (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+           .agg(F.round(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                 .alias("revenue")))
     return (agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
             .select("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -518,7 +537,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(n, s.s_nationkey == n.n_nationkey)
          .join(r, n.n_regionkey == r.r_regionkey))
     return (j.groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .agg(F.round(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                  .alias("revenue")))
 
 
@@ -535,11 +554,63 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(c), o.o_custkey == c.c_custkey)
          .join(li, o.o_orderkey == li.l_orderkey))
     agg = (j.groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty")))
+           .agg(F.round(_exact_sum(F.col("l_quantity")), 2).alias("total_qty")))
     return (agg.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(20)
             .select("c_custkey", "o_orderkey",
                     F.col("o_orderdate").cast("date").alias("o_orderdate"),
                     F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty"))
+
+
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: IN-list filters + conditional CASE counting after a
+    fact-fact join. Both predicates (flag IN-list, shipdate range) must push
+    to the lineitem scan; the count split is one pass."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")))
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-line revenue per customer over a quarter,
+    top-20. Fact filtered at the scan, nation broadcast, one agg shuffle on
+    custkey, TakeOrderedAndProject for the top-k."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")))
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(n, c.c_nationkey == n.n_nationkey))
+    agg = (j.groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+           .agg(F.round(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("revenue")))
+    return (agg.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+            .select("c_custkey", "c_name", "n_name",
+                    F.round("c_acctbal", 2).alias("c_acctbal"), "revenue"))
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: global conditional-revenue ratio; part dim broadcast,
+    single scalar output."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp")))
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .agg(F.round(
+                F.lit(100.0)
+                * _exact_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / _exact_sum(rev), 4).alias("promo_revenue_pct")))
 
 
 # ---------------------------------------------------------------------------
@@ -881,7 +952,7 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _p(spark, sf_dir, "events")
     return (
         ev.map(day=F.date_trunc("day", F.col("ts")).cast("date"))
-        .group_by("day", "event_type").size("n").sum("value", "total_value").done()
+        .group_by("day", "event_type").size("n").agg(_exact_sum(F.col("value"), 2).alias("total_value")).done()
         .map_to(F.col("day"), F.col("event_type"), F.col("n"),
                 total_value=F.round("total_value", 2))
         .df
@@ -897,7 +968,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.select(day, "event_type", "value")
             .rollup("day", "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 2).alias("total_value"),
+                 F.round(_exact_sum(F.col("value"), 2), 2).alias("total_value"),
                  F.grouping("day").alias("g_day"),
                  F.grouping("event_type").alias("g_type")))
 
@@ -909,7 +980,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = session_window_agg(ev, "ts", "user_id",
                              F.count(F.lit(1)).alias("n_events"),
-                             F.round(F.sum("value"), 2).alias("total_value"),
+                             F.round(_exact_sum(F.col("value"), 2), 2).alias("total_value"),
                              gap="60 minutes")
     return out.select("user_id",
                       F.col("session.start").alias("session_start"),
@@ -973,6 +1044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q18_large_volume_customer": q18_large_volume_customer,
+        "q10_returned_items": q10_returned_items,
+        "q12_priority_by_flag": q12_priority_by_flag,
+        "q14_promo_effect": q14_promo_effect,
         "q_matmul": q_matmul,
         "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
         "q_matrix_elementwise": q_matrix_elementwise,
@@ -1099,9 +1173,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(CAST(round((l_quantity) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_qty,
+                   round(sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_base_price,
+                   round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
                    round(avg(l_quantity), 6) AS avg_qty,
                    round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
@@ -1211,7 +1285,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_suppkey
         """,
         "q_block_join": """
-            SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+            SELECT c_mktsegment, count(*) AS n, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100.0, 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -1233,7 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_groupall": """
             SELECT count(*) AS n, count(DISTINCT l_partkey) AS n_parts,
-                   round(sum(l_quantity), 2) AS total_qty
+                   round(sum(CAST(round((l_quantity) * 10000) AS BIGINT)) / 10000.0, 2) AS total_qty
             FROM lineitem
         """,
         "q_fold_reduce": """
@@ -1282,7 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_revenue_by_segment": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS revenue
+                   round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100.0, 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -1312,7 +1386,7 @@ def oracle_sql() -> dict[str, str]:
             FROM region a CROSS JOIN region b WHERE a.r_name < b.r_name
         """,
         "q_salted_skew_join": """
-            SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+            SELECT c_nationkey, count(*) AS n, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100.0, 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
         """,
@@ -1334,7 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate::DATE AS o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1342,11 +1416,11 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-03-15'
               AND l_shipdate > TIMESTAMP '1998-03-15'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
-            ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, l_orderkey
+            ORDER BY round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) DESC, l_orderkey
             LIMIT 10
         """,
         "q5_local_supplier_volume": """
-            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            SELECT n_name, round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1365,7 +1439,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_custkey, o_orderkey, o_orderdate::DATE AS o_orderdate,
                    round(o_totalprice, 2) AS o_totalprice,
-                   round(sum(l_quantity), 2) AS total_qty
+                   round(sum(CAST(round((l_quantity) * 10000) AS BIGINT)) / 10000.0, 2) AS total_qty
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
@@ -1373,6 +1447,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
             ORDER BY orders.o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        "q10_returned_items": """
+            WITH agg AS (
+                SELECT c_custkey, c_name, n_name, c_acctbal,
+                       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1995-04-01'
+                GROUP BY c_custkey, c_name, n_name, c_acctbal)
+            SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal,
+                   revenue
+            FROM agg ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q12_priority_by_flag": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag IN ('A', 'R')
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+            GROUP BY l_returnflag
+        """,
+        "q14_promo_effect": """
+            SELECT round(100.0 * (sum(CAST(round((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) / 10000.0)
+                         / (sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0), 4)
+                       AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate < TIMESTAMP '1995-10-01'
         """,
         "q_matmul": """
             WITH a AS (SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val
@@ -1579,12 +1689,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_events_daily": """
             SELECT date_trunc('day', ts)::DATE AS day, event_type,
-                   count(*) AS n, round(sum(value), 2) AS total_value
+                   count(*) AS n, round(sum(CAST(round((value) * 100) AS BIGINT)) / 100.0, 2) AS total_value
             FROM events GROUP BY 1, 2
         """,
         "q_events_rollup": """
             SELECT date_trunc('day', ts)::DATE AS day, event_type,
-                   count(*) AS n, round(sum(value), 2) AS total_value,
+                   count(*) AS n, round(sum(CAST(round((value) * 100) AS BIGINT)) / 100.0, 2) AS total_value,
                    GROUPING(date_trunc('day', ts)::DATE) AS g_day,
                    GROUPING(event_type) AS g_type
             FROM events
@@ -1603,7 +1713,7 @@ def oracle_sql() -> dict[str, str]:
                                 ROWS UNBOUNDED PRECEDING) AS sid
                   FROM o)
             SELECT user_id, min(ts)::TIMESTAMP AS session_start,
-                   count(*) AS n_events, round(sum(value), 2) AS total_value
+                   count(*) AS n_events, round(sum(CAST(round((value) * 100) AS BIGINT)) / 100.0, 2) AS total_value
             FROM s GROUP BY user_id, sid
         """,
         "q_sessionize": """
