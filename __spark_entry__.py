@@ -840,6 +840,34 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("top_word_frac", 6).alias("top_word_frac")))
 
 
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with frequency ranks. The global rank window runs on
+    the AGGREGATED vocab (≪ corpus size) — the explode/count does the heavy
+    lifting with map-side partial aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tx.tokenize(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    return cnt.select("tok", "cnt", F.row_number().over(w).alias("rank"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: tf(doc,term) × ln(N/df) with the tiny df table broadcast back;
+    top term per doc (tfidf desc, term asc tiebreak) for doc_id < 100."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokenize(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = (tf.join(F.broadcast(df_), on="tok")
+              .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (scored.where(F.col("doc_id") < 100)
+            .withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select("doc_id", F.col("tok").alias("top_term"), "tf", "df",
+                    F.round("tfidf", 6).alias("tfidf")))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary content column → Arrow-batched
     decode (deterministic stub: sha256 digest head) → per-source feature
@@ -1068,6 +1096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_pii_redact": q_pii_redact,
+        "q_vocabulary": q_vocabulary,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_top_word_fraction": q_top_word_fraction,
         "q_multimodal_features": q_multimodal_features,
         "q_cosine_topk": q_cosine_topk,
@@ -1656,6 +1686,25 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE cos_raw >= 0.35
         """,
         "q_pii_redact": _pii_sql(),
+        "q_vocabulary": f"""
+            WITH toks AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
+            cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+            SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+            FROM cnt
+        """,
+        "q_tfidf_top_terms": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (SELECT doc_id, tok, tf, df,
+                              tf * ln((SELECT n FROM nd) / df) AS tfidf
+                       FROM tf JOIN df USING (tok))
+            SELECT doc_id, tok AS top_term, tf, df, round(tfidf, 6) AS tfidf
+            FROM scored WHERE doc_id < 100
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, tok) = 1
+        """,
         "q_top_word_fraction": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
             cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
