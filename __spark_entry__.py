@@ -613,6 +613,54 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / _exact_sum(rev), 4).alias("promo_revenue_pct")))
 
 
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join — the orders
+    scan keeps its date filter pushed down and shuffles once."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49) \
+        .select("l_orderkey")
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value filtered against a GLOBAL scalar
+    threshold. The scalar is a broadcast cross-join (never a
+    Window.partitionBy() over everything, which funnels all rows through one
+    task); both sums use the exact-integer kernel so the threshold compare
+    is engine-portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = li.groupBy("l_partkey").agg(_exact_sum(val).alias("part_value"))
+    # adaptive threshold (TPC-H scales the Q11 fraction by SF for the same
+    # reason): 1.2× the mean per-part share, SF-independent
+    total = li.agg((_exact_sum(val) * 1.2
+                    / F.countDistinct("l_partkey")).alias("threshold"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .where(F.col("part_value") > F.col("threshold"))
+            .select("l_partkey", F.round("part_value", 2).alias("part_value")))
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (broadcast) + NOT EXISTS
+    (anti join): rich customers with no high-value order, per segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 300000).select("o_custkey")
+    pos = c.where(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg((_exact_sum(F.col("c_acctbal"), 2)
+                       / F.count(F.lit(1))).alias("avg_bal"))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("avg_bal")))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (idle.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.round(_exact_sum(F.col("c_acctbal"), 2), 2).alias("total_bal")))
+
+
 # ---------------------------------------------------------------------------
 # matrix library (SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -1075,6 +1123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q12_priority_by_flag": q12_priority_by_flag,
         "q14_promo_effect": q14_promo_effect,
+        "q4_order_priority_exists": q4_order_priority_exists,
+        "q11_important_parts": q11_important_parts,
+        "q22_idle_customers": q22_idle_customers,
         "q_matmul": q_matmul,
         "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
         "q_matrix_elementwise": q_matrix_elementwise,
@@ -1477,6 +1528,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
             ORDER BY orders.o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        "q4_order_priority_exists": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+            GROUP BY o_orderpriority
+        """,
+        "q11_important_parts": """
+            WITH pp AS (
+                SELECT l_partkey,
+                       sum(CAST(round((l_extendedprice * l_quantity) * 10000) AS BIGINT)) / 10000.0
+                           AS part_value
+                FROM lineitem GROUP BY l_partkey),
+            tot AS (
+                SELECT (sum(CAST(round((l_extendedprice * l_quantity) * 10000) AS BIGINT)) / 10000.0)
+                       * 1.2 / count(DISTINCT l_partkey) AS threshold
+                FROM lineitem)
+            SELECT l_partkey, round(part_value, 2) AS part_value
+            FROM pp CROSS JOIN tot WHERE part_value > threshold
+        """,
+        "q22_idle_customers": """
+            WITH avg_bal AS (
+                SELECT (sum(CAST(round((c_acctbal) * 100) AS BIGINT)) / 100.0)
+                       / count(*) AS avg_bal
+                FROM customer WHERE c_acctbal > 0.0),
+            rich AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal
+                FROM customer CROSS JOIN avg_bal WHERE c_acctbal > avg_bal)
+            SELECT c_mktsegment, count(*) AS n_cust,
+                   round(sum(CAST(round((c_acctbal) * 100) AS BIGINT)) / 100.0, 2)
+                       AS total_bal
+            FROM rich
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000)
+            GROUP BY c_mktsegment
         """,
         "q10_returned_items": """
             WITH agg AS (
