@@ -33,6 +33,8 @@ HEADLINE = [
     "q_cosine_topk",             # brute-force ANN baseline
     "q_events_daily",            # time-bucketed event rollup
     "q_sessionize",              # session windows
+    "q_asof_join",               # as-of join (union+window)
+    "q_range_join",              # bucketed point-in-interval join
 ]
 
 
