@@ -889,14 +889,14 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary with frequency ranks. The global rank window runs on
-    the AGGREGATED vocab (≪ corpus size) — the explode/count does the heavy
-    lifting with map-side partial aggregation."""
+    """Corpus vocabulary with frequency ranks. Ranks come from
+    Pipe.rank_by — range-partitioned parallel ranking, NOT a global
+    row_number window (single-task at web-scale vocab sizes)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tx.tokenize(F.col("text"))).alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), "tok")
-    return cnt.select("tok", "cnt", F.row_number().over(w).alias("rank"))
+    return (Pipe(cnt).rank_by(F.col("cnt").desc(), F.col("tok"))
+            .df.select("tok", "cnt", "rank"))
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -197,6 +197,33 @@ class Pipe:
             .drop("__r")
         )
 
+    def rank_by(self, *order: Column, rank_col: str = "rank",
+                partitions: int | None = None) -> "Pipe":
+        """Global dense row ranks under a TOTAL order (caller supplies the
+        tie-break) — scalable upgrade over `row_number() OVER (ORDER BY ...)`,
+        which funnels every row through ONE task.
+
+        Plan: range-repartition on the order (sampled balanced ranges) →
+        per-partition row_number (parallel) → add per-partition offsets,
+        computed on the tiny #partitions-row table and broadcast back.
+        """
+        from pyspark.sql import Window
+        d = (self.df.repartitionByRange(*order) if partitions is None
+             else self.df.repartitionByRange(partitions, *order))
+        d = d.withColumn("__pid", F.spark_partition_id())
+        w = Window.partitionBy("__pid").orderBy(*order)
+        local = d.withColumn("__lr", F.row_number().over(w))
+        off_w = (Window.orderBy("__pid")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        offs = (local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+                .withColumn("__off",
+                            F.coalesce(F.sum("__n").over(off_w), F.lit(0)))
+                .select("__pid", "__off"))
+        return Pipe(local.join(F.broadcast(offs), on="__pid")
+                    .withColumn(rank_col, (F.col("__off") + F.col("__lr"))
+                                .cast("int"))
+                    .drop("__pid", "__lr", "__off"))
+
     # -- misc parity -------------------------------------------------------
 
     def normalize(self, col: str, out: str | None = None) -> "Pipe":

@@ -101,3 +101,32 @@ def test_times_product_exact(spark):
     out = {r.k: r.product for r in
            p.group_by("k").times("v", "product").done().df.collect()}
     assert out == {"a": 4.0, "b": 8.0}
+
+
+def test_rank_by_matches_global_window(spark):
+    """rank_by (range-partitioned parallel rank) must equal the single-task
+    row_number window on any partition count."""
+    import random
+    from pyspark.sql import Window
+    from scalding_spark.pipe import Pipe
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    golden = {r.id: r.rk for r in df.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("v").desc(), "id"))).collect()}
+    for parts in (1, 4, 13):
+        got = {r.id: r.rank for r in
+               Pipe(df).rank_by(F.col("v").desc(), F.col("id"),
+                                partitions=parts).df.collect()}
+        assert got == golden, f"partitions={parts}"
+
+
+def test_rank_by_no_single_task_exchange(spark):
+    """The plan must contain no SinglePartition exchange over the ranked data
+    (the offsets table is tiny and allowed to)."""
+    from scalding_spark.pipe import Pipe
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    p = Pipe(df).rank_by(F.col("v"), F.col("id")).df
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
