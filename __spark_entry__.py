@@ -509,7 +509,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
     j = (li.join(o, li.l_orderkey == o.o_orderkey)
-         .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+         .join(c, o.o_custkey == c.c_custkey))
     agg = (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
            .agg(F.round(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                 .alias("revenue")))
@@ -551,7 +551,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
            .where(F.col("qty") > 150).select("l_orderkey"))
     j = (o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
-         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(c, o.o_custkey == c.c_custkey)
          .join(li, o.o_orderkey == li.l_orderkey))
     agg = (j.groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
            .agg(F.round(_exact_sum(F.col("l_quantity")), 2).alias("total_qty")))
@@ -604,7 +604,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp")))
-    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    # part scales with SF — no forced broadcast; AQE broadcasts while small
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(p, li.l_partkey == p.p_partkey)
             .agg(F.round(
@@ -900,14 +901,15 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF: tf(doc,term) × ln(N/df) with the tiny df table broadcast back;
+    """TF-IDF: tf(doc,term) × ln(N/df), df table joined back on term;
     top term per doc (tfidf desc, term asc tiebreak) for doc_id < 100."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tx.tokenize(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
-    scored = (tf.join(F.broadcast(df_), on="tok")
+    # df table is vocab-sized (huge at web scale) — AQE broadcasts while small
+    scored = (tf.join(df_, on="tok")
               .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
     return (scored.where(F.col("doc_id") < 100)
