@@ -662,6 +662,272 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(_exact_sum(F.col("c_acctbal"), 2), 2).alias("total_bal")))
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side revenue forecast — every predicate
+    (date range, discount band, quantity cap) pushes to the parquet scan;
+    zero joins, one partial+final agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(F.round(_exact_sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                  .alias("revenue"))
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship year.
+    nation (25 rows) broadcasts twice under different aliases; the pair
+    filter applies after both dimension joins; one agg shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("s_nk"),
+                             F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("c_nk"),
+                             F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+            .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+            .where(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ASIA's PROMO-part order volume
+    per year — conditional-sum ratio over a 6-way star join, dims broadcast,
+    fact filters pushed to the scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("c_nk"),
+                             F.col("n_regionkey")))
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+                    .select("r_regionkey"))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("s_nk"),
+                             F.col("n_name").alias("supp_nation")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(n1, F.col("c_nationkey") == F.col("c_nk"))
+            .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(n2, F.col("s_nationkey") == F.col("s_nk"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(
+                _exact_sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / _exact_sum(vol), 6).alias("mkt_share")))
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for a part-name
+    family. The schema has no partsupp/supplycost, so cost is modeled as
+    half the part's retail price per unit — same join/agg topology
+    (part name LIKE filter, 4-way join, two-level group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")) \
+        .select("p_partkey", "p_retailprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(_t(spark, sf_dir, "nation")
+                    .select("n_nationkey", F.col("n_name").alias("nation")))
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(_exact_sum(amount, 6), 2).alias("sum_profit")))
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram over customers — LEFT join
+    with an extra non-key predicate (kept inside the join so zero-order
+    customers survive), two cascaded aggregations."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT").select("o_orderkey", "o_custkey")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view per supplier over a quarter, then the
+    argmax via a broadcast global-max scalar (never a global window). The
+    exact-integer revenue makes the equality compare engine-portable."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier")
+    return (rev.crossJoin(F.broadcast(top))
+            .where(F.col("total_revenue") == F.col("max_revenue"))
+            .join(s, F.col("supplier_no") == s.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.round("total_revenue", 2).alias("total_revenue")))
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute class,
+    excluding a brand/type and a supplier blocklist (NOT IN → broadcast
+    anti-join). lineitem's distinct (part, supp) pairs stand in for
+    partsupp; negative-balance suppliers stand in for the complaint list."""
+    ps = _t(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0.0) \
+        .select("s_suppkey")
+    return (ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(p, ps.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated into an
+    aggregate + equi-join back onto the fact. Quantities are integral
+    doubles, so avg = exact-int-sum / count is bit-identical across engines
+    and the 0.2× threshold compare is portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")) \
+        .select("p_partkey")
+    narrow = li.join(p, li.l_partkey == p.p_partkey) \
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = (narrow.groupBy(F.col("l_partkey").alias("t_partkey"))
+              .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")))
+    return (narrow.join(thresh, narrow.l_partkey == thresh.t_partkey)
+            .where(F.col("l_quantity") < F.col("qty_threshold"))
+            .agg(F.round(_exact_sum(F.col("l_extendedprice")) / 7.0, 2)
+                 .alias("avg_yearly")))
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate groups across the join — each
+    disjunct ties a brand to a size band and a quantity band. Catalyst
+    extracts the common part-side conjuncts for scan pushdown; the residual
+    disjunction evaluates post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    disj = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    return j.where(disj).agg(
+        F.round(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"))
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated-min
+    decorrelated to groupBy-min + equality join back. Unit price
+    (extendedprice/quantity, same doubles both engines) stands in for
+    ps_supplycost; top-100 by supplier balance."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")) \
+        .select("p_partkey", "p_name")
+    s = _t(spark, sf_dir, "supplier")
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+    offers = (li.join(p, li.l_partkey == p.p_partkey)
+              .select("p_partkey", "p_name", "l_suppkey",
+                      unit.alias("unit_price")))
+    best = (offers.groupBy(F.col("p_partkey").alias("b_partkey"))
+            .agg(F.min("unit_price").alias("min_price")))
+    return (offers.join(best, (offers.p_partkey == best.b_partkey)
+                        & (offers.unit_price == best.min_price))
+            .join(s, offers.l_suppkey == s.s_suppkey)
+            .select("p_partkey", "p_name", "s_name",
+                    F.round("s_acctbal", 2).alias("s_acctbal"),
+                    F.col("unit_price"))
+            .distinct()
+            .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+            .limit(100))
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers in one nation
+    who moved >30 units of any 'small %' part during 1996. partsupp's
+    availqty is modeled by shipped volume per (supp, part); the join
+    topology (part filter → grouped fact HAVING → semi-join supplier)
+    matches the original."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%")) \
+        .select("p_partkey")
+    heavy = (li.join(p, li.l_partkey == p.p_partkey)
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(_exact_sum(F.col("l_quantity")).alias("qty"))
+             .where(F.col("qty") > 30)
+             .select("l_suppkey").distinct())
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation")
+                    .where(F.col("n_name") == "NATION_3").select("n_nationkey"))
+    return (s.join(n, s.s_nationkey == F.col("n_nationkey"))
+            .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+            .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal")))
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT EXISTS double-correlation on the
+    fact table. 'Late' = shipped >90 days after the order date (the schema
+    has no commit/receipt dates); a supplier 'kept the order waiting' when
+    its line is late on a finished multi-supplier order where no OTHER
+    supplier was late — semi-join then anti-join on (order, other-supp)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .where(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            .select("l_orderkey", "l_suppkey"))
+    # distinct (order, supp) pairs: the any-other-supplier and
+    # any-other-late-supplier probes
+    all_pairs = li.select(F.col("l_orderkey").alias("a_ok"),
+                          F.col("l_suppkey").alias("a_sk")).distinct()
+    late_pairs = late.select(F.col("l_orderkey").alias("b_ok"),
+                             F.col("l_suppkey").alias("b_sk")).distinct()
+    l1 = (late.join(all_pairs, (late.l_orderkey == all_pairs.a_ok)
+                    & (late.l_suppkey != all_pairs.a_sk), "left_semi")
+          .join(late_pairs, (late.l_orderkey == late_pairs.b_ok)
+                & (late.l_suppkey != late_pairs.b_sk), "left_anti"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (l1.join(s, l1.l_suppkey == s.s_suppkey)
+            .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name").limit(20))
+
+
 # ---------------------------------------------------------------------------
 # matrix library (SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -1128,6 +1394,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority_exists": q4_order_priority_exists,
         "q11_important_parts": q11_important_parts,
         "q22_idle_customers": q22_idle_customers,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "q_matmul": q_matmul,
         "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
         "q_matrix_elementwise": q_matrix_elementwise,
@@ -1569,6 +1847,168 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_totalprice > 300000)
             GROUP BY c_mktsegment
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE (n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+               OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1')
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(
+                     (sum(CAST(round((CASE WHEN n2.n_name = 'NATION_5'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END) * 10000) AS BIGINT)) / 10000.0)
+                     / (sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0),
+                   6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+            GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                         - 0.5 * p_retailprice * l_quantity) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "q13_customer_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+            FROM revenue JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "q16_supplier_part_count": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM ps JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0.0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q17_small_quantity_revenue": """
+            WITH narrow AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
+            thresh AS (
+                SELECT l_partkey AS t_partkey,
+                       0.2 * avg(l_quantity) AS qty_threshold
+                FROM narrow GROUP BY l_partkey)
+            SELECT round((sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0) / 7.0, 2) AS avg_yearly
+            FROM narrow JOIN thresh ON l_partkey = t_partkey
+            WHERE l_quantity < qty_threshold
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q2_min_cost_supplier": """
+            WITH offers AS (
+                SELECT p_partkey, p_name, l_suppkey,
+                       round(l_extendedprice / l_quantity, 2) AS unit_price
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_size = 15 AND p_type = 'STANDARD'),
+            best AS (
+                SELECT p_partkey AS b_partkey, min(unit_price) AS min_price
+                FROM offers GROUP BY p_partkey)
+            SELECT DISTINCT p_partkey, p_name, s_name,
+                   round(s_acctbal, 2) AS s_acctbal, unit_price
+            FROM offers
+            JOIN best ON p_partkey = b_partkey AND unit_price = min_price
+            JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY round(s_acctbal, 2) DESC, p_partkey, s_name
+            LIMIT 100
+        """,
+        "q20_excess_suppliers": """
+            WITH heavy AS (
+                SELECT DISTINCT l_suppkey
+                FROM (SELECT l_suppkey, l_partkey,
+                             sum(CAST(round((l_quantity) * 10000) AS BIGINT)) / 10000.0 AS qty
+                      FROM lineitem JOIN part ON l_partkey = p_partkey
+                      WHERE p_name LIKE 'small%'
+                        AND l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                      GROUP BY l_suppkey, l_partkey) g
+                WHERE qty > 30)
+            SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+        """,
+        "q21_waiting_suppliers": """
+            WITH late AS (
+                SELECT l_orderkey, l_suppkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                  AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            SELECT s_name, count(*) AS numwait
+            FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM (SELECT DISTINCT l_orderkey, l_suppkey
+                                         FROM lineitem) l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT l_orderkey, l_suppkey
+                                             FROM late) l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         "q10_returned_items": """
             WITH agg AS (
