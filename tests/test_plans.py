@@ -139,3 +139,44 @@ def test_semi_anti_native(spark, li):
     anti = joins.anti_join(Pipe(li), cust, on="l_suppkey")
     assert "LeftSemi" in plan(semi.df)
     assert "LeftAnti" in plan(anti.df)
+
+
+def test_q6_all_predicates_pushed_no_join(spark):
+    """Q6 is the pushdown acid test: date range, discount band, and quantity
+    cap all reach the parquet scan, the read schema is 4 columns, and the
+    whole query is one partial+final agg with zero joins."""
+    import __spark_entry__ as e
+    p = plan(e.q6_forecast_revenue(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)" in p
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp" in p
+    assert "Join" not in p
+    assert p.count("HashAggregate") == 2
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """OR-of-ANDs predicate groups must not degrade the part join to a
+    nested-loop: the equi-key carries the join, the disjunction evaluates
+    as a post-join filter."""
+    import __spark_entry__ as e
+    p = plan(e.q19_disjunctive_revenue(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_q21_correlations_stay_equi_joins(spark):
+    """The EXISTS/NOT-EXISTS double correlation has a `suppkey <>` conjunct;
+    it must ride the orderkey equi-join as a residual condition, never a
+    quadratic nested-loop."""
+    import __spark_entry__ as e
+    p = plan(e.q21_waiting_suppliers(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_q17_decorrelated_threshold_is_partial_agg(spark):
+    """The per-part avg threshold decorrelates into a two-level partial agg
+    plus an equi-join back to the fact (no per-row correlated subquery)."""
+    import __spark_entry__ as e
+    p = plan(e.q17_small_quantity_revenue(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p
+    assert p.count("HashAggregate") >= 4
