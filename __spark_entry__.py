@@ -1085,6 +1085,46 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair list → connected components → per-doc cluster id.
+    The full corpus only left-joins the (small) component labels; oracle is
+    a recursive-CTE transitive closure over the same edge list."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.05)
+    return dedup.dedup_clusters(docs, pairs, "doc_id") \
+        .select("doc_id", "cluster_id")
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed reproducible 10% sample — membership is a dataset
+    contract (md5 ranges), identical in any engine, any partitioning."""
+    from scalding_spark.functions import sampling
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.deterministic_sample(docs, "doc_id", 0.10, salt="s1") \
+        .select("doc_id", "source")
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: disjoint md5-range membership,
+    audited by per-split doc counts and byte totals."""
+    from scalding_spark.functions import sampling
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.train_val_test_split(docs, "doc_id")
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars")))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic downsampling (sampleBy shape): even sources
+    kept at 100%, odd downsampled to 20% — audited by per-source counts."""
+    from scalding_spark.functions import sampling
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {f"src{i}": (1.0 if i % 2 == 0 else 0.2) for i in range(20)}
+    out = sampling.stratified_sample(docs, "doc_id", "source", fractions)
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-band near-dups — rows-only check. max_hamming=3 is
     the classic cutoff: 4 chunks × 16-bit band keys; larger budgets shrink
@@ -1421,6 +1461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_deterministic_sample": q_deterministic_sample,
+        "q_train_split": q_train_split,
+        "q_stratified_sample": q_stratified_sample,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_text_quality": q_text_quality,
@@ -2155,6 +2199,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz x ON x.doc_id = id_a
             JOIN sz y ON y.doc_id = id_b
             WHERE shared / (x.sz + y.sz - shared) >= 0.05
+        """,
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            s AS (SELECT doc_id, {_SHINGLES} AS shs FROM d),
+            e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT id_a, id_b FROM shared
+                JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+                WHERE shared / (x.sz + y.sz - shared) >= 0.05),
+            sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(node, lab) AS (
+                SELECT DISTINCT a, a FROM sym
+                UNION
+                SELECT sym.a, reach.lab FROM sym JOIN reach ON sym.b = reach.node),
+            comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node)
+            SELECT d2.doc_id, coalesce(comp.comp, d2.doc_id) AS cluster_id
+            FROM documents d2 LEFT JOIN comp ON d2.doc_id = comp.node
+        """,
+        "q_deterministic_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5('s1' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  < 429496730
+        """,
+        "q_train_split": """
+            WITH b AS (
+                SELECT text,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS bucket
+                FROM documents)
+            SELECT CASE WHEN bucket < 3865470566 THEN 'train'
+                        WHEN bucket < 4080218931 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs, sum(len(text))::BIGINT AS total_chars
+            FROM b GROUP BY 1
+        """,
+        "q_stratified_sample": """
+            SELECT source, count(*) AS n_docs FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <
+                  CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                       THEN 4294967296 ELSE 858993459 END
+            GROUP BY source
         """,
         "q_text_quality": f"""
             WITH per_doc AS (

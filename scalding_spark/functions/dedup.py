@@ -207,3 +207,57 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     return (cands.withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected edge list → (node, component),
+    where component = the minimum node id in the component.
+
+    Min-label propagation to a fixed point: each iteration joins the
+    symmetrized edge list to the current labels and takes the per-node min
+    of self + neighbor labels. Iterations needed = graph diameter — for
+    near-dup clusters (small, dense cliques from LSH/Jaccard pair
+    generators) that is 2-3, so the total cost is a handful of
+    fixed-width-key shuffles; nothing is ever collected to the driver.
+
+    Scale notes: the edge list is persisted once (reused every iteration);
+    labels are eagerly localCheckpoint-ed per iteration — without that the
+    logical plan doubles each round (same lesson as PageRank, matrix.py).
+    Convergence is detected with a changed-label count that piggybacks on
+    the already-shuffled aggregate. For web-scale graphs with long chains
+    (diameter ≫ 10), swap in the alternating large-star/small-star
+    algorithm; for dedup workloads label propagation wins on constant
+    factors.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .distinct().persist()
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .select("node", F.col("node").alias("comp"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym.b == labels.node)
+               .select(sym.a.alias("node"), "comp"))
+        new_labels = (labels.union(nbr)
+                      .groupBy("node").agg(F.min("comp").alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
+                   .where(F.col("comp") != F.col("old")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", "comp")
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
+                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Assign every row a duplicate-cluster id from a near-dup pair list:
+    cluster_id = min doc id in the row's connected component; rows with no
+    near-dup edge keep their own id (left join + coalesce, so the full
+    corpus never funnels through the component computation)."""
+    comps = connected_components(pairs, src=id_a, dst=id_b)
+    return (df.join(comps, df[id_col] == comps.node, "left")
+            .withColumn("cluster_id", F.coalesce(F.col("comp"), F.col(id_col)))
+            .drop("node", "comp"))

@@ -1,0 +1,98 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+`df.sample(fraction)` draws a different sample every run (and every retry
+of a failed task unless the seed plumbing is perfect) — unacceptable for a
+pipeline whose outputs must be auditable and re-runnable byte-for-byte at
+100 TB. These operators derive membership from a cryptographic hash of a
+stable key column, so:
+
+- the same row lands in the same split on every run, cluster size, and
+  partition layout;
+- samples compose (a 1% sample is a subset of the 10% sample);
+- train/val/test are provably disjoint and cover the corpus;
+- everything is a pure Column expression: whole-stage codegen, no RNG
+  state, no UDFs, pushdown-friendly.
+
+The reference's seeded `sample(p, seed)` / `shard(n, seed)`
+(RichPipe.scala:488-489,199-229) give per-run reproducibility only if the
+input split layout is identical; hash-based sampling is the stronger
+contract the same API is usually reaching for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^32 buckets from the first 8 hex chars of md5 — plenty of resolution for
+# per-mille sampling, and cheap to mirror in any engine with md5().
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, 2^32) from md5(salt || key).
+
+    md5 (not xxhash64/crc32) so any SQL engine can reproduce the exact
+    membership — the sample definition is part of the dataset contract,
+    not an engine implementation detail."""
+    key = F.col(key) if isinstance(key, str) else key
+    hexpart = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+    return F.conv(hexpart, 16, 10).cast("bigint")
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float,
+                         salt: str = "") -> DataFrame:
+    """Keep rows whose hash bucket falls below fraction — a stable,
+    composable Bernoulli sample keyed on `key_col`."""
+    cutoff = int(round(fraction * _BUCKETS))
+    return df.where(hash_bucket(key_col, salt) < F.lit(cutoff))
+
+
+def split_column(key: Column | str, weights: dict[str, float],
+                 salt: str = "") -> Column:
+    """A label column assigning each row to one named split by cumulative
+    hash-range partitioning: {'train': .9, 'val': .05, 'test': .05} →
+    disjoint ranges covering [0, 2^32). Order of dict entries fixes the
+    range layout, so adding a split later only moves rows at the tail."""
+    bucket = hash_bucket(key, salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cutoff = int(round(cum * _BUCKETS))
+        clause = bucket < F.lit(cutoff)
+        expr = F.when(clause, name) if expr is None else expr.when(clause, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def train_val_test_split(df: DataFrame, key_col: str,
+                         weights: dict[str, float] | None = None,
+                         salt: str = "") -> DataFrame:
+    """Add a 'split' column: deterministic, disjoint, covering."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    return df.withColumn("split", split_column(key_col, weights, salt))
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      fractions: dict[str, float], default: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling (the `sampleBy` shape): each
+    stratum gets its own hash-range cutoff — e.g. downsample a dominant
+    crawl source to 10% while keeping books at 100%. Strata not listed get
+    `default`. Same md5 contract as deterministic_sample: reproducible,
+    composable across fractions, no RNG."""
+    bucket = hash_bucket(key_col, salt)
+    cutoff = None
+    for name, frac in fractions.items():
+        cutoff_v = F.lit(int(round(frac * _BUCKETS)))
+        clause = F.col(strata_col) == name
+        cutoff = (F.when(clause, cutoff_v) if cutoff is None
+                  else cutoff.when(clause, cutoff_v))
+    cutoff = (F.lit(int(round(default * _BUCKETS))) if cutoff is None
+              else cutoff.otherwise(F.lit(int(round(default * _BUCKETS)))))
+    return df.where(bucket < cutoff)

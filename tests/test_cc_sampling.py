@@ -1,0 +1,92 @@
+"""Connected-components clustering + deterministic sampling."""
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark.functions import dedup, sampling
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src: bigint, dst: bigint")
+
+
+def test_cc_chain_and_island(spark):
+    # chain 1-2-3-4 (diameter 3), pair 10-11, cycle 20-21-22-20
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11),
+                       (20, 21), (21, 22), (22, 20)])
+    got = {r["node"]: r["comp"]
+           for r in dedup.connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_cc_long_chain_converges(spark):
+    n = 24  # diameter 23: needs genuinely iterative propagation
+    e = _edges(spark, [(i, i + 1) for i in range(n)])
+    comps = {r["comp"] for r in dedup.connected_components(e).collect()}
+    assert comps == {0}
+
+
+def test_dedup_clusters_covers_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id: bigint, name: string")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a: bigint, id_b: bigint")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1}
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(4000).select(F.col("id").alias("k"))
+
+
+def test_sample_deterministic_and_composable(keyed):
+    s10 = sampling.deterministic_sample(keyed, "k", 0.10)
+    s01 = sampling.deterministic_sample(keyed, "k", 0.01)
+    a = {r["k"] for r in s10.collect()}
+    b = {r["k"] for r in s10.collect()}
+    assert a == b                       # rerun → identical membership
+    assert {r["k"] for r in s01.collect()} <= a   # 1% ⊆ 10%
+    assert 0.07 < len(a) / 4000 < 0.13
+
+
+def test_sample_salt_changes_membership(keyed):
+    a = {r["k"] for r in sampling.deterministic_sample(keyed, "k", 0.1).collect()}
+    b = {r["k"] for r in sampling.deterministic_sample(keyed, "k", 0.1, salt="v2").collect()}
+    assert a != b
+
+
+def test_split_disjoint_cover_fractions(keyed):
+    out = sampling.train_val_test_split(keyed, "k")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 4000
+    assert 0.86 < counts["train"] / 4000 < 0.94
+    assert 0.03 < counts["val"] / 4000 < 0.07
+    assert 0.03 < counts["test"] / 4000 < 0.07
+
+
+def test_split_rejects_bad_weights(keyed):
+    with pytest.raises(ValueError):
+        sampling.train_val_test_split(keyed, "k", {"a": 0.5, "b": 0.6})
+
+
+def test_split_stays_in_codegen(keyed):
+    p = sampling.train_val_test_split(keyed, "k")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p  # pure column exprs, no Python in the path
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    df = spark.range(6000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "web").otherwise("books").alias("src"))
+    out = sampling.stratified_sample(df, "k", "src",
+                                     {"web": 0.2, "books": 1.0})
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["books"] == 4000          # kept wholesale
+    assert 0.14 < counts["web"] / 2000 < 0.26
+    # unlisted strata default to dropped
+    out2 = sampling.stratified_sample(df, "k", "src", {"books": 1.0})
+    assert out2.where(F.col("src") == "web").count() == 0
