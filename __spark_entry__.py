@@ -944,9 +944,10 @@ def _supplier_part_matrix(spark: SparkSession, sf_dir: str) -> Matrix:
 
 def q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A·Aᵀ gram matrix of the supplier×part quantity matrix — matmul via
-    join on the inner dim + groupBy sum (MatrixProduct.scala:340-377)."""
+    join on the inner dim + groupBy sum (MatrixProduct.scala:340-377);
+    gram() materializes the COO once for both operands."""
     a = _supplier_part_matrix(spark, sf_dir)
-    g = a.matmul(a.transpose())
+    g = a.gram()
     return g.df.select("row", "col", F.round("val", 2).alias("val"))
 
 

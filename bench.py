@@ -35,6 +35,8 @@ HEADLINE = [
     "q_sessionize",              # session windows
     "q_asof_join",               # as-of join (union+window)
     "q_range_join",              # bucketed point-in-interval join
+    "q21_waiting_suppliers",     # EXISTS+NOT EXISTS double correlation
+    "q_dedup_clusters",          # pair gen + iterative connected components
 ]
 
 

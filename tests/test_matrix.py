@@ -150,3 +150,8 @@ def test_weighted_sum(spark):
     got = {(r.x1, r.x2) for r in
            combinatorics.weighted_sum(spark, [2.0, 3.0], 12.0, 0.0).collect()}
     assert got == {(0, 4), (3, 2), (6, 0)}
+
+
+def test_gram_matches_matmul_transpose(m):
+    assert as_dict(m.gram().df) == as_dict(m.matmul(m.transpose()).df)
+    m.unpersist()
