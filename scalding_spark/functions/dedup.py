@@ -236,15 +236,27 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .select("node", F.col("node").alias("comp"))
               .localCheckpoint(eager=True))
+    null_old = F.lit(None).cast(labels.schema["comp"].dataType).alias("old")
     for _ in range(max_iter):
+        # One shuffle + one action per iteration: the neighbor-min agg also
+        # carries each node's previous label (`old`, exactly one non-null
+        # per node), so convergence detection reads the same aggregate
+        # instead of paying a second join+count job. The lazy checkpoint
+        # materializes during the `changed` action.
         nbr = (sym.join(labels, sym.b == labels.node)
-               .select(sym.a.alias("node"), "comp"))
-        new_labels = (labels.union(nbr)
-                      .groupBy("node").agg(F.min("comp").alias("comp"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
-                   .where(F.col("comp") != F.col("old")).limit(1).count())
-        labels = new_labels
+               .select(sym.a.alias("node"), F.col("comp"), null_old))
+        new_labels = (labels.select("node", "comp", F.col("comp").alias("old"))
+                      .union(nbr)
+                      .groupBy("node").agg(F.min("comp").alias("comp"),
+                                           F.min("old").alias("old"))
+                      .localCheckpoint(eager=False))
+        # full aggregate, NOT limit(1): a short-circuiting action would
+        # materialize only some partitions of the lazy checkpoint, and the
+        # unmaterialized rest would re-run its whole lineage next iteration
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("comp") < F.col("old"), 1).otherwise(0))
+        ).collect()[0][0]
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     sym.unpersist()
