@@ -117,3 +117,12 @@ def test_checkpoint_memoizes(spark, tmp_path):
     b = time_pathed.checkpoint(spark, "memo", str(tmp_path), build)
     assert a.collect() == b.collect()
     assert len(calls) == 1  # second call read the memo
+
+
+def test_multiple_text_line_files(spark, tmp_path):
+    """Multiple*Files (FileSource.scala:412-427): one source, many paths."""
+    p1, p2 = tmp_path / "a.txt", tmp_path / "b.txt"
+    p1.write_text("x\ny\n")
+    p2.write_text("z\n")
+    df = files.text_line(spark, str(p1), str(p2))
+    assert sorted(r["line"] for r in df.collect()) == ["x", "y", "z"]
