@@ -130,3 +130,34 @@ def test_rank_by_no_single_task_exchange(spark):
     p = Pipe(df).rank_by(F.col("v"), F.col("id")).df
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_map_stream_sorted_iterator_transform(spark):
+    """GroupBuilder buffer/every escape hatch (GroupBuilder.scala:219-228):
+    per-key ordered stream → applyInPandas; here a running gap between
+    consecutive sorted values."""
+    from scalding_spark.pipe import Pipe
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 13), ("a", 19), ("b", 5), ("b", 6)], "k: string, v: int")
+
+    def gaps(pdf):
+        pdf = pdf.copy()
+        pdf["gap"] = pdf["v"].diff().fillna(0).astype("int64")
+        return pdf[["k", "v", "gap"]]
+
+    out = (Pipe(df).group_by("k").sort_by("v")
+           .map_stream(gaps, schema="k string, v int, gap long").df)
+    got = {(r["k"], r["v"]): r["gap"] for r in out.collect()}
+    assert got == {("a", 10): 0, ("a", 13): 3, ("a", 19): 6,
+                   ("b", 5): 0, ("b", 6): 1}
+
+
+def test_reducers_sets_partition_count(spark):
+    """reducers(n) parity (GroupBuilder.scala:88-93): the agg input is
+    repartitioned to exactly n partitions on the keys."""
+    from scalding_spark.pipe import Pipe
+    df = spark.createDataFrame([(i % 7, i) for i in range(100)], "k: int, v: int")
+    gb = Pipe(df).group_by("k").reducers(5)
+    assert gb._df.rdd.getNumPartitions() == 5
+    out = gb.size("n").done().df
+    assert out.count() == 7
