@@ -90,3 +90,46 @@ def test_stratified_sample_per_stratum_rates(spark):
     # unlisted strata default to dropped
     out2 = sampling.stratified_sample(df, "k", "src", {"books": 1.0})
     assert out2.where(F.col("src") == "web").count() == 0
+
+
+# -- property-based contracts (hypothesis drives the weights/fractions) -----
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _weights(draw):
+    n = draw(st.integers(min_value=2, max_value=4))
+    raw = [draw(st.floats(min_value=0.05, max_value=1.0)) for _ in range(n)]
+    total = sum(raw)
+    return {f"s{i}": w / total for i, w in enumerate(raw)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(w=_weights())
+def test_split_column_partitions_for_any_weights(spark_keep, w):
+    """For ANY normalized weight dict: every row gets exactly one split and
+    all splits are from the dict — the disjoint-cover contract."""
+    spark, df = spark_keep
+    from scalding_spark.functions.sampling import split_column
+    out = df.withColumn("split", split_column("k", w))
+    seen = {r["split"] for r in out.select("split").distinct().collect()}
+    assert seen <= set(w)
+    assert out.where(F.col("split").isNull()).count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(lo=st.floats(min_value=0.01, max_value=0.5),
+       hi=st.floats(min_value=0.5, max_value=1.0))
+def test_sample_monotone_in_fraction(spark_keep, lo, hi):
+    """fraction lo ≤ hi ⇒ sample(lo) ⊆ sample(hi): the composability
+    contract that makes hash sampling auditable."""
+    spark, df = spark_keep
+    a = {r["k"] for r in sampling.deterministic_sample(df, "k", lo).collect()}
+    b = {r["k"] for r in sampling.deterministic_sample(df, "k", hi).collect()}
+    assert a <= b
+
+
+@pytest.fixture(scope="module")
+def spark_keep(spark):
+    return spark, spark.range(500).select(F.col("id").alias("k"))
