@@ -662,6 +662,18 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(_exact_sum(F.col("c_acctbal"), 2), 2).alias("total_bal")))
 
 
+def q_median_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (Histogram.scala:3-47 median/q1/q3
+    without binning error): sort-based agg, interpolation bit-identical to
+    DuckDB quantile_cont so the raw doubles hash-match unrounded."""
+    li = _p(spark, sf_dir, "lineitem")
+    return (li.group_by("l_returnflag")
+            .percentile_exact("l_quantity", 0.5, "med_qty")
+            .percentile_exact("l_extendedprice", 0.25, "price_q1")
+            .percentile_exact("l_extendedprice", 0.75, "price_q3")
+            .done().df)
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-side revenue forecast — every predicate
     (date range, discount band, quantity cap) pushes to the parquet scan;
@@ -1435,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority_exists": q4_order_priority_exists,
         "q11_important_parts": q11_important_parts,
         "q22_idle_customers": q22_idle_customers,
+        "q_median_quartiles": q_median_quartiles,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -1892,6 +1905,13 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_totalprice > 300000)
             GROUP BY c_mktsegment
+        """,
+        "q_median_quartiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS med_qty,
+                   quantile_cont(l_extendedprice, 0.25) AS price_q1,
+                   quantile_cont(l_extendedprice, 0.75) AS price_q3
+            FROM lineitem GROUP BY l_returnflag
         """,
         "q6_forecast_revenue": """
             SELECT round(sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue

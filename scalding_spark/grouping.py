@@ -82,6 +82,23 @@ class GroupBuilder:
         online-mean monoid is Catalyst's partial avg: (sum, count) pairs)."""
         return self.agg(F.avg(_c(col)).alias(out or f"avg_{col}"))
 
+    def percentile_exact(self, col, probs, out: str | None = None) -> "GroupBuilder":
+        """Exact interpolated percentile(s) per group — the reference's
+        Histogram median/q1/q3/percentile surface (mathematics/
+        Histogram.scala:3-47) without binning error. Spark's ``percentile``
+        agg sorts within the group, so the result is order- and
+        partition-independent, and its linear interpolation is bit-identical
+        to DuckDB's quantile_cont (verified in the driver oracle). For
+        massive groups where an exact sort-based agg is too hot, use
+        ``histogram_summary`` (approx, mergeable sketches) instead."""
+        c = _c(col)
+        if isinstance(probs, (list, tuple)):
+            arr = ", ".join(repr(float(p)) for p in probs)
+            expr = F.expr(f"percentile({c._jc.toString()}, array({arr}))")
+        else:
+            expr = F.expr(f"percentile({c._jc.toString()}, {float(probs)!r})")
+        return self.agg(expr.alias(out or f"p_{col}"))
+
     def size_ave_stdev(self, col, outs=("size", "mean", "stdev")) -> "GroupBuilder":
         """count/mean/stddev in one pass via Moments monoid
         (ReduceOperations.scala:192-195) — Catalyst computes all three as

@@ -161,3 +161,15 @@ def test_reducers_sets_partition_count(spark):
     assert gb._df.rdd.getNumPartitions() == 5
     out = gb.size("n").done().df
     assert out.count() == 7
+
+
+def test_percentile_exact_values(spark):
+    from scalding_spark.pipe import Pipe
+    df = spark.createDataFrame([("a", float(v)) for v in (1, 2, 3, 4)],
+                               "k: string, v: double")
+    out = (Pipe(df).group_by("k")
+           .percentile_exact("v", 0.5, "med")
+           .percentile_exact("v", [0.0, 1.0], "minmax")
+           .done().df.collect()[0])
+    assert out["med"] == 2.5            # interpolated between 2 and 3
+    assert list(out["minmax"]) == [1.0, 4.0]
