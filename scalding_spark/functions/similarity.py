@@ -99,12 +99,19 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     cb = with_buckets(corpus, id_col, vec_col, "neighbor_id", "c_vec")
     qb = with_buckets(queries, id_col, vec_col, "query_id", "q_vec")
-    cands = (cb.join(F.broadcast(qb), on=[cb.bk == qb.bk])
-             .where(F.col("neighbor_id") != F.col("query_id"))
-             .select("query_id", "neighbor_id", "q_vec", "c_vec")
-             .distinct())
-    scored = cands.select("query_id", "neighbor_id",
-                          cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    # Score FIRST (map-side, vectors never leave the scan task), then dedup
+    # multi-table duplicates with a groupBy on the id pair — cosine is
+    # deterministic per pair so max() == any(). The dedup exchange carries
+    # (query_id, neighbor_id, double): at 1e10×768-d a distinct over rows
+    # still holding q_vec/c_vec would ship the full embeddings and BE the
+    # job; this shuffles 24 bytes a row. Re-scoring a pair that collides in
+    # k>1 tables costs k-1 extra dot products, cheap next to any exchange.
+    scored = (cb.join(F.broadcast(qb), on=[cb.bk == qb.bk])
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.max("cosine").alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k).drop("__rn"))
@@ -194,9 +201,13 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                   F.explode(buckets).alias("bk"))
     l, r = e.alias("l"), e.alias("r")
-    cands = (l.join(r, (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id")))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.col("l.vec").alias("va"), F.col("r.vec").alias("vb"))
-             .distinct())
-    return (cands.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
-            .where(F.col("cosine") >= threshold))
+    # Score + threshold BEFORE the dedup so the only exchange after the
+    # bucket join carries (id_a, id_b, cosine) — never the vectors (see
+    # cosine_topk_lsh). The filter also shrinks the dedup input to the rare
+    # above-threshold pairs.
+    return (l.join(r, (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    cosine(F.col("l.vec"), F.col("r.vec")).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine")))

@@ -180,3 +180,49 @@ def test_q17_decorrelated_threshold_is_partial_agg(spark):
     p = plan(e.q17_small_quantity_revenue(spark, SF))
     assert "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p
     assert p.count("HashAggregate") >= 4
+
+
+def _shuffle_exchange_schemas(df):
+    """(node_name, [(col, typeName)]) for every exchange in the physical plan.
+
+    Walks the py4j plan tree (through the AQE wrapper's initialPlan) because
+    toString() doesn't print per-node output schemas."""
+    out = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "Exchange" in name:
+            o = node.output()
+            out.append((name, [(o.apply(i).name(), o.apply(i).dataType().typeName())
+                               for i in range(o.size())]))
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+@pytest.mark.parametrize("variant", ["topk_lsh", "neardup"])
+def test_lsh_candidate_dedup_shuffles_no_vectors(spark, variant):
+    """The engine contract 'shuffles carry hashes, not payloads' applied to
+    LSH candidate dedup: scoring happens map-side BEFORE the id-pair
+    groupBy, so no ShuffleExchange in the plan carries an embedding array.
+    (Broadcast of the tiny query side is allowed to carry vectors — that is
+    the point of broadcasting it.)"""
+    from scalding_spark.functions import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    if variant == "topk_lsh":
+        q = emb.where(F.col("vec_id") < 5)
+        df = similarity.cosine_topk_lsh(emb, q, k=3, dim=32)
+    else:
+        df = similarity.embedding_near_dup_pairs(emb, threshold=0.5, dim=32)
+    offenders = [
+        (name, cols)
+        for name, cols in _shuffle_exchange_schemas(df)
+        if name.startswith("Shuffle") and any(t == "array" for _, t in cols)
+    ]
+    assert not offenders, f"shuffle exchanges carrying vectors: {offenders}"
