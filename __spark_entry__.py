@@ -1112,7 +1112,11 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.05)
+    # max_doc_freq=1000 (the scale default): the correctness SF has 500 docs,
+    # so no shingle can exceed the cap and results are byte-identical to the
+    # unpruned oracle; at real scale the same call prunes stop shingles.
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                      threshold=0.05, max_doc_freq=1000)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1129,7 +1133,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The full corpus only left-joins the (small) component labels; oracle is
     a recursive-CTE transitive closure over the same edge list."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.05)
+    # Stop-shingle cap wired through (no-op at 500-doc oracle scale, see
+    # q_ngram_jaccard_pairs) so the cluster pipeline inherits the bounded
+    # candidate generation at 100 TB.
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                      threshold=0.05, max_doc_freq=1000)
     return dedup.dedup_clusters(docs, pairs, "doc_id") \
         .select("doc_id", "cluster_id")
 

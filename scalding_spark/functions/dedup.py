@@ -55,7 +55,7 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.8,
-                        max_doc_freq: int | None = None,
+                        max_doc_freq: int | None = 1000,
                         persist_index: bool = True) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted shingle index.
 
@@ -69,10 +69,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     shingles appearing in more than that many documents from the index
     (stop-shingle pruning). A shingle in d docs generates d² candidate pairs,
     so one boilerplate sentence across 1e6 docs would alone produce 1e12
-    pairs — pruning it costs recall only for pairs whose ONLY shared content
-    is boilerplate. Sizes are computed before pruning so Jaccard values stay
-    exact for surviving pairs... but shared counts exclude pruned shingles,
-    making the score an under-estimate for those pairs (conservative).
+    pairs — an algorithmic blowup no skew-split can absorb, which is why the
+    cap now DEFAULTS on (1000: ≤1e6 candidate pairs per stop shingle).
+
+    Recall contract under pruning: document sizes are computed BEFORE
+    pruning, so reported Jaccard stays exact for any pair that shares at
+    least one surviving shingle; pairs whose shared shingles are all pruned
+    disappear entirely, and pairs sharing a mix score an under-estimate
+    (shared counts exclude pruned shingles). Both errors are conservative —
+    pruning can only LOWER a pair's score, never inflate it above
+    ``threshold``. Pass ``max_doc_freq=None`` for exact semantics on corpora
+    small enough that no shingle can blow up (e.g. oracle/test scale).
 
     ``persist_index`` caches the exploded (id, shingle) index, which is
     otherwise computed three times (both self-join sides + the size agg).

@@ -133,3 +133,67 @@ def test_sample_monotone_in_fraction(spark_keep, lo, hi):
 @pytest.fixture(scope="module")
 def spark_keep(spark):
     return spark, spark.range(500).select(F.col("id").alias("k"))
+
+
+# --- stop-shingle pruning (ngram_jaccard_pairs max_doc_freq) ---------------
+
+def _py_shingles(text, n=3):
+    toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+    if len(toks) >= n:
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)} if toks else set()
+
+
+def _golden_pairs(texts, max_doc_freq=None, threshold=0.01):
+    """Reference implementation of the pruning contract in plain Python."""
+    shs = {i: _py_shingles(t) for i, t in texts.items()}
+    freq = {}
+    for s in shs.values():
+        for g in s:
+            freq[g] = freq.get(g, 0) + 1
+    kept = {i: {g for g in s if max_doc_freq is None or freq[g] <= max_doc_freq}
+            for i, s in shs.items()}
+    out = {}
+    ids = sorted(texts)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            shared = len(kept[a] & kept[b])
+            if shared == 0:
+                continue
+            j = shared / (len(shs[a]) + len(shs[b]) - shared)  # sizes UNpruned
+            if j >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+@pytest.mark.parametrize("cap", [None, 3])
+def test_ngram_jaccard_stop_shingle_pruning(spark, cap):
+    """A boilerplate shingle shared by 6 docs (> cap=3) must be pruned from
+    the inverted index: pairs whose ONLY shared content is the hot shingle
+    disappear; pairs sharing rare shingles survive with a conservative
+    (never inflated) score computed against UNpruned sizes."""
+    from scalding_spark.functions import dedup as dd
+    texts = {1: "common boiler plate shared tail words alpha",
+             2: "common boiler plate shared tail words beta",
+             3: "common boiler plate uniq3a uniq3b uniq3c",
+             4: "common boiler plate uniq4a uniq4b uniq4c",
+             5: "common boiler plate uniq5a uniq5b uniq5c",
+             6: "common boiler plate uniq6a uniq6b uniq6c"}
+    df = spark.createDataFrame([(i, t) for i, t in texts.items()],
+                               ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): round(r.jaccard, 6)
+           for r in dd.ngram_jaccard_pairs(df, "text", "doc_id", n=3,
+                                           threshold=0.01, max_doc_freq=cap,
+                                           persist_index=False).collect()}
+    expect = _golden_pairs(texts, max_doc_freq=cap)
+    assert got == expect
+    if cap is not None:
+        # the hot shingle's d^2 pair fan-out is gone: only the rare-shingle
+        # pair survives, and its score is <= the unpruned score
+        unpruned = _golden_pairs(texts, max_doc_freq=None)
+        assert set(got) == {(1, 2)}
+        assert all(got[p] <= unpruned[p] for p in got)
+    else:
+        assert set(got) == {(a, b) for a in range(1, 7)
+                            for b in range(a + 1, 7)}
