@@ -91,12 +91,13 @@ class GroupBuilder:
         to DuckDB's quantile_cont (verified in the driver oracle). For
         massive groups where an exact sort-based agg is too hot, use
         ``histogram_summary`` (approx, mergeable sketches) instead."""
-        c = _c(col)
+        # backtick-quote string names so dots/spaces resolve as the literal
+        # column, not a struct path (and no private _jc stringification)
+        c = F.col("`" + col.replace("`", "``") + "`") if isinstance(col, str) else col
         if isinstance(probs, (list, tuple)):
-            arr = ", ".join(repr(float(p)) for p in probs)
-            expr = F.expr(f"percentile({c._jc.toString()}, array({arr}))")
+            expr = F.percentile(c, F.array(*[F.lit(float(p)) for p in probs]))
         else:
-            expr = F.expr(f"percentile({c._jc.toString()}, {float(probs)!r})")
+            expr = F.percentile(c, F.lit(float(probs)))
         return self.agg(expr.alias(out or f"p_{col}"))
 
     def size_ave_stdev(self, col, outs=("size", "mean", "stdev")) -> "GroupBuilder":
@@ -323,6 +324,16 @@ class SortedGroup:
     Sorted windows give ROWS-frame semantics identical to the reference's
     reducer value-streams. All ops are Window expressions (JVM-side); only
     ``map_stream`` drops to applyInPandas.
+
+    KEY-LESS streams (``group_all().sort_by(...)``) do NOT use
+    ``Window.partitionBy()`` — that funnels every row through one task, the
+    1-reducer bottleneck the reference is stuck with (RichPipe.scala:190-194)
+    and this engine explicitly upgrades (SURVEY §2.6). Instead they range-
+    repartition on the sort order (the ``Pipe.rank_by`` pattern): ties stay
+    co-located, each partition computes its local window in parallel, and
+    per-partition prefix offsets — a #partitions-row table — are broadcast
+    back. take() goes further and compiles to orderBy+limit so Catalyst can
+    choose TakeOrderedAndProject (map-side top-n heaps).
     """
 
     def __init__(self, df: DataFrame, keys: list, order: list[Column],
@@ -349,16 +360,77 @@ class SortedGroup:
     def _rn(self) -> Column:
         return F.row_number().over(self._w)
 
+    # -- key-less (global) machinery: the rank_by range-partition pattern --
+
+    def _ranged(self) -> DataFrame:
+        """Range-repartition on the sort order + partition id. Range
+        partitioning assigns equal sort-key values to ONE partition, so
+        rank/row_number ties never straddle a boundary and per-partition
+        results compose with plain row-count offsets."""
+        return (self._df.repartitionByRange(*self._order)
+                .withColumn("__pid", F.spark_partition_id()))
+
+    def _pid_w(self) -> Window:
+        return Window.partitionBy("__pid").orderBy(*self._order)
+
+    @staticmethod
+    def _prefix_offsets(d: DataFrame, total: Column, prefix_agg) -> DataFrame:
+        """(pid, prefix-combined totals of all EARLIER pids). The only
+        single-task window in the key-less path runs over this #partitions-
+        row table, then broadcasts back — never over the data."""
+        w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        return (d.groupBy("__pid").agg(total.alias("__tot"))
+                .withColumn("__off", prefix_agg(F.col("__tot")).over(w))
+                .select("__pid", "__off"))
+
+    def _keyless_ranked(self, rank_fn, out: str) -> Pipe:
+        d = self._ranged()
+        local = d.withColumn("__lr", rank_fn().over(self._pid_w()))
+        offs = self._prefix_offsets(d, F.count(F.lit(1)), F.sum)
+        return Pipe(local.join(F.broadcast(offs), "__pid")
+                    .withColumn(out, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__lr"))
+                    .drop("__pid", "__lr", "__off"))
+
+    def _keyless_bad_flag(self, pred: Column) -> DataFrame:
+        """Global running max of the violation flag: local cummax + prefix
+        max of earlier partitions' totals (max is associative, so the
+        two-level split is exact)."""
+        flag = F.when(~pred, 1).otherwise(0)
+        d = self._ranged()
+        loc = F.max(flag).over(self._pid_w().rowsBetween(Window.unboundedPreceding, 0))
+        offs = self._prefix_offsets(d, F.max(flag), F.max)
+        return (d.withColumn("__loc", loc)
+                .join(F.broadcast(offs), "__pid")
+                .withColumn("__bad", F.greatest(F.coalesce(F.col("__off"), F.lit(0)),
+                                                F.col("__loc")))
+                .drop("__pid", "__loc", "__off"))
+
+    # prefix-combine rules for the aggregates whose running form decomposes
+    # into (local cumulative) MERGE (combined totals of earlier partitions)
+    _SCAN_SPLITS = [
+        (F.sum, F.sum, lambda off, loc: off + loc),
+        (F.count, F.sum, lambda off, loc: off + loc),
+        (F.max, F.max, F.greatest),
+        (F.min, F.min, F.least),
+    ]
+
     def take(self, n: int) -> Pipe:
         """First n per key (StreamOperations.scala:80-83) → row_number ≤ n.
         With AQE, the rank filter prunes early; for huge groups this is the
-        scalable form of the reference's reducer-side take."""
+        scalable form of the reference's reducer-side take. Key-less: global
+        sorted take = orderBy+limit, which Catalyst plans as
+        TakeOrderedAndProject (map-side heaps) for small n."""
+        if not self._keys:
+            return Pipe(self._df.orderBy(*self._order).limit(n))
         return Pipe(
             self._df.withColumn("__rn", self._rn()).where(F.col("__rn") <= n).drop("__rn")
         )
 
     def drop(self, n: int) -> Pipe:
         """(StreamOperations.scala:55-58)."""
+        if not self._keys:
+            return (self._keyless_ranked(F.row_number, "__rn")
+                    .filter(F.col("__rn") > n).discard("__rn"))
         return Pipe(
             self._df.withColumn("__rn", self._rn()).where(F.col("__rn") > n).drop("__rn")
         )
@@ -366,31 +438,81 @@ class SortedGroup:
     def take_while(self, pred: Column) -> Pipe:
         """Prefix while pred holds (StreamOperations.scala:84-94): running
         max of the violation flag; keep rows before the first violation."""
+        if not self._keys:
+            return Pipe(self._keyless_bad_flag(pred)
+                        .where(F.col("__bad") == 0).drop("__bad"))
         bad = F.max(F.when(~pred, 1).otherwise(0)).over(
             self._w.rowsBetween(Window.unboundedPreceding, 0))
         return Pipe(self._df.withColumn("__bad", bad).where(F.col("__bad") == 0).drop("__bad"))
 
     def drop_while(self, pred: Column) -> Pipe:
+        if not self._keys:
+            return Pipe(self._keyless_bad_flag(pred)
+                        .where(F.col("__bad") == 1).drop("__bad"))
         bad = F.max(F.when(~pred, 1).otherwise(0)).over(
             self._w.rowsBetween(Window.unboundedPreceding, 0))
         return Pipe(self._df.withColumn("__bad", bad).where(F.col("__bad") == 1).drop("__bad"))
 
     def scan_left(self, col, out: str, agg: Callable[[Column], Column] = F.sum) -> Pipe:
         """Running accumulation emitting every step (GroupBuilder.scala:252-264,
-        StreamOperations.scala:69-75) → cumulative window aggregate."""
+        StreamOperations.scala:69-75) → cumulative window aggregate. Key-less
+        with a decomposable aggregate (sum/count/max/min): two-level parallel
+        scan — local cumulative per range partition, merged with broadcast
+        prefix-combined totals of earlier partitions."""
+        if not self._keys:
+            for fn, prefix_agg, merge in self._SCAN_SPLITS:
+                if agg is fn:
+                    d = self._ranged()
+                    loc = agg(_c(col)).over(
+                        self._pid_w().rowsBetween(Window.unboundedPreceding, 0))
+                    offs = self._prefix_offsets(d, agg(_c(col)), prefix_agg)
+                    res = (d.withColumn("__loc", loc)
+                           .join(F.broadcast(offs), "__pid")
+                           .withColumn(out, F.when(F.col("__off").isNull(), F.col("__loc"))
+                                       .otherwise(merge(F.col("__off"), F.col("__loc"))))
+                           .drop("__pid", "__loc", "__off"))
+                    return Pipe(res)
+            # non-decomposable aggregate: correctness requires the single
+            # ordered stream — documented fallback, not the default path
         cum = agg(_c(col)).over(self._w.rowsBetween(Window.unboundedPreceding, 0))
         return Pipe(self._df.withColumn(out, cum))
 
     def rank(self, out: str = "rank", dense: bool = False) -> Pipe:
         """Analytic ranking — the reference expresses these via sortBy+scanLeft
-        (SURVEY.md §2.4 note); we expose them as first-class window functions."""
+        (SURVEY.md §2.4 note); we expose them as first-class window functions.
+        Key-less: parallel global rank via range partitioning (ties co-locate,
+        so local rank + earlier-partition row counts is exact; dense ranks
+        offset by earlier-partition DISTINCT sort-key counts)."""
+        if not self._keys:
+            if not dense:
+                return self._keyless_ranked(F.rank, out)
+            raws = self._raw_cols("global dense_rank")
+            d = self._ranged()
+            local = d.withColumn("__lr", F.dense_rank().over(self._pid_w()))
+            offs = self._prefix_offsets(
+                d, F.countDistinct(F.struct(*raws)), F.sum)
+            return Pipe(local.join(F.broadcast(offs), "__pid")
+                        .withColumn(out, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__lr"))
+                        .drop("__pid", "__lr", "__off"))
         return Pipe(self._df.withColumn(out, (F.dense_rank() if dense else F.rank()).over(self._w)))
 
     def row_number(self, out: str = "rn") -> Pipe:
+        if not self._keys:
+            return self._keyless_ranked(F.row_number, out)
         return Pipe(self._df.withColumn(out, self._rn()))
 
     def lag(self, col, n: int = 1, out: str | None = None) -> Pipe:
-        return Pipe(self._df.withColumn(out or f"lag_{col}", F.lag(_c(col), n).over(self._w)))
+        name = out or f"lag_{col}"
+        if not self._keys:
+            # global lag without a 1-task window: global row number (parallel
+            # range pattern) + equi-join row i against row i-n on the 8-byte
+            # rank key
+            ranked = self._keyless_ranked(F.row_number, "__gr").df
+            vals = ranked.select((F.col("__gr") + n).alias("__gr_v"),
+                                 _c(col).alias(name))
+            return Pipe(ranked.join(vals, F.col("__gr") == F.col("__gr_v"), "left")
+                        .drop("__gr", "__gr_v"))
+        return Pipe(self._df.withColumn(name, F.lag(_c(col), n).over(self._w)))
 
     def head(self) -> Pipe:
         """Deterministic first row per key (ReduceOperations.scala:207-214
@@ -401,6 +523,11 @@ class SortedGroup:
         """Last row in the stream's own order — direction-agnostic: the row
         whose row_number equals the group size (flipping the window would
         silently return head() again for descending sorts)."""
+        if not self._keys:
+            ranked = self._keyless_ranked(F.row_number, "__gr").df
+            mx = F.broadcast(ranked.agg(F.max("__gr").alias("__mx")))
+            return Pipe(ranked.crossJoin(mx)
+                        .where(F.col("__gr") == F.col("__mx")).drop("__gr", "__mx"))
         cnt = F.count(F.lit(1)).over(Window.partitionBy(*self._keys))
         return Pipe(self._df.withColumn("__rn", self._rn())
                     .withColumn("__n", cnt)

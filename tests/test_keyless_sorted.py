@@ -1,0 +1,145 @@
+"""Key-less (global) SortedGroup ops: ``group_all().sort_by(...)`` must NOT
+funnel every row through a single-partition window — the range-partitioned
+rank_by pattern computes the same answers in parallel (VERDICT r01 item 4).
+
+Correctness: each op vs a plain-Python golden on a shuffled input.
+Plan contracts: RangePartitioning present; any SinglePartition shuffle
+carries only the tiny per-partition offset table (helper __ columns), never
+data columns.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark.pipe import Pipe
+
+
+@pytest.fixture(scope="module")
+def rows():
+    rng = random.Random(7)
+    data = [(i, rng.randrange(1000)) for i in range(400)]
+    rng.shuffle(data)
+    return data
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, rows):
+    return Pipe(spark.createDataFrame(rows, "x: bigint, v: bigint").repartition(13))
+
+
+def _sorted_rows(rows):
+    return sorted(rows)  # unique x => total order
+
+
+def test_global_row_number_and_rank(pipe, rows):
+    got = {r.x: r.rn for r in
+           pipe.group_all().sort_by("x").row_number("rn").df.collect()}
+    expect = {x: i + 1 for i, (x, _) in enumerate(_sorted_rows(rows))}
+    assert got == expect
+
+
+def test_global_rank_with_ties(spark):
+    data = [(i, i // 3) for i in range(60)]  # key = i//3: 3-way ties
+    p = Pipe(spark.createDataFrame(data, "id: bigint, k: bigint").repartition(7))
+    got = sorted((r.id, r.rank) for r in
+                 p.group_all().sort_by("k").rank("rank").df.collect())
+    expect = sorted((i, (i // 3) * 3 + 1) for i in range(60))
+    assert got == expect
+    dense = sorted((r.id, r.rank) for r in
+                   p.group_all().sort_by("k").rank("rank", dense=True).df.collect())
+    assert dense == sorted((i, i // 3 + 1) for i in range(60))
+
+
+def test_global_take_drop(pipe, rows):
+    srt = _sorted_rows(rows)
+    got_take = sorted((r.x, r.v) for r in
+                      pipe.group_all().sort_by("x").take(7).df.collect())
+    assert got_take == srt[:7]
+    got_drop = sorted((r.x, r.v) for r in
+                      pipe.group_all().sort_by("x").drop(390).df.collect())
+    assert got_drop == srt[390:]
+
+
+def test_global_take_while_drop_while(pipe, rows):
+    srt = _sorted_rows(rows)
+    limit = srt[250][0]
+    pred = F.col("x") < limit
+    tw = sorted((r.x, r.v) for r in
+                pipe.group_all().sort_by("x").take_while(pred).df.collect())
+    assert tw == srt[:250]
+    dw = sorted((r.x, r.v) for r in
+                pipe.group_all().sort_by("x").drop_while(pred).df.collect())
+    assert dw == srt[250:]
+
+
+def test_global_scan_cumsum_and_running_max(pipe, rows):
+    srt = _sorted_rows(rows)
+    got = {r.x: r.cum for r in
+           pipe.group_all().sort_by("x").scan_left("v", "cum").df.collect()}
+    acc = 0
+    for x, v in srt:
+        acc += v
+        assert got[x] == acc
+    got_mx = {r.x: r.mx for r in
+              pipe.group_all().sort_by("x").scan_left("v", "mx", agg=F.max).df.collect()}
+    mx = None
+    for x, v in srt:
+        mx = v if mx is None else max(mx, v)
+        assert got_mx[x] == mx
+
+
+def test_global_lag_and_last(pipe, rows):
+    srt = _sorted_rows(rows)
+    got = {r.x: r.lag_v for r in
+           pipe.group_all().sort_by("x").lag("v", 1, "lag_v").df.collect()}
+    assert got[srt[0][0]] is None
+    for (x0, v0), (x1, _) in zip(srt, srt[1:]):
+        assert got[x1] == v0
+    last = pipe.group_all().sort_by("x").last().df.collect()
+    assert [(r.x, r.v) for r in last] == [srt[-1]]
+
+
+def test_global_descending_reverse(pipe, rows):
+    srt = _sorted_rows(rows)
+    got = sorted((r.x, r.v) for r in
+                 pipe.group_all().sort_by("x", reverse=True).take(5).df.collect())
+    assert got == sorted(srt[-5:])
+
+
+# --- plan contracts --------------------------------------------------------
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_no_singlepartition_data_shuffle(df):
+    """Every SinglePartition shuffle must carry ONLY __ helper columns (the
+    #partitions-row offsets table); data rows flow through RangePartitioning."""
+    from tests.test_plans import _shuffle_exchange_schemas
+    exchanges = _shuffle_exchange_schemas(df)
+    assert any("rangepartitioning" in part for _, part, _c in exchanges)
+    offenders = [
+        (part, cols) for name, part, cols in exchanges
+        if name.startswith("Shuffle") and "SinglePartition" in part
+        and any(not c.startswith("__") for c, _ in cols)
+    ]
+    assert not offenders, f"data through a 1-task exchange: {offenders}"
+
+
+def test_keyless_scan_plan_is_range_partitioned(pipe):
+    df = pipe.group_all().sort_by("x").scan_left("v", "cum").df
+    assert "rangepartitioning" in _plan(df)
+    _assert_no_singlepartition_data_shuffle(df)
+
+
+def test_keyless_rank_no_singlepartition_data_shuffle(pipe):
+    df = pipe.group_all().sort_by("x").row_number("rn").df
+    assert "rangepartitioning" in _plan(df)
+    _assert_no_singlepartition_data_shuffle(df)
+
+
+def test_keyless_take_is_take_ordered(pipe):
+    p = _plan(pipe.group_all().sort_by("x").take(5).df)
+    assert "TakeOrderedAndProject" in p

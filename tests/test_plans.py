@@ -183,7 +183,8 @@ def test_q17_decorrelated_threshold_is_partial_agg(spark):
 
 
 def _shuffle_exchange_schemas(df):
-    """(node_name, [(col, typeName)]) for every exchange in the physical plan.
+    """(node_name, partitioning, [(col, typeName)]) for every exchange in the
+    physical plan.
 
     Walks the py4j plan tree (through the AQE wrapper's initialPlan) because
     toString() doesn't print per-node output schemas."""
@@ -193,8 +194,11 @@ def _shuffle_exchange_schemas(df):
         name = node.getClass().getSimpleName()
         if "Exchange" in name:
             o = node.output()
-            out.append((name, [(o.apply(i).name(), o.apply(i).dataType().typeName())
-                               for i in range(o.size())]))
+            part = (node.outputPartitioning().toString()
+                    if name.startswith("Shuffle") else "")
+            out.append((name, part,
+                        [(o.apply(i).name(), o.apply(i).dataType().typeName())
+                         for i in range(o.size())]))
         if name == "AdaptiveSparkPlanExec":
             walk(node.initialPlan())
             return
@@ -222,7 +226,7 @@ def test_lsh_candidate_dedup_shuffles_no_vectors(spark, variant):
         df = similarity.embedding_near_dup_pairs(emb, threshold=0.5, dim=32)
     offenders = [
         (name, cols)
-        for name, cols in _shuffle_exchange_schemas(df)
+        for name, _part, cols in _shuffle_exchange_schemas(df)
         if name.startswith("Shuffle") and any(t == "array" for _, t in cols)
     ]
     assert not offenders, f"shuffle exchanges carrying vectors: {offenders}"
