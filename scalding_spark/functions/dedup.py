@@ -271,8 +271,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         # full aggregate, NOT limit(1): a short-circuiting action would
         # materialize only some partitions of the lazy checkpoint, and the
         # unmaterialized rest would re-run its whole lineage next iteration
+        # coalesce: sum over ZERO rows is NULL (empty edge list — a normal
+        # outcome of dedup), which must read as converged, not never-done
         changed = new_labels.agg(
-            F.sum(F.when(F.col("comp") < F.col("old"), 1).otherwise(0))
+            F.coalesce(F.sum(F.when(F.col("comp") < F.col("old"), 1).otherwise(0)),
+                       F.lit(0))
         ).collect()[0][0]
         labels = new_labels.select("node", "comp")
         if changed == 0:

@@ -139,9 +139,10 @@ def decode_sampled_frames(df: DataFrame, every_ms: int = 1000,
 
     def run(batches):
         for pdf in batches:
+            # explicit None check — `bytes and ...` would treat an EMPTY clip
+            # (b'', falsy) as None and drop the frame-ts suffix entirely
             pdf[out_col] = [
-                decode((bytes(c) if c is not None else None) and
-                       bytes(c) + int(t).to_bytes(8, "big"))
+                decode(None if c is None else bytes(c) + int(t).to_bytes(8, "big"))
                 for c, t in zip(pdf[content_col], pdf["frame_ts_ms"])]
             yield pdf
 

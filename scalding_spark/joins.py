@@ -209,10 +209,17 @@ def as_of_join(left, right, on: list[str], left_ts: str, right_ts: str,
 
     One shuffle on the key, state bounded by the window frame. ``tolerance``
     nulls out matches older than the budget (pandas merge_asof semantics).
+
+    Right-side payload columns whose names collide with a left output column
+    (including one named like ``left_ts``) are auto-suffixed ``_right`` —
+    otherwise the final projection would emit duplicate names and the result
+    would be unselectable downstream.
     """
     ldf, rdf = _df(left), _df(right)
     l_payload = [c for c in ldf.columns if c not in on + [left_ts]]
     r_payload = [c for c in rdf.columns if c not in on + [right_ts]]
+    taken = set(on) | {left_ts} | set(l_payload)
+    r_out = {c: (c + "_right" if c in taken else c) for c in r_payload}
 
     lu = ldf.select(
         *on, F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
@@ -241,7 +248,7 @@ def as_of_join(left, right, on: list[str], left_ts: str, right_ts: str,
     out = carried.select(
         *on, F.col("__ts").alias(left_ts),
         *[F.col("__l")[c].alias(c) for c in l_payload],
-        *[F.col("__match")[c].alias(c) for c in r_payload])
+        *[F.col("__match")[c].alias(r_out[c]) for c in r_payload])
     return Pipe(out)
 
 

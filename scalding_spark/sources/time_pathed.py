@@ -43,7 +43,11 @@ class TimePathedSource:
             raise InvalidSourceException(f"missing periods: {sorted(set(paths) - set(existing))}")
         if not existing:
             raise InvalidSourceException(f"no periods exist in {date_range}")
-        return getattr(spark.read, self.fmt)(*existing)
+        # format().load(list) takes a path LIST uniformly; the per-format
+        # reader methods don't — csv/json take (path, schema, ...)
+        # positionally, so *existing would feed the second period's path
+        # into the schema slot, and parquet is varargs-only.
+        return spark.read.format(self.fmt).load(existing)
 
     def write(self, df: DataFrame, date_range: DateRange, mode: str = "overwrite") -> str:
         out = date_range.end.strftime(self.template)

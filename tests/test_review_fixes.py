@@ -99,3 +99,73 @@ def test_normalize_no_single_partition_window(spark):
     assert {r.share for r in out.df.collect()} == {0.1, 0.2, 0.3, 0.4}
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # broadcast cross join, not a 1-task window
+
+
+# --- round-2 ADVICE fixes --------------------------------------------------
+
+def test_time_pathed_multi_period_csv(spark, tmp_path):
+    """Multi-period non-parquet reads must pass the path LIST as one arg —
+    *paths would feed the second path into DataFrameReader.csv's schema
+    slot (ADVICE r01)."""
+    from scalding_spark.functions.dates import DateRange
+    from scalding_spark.sources.time_pathed import TimePathedSource
+
+    for d in ("2026-08-01", "2026-08-02"):
+        p = tmp_path / d
+        p.mkdir()
+        (p / "part.csv").write_text(f"1,{d}\n")
+    src = TimePathedSource(str(tmp_path / "%Y-%m-%d"), fmt="csv")
+    df = src.read(spark, DateRange.of("2026-08-01", "2026-08-02"))
+    assert df.count() == 2
+
+
+def test_connected_components_empty_edges_converges_fast(spark):
+    """Zero-edge input: sum() over zero rows is NULL; convergence must still
+    fire on iteration 1, not run out max_iter (ADVICE r01)."""
+    import time
+    from scalding_spark.functions.dedup import connected_components
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    t0 = time.monotonic()
+    out = connected_components(empty, max_iter=50)
+    assert out.count() == 0
+    assert time.monotonic() - t0 < 30  # 50 checkpoint+collect rounds would blow this
+
+
+def test_percentile_exact_odd_column_names(spark):
+    """percentile_exact must survive names needing quoting and not rely on
+    the private _jc handle (ADVICE r01)."""
+    p = Pipe(spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 5)], ["k", "my col.v"]))
+    out = p.group_by("k").percentile_exact("my col.v", 0.5, out="med").done().df
+    assert out.collect()[0].med == 2.5
+    multi = p.group_by("k").percentile_exact(
+        "my col.v", [0.25, 0.75], out="q").done().df.collect()[0].q
+    assert multi == [1.75, 3.25]
+
+
+def test_decode_sampled_frames_empty_clip_distinct_features(spark):
+    """Empty (b'') clips must still get the frame-ts suffix — every sampled
+    frame's feature vector must differ (ADVICE r01)."""
+    from scalding_spark.functions import multimodal
+
+    df = spark.createDataFrame(
+        [("clip0", b"", 2500)], "id string, content binary, duration_ms long")
+    out = multimodal.decode_sampled_frames(df, every_ms=1000).collect()
+    assert len(out) == 3
+    feats = [tuple(r.frame_features) for r in out]
+    assert len(set(feats)) == 3  # truthiness bug made all three identical
+
+
+def test_as_of_join_suffixes_colliding_right_columns(spark):
+    """Right payload names colliding with left output names get _right —
+    duplicate output names made the result unselectable (ADVICE r01)."""
+    from scalding_spark.joins import as_of_join
+
+    left = spark.createDataFrame([(1, 10.0, "L")], "k long, ts double, v string")
+    right = spark.createDataFrame([(1, 5.0, "R", 99.0)],
+                                  "k long, rts double, v string, ts double")
+    out = as_of_join(left, right, on=["k"], left_ts="ts", right_ts="rts").df
+    assert sorted(out.columns) == ["k", "ts", "ts_right", "v", "v_right"]
+    row = out.collect()[0]
+    assert (row.v, row.v_right, row.ts_right) == ("L", "R", 99.0)
