@@ -31,13 +31,16 @@ Layout
 """
 
 from scalding_spark.job import Args, CascadeJob, Job, ScriptJob
-from scalding_spark.matrix import ColVector, Matrix, RowVector, SizeHint, pagerank
+from scalding_spark.matrix import (ColVector, FiniteHint, Matrix, NoClue,
+                                   RowVector, SizeHint, SparseHint,
+                                   as_diagonal, pagerank)
 from scalding_spark.pipe import Pipe
 from scalding_spark.session import get_spark
 from scalding_spark.typed import TypedPipe
 
 __all__ = [
-    "Args", "CascadeJob", "ColVector", "Job", "Matrix", "Pipe", "RowVector",
-    "ScriptJob", "SizeHint", "TypedPipe", "get_spark", "pagerank",
+    "Args", "CascadeJob", "ColVector", "FiniteHint", "Job", "Matrix", "NoClue",
+    "Pipe", "RowVector", "ScriptJob", "SizeHint", "SparseHint", "TypedPipe",
+    "as_diagonal", "get_spark", "pagerank",
 ]
 __version__ = "0.1.0"

@@ -20,8 +20,6 @@ Scale design:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -30,29 +28,240 @@ from pyspark.sql import functions as F
 MAX_TINY_JOIN = 100_000
 
 
-@dataclass(frozen=True)
-class SizeHint:
-    """Micro cost model (SizeHint.scala:37-132): optional bounds on the
-    element count, used to pick broadcast vs shuffle for products."""
-    rows: int | None = None
-    cols: int | None = None
+class SizeHintBase:
+    """Micro cost model over matrix shapes (SizeHint.scala:37-46): an
+    algebra of ``NoClue`` / ``FiniteHint`` / ``SparseHint`` whose ``*`` and
+    ``+`` mirror product/sum shape propagation, used to pick broadcast vs
+    shuffle for products (MatrixProduct.scala:86-108).
+
+    Unknown dimensions are ``-1`` (the reference's convention); ``total``
+    is ``None`` whenever either dimension is unknown — total ordering
+    treats unknown as smaller than any known size (SizeHintOrdering,
+    SizeHint.scala:136-141)."""
+
+    rows: int = -1
+    cols: int = -1
     sparsity: float = 1.0
 
+    def __mul__(self, other: "SizeHintBase") -> "SizeHintBase":
+        raise NotImplementedError
+
+    def __add__(self, other: "SizeHintBase") -> "SizeHintBase":
+        raise NotImplementedError
+
     @property
-    def total(self) -> float | None:
-        if self.rows is None or self.cols is None:
-            return None
-        return self.rows * self.cols * self.sparsity
+    def total(self) -> int | None:
+        return None
 
-    def transpose(self) -> "SizeHint":
-        return SizeHint(self.cols, self.rows, self.sparsity)
+    def set_cols(self, cols: int) -> "SizeHintBase":
+        raise NotImplementedError
 
-    def times(self, other: "SizeHint") -> "SizeHint":
-        # FiniteHint product algebra (SizeHint.scala:60-132)
-        if self.rows is None or other.cols is None:
-            return SizeHint()
-        return SizeHint(self.rows, other.cols,
-                        min(1.0, self.sparsity * other.sparsity * (self.cols or 1)))
+    def set_rows(self, rows: int) -> "SizeHintBase":
+        raise NotImplementedError
+
+    def set_cols_to_rows(self) -> "SizeHintBase":
+        raise NotImplementedError
+
+    def set_rows_to_cols(self) -> "SizeHintBase":
+        raise NotImplementedError
+
+    def transpose(self) -> "SizeHintBase":
+        raise NotImplementedError
+
+    # keep the round-1 method-call spelling working
+    def times(self, other: "SizeHintBase") -> "SizeHintBase":
+        return self * other
+
+    def _ord(self) -> int:
+        """SizeHintOrdering (SizeHint.scala:136-141): unknown totals sort
+        below every known total."""
+        t = self.total
+        return -1 if t is None else t
+
+    def __le__(self, other: "SizeHintBase") -> bool:
+        return self._ord() <= other._ord()
+
+    def __repr__(self) -> str:
+        return (f"{type(self).__name__}(rows={self.rows}, cols={self.cols}, "
+                f"sparsity={self.sparsity})")
+
+    def __eq__(self, other) -> bool:
+        return (type(self) is type(other) and self.rows == other.rows
+                and self.cols == other.cols and self.sparsity == other.sparsity)
+
+    def __hash__(self) -> int:
+        return hash((type(self).__name__, self.rows, self.cols, self.sparsity))
+
+
+class NoClue(SizeHintBase):
+    """Absorbing unknown — "like NaN" (SizeHint.scala:49-58)."""
+
+    def __mul__(self, other):
+        return NO_CLUE
+
+    def __add__(self, other):
+        return NO_CLUE
+
+    def set_cols(self, cols):
+        return FiniteHint(-1, cols)
+
+    def set_rows(self, rows):
+        return FiniteHint(rows, -1)
+
+    def set_cols_to_rows(self):
+        return NO_CLUE
+
+    def set_rows_to_cols(self):
+        return NO_CLUE
+
+    def transpose(self):
+        return NO_CLUE
+
+
+NO_CLUE = NoClue()
+
+
+class FiniteHint(SizeHintBase):
+    """Dense bound: every cell may be present (SizeHint.scala:60-82)."""
+
+    def __init__(self, rows: int = -1, cols: int = -1):
+        self.rows = int(rows)
+        self.cols = int(cols)
+        self.sparsity = 1.0
+
+    def __mul__(self, other):
+        if isinstance(other, NoClue):
+            return NO_CLUE
+        if isinstance(other, FiniteHint):
+            return FiniteHint(self.rows, other.cols)
+        return SparseHint(1.0, self.rows, self.cols) * other
+
+    def __add__(self, other):
+        if isinstance(other, NoClue):
+            return NO_CLUE
+        if isinstance(other, FiniteHint):
+            # a hint on one side overwrites lack of knowledge (-1)
+            return FiniteHint(max(self.rows, other.rows), max(self.cols, other.cols))
+        return other + self
+
+    @property
+    def total(self) -> int | None:
+        if self.rows >= 0 and self.cols >= 0:
+            return self.rows * self.cols
+        return None
+
+    def set_cols(self, cols):
+        return FiniteHint(self.rows, cols)
+
+    def set_rows(self, rows):
+        return FiniteHint(rows, self.cols)
+
+    def set_cols_to_rows(self):
+        return FiniteHint(self.rows, self.rows)
+
+    def set_rows_to_cols(self):
+        return FiniteHint(self.cols, self.cols)
+
+    def transpose(self):
+        return FiniteHint(self.cols, self.rows)
+
+
+class SparseHint(SizeHintBase):
+    """Bound with an occupancy fraction (SizeHint.scala:85-132): product
+    sparsity is the birthday-style collision estimate
+    ``min(1, cols · sp_a · sp_b)``; sum is inclusion-exclusion
+    ``p + q − pq``."""
+
+    def __init__(self, sparsity: float, rows: int = -1, cols: int = -1):
+        self.sparsity = float(sparsity)
+        self.rows = int(rows)
+        self.cols = int(cols)
+
+    def __mul__(self, other):
+        if isinstance(other, NoClue):
+            return NO_CLUE
+        if isinstance(other, FiniteHint):
+            return self * SparseHint(1.0, other.rows, other.cols)
+        new_sp = self.cols * self.sparsity * other.sparsity
+        if new_sp >= 1.0:
+            return FiniteHint(self.rows, other.cols)
+        return SparseHint(new_sp, self.rows, other.cols)
+
+    def __add__(self, other):
+        if isinstance(other, NoClue):
+            return NO_CLUE
+        if isinstance(other, FiniteHint):
+            return self + SparseHint(1.0, other.rows, other.cols)
+        if self.sparsity == 1.0 or other.sparsity == 1.0:
+            return FiniteHint(max(self.rows, other.rows), max(self.cols, other.cols))
+        new_sp = self.sparsity + other.sparsity - self.sparsity * other.sparsity
+        return SparseHint(new_sp, max(self.rows, other.rows), max(self.cols, other.cols))
+
+    @property
+    def total(self) -> int | None:
+        if self.rows >= 0 and self.cols >= 0:
+            return int(self.rows * self.cols * self.sparsity)
+        return None
+
+    def set_cols(self, cols):
+        return SparseHint(self.sparsity, self.rows, cols)
+
+    def set_rows(self, rows):
+        return SparseHint(self.sparsity, rows, self.cols)
+
+    def set_cols_to_rows(self):
+        return SparseHint(self.sparsity, self.rows, self.rows)
+
+    def set_rows_to_cols(self):
+        return SparseHint(self.sparsity, self.cols, self.cols)
+
+    def transpose(self):
+        return SparseHint(self.sparsity, self.cols, self.rows)
+
+
+def as_diagonal(h: SizeHintBase) -> SizeHintBase:
+    """Sparsity assuming only the diagonal is present
+    (SizeHint.scala:21-34)."""
+    if isinstance(h, NoClue) or h.total is None:
+        return NO_CLUE
+    max_elements = min(h.rows, h.cols)
+    if max_elements <= 0:
+        return NO_CLUE
+    return SparseHint(1.0 / max_elements, max_elements, max_elements)
+
+
+def SizeHint(rows: int | None = None, cols: int | None = None,
+             sparsity: float = 1.0) -> SizeHintBase:
+    """Compat factory keeping round-1 call sites working: no args → NoClue;
+    dims with full occupancy → FiniteHint; fractional occupancy →
+    SparseHint. ``None`` dims map to the reference's -1 (unknown)."""
+    if rows is None and cols is None and sparsity >= 1.0:
+        return NO_CLUE
+    r = -1 if rows is None else rows
+    c = -1 if cols is None else cols
+    if sparsity >= 1.0:
+        return FiniteHint(r, c)
+    return SparseHint(sparsity, r, c)
+
+
+def choose_product_strategy(left: SizeHintBase, right: SizeHintBase) -> str:
+    """getJoiner (MatrixProduct.scala:90-104) re-expressed as Spark physical
+    strategies: 'broadcast_left' / 'broadcast_right' ↔ TinyToAny/AnyToTiny
+    replicated joins, 'shuffle' ↔ SmallToBig/BigToSmall cogroups (Catalyst +
+    AQE then pick hash vs sort-merge and split skewed inner keys).
+
+    Deliberate upgrade over the reference: its ordering-first dispatch never
+    broadcasts a known-tiny side when the OTHER side is NoClue (NoClue sorts
+    below everything, and only the "smaller" side's total is inspected) —
+    here any side with a known expected count under MAX_TINY_JOIN is
+    broadcast, preferring the smaller when both qualify."""
+    tiny = [(t, name)
+            for t, name in ((left.total, "broadcast_left"),
+                            (right.total, "broadcast_right"))
+            if t is not None and t < MAX_TINY_JOIN]
+    if tiny:
+        return min(tiny)[1]
+    return "shuffle"
 
 
 class Matrix:
@@ -284,11 +493,11 @@ class Matrix:
                            F.col("val").alias("a_val"))
         b = other.df.select(F.col("row").alias("k"), F.col("col").alias("b_col"),
                             F.col("val").alias("b_val"))
-        a_total, b_total = self.hint.total, other.hint.total
-        if b_total is not None and b_total <= MAX_TINY_JOIN:
-            b = F.broadcast(b)
-        elif a_total is not None and a_total <= MAX_TINY_JOIN:
+        strategy = choose_product_strategy(self.hint, other.hint)
+        if strategy == "broadcast_left":
             a = F.broadcast(a)
+        elif strategy == "broadcast_right":
+            b = F.broadcast(b)
         prod = a.join(b, on="k")
         out = (prod.groupBy(F.col("a_row").alias("row"), F.col("b_col").alias("col"))
                .agg(F.sum(F.col("a_val") * F.col("b_val")).alias("val"))
