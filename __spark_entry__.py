@@ -1142,6 +1142,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id")
 
 
+def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components on a deliberately
+    chain-shaped graph (50-long doc-id chains, diameter ≈ 50) — the
+    O(log d) high-diameter path where label propagation would need 50
+    rounds. Oracle: recursive-CTE transitive closure over the same edges."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (docs.where(F.col("doc_id") % 50 != 49)
+             .select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") + 1).alias("dst")))
+    return dedup.connected_components_star(edges).select("node", "comp")
+
+
+def q_global_rank_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-less sorted-stream ops (group_all().sort_by()): global row_number
+    + global running sum over customers by (acctbal, custkey). Runs on the
+    range-partitioned parallel path — the plan has NO single-partition data
+    shuffle (asserted in tests/test_keyless_sorted.py)."""
+    cust = _t(spark, sf_dir, "customer")
+    p = Pipe(cust.select("c_custkey", "c_acctbal"))
+    return (p.group_all().sort_by("c_acctbal", "c_custkey")
+            .row_number("rn")
+            .group_all().sort_by("c_acctbal", "c_custkey")
+            .scan_left("c_acctbal", "running_bal")
+            .df.select("c_custkey", "rn",
+                       F.round("running_bal", 2).alias("running_bal")))
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-keyed reproducible 10% sample — membership is a dataset
     contract (md5 ranges), identical in any engine, any partitioning."""
@@ -1469,6 +1496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_dedup_clusters": q_dedup_clusters,
+        # -- new in r02 --
+        "q_cc_star": q_cc_star,
+        "q_global_rank_scan": q_global_rank_scan,
         "q_deterministic_sample": q_deterministic_sample,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
@@ -2289,6 +2319,26 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node)
             SELECT d2.doc_id, coalesce(comp.comp, d2.doc_id) AS cluster_id
             FROM documents d2 LEFT JOIN comp ON d2.doc_id = comp.node
+        """,
+        "q_cc_star": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+                WHERE doc_id % 50 <> 49),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            reach(node, lab) AS (
+                SELECT DISTINCT a, a FROM sym
+                UNION
+                SELECT sym.a, reach.lab FROM sym JOIN reach ON sym.b = reach.node)
+            SELECT node, min(lab) AS comp FROM reach GROUP BY node
+        """,
+        "q_global_rank_scan": """
+            SELECT c_custkey,
+                   row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+                   round(sum(c_acctbal) OVER (
+                       ORDER BY c_acctbal, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS running_bal
+            FROM customer
         """,
         "q_deterministic_sample": """
             SELECT doc_id, source FROM documents

@@ -244,9 +244,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     logical plan doubles each round (same lesson as PageRank, matrix.py).
     Convergence is detected with a changed-label count that piggybacks on
     the already-shuffled aggregate. For web-scale graphs with long chains
-    (diameter ≫ 10), swap in the alternating large-star/small-star
-    algorithm; for dedup workloads label propagation wins on constant
-    factors.
+    (diameter ≫ 10), use ``connected_components_star`` (O(log d) rounds);
+    for dedup workloads label propagation wins on constant factors.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
@@ -284,13 +283,92 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     return labels.select("node", "comp")
 
 
+def connected_components_star(edges: DataFrame, src: str = "src",
+                              dst: str = "dst", max_iter: int = 30,
+                              stats: dict | None = None) -> DataFrame:
+    """Connected components via alternating large-star / small-star — the
+    high-diameter path promised in ``connected_components``'s docstring.
+
+    Label propagation needs O(diameter) rounds; this needs O(log d) (the
+    published two-phase star-contraction scheme for MapReduce-style CC).
+    Use it for chain-shaped graphs (linkage chains, web graphs); for dedup
+    clique clusters plain label propagation wins on constant factors.
+
+    Each round over the parent-pointer edge set:
+
+    - large-star: symmetrize; every neighbor STRICTLY LARGER than u is
+      re-pointed at min(N(u) ∪ {u}). One groupBy(min) + one join, both on
+      fixed-width node ids.
+    - small-star: orient u > v; every neighbor (all smaller) and u itself
+      point at the min neighbor.
+
+    Both steps strictly never increase the min-reachable label and contract
+    star height geometrically. Convergence = (count, order-insensitive
+    hash-sum) fingerprint of the edge set unchanged — exact equality would
+    cost an extra join per round; a false stop needs a 64-bit hash-sum
+    collision at equal counts (~2⁻⁶⁴, documented trade).
+
+    Returns (node, comp) with comp = min node id of the component, matching
+    ``connected_components``. ``stats['iterations']`` reports rounds used.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")))
+    all_nodes = (e.select(F.col("u").alias("node"))
+                 .union(e.select(F.col("v").alias("node")))
+                 .distinct().localCheckpoint(eager=True))
+    e = (e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    prev_fp = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        ls = (sym.where(F.col("v") > F.col("u"))
+              .join(mins, "u")
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .where(F.col("u") != F.col("v")).distinct())
+        # small-star (ls edges already satisfy u > v)
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = ls.join(mins2, "u")
+        nbr = (ss.where(F.col("v") != F.col("m"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        own = mins2.select(F.col("u"), F.col("m").alias("v"))
+        e = nbr.union(own).distinct().localCheckpoint(eager=False)
+        # decimal sum: a long sum of 64-bit hashes overflows under ANSI mode;
+        # decimal(20,0) terms sum at precision 30 — safe past 1e10 edges
+        cnt, hs = e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(20,0)"))
+        ).collect()[0]
+        fp = (cnt, hs)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    if stats is not None:
+        stats["iterations"] = rounds
+    # fixed point is a star forest: each non-root appears exactly once as u,
+    # pointing at its component's min; roots and isolated nodes label
+    # themselves
+    return (all_nodes.join(e, all_nodes.node == e.u, "left")
+            .select("node", F.coalesce(F.col("v"), F.col("node")).alias("comp")))
+
+
 def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
-                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+                   id_a: str = "id_a", id_b: str = "id_b",
+                   algorithm: str = "label") -> DataFrame:
     """Assign every row a duplicate-cluster id from a near-dup pair list:
     cluster_id = min doc id in the row's connected component; rows with no
     near-dup edge keep their own id (left join + coalesce, so the full
-    corpus never funnels through the component computation)."""
-    comps = connected_components(pairs, src=id_a, dst=id_b)
+    corpus never funnels through the component computation).
+
+    ``algorithm='label'`` (default) is right for dedup graphs (dense
+    cliques, diameter 2-3); ``'star'`` switches to the O(log d)
+    large-star/small-star contraction for chain-shaped pair graphs."""
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comps = cc(pairs, src=id_a, dst=id_b)
     return (df.join(comps, df[id_col] == comps.node, "left")
             .withColumn("cluster_id", F.coalesce(F.col("comp"), F.col(id_col)))
             .drop("node", "comp"))
