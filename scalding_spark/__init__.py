@@ -36,11 +36,12 @@ from scalding_spark.matrix import (ColVector, FiniteHint, Matrix, NoClue,
                                    as_diagonal, pagerank)
 from scalding_spark.pipe import Pipe
 from scalding_spark.session import get_spark
+from scalding_spark.testing import JobTest
 from scalding_spark.typed import TypedPipe
 
 __all__ = [
-    "Args", "CascadeJob", "ColVector", "FiniteHint", "Job", "Matrix", "NoClue",
-    "Pipe", "RowVector", "ScriptJob", "SizeHint", "SparseHint", "TypedPipe",
-    "as_diagonal", "get_spark", "pagerank",
+    "Args", "CascadeJob", "ColVector", "FiniteHint", "Job", "JobTest", "Matrix",
+    "NoClue", "Pipe", "RowVector", "ScriptJob", "SizeHint", "SparseHint",
+    "TypedPipe", "as_diagonal", "get_spark", "pagerank",
 ]
 __version__ = "0.1.0"

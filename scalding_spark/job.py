@@ -8,9 +8,36 @@ pattern behind iterative algorithms (PageRank) and period-chained date jobs
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 
 from scalding_spark.session import get_spark
+
+
+class Mode:
+    """Production mode (Mode.scala:42-120): named sources/sinks hit real
+    storage through the readers/writers the job supplies. ``TestMode``
+    (testing.py) swaps both for in-memory mocks — the reference's
+    Test/HadoopTest dispatch (Mode.scala:180-241)."""
+
+    def read_source(self, spark: SparkSession, name: str, read) -> DataFrame:
+        if read is None:
+            raise KeyError(
+                f"source '{name}' has no production reader and is not mocked")
+        return read(spark)
+
+    def write_sink(self, spark: SparkSession, name: str, df: DataFrame, write) -> None:
+        if write is None:
+            raise KeyError(
+                f"sink '{name}' has no production writer and is not mocked")
+        write(df)
+
+    def file_exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+
+PRODUCTION = Mode()
 
 
 class Args:
@@ -61,6 +88,26 @@ class Job:
         # --local/--cluster mode flag parity (Mode.scala:42, Tool.scala:56-70)
         master = None if args.boolean("cluster") else args.getOrElse("master", None)
         self.spark = spark or get_spark(app_name=type(self).__name__, master=master)
+        # The mode rides on Args (the reference's Mode.putMode,
+        # Mode.scala:28-40) so ``next()`` jobs constructed with self.args
+        # inherit the test mode without signature changes.
+        self.mode: Mode = getattr(args, "_mode", PRODUCTION)
+
+    def source(self, name: str, read=None) -> DataFrame:
+        """Mode-dispatched named input: production calls ``read(spark)``;
+        under JobTest the mocked DataFrame is returned instead
+        (JobTest.scala:57-66 source())."""
+        return self.mode.read_source(self.spark, name, read)
+
+    def sink(self, name: str, df: DataFrame, write=None) -> None:
+        """Mode-dispatched named output: production calls ``write(df)``;
+        under JobTest rows are buffered for the test's sink callbacks
+        (JobTest.scala:68-79 sink())."""
+        self.mode.write_sink(self.spark, name, df, write)
+
+    def file_exists(self, path: str) -> bool:
+        """Mode-aware existence check (JobTest.scala:84-87 registerFile)."""
+        return self.mode.file_exists(path)
 
     def build(self) -> None:
         raise NotImplementedError
