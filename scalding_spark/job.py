@@ -78,6 +78,51 @@ class Args:
         v = self.optional(key)
         return default if v is None else v
 
+    def range(self, key: str, cnv=str) -> "Range":
+        """``--key lo hi`` (or ``--key v`` for a point range) →
+        ``Range(lo, hi)`` (scalding-args RangedArgs.scala:49-58)."""
+        vals = self.list(key)
+        if len(vals) == 1:
+            return Range(cnv(vals[0]), cnv(vals[0]))
+        if len(vals) == 2:
+            return Range(cnv(vals[0]), cnv(vals[1]))
+        raise ValueError(f"{key} must have either 1 or 2 values specified")
+
+
+class Range:
+    """Ordered closed interval with bound assertions
+    (scalding-args RangedArgs.scala:23-47)."""
+
+    def __init__(self, lower, upper):
+        if lower > upper:
+            raise AssertionError(f"Bad range: {lower} > {upper}")
+        self.lower = lower
+        self.upper = upper
+
+    def assert_lower_bound(self, minimum) -> None:
+        if minimum > self.lower:
+            raise AssertionError(f"Range out of bounds: {self.lower} < {minimum}")
+
+    def assert_upper_bound(self, maximum) -> None:
+        if maximum < self.upper:
+            raise AssertionError(f"Range out of bounds: {self.upper} > {maximum}")
+
+    def assert_bounds(self, minimum, maximum) -> None:
+        self.assert_lower_bound(minimum)
+        self.assert_upper_bound(maximum)
+
+    def mk_string(self, sep: str) -> str:
+        if self.lower == self.upper:
+            return str(self.lower)
+        return f"{self.lower}{sep}{self.upper}"
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, Range) and self.lower == other.lower
+                and self.upper == other.upper)
+
+    def __repr__(self) -> str:
+        return f"Range({self.lower!r}, {self.upper!r})"
+
 
 class Job:
     """Subclass and override ``build`` to declare sinks; ``run_all`` walks the

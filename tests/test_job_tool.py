@@ -209,3 +209,49 @@ def test_production_mode_uses_readers_and_writers(spark, tmp_path):
 
     J(Args([]), spark).run()
     assert [r.v for r in spark.read.parquet(str(dst)).collect()] == [10]
+
+
+# --- RangedArgs (round 2: scalding-args RangedArgs.scala:23-58) ------------
+
+def test_range_endpoints_and_misorder():
+    from scalding_spark.job import Range
+    r = Range(4, 5)
+    assert (r.lower, r.upper) == (4, 5)
+    Range(4, 4)  # trivial range allowed
+    with pytest.raises(AssertionError):
+        Range(5, 4)
+
+
+def test_range_bound_assertions():
+    from scalding_spark.job import Range
+    r = Range(4, 5)
+    r.assert_lower_bound(3)
+    r.assert_lower_bound(4)
+    with pytest.raises(AssertionError):
+        r.assert_lower_bound(5)
+    r.assert_upper_bound(6)
+    r.assert_upper_bound(5)
+    with pytest.raises(AssertionError):
+        r.assert_upper_bound(4)
+    r.assert_bounds(4, 5)
+    with pytest.raises(AssertionError):
+        r.assert_bounds(5, 6)
+
+
+def test_range_mk_string():
+    from scalding_spark.job import Range
+    assert Range(4, 4).mk_string("_") == "4"
+    assert Range(4, 5).mk_string("_") == "4_5"
+    assert Range(4, 5).mk_string("-") == "4-5"
+
+
+def test_args_range_parsing():
+    from scalding_spark.job import Range
+    a = Args(["--date", "2026-01-01", "2026-01-31", "--n", "7",
+              "--bad", "1", "2", "3"])
+    assert a.range("date") == Range("2026-01-01", "2026-01-31")
+    assert a.range("n", int) == Range(7, 7)
+    with pytest.raises(ValueError, match="either 1 or 2"):
+        a.range("bad")
+    with pytest.raises(ValueError, match="either 1 or 2"):
+        a.range("missing")
