@@ -37,6 +37,11 @@ HEADLINE = [
     "q_range_join",              # bucketed point-in-interval join
     "q21_waiting_suppliers",     # EXISTS+NOT EXISTS double correlation
     "q_dedup_clusters",          # pair gen + iterative connected components
+    # -- added r02 (VERDICT item 9: breadth) --
+    "q9_product_profit",         # 6-way join + substring filter + group rollup
+    "q_ngram_jaccard_pairs",     # shingle inverted index + stop-shingle cap
+    "q_cc_star",                 # large-star/small-star CC on chain graph
+    "q_global_rank_scan",        # key-less global rank+scan, range-partitioned
 ]
 
 

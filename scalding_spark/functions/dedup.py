@@ -94,9 +94,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
-        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-        keep = dfreq.where(F.col("__df") <= max_doc_freq).select("sh")
-        sh = sh.join(keep, on="sh", how="left_semi")
+        # window count over sh, not groupBy+semi-join: one exchange on sh
+        # that the self-join below REUSES (both sides are the identical
+        # windowed subplan and arrive hash-partitioned by sh — Catalyst
+        # plans a ReusedExchange and no further shuffle for the join)
+        w = Window.partitionBy("sh")
+        sh = (sh.withColumn("__df", F.count(F.lit(1)).over(w))
+              .where(F.col("__df") <= max_doc_freq).drop("__df"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
