@@ -1496,9 +1496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_dedup_clusters": q_dedup_clusters,
-        # -- new in r02 --
-        "q_cc_star": q_cc_star,
-        "q_global_rank_scan": q_global_rank_scan,
         "q_deterministic_sample": q_deterministic_sample,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
@@ -1527,6 +1524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         # -- driver-RED in r01 (fixed: UTC-pinned, date-typed window) --
         "q12_priority_by_flag": q12_priority_by_flag,
+        # -- new in r02 (after the 48 never-checked + q12, so a 50-entry
+        # driver window still covers every row that lacks a green) --
+        "q_cc_star": q_cc_star,
+        "q_global_rank_scan": q_global_rank_scan,
         # -- driver-green in r01 --
         "q1_pricing_summary": q1_pricing_summary,
         "q_project_filter_map": q_project_filter_map,
