@@ -92,13 +92,19 @@ def stream_from_parquet_dir(spark: SparkSession, path: str, schema) -> DataFrame
 
 
 def run_available_now(stream_df: DataFrame, query_name: str | None = None,
-                      timeout_s: int = 120) -> DataFrame:
+                      timeout_s: int = 120,
+                      output_mode: str | None = None) -> DataFrame:
     """Process everything currently available, then stop (availableNow
     trigger) and return the result as a DataFrame from the memory sink.
-    The batch-equivalence test harness: same plan, incremental execution."""
+    The batch-equivalence test harness: same plan, incremental execution.
+
+    ``output_mode`` overrides the aggregate-detection heuristic (which
+    inspects the JVM logical plan and is unavailable under Spark Connect —
+    pass 'complete'/'append' explicitly there)."""
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    mode = output_mode or ("complete" if _is_aggregating(stream_df) else "append")
     q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode("complete" if _is_aggregating(stream_df) else "append")
+         .outputMode(mode)
          .trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     return stream_df.sparkSession.table(name)
@@ -115,5 +121,11 @@ def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str,
 
 
 def _is_aggregating(df: DataFrame) -> bool:
-    plan = df._jdf.queryExecution().logical().toString()
+    try:
+        plan = df._jdf.queryExecution().logical().toString()
+    except Exception:
+        # Spark Connect: no py4j handle — default to complete (aggregating
+        # streams are the common case for this harness); callers can pass
+        # output_mode explicitly.
+        return True
     return "Aggregate" in plan

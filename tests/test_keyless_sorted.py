@@ -143,3 +143,49 @@ def test_keyless_rank_no_singlepartition_data_shuffle(pipe):
 def test_keyless_take_is_take_ordered(pipe):
     p = _plan(pipe.group_all().sort_by("x").take(5).df)
     assert "TakeOrderedAndProject" in p
+
+
+def test_global_descending_rank_drop_scan_lag(spark):
+    """Descending keyless ops + rank ties straddling range-partition
+    boundaries — the compositions the parallel pattern must get exactly
+    right (reverse order flows into repartitionByRange; tie groups must
+    land in ONE partition for local rank + offsets to be exact)."""
+    import random
+    rng = random.Random(1)
+    data = [(i, rng.randrange(50)) for i in range(100)]
+    rng.shuffle(data)
+    p = Pipe(spark.createDataFrame(data, "x: bigint, v: bigint").repartition(7))
+
+    desc = sorted(data, reverse=True)
+    got_rn = {r.x: r.rn for r in
+              p.group_all().sort_by("x", reverse=True).row_number("rn").df.collect()}
+    assert got_rn == {x: i + 1 for i, (x, _) in enumerate(desc)}
+
+    got_drop = sorted(r.x for r in
+                      p.group_all().sort_by("x", reverse=True).drop(95).df.collect())
+    assert got_drop == [0, 1, 2, 3, 4]
+
+    got_scan = {r.x: r.c for r in
+                p.group_all().sort_by("x", reverse=True).scan_left("v", "c").df.collect()}
+    acc = 0
+    for x, v in desc:
+        acc += v
+        assert got_scan[x] == acc
+
+    sv = sorted(data, key=lambda t: t[1])
+    first_at = {}
+    for i, (x, v) in enumerate(sv):
+        first_at.setdefault(v, i + 1)
+    got_rk = {r.x: r.rk for r in
+              p.group_all().sort_by("v").rank("rk").df.collect()}
+    assert got_rk == {x: first_at[v] for x, v in data}
+
+    dmap = {v: i + 1 for i, v in enumerate(sorted({v for _, v in data}))}
+    got_dense = {r.x: r.rk for r in
+                 p.group_all().sort_by("v").rank("rk", dense=True).df.collect()}
+    assert got_dense == {x: dmap[v] for x, v in data}
+
+    got_lag = {r.x: r.lv for r in
+               p.group_all().sort_by("x", reverse=True).lag("v", 2, "lv").df.collect()}
+    for i, (x, v) in enumerate(desc):
+        assert got_lag[x] == (desc[i - 2][1] if i >= 2 else None)
