@@ -354,6 +354,28 @@ def q_fold_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded per-key top-k via sorted_take (ReduceOperations.scala:420-444):
+    with only 3 return flags, a per-key window funnels the whole table into
+    3 tasks; the agg form partial-aggregates per map partition instead
+    (measured 1.02s → 0.65s at sf0.1). Price is negated inside the sort
+    struct so ties break ascending on (orderkey, linenumber), matching the
+    window form and the oracle. q_topk_window keeps the window form
+    oracle-covered for the many-groups shape."""
+    li = _p(spark, sf_dir, "lineitem")
+    top = (li.group_by("l_returnflag")
+           .sorted_take([(-F.col("l_extendedprice")).alias("np"),
+                         F.col("l_orderkey"), F.col("l_linenumber")], 3)
+           .done())
+    return (top.df.select("l_returnflag", F.explode("top").alias("t"))
+            .select("l_returnflag",
+                    F.col("t.l_orderkey").alias("l_orderkey"),
+                    F.col("t.l_linenumber").alias("l_linenumber"),
+                    (-F.col("t.np")).alias("l_extendedprice")))
+
+
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key window top-k (SortedGroup.take) — the right shape when group
+    count ≈ cores or groups are too big to collect."""
     li = _p(spark, sf_dir, "lineitem")
     return (
         li.group_by("l_returnflag")
@@ -1528,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver window still covers every row that lacks a green) --
         "q_cc_star": q_cc_star,
         "q_global_rank_scan": q_global_rank_scan,
+        "q_topk_window": q_topk_window,
         # -- driver-green in r01 --
         "q1_pricing_summary": q1_pricing_summary,
         "q_project_filter_map": q_project_filter_map,
@@ -1814,6 +1837,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_suppkey
         """,
         "q_topk_per_group": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3
+        """,
+        "q_topk_window": """
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
             FROM lineitem
             QUALIFY row_number() OVER (PARTITION BY l_returnflag

@@ -190,11 +190,17 @@ class GroupBuilder:
 
     def sorted_take(self, cols: list, k: int, out: str = "top",
                     reverse: bool = False) -> "GroupBuilder":
-        """Bounded top-k per key (ReduceOperations.scala:420-444). The
-        reference keeps k-sized heaps on the map side (PriorityQueueMonoid);
-        Spark's partial collect_list + sort_array + slice bounds reducer
-        input similarly for small k; for per-key rankings over huge groups
-        prefer SortedGroup.take (window row_number)."""
+        """Bounded top-k per key (ReduceOperations.scala:420-444), the
+        reference's PriorityQueueMonoid role. Partial collect_list runs per
+        map partition (the sort+slice lands after the merge, so the exchange
+        carries per-partition value lists, NOT k-bounded — unlike the
+        reference's map-side heaps); the win over a per-key window is
+        parallelism: no funneling of the whole table into #groups tasks.
+        Pick by shape: few groups × many rows → this; many groups (window
+        partitions ≈ cores) × huge groups → SortedGroup.take.
+        Mixed sort directions: negate numeric columns inside ``cols``
+        (aliased) — ``reverse`` flips the WHOLE struct order, ties
+        included."""
         struct = F.struct(*[_c(c) for c in cols])
         arr = F.sort_array(F.collect_list(struct), asc=not reverse)
         return self.agg(F.slice(arr, 1, k).alias(out))
