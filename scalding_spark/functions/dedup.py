@@ -330,10 +330,13 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
                 .select("u", F.least("u", "mv").alias("m")))
+        # no mid-round distinct: sym is already duplicate-free (e is), dup
+        # (v,m) emissions can't change mins2's min or survive the round-end
+        # distinct, and each distinct is a full extra shuffle per round
         ls = (sym.where(F.col("v") > F.col("u"))
               .join(mins, "u")
               .select(F.col("v").alias("u"), F.col("m").alias("v"))
-              .where(F.col("u") != F.col("v")).distinct())
+              .where(F.col("u") != F.col("v")))
         # small-star (ls edges already satisfy u > v)
         mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
         ss = ls.join(mins2, "u")
