@@ -340,6 +340,12 @@ class SortedGroup:
     per-partition prefix offsets — a #partitions-row table — are broadcast
     back. take() goes further and compiles to orderBy+limit so Catalyst can
     choose TakeOrderedAndProject (map-side top-n heaps).
+
+    Caveat — tie co-location is also the skew bound: globally ranking by a
+    LOW-cardinality key (score deciles over 1e10 rows) lands each tie class
+    in one partition. For that shape, rank the DISTINCT values instead
+    (``group_by(value).done()`` then rank the small table and join back) —
+    ties share a rank, so per-value ranking is exact and skew-free.
     """
 
     def __init__(self, df: DataFrame, keys: list, order: list[Column],
