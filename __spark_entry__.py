@@ -1191,6 +1191,24 @@ def q_global_rank_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("running_bal", 2).alias("running_bal")))
 
 
+def q_rank_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-free global rank over a LOW-cardinality key (5 market segments
+    across all customers): ranks the distinct-value counts table, never
+    co-locating a tie class — the 1e10-rows-per-tier shape where a global
+    window or tie-co-located range partitioning would concentrate."""
+    cust = _t(spark, sf_dir, "customer")
+    p = Pipe(cust.select("c_custkey", "c_mktsegment"))
+    comp = (p.rank_by_value("c_mktsegment").df
+            .select("c_custkey", "c_mktsegment",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.lit("rank").alias("kind")))
+    dense = (p.rank_by_value("c_mktsegment", dense=True).df
+             .select("c_custkey", "c_mktsegment",
+                     F.col("rank").cast("bigint").alias("rank"),
+                     F.lit("dense").alias("kind")))
+    return comp.unionByName(dense)
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-keyed reproducible 10% sample — membership is a dataset
     contract (md5 ranges), identical in any engine, any partitioning."""
@@ -1551,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cc_star": q_cc_star,
         "q_global_rank_scan": q_global_rank_scan,
         "q_topk_window": q_topk_window,
+        "q_rank_by_value": q_rank_by_value,
         # -- driver-green in r01 --
         "q1_pricing_summary": q1_pricing_summary,
         "q_project_filter_map": q_project_filter_map,
@@ -2368,6 +2387,17 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY c_acctbal, c_custkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                        AS running_bal
+            FROM customer
+        """,
+        "q_rank_by_value": """
+            SELECT c_custkey, c_mktsegment,
+                   rank() OVER (ORDER BY c_mktsegment) AS rank,
+                   'rank' AS kind
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_mktsegment,
+                   dense_rank() OVER (ORDER BY c_mktsegment) AS rank,
+                   'dense' AS kind
             FROM customer
         """,
         "q_deterministic_sample": """

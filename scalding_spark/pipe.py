@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterable, Mapping
 from typing import Any
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -223,6 +223,42 @@ class Pipe:
                     .withColumn(rank_col, (F.col("__off") + F.col("__lr"))
                                 .cast("int"))
                     .drop("__pid", "__lr", "__off"))
+
+    def rank_by_value(self, *cols: str, rank_col: str = "rank",
+                      dense: bool = False, reverse: bool = False) -> "Pipe":
+        """Global rank when the sort key has FEW distinct values relative to
+        rows (score deciles, quality tiers over 1e10 docs) — the skew-free
+        complement to ``rank_by``: ties share a rank, so rank the DISTINCT
+        value table and join it back instead of co-locating each tie class
+        in one partition (the range-partition pattern's skew bound).
+
+        Plan: groupBy(value).count — map-side partial aggregation bounds the
+        exchange to #partitions × #distinct rows no matter how hot a value
+        is → rank the counts table with the parallel range pattern (ties
+        impossible: values are distinct) → equi-join back by value (AQE
+        broadcasts the small table or skew-splits the join). rank =
+        1 + rows strictly before (competition ranking, like F.rank);
+        ``dense`` numbers distinct values consecutively."""
+        order = [F.col(c).desc() if reverse else F.col(c) for c in cols]
+        counts = self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+        d = (counts.repartitionByRange(*order)
+             .withColumn("__pid", F.spark_partition_id()))
+        w = Window.partitionBy("__pid").orderBy(*order)
+        local = (d.withColumn("__cum", F.sum("__n").over(
+                     w.rowsBetween(Window.unboundedPreceding, 0)))
+                 .withColumn("__rn", F.row_number().over(w)))
+        off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        offs = (d.groupBy("__pid")
+                .agg(F.sum("__n").alias("__tot"), F.count(F.lit(1)).alias("__cnt"))
+                .withColumn("__off_n", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)))
+                .withColumn("__off_r", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)))
+                .select("__pid", "__off_n", "__off_r"))
+        r = (F.col("__off_r") + F.col("__rn")) if dense else \
+            (F.col("__off_n") + F.col("__cum") - F.col("__n") + 1)
+        ranked = (local.join(F.broadcast(offs), "__pid")
+                  .withColumn(rank_col, r)
+                  .select(*cols, rank_col))
+        return Pipe(self.df.join(ranked, on=list(cols)))
 
     # -- misc parity -------------------------------------------------------
 

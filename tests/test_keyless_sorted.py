@@ -189,3 +189,47 @@ def test_global_descending_rank_drop_scan_lag(spark):
                p.group_all().sort_by("x", reverse=True).lag("v", 2, "lv").df.collect()}
     for i, (x, v) in enumerate(desc):
         assert got_lag[x] == (desc[i - 2][1] if i >= 2 else None)
+
+
+# --- rank_by_value: skew-free global rank over low-cardinality keys --------
+
+def test_rank_by_value_matches_window_semantics(spark):
+    import random
+    rng = random.Random(3)
+    data = [(i, rng.randrange(5)) for i in range(300)]   # 5 hot values
+    p = Pipe(spark.createDataFrame(data, "id: bigint, tier: bigint").repartition(9))
+
+    srt = sorted(data, key=lambda t: t[1])
+    first_at, seen = {}, {}
+    for i, (x, v) in enumerate(srt):
+        first_at.setdefault(v, i + 1)
+    dense_map = {v: i + 1 for i, v in enumerate(sorted({v for _, v in data}))}
+
+    got = {r.id: r.rank for r in p.rank_by_value("tier").df.collect()}
+    assert got == {x: first_at[v] for x, v in data}
+
+    got_d = {r.id: r.rank for r in p.rank_by_value("tier", dense=True).df.collect()}
+    assert got_d == {x: dense_map[v] for x, v in data}
+
+    # reverse: rank 1 = hottest tier descending
+    rev_first = {}
+    for i, (x, v) in enumerate(sorted(data, key=lambda t: -t[1])):
+        rev_first.setdefault(v, i + 1)
+    got_r = {r.id: r.rank for r in p.rank_by_value("tier", reverse=True).df.collect()}
+    assert got_r == {x: rev_first[v] for x, v in data}
+
+
+def test_rank_by_value_no_tie_class_single_partition(spark):
+    """The data side must never range-partition by the tie-prone value: no
+    SinglePartition exchange carries data columns, and no exchange at all
+    range-partitions the raw rows (only the distinct-value counts table)."""
+    from tests.test_plans import _shuffle_exchange_schemas
+    data = [(i, i % 3) for i in range(90)]
+    p = Pipe(spark.createDataFrame(data, "id: bigint, tier: bigint").repartition(5))
+    df = p.rank_by_value("tier").df
+    for name, part, cols in _shuffle_exchange_schemas(df):
+        if name.startswith("Shuffle") and "SinglePartition" in part:
+            assert all(c.startswith("__") for c, _ in cols), (part, cols)
+        if "rangepartitioning" in part:
+            # the ranged table is the counts table: carries __n, not id
+            assert any(c == "__n" for c, _ in cols)
