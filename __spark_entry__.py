@@ -1209,6 +1209,35 @@ def q_rank_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.unionByName(dense)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing an 8-gram with the
+    'benchmark' slice (doc_id % 97 == 0) are dropped. Benchmark shingles
+    broadcast; the corpus text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return (dedup.decontaminate(docs, bench, "text", "doc_id", n=8)
+            .select("doc_id", "source"))
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: contiguous ~50k-char shards under doc_id
+    order via the key-less parallel running sum."""
+    from scalding_spark.functions import sampling
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.length("text").cast("bigint").alias("w"))
+    return (sampling.pack_into_shards(sized, "w", 50_000, ["doc_id"])
+            .select("doc_id", "w", "shard"))
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (domain mixing): keep ≤ 15 docs per source,
+    deterministically by doc_id."""
+    from scalding_spark.functions import sampling
+    docs = _t(spark, sf_dir, "documents")
+    return (sampling.cap_per_key(docs, "source", 15, order_cols=["doc_id"])
+            .select("doc_id", "source"))
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-keyed reproducible 10% sample — membership is a dataset
     contract (md5 ranges), identical in any engine, any partitioning."""
@@ -1570,6 +1599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_global_rank_scan": q_global_rank_scan,
         "q_topk_window": q_topk_window,
         "q_rank_by_value": q_rank_by_value,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_shards": q_pack_shards,
+        "q_domain_cap": q_domain_cap,
         # -- driver-green in r01 --
         "q1_pricing_summary": q1_pricing_summary,
         "q_project_filter_map": q_project_filter_map,
@@ -2399,6 +2431,32 @@ def oracle_sql() -> dict[str, str]:
                    dense_rank() OVER (ORDER BY c_mktsegment) AS rank,
                    'dense' AS kind
             FROM customer
+        """,
+        "q_decontaminate": f"""
+            WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 8 THEN list_distinct(
+                           [array_to_string(toks[i:i+7], ' ')
+                            for i in range(1, len(toks) - 6)])
+                       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                       ELSE [] END AS shs
+                  FROM d),
+            e AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+            b AS (SELECT DISTINCT sh FROM e WHERE doc_id % 97 = 0),
+            bad AS (SELECT DISTINCT e.doc_id FROM e JOIN b ON e.sh = b.sh)
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "q_pack_shards": """
+            SELECT doc_id, len(text)::BIGINT AS w,
+                   CAST(floor((sum(len(text)) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - len(text)) / 50000)
+                        AS BIGINT) AS shard
+            FROM documents
+        """,
+        "q_domain_cap": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
         """,
         "q_deterministic_sample": """
             SELECT doc_id, source FROM documents

@@ -287,6 +287,39 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     return labels.select("node", "comp")
 
 
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
+                  id_col: str, n: int = 8, min_shared: int = 1,
+                  benchmark_text_col: str | None = None) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents sharing ≥
+    ``min_shared`` distinct word n-grams with any benchmark document — the
+    standard guard against eval-set leakage into training data.
+
+    Plan, 100 TB-first: the benchmark side is tiny (eval suites are
+    thousands of docs), so its distinct shingle set is BROADCAST; the
+    corpus explodes shingles map-side, inner-joins the broadcast set
+    (no corpus shuffle), and only (doc_id) survivors — a small table —
+    aggregate to count shared shingles. The final anti-join keys on ids.
+    The corpus text itself is never shuffled. Default n=8: long n-grams
+    make coincidental overlap negligible (contamination-detection practice);
+    lower n + higher min_shared trades precision/recall.
+    """
+    bshingles = (benchmark
+                 .select(F.explode(shingles(
+                     F.col(benchmark_text_col or text_col), n)).alias("sh"))
+                 .distinct())
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"))
+    hits = (corpus_sh.join(F.broadcast(bshingles), "sh")
+            .groupBy("__id").agg(F.countDistinct("sh").alias("__shared"))
+            .where(F.col("__shared") >= min_shared)
+            .select("__id"))
+    # broadcast the (small) contaminated-id set too: a shuffled anti-join
+    # would move the whole corpus — text included — across the wire
+    return corpus.join(F.broadcast(hits),
+                       corpus[id_col] == hits["__id"], "left_anti")
+
+
 def connected_components_star(edges: DataFrame, src: str = "src",
                               dst: str = "dst", max_iter: int = 30,
                               stats: dict | None = None) -> DataFrame:

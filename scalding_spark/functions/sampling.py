@@ -96,3 +96,44 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     cutoff = (F.lit(int(round(default * _BUCKETS))) if cutoff is None
               else cutoff.otherwise(F.lit(int(round(default * _BUCKETS)))))
     return df.where(bucket < cutoff)
+
+
+def cap_per_key(df: DataFrame, key_col: str, n: int,
+                order_cols: list) -> DataFrame:
+    """Keep at most ``n`` rows per key — the domain-mixing cap ("no more
+    than n docs per domain") of pretraining pipelines.
+
+    ``order_cols`` must be a deterministic TOTAL order within each key
+    (e.g. the doc id, or ``hash_bucket(id_col, salt)`` for selection
+    uncorrelated with id assignment) — then reruns, retries, and different
+    cluster layouts keep the same rows, the same auditability contract as
+    deterministic_sample. A key-constant order (like hashing the key
+    itself) would make the survivors arbitrary. Plan: per-key window
+    row_number ≤ n — fine at any corpus size because domain cardinality
+    scales with the corpus (millions of window partitions spread across
+    executors); a SINGLE pathological key is bounded by the sort of its
+    group, not a cross-partition funnel."""
+    from pyspark.sql import Window
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n).drop("__rn"))
+
+
+def pack_into_shards(df: DataFrame, weight_col: str, shard_budget: int,
+                     order_cols: list[str], out: str = "shard") -> DataFrame:
+    """Assign rows to contiguous fixed-budget shards (training-shard
+    packing: ~shard_budget tokens per output file) under a caller-supplied
+    deterministic total order.
+
+    shard = floor(start_offset / budget) where start_offset is the running
+    weight sum EXCLUSIVE of the row — so a shard overruns by at most one
+    document rather than splitting documents. Runs on the key-less parallel
+    scan (range partitioning + broadcast prefix offsets), never a
+    single-task window."""
+    from scalding_spark.pipe import Pipe
+    p = Pipe(df).group_all().sort_by(*order_cols).scan_left(weight_col, "__cum")
+    return (p.df.withColumn(
+        out, F.floor((F.col("__cum") - F.col(weight_col)) / F.lit(shard_budget))
+        .cast("bigint"))
+        .drop("__cum"))

@@ -256,3 +256,89 @@ def test_dedup_clusters_star_algorithm(spark):
     out = dedup_clusters(docs, pairs, "doc_id", algorithm="star")
     got = {(r.doc_id, r.cluster_id) for r in out.collect()}
     assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)}
+
+
+# --- round-2 training-pipeline ops: decontaminate / cap / shard-pack -------
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from scalding_spark.functions.dedup import decontaminate
+
+    corpus = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated text about spark partitioning strategies"),
+        (3, "we observed the quick brown fox jumps over the lazy dog yesterday"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  decontaminate(corpus, bench, "text", "doc_id", n=8).collect())
+    assert kept == [2]  # docs 1 and 3 share the benchmark 8-gram
+
+
+def test_decontaminate_min_shared_threshold(spark):
+    from scalding_spark.functions.dedup import decontaminate
+
+    corpus = spark.createDataFrame([
+        (1, "alpha beta gamma delta"),     # shares 1 trigram with bench
+        (2, "zeta eta theta iota"),        # shares none
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma nothing else here")], "doc_id long, text string")
+    k1 = {r.doc_id for r in
+          decontaminate(corpus, bench, "text", "doc_id", n=3, min_shared=1).collect()}
+    k2 = {r.doc_id for r in
+          decontaminate(corpus, bench, "text", "doc_id", n=3, min_shared=2).collect()}
+    assert k1 == {2}
+    assert k2 == {1, 2}  # only one shared trigram -> below the threshold
+
+
+def test_decontaminate_no_corpus_text_in_shuffles(spark):
+    """The corpus text column must never cross an exchange — only shingles
+    (on the map side, pre-broadcast-join) and ids."""
+    from tests.test_plans import _shuffle_exchange_schemas
+    from scalding_spark.functions.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"text body number {i} with several words") for i in range(50)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(900, "text body number 3 with several words")], "doc_id long, text string")
+    out = decontaminate(corpus, bench, "text", "doc_id", n=3)
+    offenders = [
+        (name, cols) for name, _p, cols in _shuffle_exchange_schemas(out)
+        if name.startswith("Shuffle") and any(c == "text" for c, _ in cols)]
+    assert not offenders, offenders
+
+
+def test_cap_per_key_deterministic(spark):
+    from scalding_spark.functions.sampling import cap_per_key
+
+    rows = [(i, f"d{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, domain string").repartition(7)
+    from scalding_spark.functions.sampling import hash_bucket
+    order = [hash_bucket("id", "s1"), "id"]
+    a = {(r.id, r.domain) for r in cap_per_key(df, "domain", 5, order).collect()}
+    b = {(r.id, r.domain) for r in
+         cap_per_key(df.repartition(3), "domain", 5, order).collect()}
+    assert a == b                       # layout-independent
+    assert len(a) == 20                 # 4 domains x 5
+    per = {}
+    for _, d in a:
+        per[d] = per.get(d, 0) + 1
+    assert all(v == 5 for v in per.values())
+
+
+def test_pack_into_shards_budget_and_order(spark):
+    from scalding_spark.functions.sampling import pack_into_shards
+
+    rows = [(i, 10) for i in range(100)]  # uniform weight 10
+    df = spark.createDataFrame(rows, "id long, w long").repartition(9)
+    out = {r.id: r.shard for r in
+           pack_into_shards(df, "w", 100, ["id"]).collect()}
+    # 10 rows of weight 10 per 100-budget shard, in id order
+    assert out == {i: i // 10 for i in range(100)}
+    # a row never splits: oversized row occupies its starting shard
+    big = spark.createDataFrame([(1, 50), (2, 500), (3, 50)], "id long, w long")
+    got = {r.id: r.shard for r in pack_into_shards(big, "w", 100, ["id"]).collect()}
+    assert got == {1: 0, 2: 0, 3: 5}
