@@ -42,6 +42,8 @@ HEADLINE = [
     "q_ngram_jaccard_pairs",     # shingle inverted index + stop-shingle cap
     "q_cc_star",                 # large-star/small-star CC on chain graph
     "q_global_rank_scan",        # key-less global rank+scan, range-partitioned
+    "q_decontaminate",           # benchmark n-gram overlap, double broadcast
+    "q_rank_by_value",           # skew-free low-cardinality global rank
 ]
 
 
