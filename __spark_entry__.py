@@ -41,12 +41,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS): read nanos as long, then
-        # truncate to Spark's microsecond timestamps (matches DuckDB's
-        # TIMESTAMP_NS → TIMESTAMP truncating cast).
+        # events.parquet carries TIMESTAMP(NANOS). Spark version drift:
+        # newer parquet readers surface it natively as TIMESTAMP_NTZ
+        # (micros-truncated) and ignore the legacy nanosAsLong flag; older
+        # ones need the flag and hand back a nanos BIGINT. Branch on what
+        # the scan actually produced so both behave like DuckDB's
+        # TIMESTAMP_NS → TIMESTAMP truncating cast (naive == instant under
+        # the UTC session TZ pinned above).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        from pyspark.sql.types import LongType
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name in ("documents", "embeddings"):
