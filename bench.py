@@ -75,14 +75,22 @@ def main() -> None:
         fn = qs[name]
         # Two runs, report the min: the first run pays whole-stage-codegen
         # JIT for the query's generated code (seconds for wide expressions);
-        # steady-state is what a long-running cluster job sees.
-        best = None
+        # steady-state is what a long-running cluster job sees. The box is a
+        # shared-host VM with multi-second CPU-steal bursts (observed 4-10x
+        # inflation on identical back-to-back runs), so when the samples
+        # disagree wildly the min itself is suspect — take up to two more.
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.time()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        # accept the min once a second sample corroborates it within 1.5x
+        while len(runs) < 4 and min(runs) > 0.3 \
+                and sorted(runs)[1] / sorted(runs)[0] > 1.5:
+            t0 = time.time()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
