@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from scalding_spark.pipe import Pipe
 from scalding_spark import joins
 from scalding_spark.matrix import Matrix, SizeHint, pagerank
-from scalding_spark.functions import dedup, similarity, text as tx
+from scalding_spark.functions import dedup, lm, similarity, text as tx
 from scalding_spark.streaming import sessionize
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -1346,6 +1346,66 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("top_word_frac", 6).alias("top_word_frac")))
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee-et-al-style shared-passage detection):
+    maximal token runs ≥8 appearing verbatim in two documents, via hashed
+    positional 4-grams + anti-diagonal islands (dedup.shared_ngram_spans).
+    The Spark side joins on 8-byte gram hashes; the oracle joins on the
+    gram strings — identical results absent a 64-bit collision chain."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.shared_ngram_spans(docs, "text", "doc_id", n=4, min_len=8)
+    return out.select(
+        "id_a", "id_b",
+        F.col("start_a").cast("bigint").alias("start_a"),
+        F.col("start_b").cast("bigint").alias("start_b"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"))
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: mean neg-log-prob per doc under the
+    corpus's own add-k unigram LM (lm.unigram_lm_score), fixed-point term
+    accumulation for engine-stable hashing; 20 most 'surprising' docs."""
+    docs = _t(spark, sf_dir, "documents")
+    out = lm.unigram_lm_score(docs, "text", "doc_id", add_k=0.5,
+                              term_decimals=6)
+    return (out.orderBy(F.col("avg_neg_logp").desc(), "doc_id").limit(20)
+            .select("doc_id", "n_toks",
+                    F.round("avg_neg_logp", 6).alias("avg_neg_logp")))
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram LM scoring (lm.bigram_lm_score) — the sharper
+    gibberish detector; same fixed-point contract as q_unigram_lm."""
+    docs = _t(spark, sf_dir, "documents")
+    out = lm.bigram_lm_score(docs, "text", "doc_id", add_k=0.5,
+                             term_decimals=6)
+    return (out.orderBy(F.col("avg_neg_logp").desc(), "doc_id").limit(20)
+            .select("doc_id", "n_bigrams",
+                    F.round("avg_neg_logp", 6).alias("avg_neg_logp")))
+
+
+def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast logistic quality model over expression-only features
+    (tx.linear_quality_score): scoring is a map-only pass fused into the
+    scan — the deploy shape of a trained doc-quality classifier."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(
+        "doc_id",
+        F.round(tx.linear_quality_score(F.col("text")), 6).alias("quality"))
+        .orderBy(F.col("quality").desc(), "doc_id").limit(50))
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings table (similarity.kmeans):
+    map-only assignment against literal centroids, one partial-aggregated
+    (cell, dim) exchange per iteration, k·dim driver bytes per round.
+    Rows-only check (iterative float argmin is not SQL-reproducible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = similarity.kmeans(emb, k=8, max_iter=10, seed=42)
+    return (assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+            .orderBy("cell"))
+
+
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with frequency ranks. Ranks come from
     Pipe.rank_by — range-partitioned parallel ranking, NOT a global
@@ -1601,10 +1661,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         # -- driver-RED in r01 (fixed: UTC-pinned, date-typed window) --
         "q12_priority_by_flag": q12_priority_by_flag,
-        # -- new in r02 (after the 48 never-checked + q12, so a 50-entry
-        # driver window still covers every row that lacks a green) --
+        # -- new in r02 (after the 44 never-checked + q12 = 45 entries, so a
+        # 50-entry driver window also covers the first 5 below; the rest
+        # rotate into the window next round) --
         "q_cc_star": q_cc_star,
+        "q_substring_spans": q_substring_spans,
+        "q_unigram_lm": q_unigram_lm,
+        "q_linear_quality": q_linear_quality,
         "q_global_rank_scan": q_global_rank_scan,
+        "q_bigram_lm": q_bigram_lm,
+        "q_kmeans": q_kmeans,
         "q_topk_window": q_topk_window,
         "q_rank_by_value": q_rank_by_value,
         "q_decontaminate": q_decontaminate,
@@ -1691,6 +1757,40 @@ def _lang_sql() -> str:
         WITH t AS (SELECT {_TOKENS} AS toks FROM documents),
         s AS (SELECT {scores} FROM t)
         SELECT {pick} AS lang, count(*) AS n_docs FROM s GROUP BY 1
+    """
+
+
+def _linear_quality_sql() -> str:
+    """Mirror of tx.linear_quality_score: same weights (module constants →
+    repr'd literals, so both engines multiply the SAME IEEE doubles) and the
+    same ADDITION ORDER (sorted feature names) — float addition isn't
+    associative, so the oracle must accumulate z identically."""
+    from scalding_spark.functions.text import (
+        QUALITY_MODEL_BIAS, QUALITY_MODEL_WEIGHTS, STOPWORDS)
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    w = QUALITY_MODEL_WEIGHTS
+    terms = " + ".join(
+        f"({w[name]!r}) * {name}" for name in sorted(w))
+    return f"""
+        WITH f AS (
+            SELECT doc_id,
+                   ln(1.0 + len({_TOKENS})) AS log_n_tok,
+                   CASE WHEN len(text) > 0 THEN
+                       len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                           / len(text)
+                   ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN len({_TOKENS}) > 0 THEN
+                       len(list_filter({_TOKENS}, x -> list_contains([{stops}], x)))
+                           / len({_TOKENS})
+                   ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN len({_TOKENS}) > 0 THEN
+                       list_sum(list_transform({_TOKENS}, x -> len(x)))
+                           / len({_TOKENS})
+                   ELSE 0.0 END AS mean_word_len
+            FROM documents),
+        z AS (SELECT doc_id, ({QUALITY_MODEL_BIAS!r}) + {terms} AS z FROM f)
+        SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality
+        FROM z ORDER BY 1.0 / (1.0 + exp(-z)) DESC, doc_id LIMIT 50
     """
 
 
@@ -2581,6 +2681,66 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY top_cnt::DOUBLE / n_toks DESC, doc_id
             LIMIT 20
         """,
+        # spans: the oracle joins on gram STRINGS where Spark joins on their
+        # xxhash64 — identical span sets absent a chained 64-bit collision
+        "q_substring_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            g0 AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+3], ' ') AS gram
+                   FROM toks, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)
+                   WHERE len(t) >= 4),
+            p AS (SELECT doc_id, pos, gram FROM (
+                    SELECT *, count(*) OVER (PARTITION BY gram) AS df FROM g0)
+                  WHERE df <= 1000),
+            m AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb,
+                         a.pos - b.pos AS diag
+                  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+            isl AS (SELECT *, pa - row_number() OVER (
+                        PARTITION BY ia, ib, diag ORDER BY pa) AS grp
+                    FROM m)
+            SELECT ia AS id_a, ib AS id_b,
+                   min(pa)::BIGINT AS start_a, min(pb)::BIGINT AS start_b,
+                   (count(*) + 3)::BIGINT AS span_tokens
+            FROM isl GROUP BY ia, ib, diag, grp
+            HAVING count(*) + 3 >= 8
+        """,
+        "q_unigram_lm": f"""
+            WITH ex AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+            dt AS (SELECT doc_id, tok, count(*) AS occ FROM ex GROUP BY 1, 2),
+            model AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY 1),
+            s AS (SELECT sum(cnt) AS n, count(*) AS v FROM model),
+            scored AS (SELECT doc_id, occ,
+                              CAST(round(-ln((cnt + 0.5) / ((SELECT n FROM s)
+                                   + 0.5 * (SELECT v FROM s))) * 1000000)
+                                   AS BIGINT) AS fx
+                       FROM dt JOIN model USING (tok)),
+            per AS (SELECT doc_id, sum(occ) AS n_toks,
+                           sum(occ * fx) / (1000000.0 * sum(occ)) AS anl
+                    FROM scored GROUP BY 1)
+            SELECT doc_id, n_toks, round(anl, 6) AS avg_neg_logp
+            FROM per ORDER BY anl DESC, doc_id LIMIT 20
+        """,
+        "q_bigram_lm": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            ex AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                   FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+                   WHERE len(t) >= 2),
+            db AS (SELECT doc_id, w1, w2, count(*) AS occ FROM ex GROUP BY 1, 2, 3),
+            pm AS (SELECT w1, w2, count(*) AS pair_cnt FROM ex GROUP BY 1, 2),
+            pf AS (SELECT w1, sum(pair_cnt) AS prefix_cnt FROM pm GROUP BY 1),
+            vv AS (SELECT count(DISTINCT tok) AS v
+                   FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)),
+            scored AS (SELECT doc_id, occ,
+                              CAST(round(-ln((pair_cnt + 0.5) / (prefix_cnt
+                                   + 0.5 * (SELECT v FROM vv))) * 1000000)
+                                   AS BIGINT) AS fx
+                       FROM db JOIN pm USING (w1, w2) JOIN pf USING (w1)),
+            per AS (SELECT doc_id, sum(occ) AS n_bigrams,
+                           sum(occ * fx) / (1000000.0 * sum(occ)) AS anl
+                    FROM scored GROUP BY 1)
+            SELECT doc_id, n_bigrams, round(anl, 6) AS avg_neg_logp
+            FROM per ORDER BY anl DESC, doc_id LIMIT 20
+        """,
+        "q_linear_quality": _linear_quality_sql(),
         "q_multimodal_features": """
             SELECT source, count(*) AS n_media,
                    round(avg(('0x' || substr(sha256(text), 1, 2))::INT / 255.0), 6)

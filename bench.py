@@ -44,6 +44,8 @@ HEADLINE = [
     "q_global_rank_scan",        # key-less global rank+scan, range-partitioned
     "q_decontaminate",           # benchmark n-gram overlap, double broadcast
     "q_rank_by_value",           # skew-free low-cardinality global rank
+    "q_substring_spans",         # span-level exact dedup (positional n-grams)
+    "q_unigram_lm",              # self-trained unigram LM doc scoring
 ]
 
 

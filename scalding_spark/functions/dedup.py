@@ -420,3 +420,67 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
     return (df.join(comps, df[id_col] == comps.node, "left")
             .withColumn("cluster_id", F.coalesce(F.col("comp"), F.col(id_col)))
             .drop("node", "comp"))
+
+
+def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
+                       n: int = 4, min_len: int = 8,
+                       max_gram_freq: int | None = 1000) -> DataFrame:
+    """Exact shared-substring detection: maximal token runs of length ≥
+    ``min_len`` appearing verbatim in two documents — the span-level exact
+    dedup used for training corpora (find & cut duplicated passages rather
+    than drop whole near-dup documents). Extends the document-level tiers
+    above (no reference analog; SURVEY §6 training-data extension).
+
+    Plan (all relational — no suffix array, no per-executor state):
+
+    1. per-doc positional ``n``-grams, hashed to 8 bytes
+       (one expression pass; the exchange below never carries text),
+    2. inverted-index self-join on the gram hash (docs must share an n-gram
+       to ever meet — no all-pairs),
+    3. anti-diagonal islands: matches of a doc pair on the same offset
+       difference ``pos_a - pos_b`` with consecutive ``pos_a`` form one
+       maximal shared run (gaps-and-islands via one window row_number),
+    4. one groupBy emits each maximal span once:
+       length = consecutive_grams + n - 1 tokens.
+
+    Scale levers mirror ``ngram_jaccard_pairs``: ``max_gram_freq`` drops
+    boilerplate grams whose d² match blowup would dominate (a gram in d docs
+    yields d² position matches); spans consisting ONLY of such grams are
+    lost — conservative, and at ``max_gram_freq=1000`` a surviving span
+    still needs just one sub-frequency gram. The join key is an 8-byte
+    xxhash64 (a 64-bit collision can fabricate one gram match, which then
+    needs ``min_len - n`` consecutive *further* collisions on the same
+    diagonal to fake a span — vanishing, and exact-match verification can
+    be layered by re-joining the token slices).
+
+    Returns (id_a, id_b, start_a, start_b, span_tokens), id_a < id_b.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""))
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), k - n)  # valid gram start positions
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")))
+    g = (df.where(k >= n)
+         .select(F.col(id_col).alias("id"),
+                 F.posexplode(grams).alias("pos", "gh")))
+    if max_gram_freq is not None:
+        # window count over the gram hash: same exchange the self-join needs,
+        # so pruning rides the partitioning it would pay for anyway
+        wg = Window.partitionBy("gh")
+        g = (g.withColumn("__df", F.count(F.lit(1)).over(wg))
+             .where(F.col("__df") <= max_gram_freq).drop("__df"))
+    a, b = g.alias("a"), g.alias("b")
+    m = (a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                & (F.col("a.id") < F.col("b.id")))
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.pos").alias("pos_a"), F.col("b.pos").alias("pos_b"),
+                 (F.col("a.pos") - F.col("b.pos")).alias("diag")))
+    wi = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    isl = m.withColumn("__isl", F.col("pos_a") - F.row_number().over(wi))
+    return (isl.groupBy("id_a", "id_b", "diag", "__isl")
+            .agg(F.min("pos_a").alias("start_a"),
+                 F.min("pos_b").alias("start_b"),
+                 (F.count(F.lit(1)) + n - 1).alias("span_tokens"))
+            .where(F.col("span_tokens") >= min_len)
+            .select("id_a", "id_b", "start_a", "start_b", "span_tokens"))

@@ -211,3 +211,68 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
             .where(F.col("cosine") >= threshold)
             .groupBy("id_a", "id_b")
             .agg(F.max("cosine").alias("cosine")))
+
+
+def _nearest_centroid_l2(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmin-by-squared-L2 centroid id as a pure expression — the k
+    centroid distances unroll into generated code, so assignment fuses into
+    the scan (map-only, no UDF, no shuffle)."""
+    scored = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("d2"),
+            F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)])
+    return F.array_min(scored)["cell"]
+
+
+def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           seed: int = 42, tol: float = 1e-4,
+           stats: dict | None = None) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an embedding column, Spark-first.
+
+    Per iteration:
+    - ASSIGN is map-only: centroids are plan literals
+      (:func:`_nearest_centroid_l2`), so the corpus is never shuffled for
+      assignment.
+    - UPDATE is one partial-aggregated exchange: posexplode to
+      (cell, dim, value) then groupBy(cell, dim) mean — the map side
+      combines to ≤ k·dim rows per task, so the shuffle carries
+      O(k·dim·partitions) bytes regardless of corpus size, and the driver
+      collects exactly k·dim numbers (the new centroids), never vectors.
+
+    Convergence: max centroid shift (L∞ over all coordinates) < ``tol``.
+    Empty cells keep their previous centroid. Deterministic for a fixed
+    (corpus, k, seed): init picks corpus vectors by seeded-hash order
+    (:func:`ivf_centroids`) and double-precision means are order-insensitive
+    up to float addition in the fixed-layout partial aggregation.
+
+    Returns (assignments DataFrame (id, cell), final centroids).
+    ``stats['iterations']`` reports rounds run.
+    """
+    cents = ivf_centroids(corpus, k, id_col=id_col, vec_col=vec_col, seed=seed)
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        assigned = src.select("id", "v",
+                              _nearest_centroid_l2(F.col("v"), cents).alias("cell"))
+        sums = (assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(F.avg(F.col("x").cast("double")).alias("m")))
+        new_cents = [list(c) for c in cents]  # empty cells keep position
+        for r in sums.collect():              # ≤ k·dim tiny rows
+            new_cents[r.cell][r.dim] = r.m
+        shift = max((abs(a - b)
+                     for row_a, row_b in zip(cents, new_cents)
+                     for a, b in zip(row_a, row_b)), default=0.0)
+        cents = new_cents
+        if shift < tol:
+            break
+    if stats is not None:
+        stats["iterations"] = iters
+    out = src.select("id", _nearest_centroid_l2(F.col("v"), cents).alias("cell"))
+    return out, cents

@@ -165,3 +165,53 @@ def shingles(col: Column, n: int = 3) -> Column:
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     return F.when(k >= n, F.array_distinct(grams)).otherwise(
         F.when(k > 0, F.array(F.array_join(toks, " "))).otherwise(F.array().cast("array<string>")))
+
+
+# Default logistic quality-scorer weights: hand-set, documented magnitudes —
+# the OPERATOR contract is "broadcast linear model over expression features";
+# production swaps in trained weights without touching the plan.
+QUALITY_MODEL_WEIGHTS = {
+    "log_n_tok": 0.9,       # longer docs mildly favored (log-scaled)
+    "punct_ratio": -6.0,    # symbol soup penalized
+    "stop_ratio": 4.0,      # healthy function-word density favored
+    "mean_word_len": -0.35, # very long average tokens ≈ code/URLs/gibberish
+}
+QUALITY_MODEL_BIAS = -1.0
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """The expression-only feature vector for :func:`linear_quality_score`.
+    Every feature is a pure Column (whole-stage-codegen'd, no UDF); features
+    needing corpus statistics (e.g. top_word_fraction) are deliberately
+    excluded — they're per-doc aggregates to join in upstream if wanted."""
+    toks = tokenize(col)
+    n = F.size(toks)
+    mean_wl = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n
+    ).otherwise(F.lit(0.0))
+    return {
+        "log_n_tok": F.log(F.lit(1.0) + n),
+        "punct_ratio": punct_ratio(col),
+        "stop_ratio": stopword_ratio(col),
+        "mean_word_len": mean_wl,
+    }
+
+
+def linear_quality_score(col: Column,
+                         weights: dict[str, float] | None = None,
+                         bias: float | None = None) -> Column:
+    """Logistic quality score in [0,1]: sigmoid(bias + w·features).
+
+    The scale-relevant property: the model is plan literals (broadcast by
+    value inside the generated code), the features are Column expressions —
+    scoring 100 TB is a map-only pass fused into whatever scan feeds it.
+    This is the deploy shape for any linear/logistic doc-quality classifier
+    (fastText-style bag-of-features models reduce to it after training)."""
+    w = QUALITY_MODEL_WEIGHTS if weights is None else weights
+    b = QUALITY_MODEL_BIAS if bias is None else bias
+    feats = quality_features(col)
+    z = F.lit(float(b))
+    for name, weight in sorted(w.items()):
+        z = z + F.lit(float(weight)) * feats[name]
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -1,0 +1,224 @@
+"""Tests for the round-2 training-data scoring operators: shared n-gram
+spans (span-level exact dedup), self-trained n-gram LM scoring, the
+broadcast linear quality model, and distributed k-means."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark.functions import lm
+from scalding_spark.functions.dedup import shared_ngram_spans
+from scalding_spark.functions.similarity import kmeans
+from scalding_spark.functions.text import (
+    QUALITY_MODEL_BIAS, QUALITY_MODEL_WEIGHTS, STOPWORDS,
+    linear_quality_score)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+# --- shared_ngram_spans ----------------------------------------------------
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+def test_spans_finds_exact_shared_run(spark):
+    run = " ".join(WORDS[:10])               # 10-token shared run
+    d0 = "zebra yak xray " + run + " walrus vulture"
+    d1 = "unicorn " + run + " tapir seal rabbit"
+    out = shared_ngram_spans(_docs(spark, [d0, d1]), "text", "doc_id",
+                             n=4, min_len=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (0, 1)
+    assert r.span_tokens == 10
+    assert r.start_a == 3 and r.start_b == 1
+
+
+def test_spans_below_min_len_dropped(spark):
+    run = " ".join(WORDS[:6])                # 6 < min_len=8
+    d0 = "zebra yak " + run + " walrus"
+    d1 = "unicorn " + run + " seal"
+    out = shared_ngram_spans(_docs(spark, [d0, d1]), "text", "doc_id",
+                             n=4, min_len=8).collect()
+    assert out == []
+
+
+def test_spans_gap_splits_islands(spark):
+    # two shared runs separated by differing middles -> two spans, not one
+    run1, run2 = " ".join(WORDS[:8]), " ".join(WORDS[10:18])
+    d0 = run1 + " zebra " + run2
+    d1 = run1 + " yak " + run2
+    out = shared_ngram_spans(_docs(spark, [d0, d1]), "text", "doc_id",
+                             n=4, min_len=8)
+    rows = sorted(out.collect(), key=lambda r: r.start_a)
+    assert [r.span_tokens for r in rows] == [8, 8]
+    assert rows[0].start_a == 0 and rows[1].start_a == 9
+
+
+def test_spans_three_docs_pairwise(spark):
+    run = " ".join(WORDS[:9])
+    texts = ["aa " + run + " bb", "cc dd " + run, run + " ee ff gg"]
+    out = shared_ngram_spans(_docs(spark, texts), "text", "doc_id",
+                             n=4, min_len=8)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_spans_hot_gram_pruned(spark):
+    # the shared run appears in ALL docs -> every gram of it exceeds the
+    # cap, so the span disappears (conservative pruning), while a rarer
+    # run between two docs survives
+    boiler = " ".join(WORDS[:8])
+    rare = " ".join(WORDS[10:18])
+    texts = [boiler + " x" + str(i) for i in range(6)]
+    texts.append(boiler + " " + rare)
+    texts.append(rare + " " + boiler)
+    got = shared_ngram_spans(_docs(spark, texts), "text", "doc_id",
+                             n=4, min_len=8, max_gram_freq=5).collect()
+    assert {(r.id_a, r.id_b, r.span_tokens) for r in got} == {(6, 7, 8)}
+
+
+# --- n-gram LM scoring -----------------------------------------------------
+
+def _py_unigram(texts, add_k=0.5):
+    toks = [t.lower().split() for t in texts]
+    cnt: dict[str, int] = {}
+    for ts in toks:
+        for w in ts:
+            cnt[w] = cnt.get(w, 0) + 1
+    N, V = sum(cnt.values()), len(cnt)
+    out = {}
+    for i, ts in enumerate(toks):
+        if ts:
+            out[i] = sum(-math.log((cnt[w] + add_k) / (N + add_k * V))
+                         for w in ts) / len(ts)
+    return out
+
+
+def test_unigram_lm_matches_hand_model(spark):
+    texts = ["the cat sat", "the the the", "quantum flux capacitor", ""]
+    got = {r.doc_id: (r.n_toks, r.avg_neg_logp)
+           for r in lm.unigram_lm_score(
+               _docs(spark, texts), "text", "doc_id").collect()}
+    want = _py_unigram(texts)
+    assert set(got) == set(want)          # empty doc absent
+    for i, w in want.items():
+        assert got[i][1] == pytest.approx(w, rel=1e-12)
+    assert got[1][0] == 3
+    # repetitive common-token doc scores LOWER surprise than rare-token doc
+    assert got[1][1] < got[2][1]
+
+
+def test_unigram_lm_fixed_point_close_to_exact(spark):
+    texts = ["the cat sat on the mat", "rare words only here"]
+    exact = {r.doc_id: r.avg_neg_logp for r in lm.unigram_lm_score(
+        _docs(spark, texts), "text", "doc_id").collect()}
+    fixed = {r.doc_id: r.avg_neg_logp for r in lm.unigram_lm_score(
+        _docs(spark, texts), "text", "doc_id", term_decimals=6).collect()}
+    for i in exact:
+        assert fixed[i] == pytest.approx(exact[i], abs=1e-5)
+
+
+def test_bigram_lm_matches_hand_model(spark):
+    texts = ["a b a b a", "a a a a", "c d"]
+    toks = [t.split() for t in texts]
+    pair_cnt: dict[tuple, int] = {}
+    for ts in toks:
+        for x, y in zip(ts, ts[1:]):
+            pair_cnt[(x, y)] = pair_cnt.get((x, y), 0) + 1
+    prefix = {}
+    for (x, _), c in pair_cnt.items():
+        prefix[x] = prefix.get(x, 0) + c
+    V = len({w for ts in toks for w in ts})
+    want = {}
+    for i, ts in enumerate(toks):
+        ps = list(zip(ts, ts[1:]))
+        want[i] = sum(-math.log((pair_cnt[p] + 0.5) / (prefix[p[0]] + 0.5 * V))
+                      for p in ps) / len(ps)
+    got = {r.doc_id: (r.n_bigrams, r.avg_neg_logp)
+           for r in lm.bigram_lm_score(
+               _docs(spark, texts), "text", "doc_id").collect()}
+    for i, w in want.items():
+        assert got[i][1] == pytest.approx(w, rel=1e-12)
+    assert got[0][0] == 4
+
+
+# --- linear quality score --------------------------------------------------
+
+def _py_quality(text):
+    toks = [t for t in "".join(
+        c if c.isalnum() else " " for c in text.lower()).split() if t]
+    n = len(toks)
+    punct = sum(1 for c in text if not (c.isalnum() or c.isspace()))
+    feats = {
+        "log_n_tok": math.log(1.0 + n),
+        "punct_ratio": (punct / len(text)) if text else 0.0,
+        "stop_ratio": (sum(1 for t in toks if t in STOPWORDS["en"]) / n) if n else 0.0,
+        "mean_word_len": (sum(len(t) for t in toks) / n) if n else 0.0,
+    }
+    z = QUALITY_MODEL_BIAS
+    for name in sorted(QUALITY_MODEL_WEIGHTS):
+        z += QUALITY_MODEL_WEIGHTS[name] * feats[name]
+    return 1.0 / (1.0 + math.exp(-z))
+
+
+def test_linear_quality_matches_formula(spark):
+    texts = ["The cat sat on the mat with a hat and it is fine.",
+             "$$$ ### !!! ??? ***",
+             "zxqwv pneumonoultramicroscopic reallylongtokens everywhere",
+             ""]
+    got = [r.q for r in _docs(spark, texts)
+           .select(linear_quality_score(F.col("text")).alias("q"))
+           .orderBy("doc_id").collect()]
+    for g, t in zip(got, texts):
+        assert g == pytest.approx(_py_quality(t), rel=1e-9)
+    # prose beats symbol soup and gibberish
+    assert got[0] > got[1] and got[0] > got[2]
+
+
+def test_linear_quality_custom_weights(spark):
+    got = (_docs(spark, ["five tokens of plain text"])
+           .select(linear_quality_score(
+               F.col("text"), weights={"log_n_tok": 0.0, "punct_ratio": 0.0,
+                                       "stop_ratio": 0.0, "mean_word_len": 0.0},
+               bias=0.0).alias("q")).collect()[0].q)
+    assert got == pytest.approx(0.5)
+
+
+# --- k-means ---------------------------------------------------------------
+
+def test_kmeans_separates_blobs(spark):
+    # two tight, far-apart blobs; deterministic points
+    pts = [(i, [float(10 + (i % 5)) * 0.01 + 10.0, 10.0]) for i in range(20)]
+    pts += [(100 + i, [-10.0, float(i % 7) * 0.01 - 10.0]) for i in range(20)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    stats: dict = {}
+    assigned, cents = kmeans(df, k=2, max_iter=10, seed=42, stats=stats)
+    rows = assigned.collect()
+    by_blob = {}
+    for r in rows:
+        by_blob.setdefault(r.id < 100, set()).add(r.cell)
+    # each blob maps to exactly one cell, and the cells differ
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    assert by_blob[True] != by_blob[False]
+    assert 1 <= stats["iterations"] <= 10
+    assert len(cents) == 2 and len(cents[0]) == 2
+    # centroids converged near the blob centers
+    got = sorted(round(c[0]) for c in cents)
+    assert got == [-10, 10]
+
+
+def test_kmeans_deterministic(spark):
+    import random
+    rnd = random.Random(7)
+    pts = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    a1, c1 = kmeans(df, k=4, max_iter=5, seed=1)
+    a2, c2 = kmeans(df, k=4, max_iter=5, seed=1)
+    assert c1 == c2
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
