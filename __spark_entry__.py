@@ -36,7 +36,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # hash-mismatched on the driver only; its shipdate-window filter shifts
     # under a non-UTC session TZ.)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (id(spark), sf_dir, name)
+    # applicationId, not id(spark): CPython reuses id()s after GC, so a
+    # long-lived driver that rebuilds sessions could get cache hits carrying
+    # DataFrames bound to a DEAD session. App ids are timestamped-unique.
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _T_CACHE.get(key)
     if cached is not None:
         return cached

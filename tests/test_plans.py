@@ -230,3 +230,52 @@ def test_lsh_candidate_dedup_shuffles_no_vectors(spark, variant):
         if name.startswith("Shuffle") and any(t == "array" for _, t in cols)
     ]
     assert not offenders, f"shuffle exchanges carrying vectors: {offenders}"
+
+
+def test_substring_spans_shuffles_no_text(spark):
+    """shared_ngram_spans' exchanges must carry (id, pos, 8-byte gram hash)
+    — never the text or gram strings. Same contract as LSH dedup: the
+    inverted-index join keys on hashes."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dedup.shared_ngram_spans(docs, "text", "doc_id", n=4, min_len=8)
+    offenders = [
+        (name, cols)
+        for name, _part, cols in _shuffle_exchange_schemas(df)
+        if name.startswith("Shuffle") and any(t == "string" for _, t in cols)
+    ]
+    assert not offenders, f"shuffle exchanges carrying text: {offenders}"
+
+
+def test_unigram_lm_aggregates_are_partial(spark):
+    """Both LM count tables and the per-doc mean must plan as two-level
+    HashAggregate (map-side combine) — the shuffle carries distinct
+    (doc, tok) rows, not token occurrences."""
+    from scalding_spark.functions import lm
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(lm.unigram_lm_score(docs, "text", "doc_id"))
+    # 3 aggregations (doc-term, model, per-doc) * 2 levels, plus the scalar agg
+    assert p.count("HashAggregate") >= 6
+    assert "partial_count" in p
+
+
+def test_linear_quality_is_map_only(spark):
+    """Scoring with plan-literal weights must fuse into the scan: no
+    exchange, no UDF, one codegen span."""
+    from scalding_spark.functions.text import linear_quality_score
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(docs.select("doc_id",
+                         linear_quality_score(F.col("text")).alias("q")))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """The assignment pass against literal centroids must not shuffle the
+    corpus — only the (cell, dim) update aggregation may exchange."""
+    from scalding_spark.functions import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, 4)
+    assigned = emb.select(
+        "vec_id",
+        similarity._nearest_centroid_l2(F.col("embedding"), cents).alias("cell"))
+    assert "Exchange" not in plan(assigned)
