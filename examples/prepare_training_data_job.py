@@ -3,11 +3,17 @@ engine's operators, from raw corpus to reproducible train/val/test splits.
 
   raw docs
    → PII redaction           (pure-codegen regex cascade, no UDF)
-   → quality + language gate (column-expression scoring)
+   → quality + language gate (heuristic band + logistic model score, both
+                              column expressions fused into the scan)
+   → LM-surprise gate        (self-trained unigram LM: drops the gibberish
+                              tail the linear model can't see)
    → near-dup CLUSTERING     (n-gram Jaccard pairs → connected components;
                               keeps the canonical doc per cluster, unlike
                               pairwise loser-dropping which over-deletes
                               transitive chains)
+   → span-level audit        (shared verbatim passages ≥ 12 tokens among
+                              survivors, written alongside the corpus —
+                              the reviewable evidence for a later cut pass)
    → stratified downsample   (per-source md5-range fractions — reproducible
                               across runs, clusters, partitionings)
    → train/val/test split    (disjoint md5 ranges, auditable contract)
@@ -24,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from scalding_spark.job import Job
-from scalding_spark.functions import dedup, sampling
+from scalding_spark.functions import dedup, lm, sampling
 from scalding_spark.functions import text as tx
 
 
@@ -35,14 +41,28 @@ class PrepareTrainingDataJob(Job):
         # 1. redact PII in place (email/IP/phone — shared regex constants)
         docs = docs.withColumn("text", tx.pii_redact(F.col("text")))
 
-        # 2. quality + language gate
+        # 2. quality + language gate: heuristic band AND the logistic model
+        # (both pure expressions — the two filters fuse into one scan pass)
         min_q = float(self.args.getOrElse("min-quality", "0.3"))
-        docs = docs.where(tx.quality_score(F.col("text")) >= min_q)
+        min_model = float(self.args.getOrElse("min-model-score", "0.2"))
+        docs = docs.where(
+            (tx.quality_score(F.col("text")) >= min_q)
+            & (tx.linear_quality_score(F.col("text")) >= min_model))
         lang = self.args.getOrElse("lang", "")
         if lang:
             docs = docs.where(tx.lang_id(F.col("text")) == lang)
 
-        # 3. near-dup clustering: keep one canonical doc per component
+        # 3. LM-surprise gate: drop the most off-distribution tail by
+        # self-trained unigram LM (joins back on doc_id; docs with no
+        # tokens were already removed by the quality band)
+        max_surprise = self.args.getOrElse("max-neg-logp", "")
+        if max_surprise:
+            scores = lm.unigram_lm_score(docs, "text", "doc_id")
+            docs = (docs.join(scores.select("doc_id", "avg_neg_logp"), "doc_id")
+                    .where(F.col("avg_neg_logp") <= float(max_surprise))
+                    .drop("avg_neg_logp"))
+
+        # 4. near-dup clustering: keep one canonical doc per component
         thr = float(self.args.getOrElse("jaccard", "0.5"))
         pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                           n=3, threshold=thr)
@@ -50,7 +70,14 @@ class PrepareTrainingDataJob(Job):
         kept = clustered.where(F.col("doc_id") == F.col("cluster_id")) \
             .drop("cluster_id")
 
-        # 4. per-source stratified downsample (defaults: keep everything)
+        # 5. span-level audit: verbatim shared passages among the survivors
+        # (evidence table for a later passage-cut pass, not a filter here)
+        spans = dedup.shared_ngram_spans(kept, "text", "doc_id",
+                                         n=4, min_len=12)
+        spans.write.mode("overwrite").parquet(
+            self.args("output").rstrip("/") + "_shared_spans")
+
+        # 6. per-source stratified downsample (defaults: keep everything)
         frac = float(self.args.getOrElse("keep-fraction", "1.0"))
         if frac < 1.0:
             sources = [r["source"] for r in
@@ -58,7 +85,7 @@ class PrepareTrainingDataJob(Job):
             kept = sampling.stratified_sample(
                 kept, "doc_id", "source", {s: frac for s in sources})
 
-        # 5. reproducible splits + partitioned write
+        # 7. reproducible splits + partitioned write
         out = sampling.train_val_test_split(kept, "doc_id")
         out.write.mode("overwrite").partitionBy("split") \
             .parquet(self.args("output"))

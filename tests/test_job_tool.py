@@ -75,9 +75,14 @@ def test_prepare_training_data_job_end_to_end(spark, tmp_path):
     job = PrepareTrainingDataJob(
         Args(["--input", "/root/testdata/sf0.001/documents.parquet",
               "--output", out, "--min-quality", "0.0",
+              "--min-model-score", "0.0", "--max-neg-logp", "99",
               "--jaccard", "0.5"]), spark)
     job.run()
     got = spark.read.parquet(out)
+    # span-audit sidecar exists with the contract schema (may be empty)
+    spans = spark.read.parquet(out + "_shared_spans")
+    assert set(spans.columns) == {"id_a", "id_b", "start_a", "start_b",
+                                  "span_tokens"}
     n_in = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet").count()
     n_out = got.count()
