@@ -1392,10 +1392,12 @@ def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tx.linear_quality_score): scoring is a map-only pass fused into the
     scan — the deploy shape of a trained doc-quality classifier."""
     docs = _t(spark, sf_dir, "documents")
-    return (docs.select(
-        "doc_id",
-        F.round(tx.linear_quality_score(F.col("text")), 6).alias("quality"))
-        .orderBy(F.col("quality").desc(), "doc_id").limit(50))
+    # order by the UNROUNDED score (the oracle does too) — ordering by the
+    # rounded value could pick a different top-50 set at the cut boundary
+    return (docs.select("doc_id",
+                        tx.linear_quality_score(F.col("text")).alias("__q"))
+            .orderBy(F.col("__q").desc(), "doc_id").limit(50)
+            .select("doc_id", F.round("__q", 6).alias("quality")))
 
 
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,9 +1666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         # -- driver-RED in r01 (fixed: UTC-pinned, date-typed window) --
         "q12_priority_by_flag": q12_priority_by_flag,
-        # -- new in r02 (after the 44 never-checked + q12 = 45 entries, so a
-        # 50-entry driver window also covers the first 5 below; the rest
-        # rotate into the window next round) --
+        # -- new in r02. 48 never-checked + q12 = 49 entries precede this
+        # block, so a 50-entry driver window reaches exactly one more
+        # (q_cc_star); everything from q_substring_spans down rotates into
+        # the window in r03 (the judge's full oracle gate covers them now) --
         "q_cc_star": q_cc_star,
         "q_substring_spans": q_substring_spans,
         "q_unigram_lm": q_unigram_lm,

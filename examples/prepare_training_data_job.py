@@ -53,13 +53,16 @@ class PrepareTrainingDataJob(Job):
             docs = docs.where(tx.lang_id(F.col("text")) == lang)
 
         # 3. LM-surprise gate: drop the most off-distribution tail by
-        # self-trained unigram LM (joins back on doc_id; docs with no
-        # tokens were already removed by the quality band)
+        # self-trained unigram LM. LEFT join: token-less docs have no LM
+        # score (nothing to average) — a gate on "too surprising" must keep
+        # them, not silently delete them via an inner join.
         max_surprise = self.args.getOrElse("max-neg-logp", "")
         if max_surprise:
             scores = lm.unigram_lm_score(docs, "text", "doc_id")
-            docs = (docs.join(scores.select("doc_id", "avg_neg_logp"), "doc_id")
-                    .where(F.col("avg_neg_logp") <= float(max_surprise))
+            docs = (docs.join(scores.select("doc_id", "avg_neg_logp"),
+                              "doc_id", "left")
+                    .where(F.col("avg_neg_logp").isNull()
+                           | (F.col("avg_neg_logp") <= float(max_surprise)))
                     .drop("avg_neg_logp"))
 
         # 4. near-dup clustering: keep one canonical doc per component

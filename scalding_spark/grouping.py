@@ -480,7 +480,12 @@ class SortedGroup:
                     offs = self._prefix_offsets(d, agg(_c(col)), prefix_agg)
                     res = (d.withColumn("__loc", loc)
                            .join(F.broadcast(offs), "__pid")
+                           # __loc is NULL when the local prefix holds no
+                           # non-null values — the global window semantics
+                           # (nulls skipped) then want the earlier-partition
+                           # total alone, not NULL-poisoned `off + NULL`
                            .withColumn(out, F.when(F.col("__off").isNull(), F.col("__loc"))
+                                       .when(F.col("__loc").isNull(), F.col("__off"))
                                        .otherwise(merge(F.col("__off"), F.col("__loc"))))
                            .drop("__pid", "__loc", "__off"))
                     return Pipe(res)

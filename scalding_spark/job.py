@@ -120,6 +120,11 @@ class Range:
         return (isinstance(other, Range) and self.lower == other.lower
                 and self.upper == other.upper)
 
+    def __hash__(self) -> int:
+        # defining __eq__ alone sets __hash__ = None (unhashable) — ranges
+        # are natural set members / dict keys for date-keyed job chains
+        return hash((self.lower, self.upper))
+
     def __repr__(self) -> str:
         return f"Range({self.lower!r}, {self.upper!r})"
 

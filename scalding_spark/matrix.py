@@ -182,6 +182,12 @@ class SparseHint(SizeHintBase):
             return NO_CLUE
         if isinstance(other, FiniteHint):
             return self * SparseHint(1.0, other.rows, other.cols)
+        if self.cols < 0:
+            # unknown inner dimension: the collision estimate needs cols —
+            # a -1 here used to produce NEGATIVE sparsity/total, which the
+            # strategy dispatch read as "tiny" and broadcast an unbounded
+            # matrix. Unknown in → unknown out.
+            return NO_CLUE
         new_sp = self.cols * self.sparsity * other.sparsity
         if new_sp >= 1.0:
             return FiniteHint(self.rows, other.cols)
@@ -258,7 +264,10 @@ def choose_product_strategy(left: SizeHintBase, right: SizeHintBase) -> str:
     tiny = [(t, name)
             for t, name in ((left.total, "broadcast_left"),
                             (right.total, "broadcast_right"))
-            if t is not None and t < MAX_TINY_JOIN]
+            # 0 <= t: a negative expected count is a corrupted hint (e.g.
+            # user-built SparseHint with negative sparsity) — never treat
+            # garbage as "tiny enough to broadcast"
+            if t is not None and 0 <= t < MAX_TINY_JOIN]
     if tiny:
         return min(tiny)[1]
     return "shuffle"

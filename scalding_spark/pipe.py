@@ -257,8 +257,16 @@ class Pipe:
             (F.col("__off_n") + F.col("__cum") - F.col("__n") + 1)
         ranked = (local.join(F.broadcast(offs), "__pid")
                   .withColumn(rank_col, r)
-                  .select(*cols, rank_col))
-        return Pipe(self.df.join(ranked, on=list(cols)))
+                  .select(*[F.col(c).alias(f"__v_{c}") for c in cols], rank_col))
+        # null-SAFE equi-join back: groupBy ranks a NULL value group like any
+        # other, but a plain `on=cols` join never matches NULL = NULL and
+        # would silently drop every null-keyed row from a rank-every-row op
+        cond = None
+        for c in cols:
+            this = self.df[c].eqNullSafe(F.col(f"__v_{c}"))
+            cond = this if cond is None else cond & this
+        return Pipe(self.df.join(ranked, on=cond)
+                    .drop(*[f"__v_{c}" for c in cols]))
 
     # -- misc parity -------------------------------------------------------
 

@@ -169,3 +169,86 @@ def test_as_of_join_suffixes_colliding_right_columns(spark):
     assert sorted(out.columns) == ["k", "ts", "ts_right", "v", "v_right"]
     row = out.collect()[0]
     assert (row.v, row.v_right, row.ts_right) == ("L", "R", 99.0)
+
+
+# --- round-2 self-review fixes ---------------------------------------------
+
+def test_sparse_hint_unknown_inner_dim_never_tiny():
+    """SparseHint * with cols=-1 used to yield NEGATIVE sparsity/total,
+    which the strategy dispatch read as 'tiny' and broadcast an unbounded
+    matrix. Unknown inner dim must propagate to NoClue / shuffle."""
+    from scalding_spark.matrix import (
+        FiniteHint, NoClue, SparseHint, choose_product_strategy)
+
+    h = SparseHint(0.5, 1_000_000, -1) * FiniteHint(1_000_000, 1_000_000)
+    assert isinstance(h, NoClue)
+    assert choose_product_strategy(
+        SparseHint(0.5, 1_000_000, -1) * FiniteHint(1_000_000, 1_000_000),
+        FiniteHint(1_000_000, 1_000_000)) == "shuffle"
+    # corrupted hints (negative sparsity straight from the user) also never
+    # qualify as broadcastable
+    assert choose_product_strategy(
+        SparseHint(-0.5, 10, 10), FiniteHint(1_000_000, 1_000_000)) == "shuffle"
+
+
+def test_keyless_scan_left_null_values_keep_prefix(spark):
+    """A row whose local null-only prefix produced __loc = NULL must still
+    inherit the earlier partitions' running total (global window sums skip
+    nulls) — `off + NULL` used to poison it to NULL."""
+    from pyspark.sql import functions as F
+    from scalding_spark.pipe import Pipe
+
+    df = spark.createDataFrame(
+        [(i, None if i >= 50 else float(i)) for i in range(100)],
+        "x long, v double")
+    got = (Pipe(df).group_all().sort_by("x").scan_left("v", "cum")
+           .df.orderBy("x").collect())
+    want = 0.0
+    for r in got:
+        if r.v is not None:
+            want += r.v
+        assert r.cum == want  # rows past x=50 carry the x<50 total, not NULL
+
+
+def test_rank_by_value_keeps_null_keys(spark):
+    """rank_by_value must rank NULL-valued rows like the window form does —
+    the join-back is null-safe, not a silent inner-join drop."""
+    from pyspark.sql import functions as F
+    from scalding_spark.pipe import Pipe
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None), (5, "a")],
+        "id long, seg string")
+    got = Pipe(df).rank_by_value("seg").df
+    assert got.count() == 5          # nothing dropped
+    by_seg = {(r.seg, r.rank) for r in got.collect()}
+    # Spark range-partition ordering is NULLS FIRST: nulls rank 1, a -> 3, b -> 5
+    assert by_seg == {(None, 1), ("a", 3), ("b", 5)}
+
+
+def test_range_is_hashable():
+    from scalding_spark.job import Range
+
+    assert {Range(1, 2), Range(1, 2), Range(2, 3)} == {Range(1, 2), Range(2, 3)}
+    assert hash(Range(1, 2)) == hash(Range(1, 2))
+
+
+def test_lm_gate_keeps_tokenless_docs(spark, tmp_path):
+    """The prep job's LM-surprise gate must not delete docs that have no LM
+    score (no tokens) — regression for the inner-join drop."""
+    from scalding_spark.job import Args
+    from examples.prepare_training_data_job import PrepareTrainingDataJob
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today", "en", "s", 40),
+         (2, "?!", "en", "s", 2)],   # no tokens -> no LM score
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    out = str(tmp_path / "corpus")
+    PrepareTrainingDataJob(Args(
+        ["--input", src, "--output", out, "--min-quality", "0.0",
+         "--min-model-score", "0.0", "--max-neg-logp", "1e9",
+         "--jaccard", "0.9"]), spark).run()
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2}
