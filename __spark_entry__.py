@@ -1411,6 +1411,29 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cell"))
 
 
+def q_map_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapStream escape hatch (GroupBuilder.scala:219-228) driver-checked
+    end-to-end: an arbitrary pandas iterator transform over each key's
+    SORTED stream — running account-balance total per market segment in
+    exact cents (fixed-point, so the pandas cumsum and the oracle's window
+    sum are byte-identical). The one Arrow-batched op in the contract."""
+    import pandas as pd
+
+    def running(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cents = (pdf["c_acctbal"] * 100).round().astype("int64").cumsum()
+        return pd.DataFrame({
+            "c_custkey": pdf["c_custkey"],
+            "c_mktsegment": pdf["c_mktsegment"],
+            "running_bal": cents / 100.0,
+        })
+
+    cust = _p(spark, sf_dir, "customer")
+    return (cust.group_by("c_mktsegment").sort_by("c_custkey")
+            .map_stream(running,
+                        "c_custkey long, c_mktsegment string, running_bal double")
+            .df)
+
+
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with frequency ranks. Ranks come from
     Pipe.rank_by — range-partitioned parallel ranking, NOT a global
@@ -1677,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_global_rank_scan": q_global_rank_scan,
         "q_bigram_lm": q_bigram_lm,
         "q_kmeans": q_kmeans,
+        "q_map_stream": q_map_stream,
         "q_topk_window": q_topk_window,
         "q_rank_by_value": q_rank_by_value,
         "q_decontaminate": q_decontaminate,
@@ -2747,6 +2771,13 @@ def oracle_sql() -> dict[str, str]:
             FROM per ORDER BY anl DESC, doc_id LIMIT 20
         """,
         "q_linear_quality": _linear_quality_sql(),
+        "q_map_stream": """
+            SELECT c_custkey, c_mktsegment,
+                   sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER (
+                       PARTITION BY c_mktsegment ORDER BY c_custkey
+                       ROWS UNBOUNDED PRECEDING) / 100.0 AS running_bal
+            FROM customer
+        """,
         "q_multimodal_features": """
             SELECT source, count(*) AS n_media,
                    round(avg(('0x' || substr(sha256(text), 1, 2))::INT / 255.0), 6)
