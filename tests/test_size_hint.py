@@ -167,3 +167,30 @@ def test_matmul_broadcasts_sparse_tiny_side(spark):
     assert isinstance(out2.hint, (SparseHint, FiniteHint))
     plan2 = out2.df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan2
+
+
+@given(any_hint, any_hint)
+def test_product_total_never_negative(a, b):
+    """A product hint's expected count is None (unknown) or >= 0 — never
+    negative. SparseHint * with an unknown inner dim used to produce a
+    NEGATIVE sparsity/total that the strategy dispatch read as 'tiny' and
+    broadcast an unbounded matrix."""
+    t = (a * b).total
+    assert t is None or t >= 0
+
+
+@given(any_hint, any_hint)
+def test_sum_total_never_negative(a, b):
+    t = (a + b).total
+    assert t is None or t >= 0
+
+
+@given(any_hint, any_hint)
+def test_dispatch_never_broadcasts_unknown_or_corrupt(a, b):
+    """Whatever the hints, the chosen side's expected count must be a known
+    non-negative number under the tiny threshold."""
+    strat = choose_product_strategy(a, b)
+    if strat == "broadcast_left":
+        assert a.total is not None and 0 <= a.total < MAX_TINY_JOIN
+    elif strat == "broadcast_right":
+        assert b.total is not None and 0 <= b.total < MAX_TINY_JOIN
