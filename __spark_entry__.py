@@ -1411,6 +1411,19 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cell"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (tx.chunk_documents): overlapping 32-token
+    chunks, stride 24 — map-only explode fused into the scan. Returns
+    per-chunk rows with token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.chunk_documents(docs, "text", "doc_id",
+                             chunk_tokens=32, overlap=8)
+    return out.select("doc_id",
+                      F.col("chunk_id").cast("bigint").alias("chunk_id"),
+                      "chunk_text",
+                      F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
 def q_map_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapStream escape hatch (GroupBuilder.scala:219-228) driver-checked
     end-to-end: an arbitrary pandas iterator transform over each key's
@@ -1701,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_lm": q_bigram_lm,
         "q_kmeans": q_kmeans,
         "q_map_stream": q_map_stream,
+        "q_chunk_documents": q_chunk_documents,
         "q_topk_window": q_topk_window,
         "q_rank_by_value": q_rank_by_value,
         "q_decontaminate": q_decontaminate,
@@ -2777,6 +2791,18 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY c_mktsegment ORDER BY c_custkey
                        ROWS UNBOUNDED PRECEDING) / 100.0 AS running_bal
             FROM customer
+        """,
+        # chunking: stride = 32 - 8 = 24; chunk i covers t[i*24+1 : i*24+32]
+        "q_chunk_documents": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            nn AS (SELECT doc_id, t, len(t) AS n,
+                          1 + CAST(floor((greatest(len(t) - 32, 0) + 23) / 24.0)
+                                   AS INT) AS n_chunks
+                   FROM toks WHERE len(t) > 0)
+            SELECT doc_id, (i - 1)::BIGINT AS chunk_id,
+                   array_to_string(t[(i-1)*24 + 1 : (i-1)*24 + 32], ' ') AS chunk_text,
+                   least(32, n - (i-1)*24)::BIGINT AS n_tokens
+            FROM nn, unnest(generate_series(1, n_chunks)) AS u(i)
         """,
         "q_multimodal_features": """
             SELECT source, count(*) AS n_media,

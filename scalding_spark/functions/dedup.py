@@ -424,7 +424,8 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
 
 def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
                        n: int = 4, min_len: int = 8,
-                       max_gram_freq: int | None = 1000) -> DataFrame:
+                       max_gram_freq: int | None = 1000,
+                       persist_index: bool = True) -> DataFrame:
     """Exact shared-substring detection: maximal token runs of length ≥
     ``min_len`` appearing verbatim in two documents — the span-level exact
     dedup used for training corpora (find & cut duplicated passages rather
@@ -464,6 +465,13 @@ def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
     g = (df.where(k >= n)
          .select(F.col(id_col).alias("id"),
                  F.posexplode(grams).alias("pos", "gh")))
+    if persist_index:
+        # same trade as ngram_jaccard_pairs' persist_index: regex tokenize +
+        # per-position hashing is the CPU cost, and both self-join sides
+        # (plus the freq window) re-run it otherwise — the cached index is
+        # narrow fixed-width rows and spills gracefully
+        from pyspark import StorageLevel
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
     if max_gram_freq is not None:
         # window count over the gram hash: same exchange the self-join needs,
         # so pruning rides the partitioning it would pay for anyway

@@ -215,3 +215,44 @@ def linear_quality_score(col: Column,
     for name, weight in sorted(w.items()):
         z = z + F.lit(float(weight)) * feats[name]
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def chunk_documents(df, text_col: str, id_col: str,
+                    chunk_tokens: int = 512, overlap: int = 64):
+    """Split documents into overlapping token-budget chunks — the standard
+    context-window prep for training/embedding pipelines. Map-only: one
+    expression pass computing chunk starts + one posexplode; no shuffle, no
+    UDF, fuses into the scan (the 100 TB shape: chunking is free next to
+    the read).
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk starts at the final
+    stride multiple that still exposes new tokens, so every token lands in
+    ≥1 chunk and consecutive chunks share exactly ``overlap`` tokens
+    (except a shorter tail). Token-less docs yield no rows.
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens) where chunk_text is
+    the space-joined normalized tokens (a TOKEN-budget contract; pipelines
+    needing byte-exact sub-strings should slice raw offsets instead).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    # 1 + ceil(max(n - chunk_tokens, 0) / stride), exact in integer math
+    n_chunks = (F.lit(1) +
+                F.floor((F.greatest(n - chunk_tokens, F.lit(0))
+                         + F.lit(stride - 1)) / F.lit(stride)).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " ")
+             .alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - i * stride).alias("n_tokens")))
+    return (df.where(n > 0)
+            .select(F.col(id_col),
+                    F.posexplode(chunks).alias("chunk_id", "__c"))
+            .select(id_col, "chunk_id",
+                    F.col("__c.chunk_text").alias("chunk_text"),
+                    F.col("__c.n_tokens").alias("n_tokens")))

@@ -222,3 +222,50 @@ def test_kmeans_deterministic(spark):
     a2, c2 = kmeans(df, k=4, max_iter=5, seed=1)
     assert c1 == c2
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+# --- chunk_documents -------------------------------------------------------
+
+def test_chunking_exact_boundaries(spark):
+    from scalding_spark.functions.text import chunk_documents
+    text = " ".join(f"w{i}" for i in range(25))      # 25 tokens
+    out = sorted(chunk_documents(_docs(spark, [text]), "text", "doc_id",
+                                 chunk_tokens=10, overlap=4).collect(),
+                 key=lambda r: r.chunk_id)
+    # stride 6: starts 0,6,12 -> covers up to 22; last start 18 exposes 19..24
+    starts = [r.chunk_id * 6 for r in out]
+    assert starts == [0, 6, 12, 18]
+    for r in out:
+        words = r.chunk_text.split()
+        s = r.chunk_id * 6
+        assert words == [f"w{i}" for i in range(s, min(s + 10, 25))]
+        assert r.n_tokens == len(words)
+    # consecutive chunks overlap by exactly 4 tokens (except the tail math)
+    assert out[0].chunk_text.split()[-4:] == out[1].chunk_text.split()[:4]
+
+
+def test_chunking_every_token_covered_once_plus_overlap(spark):
+    from scalding_spark.functions.text import chunk_documents
+    text = " ".join(f"t{i}" for i in range(100))
+    out = chunk_documents(_docs(spark, [text]), "text", "doc_id",
+                          chunk_tokens=32, overlap=8).collect()
+    covered = set()
+    for r in out:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"t{i}" for i in range(100)}
+
+
+def test_chunking_short_and_empty_docs(spark):
+    from scalding_spark.functions.text import chunk_documents
+    out = chunk_documents(_docs(spark, ["only three tokens", "", "   "]),
+                          "text", "doc_id", chunk_tokens=10, overlap=2).collect()
+    assert len(out) == 1                      # token-less docs absent
+    assert out[0].doc_id == 0 and out[0].chunk_id == 0
+    assert out[0].chunk_text == "only three tokens" and out[0].n_tokens == 3
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    from scalding_spark.functions.text import chunk_documents
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, ["x"]), "text", "doc_id",
+                        chunk_tokens=8, overlap=8)
