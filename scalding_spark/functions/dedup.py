@@ -425,7 +425,7 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
 def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
                        n: int = 4, min_len: int = 8,
                        max_gram_freq: int | None = 1000,
-                       persist_index: bool = True) -> DataFrame:
+                       persist_index: bool = False) -> DataFrame:
     """Exact shared-substring detection: maximal token runs of length ≥
     ``min_len`` appearing verbatim in two documents — the span-level exact
     dedup used for training corpora (find & cut duplicated passages rather
@@ -466,10 +466,14 @@ def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
          .select(F.col(id_col).alias("id"),
                  F.posexplode(grams).alias("pos", "gh")))
     if persist_index:
-        # same trade as ngram_jaccard_pairs' persist_index: regex tokenize +
-        # per-position hashing is the CPU cost, and both self-join sides
-        # (plus the freq window) re-run it otherwise — the cached index is
-        # narrow fixed-width rows and spills gracefully
+        # OFF by default — unlike ngram_jaccard_pairs (whose sizes agg
+        # exchanges on a different key), every consumer here hangs off ONE
+        # gh exchange, which Catalyst reuses on the sort-merge path a large
+        # corpus takes; persisting would then spend executor storage on an
+        # index bigger than the text for zero CPU saved. Turn on only for
+        # the small-corpus broadcast regime, where the plan materializes
+        # the windowed index separately per join side (observed: two gh
+        # exchanges, no reuse, under AQE broadcast) and tokenize runs twice.
         from pyspark import StorageLevel
         g = g.persist(StorageLevel.MEMORY_AND_DISK)
     if max_gram_freq is not None:

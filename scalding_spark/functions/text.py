@@ -235,8 +235,14 @@ def chunk_documents(df, text_col: str, id_col: str,
     the space-joined normalized tokens (a TOKEN-budget contract; pipelines
     needing byte-exact sub-strings should slice raw offsets instead).
     """
-    if overlap >= chunk_tokens:
-        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        # negative overlap would make stride exceed the chunk size and
+        # silently skip tokens between chunks — breaking the every-token-
+        # covered contract without an error
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}")
     stride = chunk_tokens - overlap
     toks = tokenize(F.col(text_col))
     n = F.size(toks)

@@ -269,3 +269,13 @@ def test_chunking_rejects_bad_overlap(spark):
     with pytest.raises(ValueError):
         chunk_documents(_docs(spark, ["x"]), "text", "doc_id",
                         chunk_tokens=8, overlap=8)
+
+
+def test_chunking_rejects_negative_overlap_and_zero_chunk(spark):
+    from scalding_spark.functions.text import chunk_documents
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, ["x"]), "text", "doc_id",
+                        chunk_tokens=10, overlap=-5)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, ["x"]), "text", "doc_id",
+                        chunk_tokens=0, overlap=-1)
