@@ -250,6 +250,11 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
     (:func:`ivf_centroids`) and double-precision means are order-insensitive
     up to float addition in the fixed-layout partial aggregation.
 
+    Bounds: literal centroids unroll k·dim constants into generated code —
+    great through k·dim ≈ 10⁴ (e.g. 128 cells × 768 dims is pushing it);
+    beyond that, swap the assign step for a broadcast join against a
+    centroid DataFrame (same plan shape, no codegen blowup).
+
     Returns (assignments DataFrame (id, cell), final centroids).
     ``stats['iterations']`` reports rounds run.
     """
