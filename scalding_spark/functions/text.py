@@ -262,3 +262,24 @@ def chunk_documents(df, text_col: str, id_col: str,
             .select(id_col, "chunk_id",
                     F.col("__c.chunk_text").alias("chunk_text"),
                     F.col("__c.n_tokens").alias("n_tokens")))
+
+
+def duplicate_line_fraction(col: Column, sep: str = "\\.") -> Column:
+    """Within-document repetition at the line/sentence level (the Gopher
+    repetition-filter family, complementing token-level top_word_fraction):
+    fraction of normalized non-empty segments that are duplicates of an
+    earlier segment. 0.0 for docs with ≤1 segment. Pure expression — scores
+    fuse into the scan like the other quality features.
+
+    Segments are split on ``sep`` (default: sentence-ish on '.'), then
+    normalized with the fingerprint canonicalization so trivial
+    punctuation/case differences still count as repeats.
+    """
+    segs = F.filter(
+        F.transform(F.split(col, sep),
+                    lambda s: F.trim(F.regexp_replace(F.lower(s),
+                                                      "[^a-z0-9]+", " "))),
+        lambda s: s != F.lit(""))
+    n = F.size(segs)
+    dups = n - F.size(F.array_distinct(segs))
+    return F.when(n > 1, dups / n).otherwise(F.lit(0.0))

@@ -2,6 +2,7 @@
 (scalding_spark.functions.text). The oracle parity suite covers the
 aggregate queries; these pin per-row semantics."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from scalding_spark.functions import text as tx
@@ -53,3 +54,34 @@ def test_top_word_fraction(spark):
     assert abs(rows[1]["top_word_frac"] - 0.75) < 1e-12
     assert rows[2]["top_word_frac"] == 0.5
     assert 3 not in rows  # empty doc contributes no tokens
+
+
+def test_duplicate_line_fraction(spark):
+    from scalding_spark.functions.text import duplicate_line_fraction
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "The cat sat. The dog ran. The cat sat. All done."),
+         (1, "One sentence only."),
+         (2, "Same. Same. Same. Same."),
+         (3, ""),
+         (4, "A. B. C. D.")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.frac for r in df.select(
+        "doc_id",
+        F.round(duplicate_line_fraction(F.col("text")), 4).alias("frac")
+    ).collect()}
+    assert got[0] == 0.25       # 1 duplicate of 4 segments
+    assert got[1] == 0.0        # single segment -> defined as 0
+    assert got[2] == 0.75       # 3 of 4 repeat
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+    # normalization: case/punct variants still count as repeats
+    df2 = spark.createDataFrame(
+        [(0, "Hello world. HELLO, world! nothing else.")],
+        "doc_id long, text string")
+    # split on '.' only: "HELLO, world! nothing else" is ONE segment, so no
+    # dup; use sentence-ish separator class to catch it
+    got2 = df2.select(F.round(duplicate_line_fraction(
+        F.col("text"), sep="[.!?]"), 4).alias("frac")).collect()[0].frac
+    assert got2 == pytest.approx(0.3333)  # rounded to 4dp above
