@@ -5,11 +5,19 @@ host-language lambda (SURVEY.md §2.8). This engine's scalar layer IS
 ``pyspark.sql.functions``; these modules add what Spark lacks:
 
 - ``dates``       DateRange/Duration/Globifier algebra (scalding-date parity).
-- ``text``        tokenization, language id, quality scoring, fingerprinting.
+- ``text``        tokenization, language id, quality scoring (heuristic +
+                  logistic model), fingerprinting, PII redaction, repetition
+                  stats, context-window chunking.
 - ``dedup``       exact + MinHash-LSH + SimHash + n-gram-Jaccard dedup,
-                  connected-components near-dup clustering.
-- ``similarity``  embedding cosine top-k (brute force + LSH-bucketed ANN).
+                  span-level shared-passage detection, connected-components
+                  near-dup clustering (label-prop + large/small-star).
+- ``similarity``  embedding cosine top-k (brute force + LSH + IVF ANN),
+                  exact/LSH near-dup, distributed k-means.
 - ``sampling``    deterministic md5-range sampling: reproducible samples,
-                  train/val/test splits, per-stratum fractions.
+                  train/val/test splits, per-stratum fractions, per-key caps,
+                  budgeted shard packing (doubles as training-sequence
+                  packing over chunk token counts).
+- ``lm``          self-trained unigram/bigram LM document scoring
+                  (perplexity-proxy quality filter).
 - ``multimodal``  opaque binary columns with typed metadata (decode stubs).
 """
