@@ -279,3 +279,32 @@ def test_chunking_rejects_negative_overlap_and_zero_chunk(spark):
     with pytest.raises(ValueError):
         chunk_documents(_docs(spark, ["x"]), "text", "doc_id",
                         chunk_tokens=0, overlap=-1)
+
+
+@pytest.mark.parametrize("n_tokens,chunk,overlap", [
+    (1, 5, 0), (5, 5, 0), (6, 5, 0), (7, 3, 1), (24, 10, 4),
+    (25, 10, 9), (100, 32, 8), (53, 7, 3), (11, 11, 10), (12, 11, 10),
+])
+def test_chunking_matches_python_reference(spark, n_tokens, chunk, overlap):
+    """Exhaustive boundary sweep vs a literal python implementation of the
+    documented contract (start multiples of stride while new tokens remain;
+    every token covered; last chunk may be short)."""
+    from scalding_spark.functions.text import chunk_documents
+
+    words = [f"w{i}" for i in range(n_tokens)]
+    stride = chunk - overlap
+    want = []
+    s = 0
+    while True:
+        want.append((len(want), words[s:s + chunk]))
+        if s + chunk >= n_tokens:
+            break
+        s += stride
+    # drop trailing chunks that expose no new tokens (the formula's
+    # n_chunks = 1 + ceil(max(n - chunk, 0) / stride) does the same)
+    got = sorted(
+        chunk_documents(_docs(spark, [" ".join(words)]), "text", "doc_id",
+                        chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_id)
+    assert [(r.chunk_id, r.chunk_text.split()) for r in got] == want
+    assert all(r.n_tokens == len(r.chunk_text.split()) for r in got)
