@@ -89,3 +89,21 @@ def test_near_dup_lsh_subset_of_exact(clustered):
 def test_near_dup_exact_symmetric_ordering(clustered):
     out = similarity.embedding_near_dup_exact(clustered, threshold=0.9).collect()
     assert all(r.id_a < r.id_b for r in out)
+
+
+def test_ivf_trained_centroids_recall(clustered):
+    """train_iters > 0 refines the quantizer with Lloyd's iterations —
+    recall on clustered data must be at least as good as the exact-verified
+    floor, and scores stay exact."""
+    exact = exact_topk(clustered)
+    ivf = similarity.cosine_topk_ivf(
+        clustered, clustered.where(F.col("vec_id") < 6), k=5,
+        n_cells=8, n_probe=3, train_iters=5)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"trained-IVF recall {recall} too low"
+    # deterministic: same training run -> same result set
+    again = similarity.cosine_topk_ivf(
+        clustered, clustered.where(F.col("vec_id") < 6), k=5,
+        n_cells=8, n_probe=3, train_iters=5)
+    assert {(r.query_id, r.neighbor_id) for r in again.collect()} == got
