@@ -200,7 +200,11 @@ class SparseHint(SizeHintBase):
             return self + SparseHint(1.0, other.rows, other.cols)
         if self.sparsity == 1.0 or other.sparsity == 1.0:
             return FiniteHint(max(self.rows, other.rows), max(self.cols, other.cols))
+        # inclusion-exclusion, clamped to its mathematical bounds: for reals
+        # in [0,1], max(p,q) <= p+q-pq <= 1, but float rounding can land an
+        # ulp outside either end (hypothesis-found: p=q=1-1e-16 sums BELOW p)
         new_sp = self.sparsity + other.sparsity - self.sparsity * other.sparsity
+        new_sp = min(1.0, max(new_sp, self.sparsity, other.sparsity))
         return SparseHint(new_sp, max(self.rows, other.rows), max(self.cols, other.cols))
 
     @property
