@@ -1344,9 +1344,14 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 most repetitive (deterministic doc_id tie-break)."""
     docs = _t(spark, sf_dir, "documents")
     per = tx.top_word_fraction(docs, "text", "doc_id")
-    return (per.orderBy(F.col("top_word_frac").desc(), "doc_id").limit(20)
+    # exact-int scaled division (`div` = integer division, like DuckDB `//`):
+    # the int64 quotient and the final /1e6 are bit-identical on any engine,
+    # so neither float rounding nor the ORDER-BY cut can drift cross-engine.
+    fs = F.expr("(top_cnt * 1000000L + n_toks div 2) div n_toks")
+    return (per.withColumn("fs", fs)
+            .orderBy(F.col("fs").desc(), "doc_id").limit(20)
             .select("doc_id", "top_cnt", "n_toks",
-                    F.round("top_word_frac", 6).alias("top_word_frac")))
+                    (F.col("fs") / F.lit(1000000.0)).alias("top_word_frac")))
 
 
 def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1632,6 +1637,36 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r03 diagnostic probes (VERDICT r02 §next-round #1b: driver-side bisection)
+# ---------------------------------------------------------------------------
+
+def q_probe_hugeint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSTIC, not an operator claim. Its oracle deliberately returns a
+    raw DuckDB HUGEINT column (uncast ``sum(1)``) — the one output type the
+    r02 analysis found in ALL five driver-red oracles and NO green one.
+    Reading of CORRECTNESS_r03: if this row is red while the five formerly
+    red queries (now BIGINT-cast) are green, the driver's client-side
+    HUGEINT conversion is confirmed as the r02 mechanism; if it is green,
+    the casts were harmless and the reds must be re-bisected."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.sum(F.lit(1)).alias("s")))
+
+
+def q_probe_event_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSTIC twin for the events read path: min/max/count of
+    ``unix_micros(ts)`` per event_type (min/max stay BIGINT — no HUGEINT —
+    so this isolates nanos-vs-micros truncation parity from the aggregate
+    type issue). Red here would mean the driver's engines read the
+    TIMESTAMP(NANOS) parquet to different instants than locally."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.unix_micros(F.col("ts"))).alias("min_us"),
+                 F.max(F.unix_micros(F.col("ts"))).alias("max_us")))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1641,72 +1676,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the round-1 driver evaluated exactly the first 50 dict
-    # entries, so the 48 entries it never reached (matrix, dedup, sampling,
-    # similarity, text, streaming, TPC-H Q2/15/16/17/19/20/21) now come
-    # FIRST, followed by the one driver-red row (q12, fixed this round), then
-    # the 49 already-driver-green entries. Rotate again next round if any
-    # window remains.
+    # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
+    # r03 window (per VERDICT r02 next-round #3): 2 diagnostic probes, the
+    # 13 r02-new never-driver-checked queries, the 5 r02 hash-reds (root
+    # cause: oracle HUGEINT outputs, now BIGINT-cast) + the 2 lm queries
+    # that carried the same latent bug, the 6 rows-only re-confirmations,
+    # padded to 50 with fast r01-green entries. Everything below position 50
+    # already has a driver-green row in CORRECTNESS_r01 or _r02.
+    # Driver-row ledger: r01 greens = q1..q13 block at the tail here;
+    # r02 greens = TPC-H tail/matrix/dedup/sampling/text/streaming block
+    # after position 50; never-checked after r03 = NONE (full coverage).
     return {
-        # -- driver-unchecked in r01: TPC-H tail --
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_count": q16_supplier_part_count,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        # -- driver-unchecked in r01: matrix library --
-        "q_matmul": q_matmul,
-        "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
-        "q_matrix_elementwise": q_matrix_elementwise,
-        "q_matrix_reductions": q_matrix_reductions,
-        "q_matrix_col_normalize": q_matrix_col_normalize,
-        "q_matrix_filter_ops": q_matrix_filter_ops,
-        "q_matrix_zip": q_matrix_zip,
-        "q_matrix_map_rows": q_matrix_map_rows,
-        "q_vector_matrix_product": q_vector_matrix_product,
-        "q_diag_inverse_trace": q_diag_inverse_trace,
-        "q_combinations": q_combinations,
-        "q_subset_sum": q_subset_sum,
-        "q_pagerank": q_pagerank,
-        # -- driver-unchecked in r01: dedup / sampling / similarity / text --
-        "q_exact_dedup": q_exact_dedup,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_deterministic_sample": q_deterministic_sample,
-        "q_train_split": q_train_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_text_quality": q_text_quality,
-        "q_lang_id": q_lang_id,
-        "q_fingerprint": q_fingerprint,
-        "q_pii_redact": q_pii_redact,
-        "q_vocabulary": q_vocabulary,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_top_word_fraction": q_top_word_fraction,
-        "q_multimodal_features": q_multimodal_features,
-        "q_cosine_topk": q_cosine_topk,
-        "q_cosine_topk_lsh": q_cosine_topk_lsh,
-        "q_cosine_topk_ivf": q_cosine_topk_ivf,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_embedding_neardup_exact": q_embedding_neardup_exact,
-        # -- driver-unchecked in r01: joins-extensions / streaming --
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_hll_distinct": q_hll_distinct,
-        "q_events_daily": q_events_daily,
-        "q_events_rollup": q_events_rollup,
-        "q_session_window": q_session_window,
-        "q_sessionize": q_sessionize,
-        # -- driver-RED in r01 (fixed: UTC-pinned, date-typed window) --
-        "q12_priority_by_flag": q12_priority_by_flag,
-        # -- new in r02. 48 never-checked + q12 = 49 entries precede this
-        # block, so a 50-entry driver window reaches exactly one more
-        # (q_cc_star); everything from q_substring_spans down rotates into
-        # the window in r03 (the judge's full oracle gate covers them now) --
-        "q_cc_star": q_cc_star,
+        # -- r03 diagnostic probes (may be deliberately red; see docstrings) --
+        "q_probe_hugeint": q_probe_hugeint,
+        "q_probe_event_micros": q_probe_event_micros,
+        # -- r02-new, never driver-checked --
         "q_substring_spans": q_substring_spans,
         "q_unigram_lm": q_unigram_lm,
         "q_linear_quality": q_linear_quality,
@@ -1720,7 +1704,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_pack_shards": q_pack_shards,
         "q_domain_cap": q_domain_cap,
-        # -- driver-green in r01 --
+        # -- r02 hash-red, oracle HUGEINT outputs now BIGINT-cast --
+        "q12_priority_by_flag": q12_priority_by_flag,
+        "q_pii_redact": q_pii_redact,
+        "q_top_word_fraction": q_top_word_fraction,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        # -- rows-only re-confirmations (no oracle by design) --
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_cosine_topk_lsh": q_cosine_topk_lsh,
+        "q_cosine_topk_ivf": q_cosine_topk_ivf,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_hll_distinct": q_hll_distinct,
+        # -- padding to 50: fast r01-green entries --
         "q1_pricing_summary": q1_pricing_summary,
         "q_project_filter_map": q_project_filter_map,
         "q_flatmap_wordcount": q_flatmap_wordcount,
@@ -1737,7 +1734,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_toset": q_toset,
         "q_histogram_summary": q_histogram_summary,
         "q_maplist": q_maplist,
-        "q_block_join": q_block_join,
         "q_pivot": q_pivot,
         "q_normalize": q_normalize,
         "q_dot": q_dot,
@@ -1746,6 +1742,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_per_group": q_topk_per_group,
         "q_scan_cumsum": q_scan_cumsum,
         "q_scan_running_max": q_scan_running_max,
+        # ---- position 50 ends here; all below are driver-green r01/r02 ----
+        # -- driver-green in r02: TPC-H tail --
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        # -- driver-green in r02: matrix library --
+        "q_matmul": q_matmul,
+        "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
+        "q_matrix_elementwise": q_matrix_elementwise,
+        "q_matrix_reductions": q_matrix_reductions,
+        "q_matrix_col_normalize": q_matrix_col_normalize,
+        "q_matrix_filter_ops": q_matrix_filter_ops,
+        "q_matrix_zip": q_matrix_zip,
+        "q_matrix_map_rows": q_matrix_map_rows,
+        "q_vector_matrix_product": q_vector_matrix_product,
+        "q_diag_inverse_trace": q_diag_inverse_trace,
+        "q_combinations": q_combinations,
+        "q_subset_sum": q_subset_sum,
+        "q_pagerank": q_pagerank,
+        # -- driver-green in r02: dedup / sampling / similarity / text --
+        "q_exact_dedup": q_exact_dedup,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_deterministic_sample": q_deterministic_sample,
+        "q_train_split": q_train_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_vocabulary": q_vocabulary,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_multimodal_features": q_multimodal_features,
+        "q_cosine_topk": q_cosine_topk,
+        "q_embedding_neardup_exact": q_embedding_neardup_exact,
+        # -- driver-green in r02: streaming / graph --
+        "q_events_daily": q_events_daily,
+        "q_events_rollup": q_events_rollup,
+        "q_session_window": q_session_window,
+        "q_sessionize": q_sessionize,
+        "q_cc_star": q_cc_star,
+        # -- driver-green in r01 (those not already used as window padding) --
+        "q_block_join": q_block_join,
         "q_take_drop_while": q_take_drop_while,
         "q_rank_lag": q_rank_lag,
         "q_join_revenue_by_segment": q_join_revenue_by_segment,
@@ -1885,14 +1927,30 @@ def _pii_sql() -> str:
                       regexp_replace(t, '{i}', '<IP>', 'g') AS t FROM s1),
         s3 AS (SELECT source, emails, ips, len(regexp_extract_all(t, '{p}')) AS phones,
                       regexp_replace(t, '{p}', '<PHONE>', 'g') AS t FROM s2)
-        SELECT source, sum(emails) AS n_emails, sum(ips) AS n_ips,
-               sum(phones) AS n_phones, sum(len(t)) AS total_redacted_len
+        SELECT source,
+               CAST(sum(emails) AS BIGINT) AS n_emails,
+               CAST(sum(ips) AS BIGINT) AS n_ips,
+               CAST(sum(phones) AS BIGINT) AS n_phones,
+               CAST(sum(len(t)) AS BIGINT) AS total_redacted_len
         FROM s3 GROUP BY source
     """
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r03 diagnostic probes — q_probe_hugeint's sum(1) is DELIBERATELY
+        # left uncast (HUGEINT) to expose the driver's client-side conversion
+        # of that type; see the probe docstrings for how to read the result.
+        "q_probe_hugeint": """
+            SELECT l_returnflag, sum(1) AS s
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_probe_event_micros": """
+            SELECT event_type, count(*) AS n,
+                   min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+                   max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+            FROM events GROUP BY event_type
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(CAST(round((l_quantity) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_qty,
@@ -2400,12 +2458,17 @@ def oracle_sql() -> dict[str, str]:
                    revenue
             FROM agg ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
+        # sum(int) is HUGEINT in DuckDB; HUGEINT's client conversion is
+        # duckdb-version-dependent (int vs float64) — CAST to BIGINT so any
+        # fetch path yields int64, matching Spark's bigint. (r02 root cause
+        # of ALL five driver hash-reds: exactly the oracles with a HUGEINT
+        # output column failed, every green oracle had none.)
         "q12_priority_by_flag": """
             SELECT l_returnflag,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_returnflag IN ('A', 'R')
               AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
@@ -2661,26 +2724,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_pagerank": _pagerank_sql(),
+        # CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS read of the
+        # events parquet to micros — the same floor pyspark 4.1.2 applies on
+        # its NTZ read — so both engines compare identical instants at the
+        # window boundaries. CAST(... AS BIGINT): see q12 comment (HUGEINT).
         "q_range_join": """
-            WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
-            errs AS (SELECT user_id AS e_user, ts AS err_ts,
-                            ts + INTERVAL 60 MINUTE AS end_ts
+            WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                            FROM events WHERE event_type = 'click'),
+            errs AS (SELECT user_id AS e_user, CAST(ts AS TIMESTAMP) AS err_ts,
+                            CAST(ts AS TIMESTAMP) + INTERVAL 60 MINUTE AS end_ts
                      FROM events WHERE event_type = 'error'),
             j AS (SELECT user_id, ts, err_ts FROM clicks JOIN errs
                   ON user_id = e_user AND ts >= err_ts AND ts <= end_ts)
             SELECT user_id, count(*) AS n_pairs,
-                   sum(epoch_us(ts) - epoch_us(err_ts)) AS total_gap_us
+                   CAST(sum(epoch_us(ts) - epoch_us(err_ts)) AS BIGINT) AS total_gap_us
             FROM j GROUP BY user_id
         """,
         "q_asof_join": """
-            WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
-            errors AS (SELECT user_id AS e_user, ts AS err_ts FROM events
-                       WHERE event_type = 'error'),
+            WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                            FROM events WHERE event_type = 'click'),
+            errors AS (SELECT user_id AS e_user, CAST(ts AS TIMESTAMP) AS err_ts
+                       FROM events WHERE event_type = 'error'),
             j AS (SELECT user_id, ts, err_ts
                   FROM clicks ASOF LEFT JOIN errors
                   ON clicks.user_id = errors.e_user AND clicks.ts >= errors.err_ts)
             SELECT user_id, count(*) AS n_clicks, count(err_ts) AS n_matched,
-                   coalesce(sum(epoch_us(ts) - epoch_us(err_ts)), 0) AS total_gap_us
+                   CAST(coalesce(sum(epoch_us(ts) - epoch_us(err_ts)), 0) AS BIGINT)
+                       AS total_gap_us
             FROM j GROUP BY user_id
         """,
         "q_embedding_neardup_exact": """
@@ -2714,15 +2784,21 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY doc_id
                 ORDER BY tfidf DESC, tok) = 1
         """,
+        # the fraction is computed by EXACT integer arithmetic (scaled
+        # half-up division via `//`) and only converted to double at the
+        # end — the int64 quotient and the final /1e6 are bit-identical on
+        # any engine, so neither rounding nor the ORDER-BY cut can drift.
         "q_top_word_fraction": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
             cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
-            per AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_toks
-                    FROM cnt GROUP BY 1)
-            SELECT doc_id, top_cnt, n_toks,
-                   round(top_cnt::DOUBLE / n_toks, 6) AS top_word_frac
-            FROM per
-            ORDER BY top_cnt::DOUBLE / n_toks DESC, doc_id
+            per AS (SELECT doc_id, max(cnt) AS top_cnt,
+                           CAST(sum(cnt) AS BIGINT) AS n_toks
+                    FROM cnt GROUP BY 1),
+            sc AS (SELECT doc_id, top_cnt, n_toks,
+                          (top_cnt * 1000000 + n_toks // 2) // n_toks AS fs
+                   FROM per)
+            SELECT doc_id, top_cnt, n_toks, fs / 1000000.0 AS top_word_frac
+            FROM sc ORDER BY fs DESC, doc_id
             LIMIT 20
         """,
         # spans: the oracle joins on gram STRINGS where Spark joins on their
@@ -2757,7 +2833,7 @@ def oracle_sql() -> dict[str, str]:
                                    + 0.5 * (SELECT v FROM s))) * 1000000)
                                    AS BIGINT) AS fx
                        FROM dt JOIN model USING (tok)),
-            per AS (SELECT doc_id, sum(occ) AS n_toks,
+            per AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_toks,
                            sum(occ * fx) / (1000000.0 * sum(occ)) AS anl
                     FROM scored GROUP BY 1)
             SELECT doc_id, n_toks, round(anl, 6) AS avg_neg_logp
@@ -2778,7 +2854,7 @@ def oracle_sql() -> dict[str, str]:
                                    + 0.5 * (SELECT v FROM vv))) * 1000000)
                                    AS BIGINT) AS fx
                        FROM db JOIN pm USING (w1, w2) JOIN pf USING (w1)),
-            per AS (SELECT doc_id, sum(occ) AS n_bigrams,
+            per AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
                            sum(occ * fx) / (1000000.0 * sum(occ)) AS anl
                     FROM scored GROUP BY 1)
             SELECT doc_id, n_bigrams, round(anl, 6) AS avg_neg_logp
