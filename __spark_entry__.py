@@ -1438,7 +1438,14 @@ def q_map_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     def running(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        cents = (pdf["c_acctbal"] * 100).round().astype("int64").cumsum()
+        import numpy as np
+        # explicit HALF-AWAY-FROM-ZERO rounding to match DuckDB's round():
+        # pandas Series.round() is numpy half-to-even, which only agrees
+        # here because 2-decimal acctbal*100 never lands on a half-cent —
+        # don't rely on that
+        v = pdf["c_acctbal"].to_numpy()
+        cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype("int64")
+        cents = pd.Series(cents, index=pdf.index).cumsum()
         return pd.DataFrame({
             "c_custkey": pdf["c_custkey"],
             "c_mktsegment": pdf["c_mktsegment"],

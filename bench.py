@@ -46,6 +46,11 @@ HEADLINE = [
     "q_rank_by_value",           # skew-free low-cardinality global rank
     "q_substring_spans",         # span-level exact dedup (positional n-grams)
     "q_unigram_lm",              # self-trained unigram LM doc scoring
+    # -- added r03 (VERDICT item 5: remaining unbenched r02 operators) --
+    "q_kmeans",                  # iterative k-means over embeddings
+    "q_chunk_documents",         # context-window chunking (posexplode)
+    "q_topk_window",             # sortWithTake via window (vs groupBy top-k)
+    "q_bigram_lm",               # conditional bigram LM doc scoring
 ]
 
 

@@ -425,7 +425,8 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
 def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
                        n: int = 4, min_len: int = 8,
                        max_gram_freq: int | None = 1000,
-                       persist_index: bool = False) -> DataFrame:
+                       persist_index: bool = False,
+                       stats: dict | None = None) -> DataFrame:
     """Exact shared-substring detection: maximal token runs of length ≥
     ``min_len`` appearing verbatim in two documents — the span-level exact
     dedup used for training corpora (find & cut duplicated passages rather
@@ -455,6 +456,12 @@ def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
     be layered by re-joining the token slices).
 
     Returns (id_a, id_b, start_a, start_b, span_tokens), id_a < id_b.
+
+    With ``persist_index=True`` the gram index stays cached until the
+    session ends; long-lived drivers calling repeatedly should pass a
+    ``stats`` dict — the persisted DataFrame is exposed as
+    ``stats['gram_index']`` so the caller can ``.unpersist()`` it once the
+    result is materialized.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                     lambda t: t != F.lit(""))
@@ -476,6 +483,8 @@ def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
         # exchanges, no reuse, under AQE broadcast) and tokenize runs twice.
         from pyspark import StorageLevel
         g = g.persist(StorageLevel.MEMORY_AND_DISK)
+        if stats is not None:
+            stats["gram_index"] = g  # caller unpersists after materializing
     if max_gram_freq is not None:
         # window count over the gram hash: same exchange the self-join needs,
         # so pruning rides the partitioning it would pay for anyway

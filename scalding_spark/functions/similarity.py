@@ -256,9 +256,12 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
 
     Convergence: max centroid shift (L∞ over all coordinates) < ``tol``.
     Empty cells keep their previous centroid. Deterministic for a fixed
-    (corpus, k, seed): init picks corpus vectors by seeded-hash order
-    (:func:`ivf_centroids`) and double-precision means are order-insensitive
-    up to float addition in the fixed-layout partial aggregation.
+    (corpus, k, seed, PARTITIONING): init picks corpus vectors by
+    seeded-hash order (:func:`ivf_centroids`), but the UPDATE means use
+    ``F.avg`` over doubles, whose partial-aggregation order follows the
+    partition layout — re-running under a different parallelism can drift
+    centroids by an ulp (cluster assignments are stable well past that;
+    compare centroids with a tolerance, not ``==``).
 
     Bounds: literal centroids unroll k·dim constants into generated code —
     great through k·dim ≈ 10⁴ (e.g. 128 cells × 768 dims is pushing it);

@@ -129,6 +129,23 @@ class Range:
         return f"Range({self.lower!r}, {self.upper!r})"
 
 
+class FlowListener:
+    """Flow lifecycle hooks (Job.scala:167-173; cascading's FlowListener
+    contract). Subclass and return instances from :meth:`Job.listeners`;
+    ``run_all``/``execute`` fire them around each job's flow."""
+
+    def on_starting(self, job: "Job") -> None:
+        pass
+
+    def on_completed(self, job: "Job", success: bool) -> None:
+        pass
+
+    def on_throwable(self, job: "Job", exc: BaseException) -> bool:
+        """Return True if the failure is handled (suppresses the raise) —
+        the cascading onThrowable boolean contract."""
+        return False
+
+
 class Job:
     """Subclass and override ``build`` to declare sinks; ``run_all`` walks the
     ``next()`` chain (Job.scala:41-218)."""
@@ -173,11 +190,59 @@ class Job:
     def next(self) -> "Job | None":
         return None
 
+    def listeners(self) -> list[FlowListener]:
+        """Override to attach flow listeners (Job.scala:172-173)."""
+        return []
+
+    def timeout(self, seconds: float, fn, *args, **kwargs):
+        """Run ``fn(*args, **kwargs)`` under a deadline (Job.scala:196-218):
+        the result, or None once ``seconds`` elapse. The worker is a daemon
+        thread (the reference's NamedPoolThreadFactory(makeDaemons=true)) so
+        an abandoned computation cannot block driver exit — but, as in the
+        reference, it keeps running; don't hand it non-idempotent writes."""
+        import queue
+        import threading
+
+        out: queue.Queue = queue.Queue(maxsize=1)
+
+        def work():
+            try:
+                out.put(("ok", fn(*args, **kwargs)))
+            except BaseException as exc:  # propagate to the caller
+                out.put(("err", exc))
+
+        threading.Thread(target=work, name="job-timer", daemon=True).start()
+        try:
+            kind, val = out.get(timeout=seconds)
+        except queue.Empty:
+            return None
+        if kind == "err":
+            raise val
+        return val
+
+    def execute(self) -> bool:
+        """``run()`` wrapped in this job's flow listeners (Job.scala:163-173:
+        buildFlow attaches listeners, run completes the flow)."""
+        ls = self.listeners()
+        for listener in ls:
+            listener.on_starting(self)
+        try:
+            ok = self.run()
+        except BaseException as exc:
+            # notify every listener; re-raise unless one claims the failure
+            handled = [listener.on_throwable(self, exc) for listener in ls]
+            if not any(handled):
+                raise
+            return False
+        for listener in ls:
+            listener.on_completed(self, ok)
+        return ok
+
     @classmethod
     def run_all(cls, argv: list[str], spark: SparkSession | None = None) -> None:
         job: Job | None = cls(Args(argv), spark)
         while job is not None:
-            if not job.run():
+            if not job.execute():
                 raise RuntimeError(f"{type(job).__name__} failed")
             job = job.next()
 

@@ -132,9 +132,68 @@ def block_join(left, right, on: list[str], left_repl: int = 1,
     return Pipe(joined)
 
 
+class SkewReplication:
+    """Replication policy for ``skew_join`` (SkewReplication.scala:21-33).
+
+    Given a key's SAMPLED per-side counts, yields the (left, right)
+    replication grid for that key as Column expressions — evaluated inside
+    the tiny hot-key aggregate, so the policy adds zero per-row cost at any
+    scale. ``reducers <= 0`` falls back to the reference's
+    ``DEFAULT_NUM_REDUCERS = 100``.
+    """
+
+    DEFAULT_NUM_REDUCERS = 100
+
+    def _reducers(self, reducers: int) -> int:
+        return reducers if reducers > 0 else self.DEFAULT_NUM_REDUCERS
+
+    def replications(self, l_cnt: Column, r_cnt: Column,
+                     reducers: int) -> tuple[Column, Column]:
+        raise NotImplementedError
+
+
+class SkewReplicationA(SkewReplication):
+    """Strategy A (SkewReplication.scala:38-50): replicate each side by the
+    OTHER side's sampled count times ``replication_factor``, capped at the
+    reducer count; unsampled keys keep replication 1."""
+
+    def __init__(self, replication_factor: int = 1):
+        self.replication_factor = replication_factor
+
+    def replications(self, l_cnt, r_cnt, reducers):
+        n = F.lit(self._reducers(reducers))
+        left = F.least(r_cnt * self.replication_factor, n)
+        right = F.least(l_cnt * self.replication_factor, n)
+        return (F.when(left == 0, 1).otherwise(left).cast("int"),
+                F.when(right == 0, 1).otherwise(right).cast("int"))
+
+
+class SkewReplicationB(SkewReplication):
+    """Strategy B (SkewReplication.scala:55-66): memory/output-capped —
+    left replication keeps ≤ ``max_keys_in_memory`` right rows per fragment,
+    right replication keeps ≤ ``max_reducer_output`` joined rows per reducer
+    (integer arithmetic, like the reference's Int division)."""
+
+    def __init__(self, max_keys_in_memory: int = 10**6,
+                 max_reducer_output: int = 10**7):
+        self.max_keys_in_memory = max_keys_in_memory
+        self.max_reducer_output = max_reducer_output
+
+    def replications(self, l_cnt, r_cnt, reducers):
+        n = F.lit(self._reducers(reducers))
+        left = F.greatest(F.lit(1),
+                          F.floor(r_cnt / self.max_keys_in_memory))
+        right = F.least(n, F.floor((l_cnt * r_cnt)
+                                   / (self.max_reducer_output * left)))
+        return (left.cast("int"),
+                F.when(right == 0, 1).otherwise(right).cast("int"))
+
+
 def skew_join(left, right, on: list[str], sample_rate: float = 0.001,
               rows_per_fragment: int = 100_000, max_repl: int = 32,
-              seed: int = 42) -> Pipe:
+              seed: int = 42,
+              replication: SkewReplication | None = None,
+              reducers: int = 0) -> Pipe:
     """Sampled skew join (JoinAlgorithms.scala:365-458): sample both sides →
     per-key counts → per-key replication factors → replicate-fragment join,
     the reference's SkewReplication strategy expressed as one broadcast of
@@ -151,24 +210,34 @@ def skew_join(left, right, on: list[str], sample_rate: float = 0.001,
 
     Equivalent results to a plain inner join (the reference's own test
     criterion, SkewJoinTest.scala:100-140). Under AQE this is usually
-    unnecessary — keep for single-hot-key extremes and non-AQE deployments."""
+    unnecessary — keep for single-hot-key extremes and non-AQE deployments.
+
+    ``replication``: an explicit :class:`SkewReplication` policy
+    (:class:`SkewReplicationA` / :class:`SkewReplicationB`, the reference's
+    A/B pair) computed over the raw sampled counts, replacing the default
+    estimated-volume heuristic; ``reducers`` feeds the policy's cap."""
     ldf, rdf = _df(left), _df(right)
     est = 1.0 / sample_rate
 
     def hot_counts(df, out):
         return (df.sample(sample_rate, seed=seed).groupBy(*on)
-                .agg((F.count(F.lit(1)) * est).alias(out)))
+                .agg(F.count(F.lit(1)).alias(out)))
 
-    lc = hot_counts(ldf, "l_est")
-    rc = hot_counts(rdf, "r_est")
+    lc = hot_counts(ldf, "l_cnt")
+    rc = hot_counts(rdf, "r_cnt")
+    l_cnt = F.coalesce(F.col("l_cnt"), F.lit(0))
+    r_cnt = F.coalesce(F.col("r_cnt"), F.lit(0))
+    if replication is not None:
+        lr, rr = replication.replications(l_cnt, r_cnt, reducers)
+    else:
+        # default heuristic: fragment by the other side's ESTIMATED volume
+        # (strategy-B-flavored, with an explicit max_repl ceiling)
+        lr = F.least(F.greatest(F.ceil(r_cnt * est / rows_per_fragment),
+                                F.lit(1)), F.lit(max_repl)).cast("int")
+        rr = F.least(F.greatest(F.ceil(l_cnt * est / rows_per_fragment),
+                                F.lit(1)), F.lit(max_repl)).cast("int")
     hot = (lc.join(rc, on=on, how="full_outer")
-           .select(*on,
-                   F.least(F.greatest(F.ceil(F.coalesce(F.col("r_est"), F.lit(0.0))
-                                             / rows_per_fragment), F.lit(1)),
-                           F.lit(max_repl)).cast("int").alias("__lr"),
-                   F.least(F.greatest(F.ceil(F.coalesce(F.col("l_est"), F.lit(0.0))
-                                             / rows_per_fragment), F.lit(1)),
-                           F.lit(max_repl)).cast("int").alias("__rr"))
+           .select(*on, lr.alias("__lr"), rr.alias("__rr"))
            .where((F.col("__lr") > 1) | (F.col("__rr") > 1)))
     hot = F.broadcast(hot)
 

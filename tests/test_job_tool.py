@@ -260,3 +260,87 @@ def test_args_range_parsing():
         a.range("bad")
     with pytest.raises(ValueError, match="either 1 or 2"):
         a.range("missing")
+
+
+# -- Job.timeout + flow listeners (Job.scala:163-218) -----------------------
+
+def test_timeout_returns_result_within_deadline():
+    job = _make_noop_job()
+    assert job.timeout(5.0, lambda: 42) == 42
+
+
+def test_timeout_returns_none_past_deadline():
+    import time
+    job = _make_noop_job()
+    assert job.timeout(0.1, lambda: time.sleep(5) or "late") is None
+
+
+def test_timeout_propagates_exceptions():
+    job = _make_noop_job()
+    with pytest.raises(ValueError, match="boom"):
+        job.timeout(5.0, _raise_value_error)
+
+
+def _raise_value_error():
+    raise ValueError("boom")
+
+
+def _make_noop_job(listeners=None, fail=False):
+    from scalding_spark.job import FlowListener  # noqa: F401
+
+    class Noop(Job):
+        def __init__(self):
+            self.args = Args([])
+            self.mode = None
+            self.spark = None  # never touched by these tests
+
+        def run(self):
+            if fail:
+                raise RuntimeError("flow blew up")
+            return True
+
+        def listeners(self):
+            return listeners or []
+
+    return Noop()
+
+
+def test_listeners_fire_in_lifecycle_order():
+    from scalding_spark.job import FlowListener
+
+    events = []
+
+    class Rec(FlowListener):
+        def on_starting(self, job):
+            events.append("starting")
+
+        def on_completed(self, job, success):
+            events.append(("completed", success))
+
+    assert _make_noop_job(listeners=[Rec()]).execute() is True
+    assert events == ["starting", ("completed", True)]
+
+
+def test_listener_on_throwable_unhandled_reraises():
+    from scalding_spark.job import FlowListener
+
+    seen = []
+
+    class Watch(FlowListener):
+        def on_throwable(self, job, exc):
+            seen.append(type(exc).__name__)
+            return False  # not handled -> must re-raise
+
+    with pytest.raises(RuntimeError, match="flew|blew"):
+        _make_noop_job(listeners=[Watch()], fail=True).execute()
+    assert seen == ["RuntimeError"]
+
+
+def test_listener_on_throwable_handled_suppresses():
+    from scalding_spark.job import FlowListener
+
+    class Handle(FlowListener):
+        def on_throwable(self, job, exc):
+            return True  # handled: execute() reports failure, no raise
+
+    assert _make_noop_job(listeners=[Handle()], fail=True).execute() is False

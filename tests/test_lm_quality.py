@@ -220,7 +220,11 @@ def test_kmeans_deterministic(spark):
     df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
     a1, c1 = kmeans(df, k=4, max_iter=5, seed=1)
     a2, c2 = kmeans(df, k=4, max_iter=5, seed=1)
-    assert c1 == c2
+    # ulp tolerance, not ==: F.avg partial-agg order follows the partition
+    # layout, so centroids are only bit-stable for an IDENTICAL layout
+    for row_a, row_b in zip(c1, c2):
+        for x, y in zip(row_a, row_b):
+            assert abs(x - y) <= 1e-9
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
 
 
