@@ -217,6 +217,83 @@ def linear_quality_score(col: Column,
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def train_logistic_quality(df, text_col: str, label_col,
+                           lr: float = 1.0, iters: int = 3,
+                           feat_decimals: int = 6, grad_decimals: int = 9,
+                           stats: dict | None = None
+                           ) -> tuple[dict[str, float], float]:
+    """TRAIN the logistic doc-quality classifier whose deploy shape is
+    :func:`linear_quality_score` — full-batch gradient descent where the
+    whole per-iteration cost is ONE partial-aggregated pass over the corpus
+    (no reference analog; the training half of the SURVEY §6 quality-model
+    extension).
+
+    Per iteration, entirely in Column expressions (no UDF, no collect of
+    rows):
+
+    - features quantized to ``feat_decimals`` (engine-stable inputs),
+    - p = sigmoid(bias + w·f) with the SAME sorted-name left-associative
+      accumulation as scoring, quantized to ``feat_decimals``,
+    - per-row gradient terms (p − y)·f_j scaled by 10^``grad_decimals``
+      into BIGINTs and SUMMED EXACTLY — integer sums are associative, so
+      the gradient (hence the whole training trajectory) is bit-identical
+      under any partition layout and across engines; the only float ops
+      are per-row (IEEE-deterministic) and the k+1 driver-side updates.
+
+    The driver receives k+1 numbers per iteration (the gradient), never
+    rows — at 100 TB each iteration is one map-combined exchange of
+    #partitions × (k+1) bigints. Weights re-enter the next iteration as
+    plan literals; with ``iters`` ~ 3-10 the per-iteration codegen rebuild
+    is noise (unlike k-means' k·dim arrays — see _assign_cells_bcast).
+
+    Returns ``(weights, bias)``; ``stats`` gains ``n_docs`` and
+    ``loss_path`` (quantized mean log-loss per iteration, same fixed-point
+    contract).
+    """
+    fscale = float(10 ** feat_decimals)
+    gscale = float(10 ** grad_decimals)
+    names = sorted(QUALITY_MODEL_WEIGHTS)
+    feats = quality_features(F.col(text_col))
+    fq = {k: F.round(feats[k], feat_decimals) for k in names}
+    y = F.col("__y")
+    base = df.select(
+        *[fq[k].alias(k) for k in names],
+        (label_col if isinstance(label_col, Column) else F.col(label_col))
+        .cast("int").alias("__y"))
+
+    weights = {k: 0.0 for k in names}
+    bias = 0.0
+    loss_path: list[float] = []
+    n_docs = None
+    for _ in range(iters):
+        z = F.lit(float(bias))
+        for k in names:
+            z = z + F.lit(float(weights[k])) * F.col(k)
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), feat_decimals)
+        err = p - y.cast("double")
+        aggs = [F.sum(F.round(err * gscale).cast("long")).alias("__gb")]
+        aggs += [F.sum(F.round(err * F.col(k) * gscale).cast("long")).alias(f"__g_{k}")
+                 for k in names]
+        # mean log-loss on the same fixed-point contract (clamped away from
+        # ln(0): p is quantized, so 0 and 1 are reachable)
+        pc = F.least(F.greatest(p, F.lit(10.0 ** -feat_decimals)),
+                     F.lit(1.0 - 10.0 ** -feat_decimals))
+        ll = -(y * F.log(pc) + (1 - y) * F.log(F.lit(1.0) - pc))
+        aggs += [F.sum(F.round(ll * gscale).cast("long")).alias("__ll"),
+                 F.count(F.lit(1)).alias("__n")]
+        row = base.agg(*aggs).collect()[0]
+        n_docs = row["__n"]
+        n = float(n_docs)
+        bias = bias - lr * ((row["__gb"] / gscale) / n)
+        for k in names:
+            weights[k] = weights[k] - lr * ((row[f"__g_{k}"] / gscale) / n)
+        loss_path.append((row["__ll"] / gscale) / n)
+    if stats is not None:
+        stats["n_docs"] = n_docs
+        stats["loss_path"] = loss_path
+    return weights, bias
+
+
 def chunk_documents(df, text_col: str, id_col: str,
                     chunk_tokens: int = 512, overlap: int = 64):
     """Split documents into overlapping token-budget chunks — the standard

@@ -85,3 +85,44 @@ def test_duplicate_line_fraction(spark):
     got2 = df2.select(F.round(duplicate_line_fraction(
         F.col("text"), sep="[.!?]"), 4).alias("frac")).collect()[0].frac
     assert got2 == pytest.approx(0.3333)  # rounded to 4dp above
+
+
+# -- train_logistic_quality -------------------------------------------------
+
+@pytest.fixture(scope="module")
+def labeled_docs(spark):
+    # two separable populations: stopword-rich prose vs symbol soup
+    good = [f"the of and to a in is it {i} that he was for on are with"
+            for i in range(30)]
+    bad = [f"@@##$$%%^^&&**(({i}))__++~~``||{{}}[]" for i in range(30)]
+    rows = [(t, 1) for t in good] + [(t, 0) for t in bad]
+    return spark.createDataFrame(rows, "text string, y int")
+
+
+def test_train_logistic_loss_decreases(labeled_docs):
+    stats = {}
+    tx.train_logistic_quality(labeled_docs, "text", "y", iters=5, stats=stats)
+    lp = stats["loss_path"]
+    assert stats["n_docs"] == 60
+    assert lp[-1] < lp[0]
+    assert all(b <= a + 1e-12 for a, b in zip(lp, lp[1:]))
+
+
+def test_train_logistic_learns_separation(labeled_docs):
+    w, b = tx.train_logistic_quality(labeled_docs, "text", "y", iters=10)
+    scored = labeled_docs.select(
+        "y", tx.linear_quality_score(F.col("text"), weights=w, bias=b)
+        .alias("p"))
+    rows = scored.collect()
+    mean_good = sum(r.p for r in rows if r.y == 1) / 30
+    mean_bad = sum(r.p for r in rows if r.y == 0) / 30
+    assert mean_good > mean_bad + 0.1
+
+
+def test_train_logistic_layout_independent(labeled_docs):
+    # exact-integer gradient sums: any partition layout must produce the
+    # BIT-IDENTICAL trajectory (the core engine-portability contract)
+    w1, b1 = tx.train_logistic_quality(labeled_docs, "text", "y", iters=4)
+    w2, b2 = tx.train_logistic_quality(
+        labeled_docs.repartition(7), "text", "y", iters=4)
+    assert w1 == w2 and b1 == b2
