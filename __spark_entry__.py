@@ -1643,6 +1643,54 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events")))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (sampling.weighted_sample):
+    keep probability = the logistic quality score — the standard
+    score-proportional corpus downsample, with md5-bucket membership the
+    oracle reproduces exactly."""
+    from scalding_spark.functions import sampling
+    docs = _t(spark, sf_dir, "documents")
+    w = F.round(tx.linear_quality_score(F.col("text")), 6)
+    return (sampling.weighted_sample(docs, "doc_id", w, salt="wq")
+            .select("doc_id", "source"))
+
+
+def _weighted_sample_sql() -> str:
+    """Mirror of q_weighted_sample: same features/z/sigmoid as
+    _linear_quality_sql, same floor(weight·2^32) cutoff vs the md5
+    bucket."""
+    from scalding_spark.functions.text import (
+        QUALITY_MODEL_BIAS, QUALITY_MODEL_WEIGHTS, STOPWORDS)
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    w = QUALITY_MODEL_WEIGHTS
+    terms = " + ".join(f"({w[name]!r}) * {name}" for name in sorted(w))
+    return f"""
+        WITH f AS (
+            SELECT doc_id, source,
+                   ln(1.0 + len({_TOKENS})) AS log_n_tok,
+                   CASE WHEN len(text) > 0 THEN
+                       len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                           / len(text)
+                   ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN len({_TOKENS}) > 0 THEN
+                       len(list_filter({_TOKENS}, x -> list_contains([{stops}], x)))
+                           / len({_TOKENS})
+                   ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN len({_TOKENS}) > 0 THEN
+                       list_sum(list_transform({_TOKENS}, x -> len(x)))
+                           / len({_TOKENS})
+                   ELSE 0.0 END AS mean_word_len
+            FROM documents),
+        q AS (SELECT doc_id, source,
+                     round(1.0 / (1.0 + exp(-(({QUALITY_MODEL_BIAS!r}) + {terms}))), 6)
+                         AS w
+              FROM f)
+        SELECT doc_id, source FROM q
+        WHERE ('0x' || substr(md5('wq' || doc_id::VARCHAR), 1, 8))::BIGINT
+              < CAST(floor(least(greatest(w, 0.0), 1.0) * 4294967296.0) AS BIGINT)
+    """
+
+
 def q_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED logistic quality classifier (tx.train_logistic_quality):
     3 rounds of full-batch gradient descent predicting English-ness from
@@ -1893,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in r03 (below the 50-entry window by design; rotate into
         # the r04 window — the judge's full local gate covers it now) --
         "q_train_quality": q_train_quality,
+        "q_weighted_sample": q_weighted_sample,
     }
 
 
@@ -2943,6 +2992,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_linear_quality": _linear_quality_sql(),
         "q_train_quality": _train_quality_sql(),
+        "q_weighted_sample": _weighted_sample_sql(),
         "q_map_stream": """
             SELECT c_custkey, c_mktsegment,
                    sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER (

@@ -98,6 +98,29 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     return df.where(bucket < cutoff)
 
 
+def weighted_sample(df: DataFrame, key_col: str, weight: Column,
+                    salt: str = "") -> DataFrame:
+    """Per-row Bernoulli keep with probability ``clamp(weight, 0, 1)`` —
+    the quality-weighted corpus downsample ("keep documents proportionally
+    to their quality score") of pretraining pipelines, on the same md5
+    determinism contract as :func:`deterministic_sample`:
+
+    - membership is ``hash_bucket(key) < floor(weight · 2^32)``: stable
+      across reruns, retries, and partition layouts;
+    - monotone-composable: raising a row's weight can only ADD it to the
+      sample, lowering can only remove it — a re-weighted corpus diffs
+      incrementally instead of resampling from scratch;
+    - pure Column expressions (the weight itself may be any expression,
+      e.g. a model score), so the filter fuses into the scan.
+
+    ``floor`` (not a cast) fixes the cutoff: double→int casts round in
+    some engines and truncate in others, which would flip boundary rows
+    cross-engine."""
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    cutoff = F.floor(w * float(_BUCKETS)).cast("bigint")
+    return df.where(hash_bucket(key_col, salt) < cutoff)
+
+
 def cap_per_key(df: DataFrame, key_col: str, n: int,
                 order_cols: list) -> DataFrame:
     """Keep at most ``n`` rows per key — the domain-mixing cap ("no more

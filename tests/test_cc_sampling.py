@@ -342,3 +342,33 @@ def test_pack_into_shards_budget_and_order(spark):
     big = spark.createDataFrame([(1, 50), (2, 500), (3, 50)], "id long, w long")
     got = {r.id: r.shard for r in pack_into_shards(big, "w", 100, ["id"]).collect()}
     assert got == {1: 0, 2: 0, 3: 5}
+
+
+def test_weighted_sample_matches_constant_fraction(keyed):
+    # constant weight w ≡ deterministic_sample(fraction=w) up to the
+    # floor-vs-round cutoff (differs by at most one bucket)
+    w = sampling.weighted_sample(keyed, "k", F.lit(0.10))
+    got = {r["k"] for r in w.collect()}
+    frac = {r["k"] for r in sampling.deterministic_sample(keyed, "k", 0.10).collect()}
+    assert got == frac or got <= frac
+
+
+def test_weighted_sample_monotone_in_weight(keyed):
+    # raising weights can only ADD rows (incremental re-weighting contract)
+    lo = {r["k"] for r in
+          sampling.weighted_sample(keyed, "k", F.lit(0.05)).collect()}
+    hi = {r["k"] for r in
+          sampling.weighted_sample(keyed, "k", F.lit(0.20)).collect()}
+    assert lo <= hi
+
+
+def test_weighted_sample_per_row_weights_and_clamp(keyed):
+    # weight 0 (and below) keeps nothing; weight 1 (and above) keeps all;
+    # a row-dependent weight keeps roughly its mean
+    zero = sampling.weighted_sample(keyed, "k", F.lit(-0.5)).count()
+    full = sampling.weighted_sample(keyed, "k", F.lit(2.0)).count()
+    assert zero == 0 and full == 4000
+    half = sampling.weighted_sample(
+        keyed, "k", F.when(F.col("k") % 2 == 0, 1.0).otherwise(0.0))
+    rows = {r["k"] for r in half.collect()}
+    assert rows == {k for k in range(4000) if k % 2 == 0}
