@@ -1691,6 +1691,47 @@ def _weighted_sample_sql() -> str:
     """
 
 
+# data-mixing constants shared by q_mix_proportions and its oracle
+_MIX_PROPS = {f"src{i}": 0.2 for i in range(5)}
+_MIX_TOTAL = 60_000
+
+
+def q_mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing (sampling.mix_to_proportions): five sources
+    at 20% each of a fixed char budget, others dropped; per-domain md5
+    cutoffs derive from exact integer size sums, so the oracle reproduces
+    membership bit-for-bit."""
+    from scalding_spark.functions import sampling
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mix_to_proportions(docs, "doc_id", "source", "n_chars",
+                                      _MIX_PROPS, total=_MIX_TOTAL,
+                                      salt="mx")
+    return out.select("doc_id", "source")
+
+
+def _mix_proportions_sql() -> str:
+    """Mirror of q_mix_proportions: identical fraction arithmetic
+    (p·total as repr'd doubles, exact integer domain sizes, floor·2^32
+    cutoffs) computed in SQL instead of on the driver."""
+    doms = ", ".join(f"'{d}'" for d in sorted(_MIX_PROPS))
+    prop_case = " ".join(
+        f"WHEN source = '{d}' THEN ({_MIX_PROPS[d]!r})"
+        for d in sorted(_MIX_PROPS))
+    return f"""
+        WITH sz AS (SELECT source, sum(n_chars) AS s FROM documents
+                    WHERE source IN ({doms}) GROUP BY source),
+        cut AS (SELECT source,
+                       CAST(floor(least(1.0, ((CASE {prop_case} END)
+                                  * {float(_MIX_TOTAL)!r}) / CAST(s AS DOUBLE))
+                                  * 4294967296.0) AS BIGINT) AS cutoff
+                FROM sz)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN cut c ON d.source = c.source
+        WHERE ('0x' || substr(md5('mx' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+              < c.cutoff
+    """
+
+
 def q_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED logistic quality classifier (tx.train_logistic_quality):
     3 rounds of full-batch gradient descent predicting English-ness from
@@ -1942,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r04 window — the judge's full local gate covers it now) --
         "q_train_quality": q_train_quality,
         "q_weighted_sample": q_weighted_sample,
+        "q_mix_proportions": q_mix_proportions,
     }
 
 
@@ -2993,6 +3035,7 @@ def oracle_sql() -> dict[str, str]:
         "q_linear_quality": _linear_quality_sql(),
         "q_train_quality": _train_quality_sql(),
         "q_weighted_sample": _weighted_sample_sql(),
+        "q_mix_proportions": _mix_proportions_sql(),
         "q_map_stream": """
             SELECT c_custkey, c_mktsegment,
                    sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER (

@@ -121,6 +121,52 @@ def weighted_sample(df: DataFrame, key_col: str, weight: Column,
     return df.where(hash_bucket(key_col, salt) < cutoff)
 
 
+def mix_to_proportions(df: DataFrame, key_col: str, domain_col: str,
+                       size_col: str, proportions: dict[str, float],
+                       total: int, salt: str = "",
+                       stats: dict | None = None) -> DataFrame:
+    """Downsample each domain so the kept corpus approaches a target token
+    budget and mix — THE data-mixing primitive of pretraining pipelines
+    ("30% web, 20% code, ... within a 1T-token budget").
+
+    For each listed domain d: keep fraction
+    ``min(1, proportions[d] · total / size_d)`` where ``size_d`` is the
+    domain's total ``size_col`` (tokens/chars/bytes — an exact integer
+    sum, so the fractions are engine-reproducible). Unlisted domains are
+    dropped. Membership uses the same md5 contract as
+    :func:`deterministic_sample` — reproducible, layout-independent, and
+    composable: raising a domain's budget only adds rows.
+
+    One tiny aggregation (#domains rows) feeds driver-computed cutoffs;
+    the filter itself is a pure broadcast-free CASE expression fused into
+    the scan. A domain whose corpus is smaller than its budget keeps
+    everything (fraction clamps at 1) — the achieved mix then under-shoots
+    that target, it never steals from other domains.
+
+    ``stats`` gains ``fractions`` and ``domain_sizes``.
+    """
+    sizes = {r["d"]: r["s"] for r in
+             df.groupBy(F.col(domain_col).alias("d"))
+               .agg(F.sum(F.col(size_col)).alias("s")).collect()
+             if r["d"] in proportions}
+    fractions = {
+        d: min(1.0, (proportions[d] * total) / sizes[d]) if sizes.get(d)
+        else 0.0
+        for d in proportions}
+    if stats is not None:
+        stats["fractions"] = fractions
+        stats["domain_sizes"] = sizes
+    bucket = hash_bucket(key_col, salt)
+    cutoff = None
+    for d in sorted(fractions):
+        cut = F.lit(int(fractions[d] * _BUCKETS))  # floor, like weighted_sample
+        clause = F.col(domain_col) == d
+        cutoff = (F.when(clause, cut) if cutoff is None
+                  else cutoff.when(clause, cut))
+    cutoff = F.lit(0) if cutoff is None else cutoff.otherwise(F.lit(0))
+    return df.where(bucket < cutoff)
+
+
 def cap_per_key(df: DataFrame, key_col: str, n: int,
                 order_cols: list) -> DataFrame:
     """Keep at most ``n`` rows per key — the domain-mixing cap ("no more

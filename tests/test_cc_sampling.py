@@ -372,3 +372,46 @@ def test_weighted_sample_per_row_weights_and_clamp(keyed):
         keyed, "k", F.when(F.col("k") % 2 == 0, 1.0).otherwise(0.0))
     rows = {r["k"] for r in half.collect()}
     assert rows == {k for k in range(4000) if k % 2 == 0}
+
+
+def test_mix_to_proportions_hits_budget(spark):
+    # 3 domains, equal 1/3 targets, budget small enough that all downsample
+    rows = [(i, f"dom{i % 3}", 100) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, dom: string, toks: bigint")
+    stats = {}
+    kept = sampling.mix_to_proportions(df, "doc_id", "dom", "toks",
+                                       {f"dom{i}": 1 / 3 for i in range(3)},
+                                       total=30_000, stats=stats)
+    per = {r["dom"]: r["s"] for r in
+           kept.groupBy("dom").agg(F.sum("toks").alias("s")).collect()}
+    for d in ("dom0", "dom1", "dom2"):
+        assert 0.5 * 10_000 < per[d] < 1.5 * 10_000   # ≈10k tokens each
+        assert abs(stats["fractions"][d] - 0.1) < 1e-12
+
+
+def test_mix_to_proportions_clamps_and_drops(spark):
+    rows = [(i, "tiny" if i < 10 else "big", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, dom: string, toks: bigint")
+    stats = {}
+    kept = sampling.mix_to_proportions(
+        df, "doc_id", "dom", "toks",
+        {"tiny": 0.5, "big": 0.5, "absent": 0.0}, total=10_000, stats=stats)
+    got = kept.groupBy("dom").count().collect()
+    per = {r["dom"]: r["count"] for r in got}
+    # tiny's budget (5000 toks) exceeds its 1000 toks -> keep all 10 docs
+    assert per["tiny"] == 10
+    assert stats["fractions"]["tiny"] == 1.0
+    assert stats["fractions"]["absent"] == 0.0
+    # unlisted domains never appear
+    assert set(per) <= {"tiny", "big"}
+
+
+def test_mix_to_proportions_deterministic(spark):
+    rows = [(i, f"d{i % 2}", 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, dom: string, toks: bigint")
+    props = {"d0": 0.5, "d1": 0.5}
+    a = {r["doc_id"] for r in sampling.mix_to_proportions(
+        df, "doc_id", "dom", "toks", props, total=1000).collect()}
+    b = {r["doc_id"] for r in sampling.mix_to_proportions(
+        df.repartition(13), "doc_id", "dom", "toks", props, total=1000).collect()}
+    assert a == b
