@@ -1691,6 +1691,19 @@ def _weighted_sample_sql() -> str:
     """
 
 
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (dedup.dedup_against): treat even doc_ids as the
+    existing corpus and odd ones as a new crawl increment (a parity split
+    so the synthetic corpus's duplicate pairs actually cross the boundary);
+    drop new docs whose exact normalized content is already present.
+    Anti-join on md5 fingerprints — text never crosses the exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return (dedup.dedup_against(new, seen, "text")
+            .select("doc_id", "source"))
+
+
 # data-mixing constants shared by q_mix_proportions and its oracle
 _MIX_PROPS = {f"src{i}": 0.2 for i in range(5)}
 _MIX_TOTAL = 60_000
@@ -1984,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_train_quality": q_train_quality,
         "q_weighted_sample": q_weighted_sample,
         "q_mix_proportions": q_mix_proportions,
+        "q_dedup_against": q_dedup_against,
     }
 
 
@@ -3036,6 +3050,13 @@ def oracle_sql() -> dict[str, str]:
         "q_train_quality": _train_quality_sql(),
         "q_weighted_sample": _weighted_sample_sql(),
         "q_mix_proportions": _mix_proportions_sql(),
+        "q_dedup_against": f"""
+            WITH n AS (SELECT doc_id, source, md5({_NORM_TEXT}) AS fp
+                       FROM documents)
+            SELECT doc_id, source FROM n
+            WHERE doc_id % 2 = 1
+              AND fp NOT IN (SELECT fp FROM n WHERE doc_id % 2 = 0)
+        """,
         "q_map_stream": """
             SELECT c_custkey, c_mktsegment,
                    sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER (

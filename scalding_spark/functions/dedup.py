@@ -53,6 +53,71 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             .select("rep_id", "n_dups"))
 
 
+def dedup_against(new: DataFrame, seen: DataFrame, text_col: str,
+                  seen_text_col: str | None = None) -> DataFrame:
+    """Incremental dedup: drop rows of ``new`` whose exact normalized
+    content already exists in ``seen`` — the per-crawl-increment shape of
+    a continuously-growing corpus (dedup today's batch against the corpus
+    without re-clustering everything).
+
+    Plan: left-anti join on the 128-bit content fingerprint. Both sides
+    shuffle (or broadcast, if the seen-fingerprint set is small) 32-byte
+    md5 keys, never text; with the seen side maintained as a
+    fingerprint-only table (e.g. via VersionedKeyValSource), the increment
+    cost is O(|new| + |seen_fps|) regardless of corpus text size.
+
+    Within-batch duplicates are NOT collapsed here (compose with
+    :func:`exact_dedup` first if wanted) — one job, one responsibility.
+    """
+    fp_new = F.md5(normalize_for_fingerprint(F.col(text_col)))
+    fp_seen = F.md5(normalize_for_fingerprint(
+        F.col(seen_text_col or text_col)))
+    seen_fps = seen.select(fp_seen.alias("__fp")).distinct()
+    return (new.withColumn("__fp", fp_new)
+            .join(seen_fps, on="__fp", how="left_anti")
+            .drop("__fp"))
+
+
+def remove_duplicate_lines(df: DataFrame, text_col: str, id_col: str,
+                           scope: str = "corpus",
+                           delimiter: str = "\n") -> DataFrame:
+    """Line-level exact dedup REWRITING documents (RefinedWeb/Gopher-style
+    cleanup): every line keeps only its FIRST occurrence — corpus-wide
+    (``scope='corpus'``: first by (doc, position) order, so boilerplate
+    headers/footers survive in exactly one document) or within each doc
+    (``scope='doc'``: repeated lines collapse per document).
+
+    Plan: posexplode lines → md5 line fingerprint → one window over the
+    fingerprint (8+32-byte shuffle keys; line text rides only to be
+    reassembled) → rank 1 keeps the first (doc, pos) → re-assemble via
+    sorted collect_list per doc. Documents whose every line was seen
+    elsewhere come back as empty strings (kept, so the output stays
+    1:1 with the input ids).
+
+    The collect_list bound is per-document line count — the same bounded-
+    group contract as reduce/map_list (documents are bounded; corpora are
+    not).
+    """
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
+    lines = (df.select(F.col(id_col).alias("__id"),
+                       F.posexplode(F.split(F.col(text_col), delimiter))
+                       .alias("__pos", "__line"))
+             .withColumn("__fp", F.md5(F.col("__line"))))
+    keys = ["__fp"] if scope == "corpus" else ["__id", "__fp"]
+    w = Window.partitionBy(*keys).orderBy("__id", "__pos")
+    kept = (lines.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1))
+    rebuilt = (kept.groupBy("__id")
+               .agg(F.array_join(
+                   F.array_sort(F.collect_list(F.struct("__pos", "__line")))
+                   .getField("__line"), delimiter).alias(text_col)))
+    return (df.select(F.col(id_col).alias("__id"))
+            .join(rebuilt, on="__id", how="left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.8,
                         max_doc_freq: int | None = 1000,

@@ -415,3 +415,51 @@ def test_mix_to_proportions_deterministic(spark):
     b = {r["doc_id"] for r in sampling.mix_to_proportions(
         df.repartition(13), "doc_id", "dom", "toks", props, total=1000).collect()}
     assert a == b
+
+
+# -- dedup_against / remove_duplicate_lines ---------------------------------
+
+def test_dedup_against_drops_seen_content(spark):
+    seen = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "unique old doc")], "id: bigint, text: string")
+    new = spark.createDataFrame(
+        [(10, "hello   world"),       # normalizes to seen #1 -> dropped
+         (11, "brand new content"),   # kept
+         (12, "brand new content")],  # within-batch dup: kept (by contract)
+        "id: bigint, text: string")
+    kept = sorted(r["id"] for r in
+                  dedup.dedup_against(new, seen, "text").collect())
+    assert kept == [11, 12]
+
+
+def test_remove_duplicate_lines_corpus_scope(spark):
+    df = spark.createDataFrame(
+        [(1, "header\nalpha\nbeta"),
+         (2, "header\ngamma"),        # 'header' already in doc 1 -> cut
+         (3, "header")],              # everything duplicated -> empty doc
+        "id: bigint, text: string")
+    from scalding_spark.functions.dedup import remove_duplicate_lines
+    out = {r["id"]: r["text"] for r in
+           remove_duplicate_lines(df, "text", "id").collect()}
+    assert out == {1: "header\nalpha\nbeta", 2: "gamma", 3: ""}
+
+
+def test_remove_duplicate_lines_doc_scope(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "a\na")], "id: bigint, text: string")
+    from scalding_spark.functions.dedup import remove_duplicate_lines
+    out = {r["id"]: r["text"] for r in
+           remove_duplicate_lines(df, "text", "id", scope="doc").collect()}
+    # per-doc: first occurrence kept, order preserved; doc 2 keeps its own 'a'
+    assert out == {1: "a\nb\nc", 2: "a"}
+
+
+def test_remove_duplicate_lines_layout_independent(spark):
+    rows = [(i, "\n".join(f"line{j % 7}" for j in range(i % 5 + 1)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id: bigint, text: string")
+    from scalding_spark.functions.dedup import remove_duplicate_lines
+    a = sorted(map(tuple, remove_duplicate_lines(df, "text", "id").collect()))
+    b = sorted(map(tuple, remove_duplicate_lines(
+        df.repartition(11), "text", "id").collect()))
+    assert a == b
