@@ -307,3 +307,28 @@ def test_kmeans_bcast_assignment_matches_literal(spark):
     bc = {r.id: r.cell for r in
           similarity._assign_cells_bcast(src, cents).select("id", "cell").collect()}
     assert lit == bc
+
+
+def test_weighted_sample_is_map_only(spark):
+    """Score-weighted membership must fuse into the scan: no exchange,
+    no UDF — the filter is pure expressions over md5 + the model score."""
+    from scalding_spark.functions import sampling
+    from scalding_spark.functions.text import linear_quality_score
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(sampling.weighted_sample(
+        docs, "doc_id", F.round(linear_quality_score(F.col("text")), 6)))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_mix_to_proportions_filter_is_map_only(spark):
+    """After the one tiny sizing agg, the mixing filter itself is a pure
+    CASE expression over the md5 bucket — no join, no exchange."""
+    from scalding_spark.functions import sampling
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sampling.mix_to_proportions(
+        docs, "doc_id", "source", "n_chars",
+        {f"src{i}": 0.2 for i in range(5)}, total=10_000)
+    p = plan(out)
+    assert "Exchange" not in p
+    assert "Join" not in p
