@@ -69,6 +69,56 @@ def streaming_dedup(df: DataFrame, keys: list[str], ts_col: str | None = None,
     return df.dropDuplicates(keys)
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame, on: list[str],
+                         left_ts: str, right_ts: str,
+                         min_delay: str = "0 seconds",
+                         max_delay: str = "1 hour",
+                         left_watermark: str = "1 hour",
+                         right_watermark: str = "1 hour",
+                         how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    right events that happened between ``max_delay`` and ``min_delay``
+    BEFORE it (``right_ts + min_delay <= left_ts <= right_ts + max_delay``),
+    per key — the streaming shape of :func:`scalding_spark.joins.range_join`
+    (clicks within an hour after an error, attribution windows, …).
+
+    State stays bounded because Spark derives each side's retention from
+    the watermarks plus the interval bounds; without the time-range
+    condition a stream-stream join would have to keep every row forever,
+    so this helper refuses key-only conditions by construction.
+
+    On batch inputs the same condition runs as a plain inequality join —
+    correct, but prefer ``joins.range_join`` there (it buckets the time
+    axis into an equi-join instead of a nested-loop plan).
+
+    Right-side columns whose names collide (key columns aside) are
+    suffixed ``_right``.
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"stream-stream interval join supports inner/"
+                         f"leftOuter, got {how!r}")
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, left_watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, right_watermark)
+    taken = set(left.columns)
+    ren = {c: (c + "_right" if c in taken and c not in on else c)
+           for c in right.columns}
+    r = right.select(*[F.col(c).alias(ren[c]) for c in right.columns])
+    r_ts = ren[right_ts]
+    cond = None
+    for k in on:
+        clause = left[k] == r[ren[k]]
+        cond = clause if cond is None else cond & clause
+    lo = F.col(r_ts) + F.expr(f"INTERVAL {min_delay}")
+    hi = F.col(r_ts) + F.expr(f"INTERVAL {max_delay}")
+    cond = cond & (left[left_ts] >= lo) & (left[left_ts] <= hi)
+    joined = left.join(r, cond, how)
+    # drop the right-side copy of each key column (qualified, so only
+    # right's copy goes)
+    return joined.drop(*[r[k] for k in on])
+
+
 def stateful_map(df: DataFrame, keys: list[str], fn, state_schema: str,
                  out_schema: str, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful per-key operator (the reference's closest analogue is

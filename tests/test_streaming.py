@@ -93,3 +93,68 @@ def test_write_stream_parquet_checkpointed(spark, events_dir, tmp_path):
     q = streaming.write_stream_parquet(stream, out, ckpt, available_now=True)
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(ROWS)
+
+
+# -- stream_interval_join ---------------------------------------------------
+
+EV_SCHEMA = "ts timestamp, user string, kind string"
+EV_ROWS = [
+    (datetime(2026, 1, 1, 10, 0), "a", "error"),
+    (datetime(2026, 1, 1, 10, 10), "a", "click"),   # 10 min after error
+    (datetime(2026, 1, 1, 11, 30), "a", "click"),   # past the 1h window
+    (datetime(2026, 1, 1, 10, 5), "b", "click"),    # no error for b
+    (datetime(2026, 1, 1, 12, 0), "b", "error"),
+    (datetime(2026, 1, 1, 12, 0), "b", "click"),    # same instant: included
+]
+
+
+@pytest.fixture(scope="module")
+def clicks_errors_dirs(spark, tmp_path_factory):
+    ev = spark.createDataFrame(EV_ROWS, EV_SCHEMA)
+    dc = str(tmp_path_factory.mktemp("clicks"))
+    de = str(tmp_path_factory.mktemp("errors"))
+    ev.where(F.col("kind") == "click").drop("kind").write.mode("overwrite").parquet(dc)
+    ev.where(F.col("kind") == "error").drop("kind") \
+      .withColumnRenamed("ts", "err_ts").write.mode("overwrite").parquet(de)
+    return dc, de
+
+
+def expected_pairs(spark, dc, de):
+    c = spark.read.parquet(dc)
+    e = spark.read.parquet(de)
+    j = c.join(e, (c.user == e.user) & (c.ts >= e.err_ts)
+               & (c.ts <= e.err_ts + F.expr("INTERVAL 1 HOUR")), "inner")
+    return {(r[0], str(r[1]), str(r[2])) for r in
+            j.select(c.user, c.ts, e.err_ts).collect()}
+
+
+def test_stream_interval_join_batch_equals_inequality_join(spark, clicks_errors_dirs):
+    dc, de = clicks_errors_dirs
+    out = streaming.stream_interval_join(
+        spark.read.parquet(dc), spark.read.parquet(de),
+        on=["user"], left_ts="ts", right_ts="err_ts",
+        min_delay="0 seconds", max_delay="1 hour")
+    got = {(r.user, str(r.ts), str(r.err_ts)) for r in out.collect()}
+    assert got == expected_pairs(spark, dc, de)
+    assert got == {("a", "2026-01-01 10:10:00", "2026-01-01 10:00:00"),
+                   ("b", "2026-01-01 12:00:00", "2026-01-01 12:00:00")}
+
+
+def test_stream_interval_join_streaming_equals_batch(spark, clicks_errors_dirs):
+    dc, de = clicks_errors_dirs
+    sc = streaming.stream_from_parquet_dir(spark, dc, "ts timestamp, user string")
+    se = streaming.stream_from_parquet_dir(spark, de, "err_ts timestamp, user string")
+    out = streaming.stream_interval_join(
+        sc, se, on=["user"], left_ts="ts", right_ts="err_ts",
+        min_delay="0 seconds", max_delay="1 hour")
+    got_df = streaming.run_available_now(out, "ivj_test", output_mode="append")
+    got = {(r.user, str(r.ts), str(r.err_ts)) for r in got_df.collect()}
+    assert got == expected_pairs(spark, dc, de)
+
+
+def test_stream_interval_join_rejects_full_outer(spark, clicks_errors_dirs):
+    dc, de = clicks_errors_dirs
+    with pytest.raises(ValueError, match="inner"):
+        streaming.stream_interval_join(
+            spark.read.parquet(dc), spark.read.parquet(de),
+            on=["user"], left_ts="ts", right_ts="err_ts", how="fullOuter")
