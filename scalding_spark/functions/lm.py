@@ -70,7 +70,11 @@ def unigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     """
     ex = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
     doc_tok = ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("occ"))
-    model = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # model derives from doc_tok (sum of occ ≡ direct count), NOT from a
+    # second explode of ex: the shared aggregate subtree becomes a
+    # ReusedExchange, so the corpus is scanned and tokenized ONCE — at
+    # 100 TB the second scan+explode was the dominant cost
+    model = doc_tok.groupBy("tok").agg(F.sum("occ").alias("cnt"))
     scalars = model.agg(F.sum("cnt").alias("N"),
                         F.count(F.lit(1)).alias("V"))
     scored = (doc_tok.join(model, "tok")
@@ -107,7 +111,12 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
           .select(F.col(id_col), F.explode(pairs).alias("bg"))
           .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))
     doc_bg = ex.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("occ"))
-    pair_model = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    # pair model re-aggregates doc_bg (sum of occ ≡ direct count) instead
+    # of re-exploding the corpus — the shared subtree becomes a
+    # ReusedExchange: one bigram scan+explode instead of two (the vocab
+    # count below still needs its own unigram explode; V covers tokens of
+    # 1-token docs that the bigram stream never sees)
+    pair_model = doc_bg.groupBy("w1", "w2").agg(F.sum("occ").alias("pair_cnt"))
     prefix_model = pair_model.groupBy("w1").agg(F.sum("pair_cnt").alias("prefix_cnt"))
     vocab = (df.select(F.explode(tokenize(F.col(text_col))).alias("tok"))
              .agg(F.count_distinct("tok").alias("V")))
