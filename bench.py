@@ -51,6 +51,11 @@ HEADLINE = [
     "q_chunk_documents",         # context-window chunking (posexplode)
     "q_topk_window",             # sortWithTake via window (vs groupBy top-k)
     "q_bigram_lm",               # conditional bigram LM doc scoring
+    # -- r03-new operators --
+    "q_train_quality",           # logistic GD training (3 exact-int iters)
+    "q_weighted_sample",         # score-weighted md5 sampling (map-only)
+    "q_mix_proportions",         # token-budget domain mixing (map-only)
+    "q_dedup_against",           # incremental anti-join dedup
 ]
 
 
