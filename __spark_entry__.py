@@ -1691,6 +1691,18 @@ def _weighted_sample_sql() -> str:
     """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc sequence packing (sampling.pack_sequences): greedy-fill
+    512-token training sequences in doc_id order, whole docs only, on the
+    key-less parallel running-sum pattern. Output fingerprints the packed
+    text so the oracle verifies exact content + order."""
+    from scalding_spark.functions import sampling
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.pack_sequences(docs, "text", "doc_id", seq_tokens=512)
+    return out.select("seq_id", F.md5("text").alias("fp"),
+                      "n_docs", "n_tokens")
+
+
 def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup (dedup.dedup_against): treat even doc_ids as the
     existing corpus and odd ones as a new crawl increment (a parity split
@@ -1998,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_mix_proportions": q_mix_proportions,
         "q_dedup_against": q_dedup_against,
+        "q_pack_sequences": q_pack_sequences,
     }
 
 
@@ -3056,6 +3069,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM n
             WHERE doc_id % 2 = 1
               AND fp NOT IN (SELECT fp FROM n WHERE doc_id % 2 = 0)
+        """,
+        "q_pack_sequences": f"""
+            WITH w AS (SELECT doc_id, text,
+                              greatest(len({_TOKENS}), 1) AS w
+                       FROM documents),
+            c AS (SELECT doc_id, text, w,
+                         sum(w) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM w),
+            s AS (SELECT doc_id, text, w,
+                         CAST(floor((cum - w) / 512.0) AS BIGINT) AS seq_id
+                  FROM c)
+            SELECT seq_id,
+                   md5(string_agg(text, chr(10) ORDER BY doc_id)) AS fp,
+                   count(*) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_tokens
+            FROM s GROUP BY seq_id
         """,
         "q_map_stream": """
             SELECT c_custkey, c_mktsegment,

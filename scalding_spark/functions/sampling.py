@@ -121,6 +121,39 @@ def weighted_sample(df: DataFrame, key_col: str, weight: Column,
     return df.where(hash_bucket(key_col, salt) < cutoff)
 
 
+def pack_sequences(df: DataFrame, text_col: str, id_col: str,
+                   seq_tokens: int, sep: str = "\n") -> DataFrame:
+    """Cross-document sequence packing: greedy-fill fixed token budgets in
+    deterministic ``id_col`` order, CONCATENATING whole documents (never
+    splitting one) — the "pack short docs into 2048-token training
+    sequences" prep step. The complement of
+    :func:`scalding_spark.functions.text.chunk_documents`, which splits
+    LONG docs; real pipelines chunk first, then pack.
+
+    Plan: per-doc token counts (pure expressions) → the key-less parallel
+    running sum of :func:`pack_into_shards` (range partitioning +
+    broadcast prefix offsets — no single-task window) → one groupBy
+    reassembling each sequence's text in id order. A sequence overruns by
+    at most one document. Zero-token docs are weighted 1 so a run of them
+    cannot pile into one unbounded sequence — the per-sequence collect is
+    bounded by ``seq_tokens`` members.
+
+    Returns (seq_id, text, n_docs, n_tokens).
+    """
+    from scalding_spark.functions.text import tokenize
+    sized = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text"),
+        F.greatest(F.size(tokenize(F.col(text_col))), F.lit(1)).alias("__w"))
+    packed = pack_into_shards(sized, "__w", seq_tokens, ["__id"],
+                              out="seq_id")
+    return (packed.groupBy("seq_id")
+            .agg(F.array_join(
+                     F.array_sort(F.collect_list(F.struct("__id", "__text")))
+                     .getField("__text"), sep).alias(text_col),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__w").alias("n_tokens")))
+
+
 def mix_to_proportions(df: DataFrame, key_col: str, domain_col: str,
                        size_col: str, proportions: dict[str, float],
                        total: int, salt: str = "",

@@ -463,3 +463,39 @@ def test_remove_duplicate_lines_layout_independent(spark):
     b = sorted(map(tuple, remove_duplicate_lines(
         df.repartition(11), "text", "id").collect()))
     assert a == b
+
+
+def test_pack_sequences_budget_and_order(spark):
+    # docs of 3 tokens each, budget 7 -> greedy fill: ceil boundary after
+    # the doc whose start offset crosses a multiple of 7
+    rows = [(i, f"w{i}a w{i}b w{i}c") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = {r["seq_id"]: r for r in
+           sampling.pack_sequences(df, "text", "doc_id", 7).collect()}
+    # offsets 0,3,6,9,12,15 -> seqs 0,0,0,1,1,2
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["n_docs"] == 3 and out[0]["n_tokens"] == 9
+    assert out[1]["n_docs"] == 2 and out[2]["n_docs"] == 1
+    # concatenation preserves doc order, whole docs only
+    assert out[0]["text"] == "w0a w0b w0c\nw1a w1b w1c\nw2a w2b w2c"
+    assert out[2]["text"] == "w5a w5b w5c"
+
+
+def test_pack_sequences_zero_token_docs_bounded(spark):
+    # punctuation-only docs tokenize to 0 -> clamped weight 1, so they
+    # spread across sequences instead of piling into one
+    rows = [(i, "!!!") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = sampling.pack_sequences(df, "text", "doc_id", 4).collect()
+    assert {r["seq_id"] for r in out} == {0, 1, 2}
+    assert all(r["n_docs"] <= 4 for r in out)
+
+
+def test_pack_sequences_layout_independent(spark):
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(i % 6 + 1)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    a = sorted(map(tuple, sampling.pack_sequences(df, "text", "doc_id", 16).collect()))
+    b = sorted(map(tuple, sampling.pack_sequences(
+        df.repartition(9), "text", "doc_id", 16).collect()))
+    assert a == b
