@@ -266,9 +266,14 @@ def cogroup(left, right, keys: list[str], fn: Callable, schema: str) -> Pipe:
 
 
 def as_of_join(left, right, on: list[str], left_ts: str, right_ts: str,
-               tolerance_seconds: float | None = None) -> Pipe:
+               tolerance_seconds: float | None = None,
+               direction: str = "backward") -> Pipe:
     """As-of join (absent in the reference — SURVEY §2.5 extension): for each
-    left row, attach the LATEST right row with right_ts ≤ left_ts per key.
+    left row, attach the matching right row per key — the LATEST with
+    right_ts ≤ left_ts (``direction='backward'``, default), the EARLIEST
+    with right_ts ≥ left_ts (``'forward'``), or whichever is closest in
+    absolute gap (``'nearest'``, backward winning exact ties) — the full
+    pandas ``merge_asof`` direction surface.
 
     Plan — the scalable union+window formulation, NOT a non-equi range join
     (which Spark can only plan as a broadcast-nested-loop):
@@ -276,8 +281,10 @@ def as_of_join(left, right, on: list[str], left_ts: str, right_ts: str,
       union both sides tagged → one window per key ordered by (ts, side) →
       last non-null right payload carried forward → keep left rows.
 
-    One shuffle on the key, state bounded by the window frame. ``tolerance``
-    nulls out matches older than the budget (pandas merge_asof semantics).
+    Forward runs the same window descending; nearest evaluates both
+    directions over the SAME key partitioning (two in-partition sorts, still
+    ONE exchange). ``tolerance`` nulls out matches whose |gap| exceeds the
+    budget (pandas merge_asof semantics).
 
     Right-side payload columns whose names collide with a left output column
     (including one named like ``left_ts``) are auto-suffixed ``_right`` —
@@ -304,16 +311,42 @@ def as_of_join(left, right, on: list[str], left_ts: str, right_ts: str,
         F.col(right_ts).cast("double").alias("__rts"),
         F.struct(*r_payload).alias("__r"))
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}")
     u = lu.unionByName(ru)
-    w = (Window.partitionBy(*on).orderBy("__ts", "__side")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    carried = (u.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
-               .withColumn("__match_ts", F.last("__rts", ignorenulls=True).over(w))
+    # at equal ts the right row (side 0) sorts first in BOTH orderings, so
+    # equality is an inclusive match in every direction
+    wb = (Window.partitionBy(*on).orderBy("__ts", "__side")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*on).orderBy(F.col("__ts").desc(), "__side")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    lts = F.col("__ts").cast("double")
+
+    def carry(w):
+        return (F.last("__r", ignorenulls=True).over(w),
+                F.last("__rts", ignorenulls=True).over(w))
+
+    if direction == "backward":
+        match, mts = carry(wb)
+        gap = lts - mts
+    elif direction == "forward":
+        match, mts = carry(wf)
+        gap = mts - lts
+    else:
+        mb, bts = carry(wb)
+        mf, fts = carry(wf)
+        gb, gf = lts - bts, fts - lts
+        use_f = bts.isNull() | (fts.isNotNull() & (gf < gb))  # tie → backward
+        match = F.when(use_f, mf).otherwise(mb)
+        gap = F.when(use_f, gf).otherwise(gb)
+    carried = (u.withColumn("__match", match)
+               .withColumn("__gap", gap)
                .where(F.col("__side") == 1))
     if tolerance_seconds is not None:
-        in_budget = (F.col("__ts").cast("double") - F.col("__match_ts")) <= tolerance_seconds
         carried = carried.withColumn(
-            "__match", F.when(in_budget, F.col("__match")))
+            "__match", F.when(F.col("__gap") <= tolerance_seconds,
+                              F.col("__match")))
     out = carried.select(
         *on, F.col("__ts").alias(left_ts),
         *[F.col("__l")[c].alias(c) for c in l_payload],

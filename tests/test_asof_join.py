@@ -55,3 +55,43 @@ def test_as_of_join_single_shuffle(sides):
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def golden_dir(direction, tolerance=None):
+    t = pd.DataFrame(TRADES, columns=["sym", "ts", "qty"]).sort_values("ts")
+    q = pd.DataFrame(QUOTES, columns=["sym", "qts", "px"]).sort_values("qts")
+    m = pd.merge_asof(t, q, left_on="ts", right_on="qts", by="sym",
+                      direction=direction, tolerance=tolerance)
+    return {(r.sym, r.ts): (None if pd.isna(r.px) else r.px)
+            for r in m.itertuples()}
+
+
+def test_as_of_join_forward_matches_merge_asof(sides):
+    assert run(sides, direction="forward") == golden_dir("forward")
+
+
+def test_as_of_join_nearest_matches_merge_asof(sides):
+    assert run(sides, direction="nearest") == golden_dir("nearest")
+
+
+def test_as_of_join_directions_with_tolerance(sides):
+    for d in ("forward", "nearest"):
+        assert run(sides, direction=d, tolerance_seconds=1.5) == \
+            golden_dir(d, tolerance=1.5)
+
+
+def test_as_of_join_direction_still_single_shuffle(sides):
+    t, q = sides
+    for d in ("forward", "nearest"):
+        out = joins.as_of_join(t, q, on=["sym"], left_ts="ts",
+                               right_ts="qts", direction=d)
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, d
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_as_of_join_rejects_bad_direction(sides):
+    t, q = sides
+    with pytest.raises(ValueError, match="direction"):
+        joins.as_of_join(t, q, on=["sym"], left_ts="ts", right_ts="qts",
+                         direction="sideways")
