@@ -16,8 +16,12 @@ engine's operators, from raw corpus to reproducible train/val/test splits.
                               the reviewable evidence for a later cut pass)
    → stratified downsample   (per-source md5-range fractions — reproducible
                               across runs, clusters, partitionings)
+   → token-budget mixing     (optional: equal-share domain mix within a
+                              char budget — mix_to_proportions)
    → train/val/test split    (disjoint md5 ranges, auditable contract)
    → partitioned write       (split=... directories)
+   → sequence packing        (optional: whole-doc concat into fixed-token
+                              training sequences — pack_sequences)
 
 Run:
     python -m scalding_spark.tool \
@@ -88,7 +92,29 @@ class PrepareTrainingDataJob(Job):
             kept = sampling.stratified_sample(
                 kept, "doc_id", "source", {s: frac for s in sources})
 
-        # 7. reproducible splits + partitioned write
+        # 7. token-budget domain mixing (optional): resample sources toward
+        # equal shares of a char budget — reproducible md5 cutoffs derived
+        # from exact integer size sums
+        mix_budget = self.args.getOrElse("mix-budget-chars", "")
+        if mix_budget:
+            sources = [r["source"] for r in
+                       kept.select("source").distinct().collect()]
+            kept = sampling.mix_to_proportions(
+                kept, "doc_id", "source", "n_chars",
+                {s: 1.0 / len(sources) for s in sources},
+                total=int(mix_budget), salt="mix")
+
+        # 8. reproducible splits + partitioned write
         out = sampling.train_val_test_split(kept, "doc_id")
         out.write.mode("overwrite").partitionBy("split") \
             .parquet(self.args("output"))
+
+        # 9. sequence packing (optional): concat whole docs into
+        # fixed-token training sequences, written alongside the corpus
+        pack = self.args.getOrElse("pack-tokens", "")
+        if pack:
+            seqs = sampling.pack_sequences(
+                out.where(F.col("split") == "train"), "text", "doc_id",
+                seq_tokens=int(pack))
+            seqs.write.mode("overwrite").parquet(
+                self.args("output").rstrip("/") + "_train_sequences")

@@ -76,9 +76,14 @@ def test_prepare_training_data_job_end_to_end(spark, tmp_path):
         Args(["--input", "/root/testdata/sf0.001/documents.parquet",
               "--output", out, "--min-quality", "0.0",
               "--min-model-score", "0.0", "--max-neg-logp", "99",
-              "--jaccard", "0.5"]), spark)
+              "--jaccard", "0.5", "--mix-budget-chars", "20000",
+              "--pack-tokens", "256"]), spark)
     job.run()
     got = spark.read.parquet(out)
+    # packed-sequence sidecar: budget respected up to one-doc overrun
+    seqs = spark.read.parquet(out + "_train_sequences")
+    assert {"seq_id", "text", "n_docs", "n_tokens"} <= set(seqs.columns)
+    assert seqs.count() > 0
     # span-audit sidecar exists with the contract schema (may be empty)
     spans = spark.read.parquet(out + "_shared_spans")
     assert set(spans.columns) == {"id_a", "id_b", "start_a", "start_b",
