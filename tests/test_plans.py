@@ -332,3 +332,33 @@ def test_mix_to_proportions_filter_is_map_only(spark):
     p = plan(out)
     assert "Exchange" not in p
     assert "Join" not in p
+
+
+def test_pack_sequences_no_single_task_window(spark):
+    """Sequence packing must ride the range-partitioned parallel running
+    sum — never a single-partition window over the whole corpus."""
+    from scalding_spark.functions import sampling
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(sampling.pack_sequences(docs, "text", "doc_id", 512))
+    assert "rangepartitioning" in p
+    # the only SinglePartition exchange allowed is the #partitions-row
+    # offsets table of the scan-left pattern, never a corpus-wide window
+    assert "Window [" not in p.split("SinglePartition")[0] or \
+        "rangepartitioning" in p.split("SinglePartition")[0]
+
+
+def test_train_logistic_gradient_is_one_agg_no_udf(spark):
+    """Each training iteration is a single partial-aggregated pass: no
+    Python evaluation nodes, exactly one aggregate pair over the corpus."""
+    from scalding_spark.functions import text as tx
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feats = tx.quality_features(F.col("text"))
+    base = docs.select(*[F.round(feats[k], 6).alias(k) for k in sorted(feats)],
+                       (F.col("lang") == "en").cast("int").alias("__y"))
+    gscale = 1e9
+    err = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(0.0))), 6) - F.col("__y")
+    agg = base.agg(F.sum(F.round(err * gscale).cast("long")).alias("gb"),
+                   F.count(F.lit(1)).alias("n"))
+    p = plan(agg)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") == 2  # partial + final, nothing more
