@@ -499,3 +499,36 @@ def test_pack_sequences_layout_independent(spark):
     b = sorted(map(tuple, sampling.pack_sequences(
         df.repartition(9), "text", "doc_id", 16).collect()))
     assert a == b
+
+
+@settings(max_examples=6, deadline=None)
+@given(lens=st.lists(st.integers(min_value=0, max_value=9),
+                     min_size=1, max_size=60),
+       budget=st.integers(min_value=1, max_value=25))
+def test_pack_sequences_partition_property(spark_keep, lens, budget):
+    """For ANY doc-length profile and budget: every doc lands in exactly
+    one sequence, order is preserved, and each sequence's weight exceeds
+    the budget by at most one doc (never-split greedy contract)."""
+    spark, _ = spark_keep
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(n)))
+            for i, (n) in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = sorted(sampling.pack_sequences(df, "text", "doc_id", budget).collect(),
+                 key=lambda r: r["seq_id"])
+    # partition: every doc exactly once, in id order across sequences
+    docs_back = []
+    for r in out:
+        docs_back += [t for t in r["text"].split("\n")]
+    expected = [t for _, t in rows]
+    assert docs_back == expected
+    # budget: python replay of the greedy rule agrees on every boundary
+    w = [max(n, 1) for n in lens]
+    cum = 0
+    py_seq = []
+    for wi in w:
+        py_seq.append(cum // budget)
+        cum += wi
+    got_seq = []
+    for r in out:
+        got_seq += [r["seq_id"]] * r["n_docs"]
+    assert got_seq == py_seq
