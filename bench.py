@@ -102,6 +102,14 @@ def main() -> None:
             t0 = time.time()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t0)
+        # long queries get one mandatory extra sample: a steal burst that
+        # spans both initial runs inflates them AGREEING with each other,
+        # which the ratio guard can't see (observed: 8.5s kmeans timed
+        # 18.8s twice in a row inside one burst)
+        if min(runs) > 5.0 and len(runs) < 4:
+            t0 = time.time()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
