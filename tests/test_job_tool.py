@@ -349,3 +349,58 @@ def test_listener_on_throwable_handled_suppresses():
             return True  # handled: execute() reports failure, no raise
 
     assert _make_noop_job(listeners=[Handle()], fail=True).execute() is False
+
+
+# -- tutorial parity (reference tutorial/Tutorial0-6.scala) ------------------
+
+def test_tutorial_parity_jobs_end_to_end(spark, tmp_path):
+    """All seven ported tutorial jobs run on TextLine/Csv data and produce
+    the shapes the originals document."""
+    from examples import tutorial_parity_jobs as tp
+
+    hello = tmp_path / "hello.txt"
+    hello.write_text("Hello world\nGoodbye world\n")
+    words = tmp_path / "words.txt"
+    words.write_text("hello\nworld\ngoodbye\n")
+    phones = tmp_path / "phones.txt"
+    phones.write_text("ada lovelace 555-0100 36 uk\n"
+                      "alan turing 555-0101 41 uk\n")
+
+    def run(cls, extra):
+        out = str(tmp_path / cls.__name__)
+        cls(Args(["--input", str(hello), "--output", out] + extra),
+            spark).run()
+        return [r[0] for r in
+                spark.read.option("sep", "\t").csv(out).collect()]
+
+    assert sorted(run(tp.Tutorial0, [])) == ["Goodbye world", "Hello world"]
+    assert sorted(run(tp.Tutorial1, [])) == ["Goodbye world", "Hello world"]
+
+    out2 = str(tmp_path / "t2")
+    tp.Tutorial2(Args(["--input", str(hello), "--output", out2]), spark).run()
+    rows = {tuple(r) for r in
+            spark.read.option("sep", "\t").csv(out2).collect()}
+    assert ("Hello world", "dlrow olleH") in rows
+
+    assert sorted(run(tp.Tutorial3, [])) == \
+        ["Goodbye", "Hello", "world", "world"]
+
+    out4 = str(tmp_path / "t4")
+    tp.Tutorial4(Args(["--input", str(hello), "--output", out4]), spark).run()
+    counts = {r[0]: int(r[1]) for r in
+              spark.read.option("sep", "\t").csv(out4).collect()}
+    assert counts == {"Hello": 1, "Goodbye": 1, "world": 2}
+
+    out5 = str(tmp_path / "t5")
+    tp.Tutorial5(Args(["--input", str(hello), "--output", out5,
+                       "--words", str(words)]), spark).run()
+    scored = {r[0]: float(r[1]) for r in
+              spark.read.option("sep", "\t").csv(out5).collect()}
+    # scores: hello=0, world=1, goodbye=2 (line offsets)
+    assert scored == {"Hello world": 1.0, "Goodbye world": 3.0}
+
+    out6 = str(tmp_path / "t6")
+    tp.Tutorial6(Args(["--input", str(phones), "--output", out6]), spark).run()
+    full = {tuple(r) for r in
+            spark.read.option("sep", "\t").csv(out6).collect()}
+    assert full == {("ada lovelace", "36"), ("alan turing", "41")}
