@@ -404,3 +404,64 @@ def test_tutorial_parity_jobs_end_to_end(spark, tmp_path):
     full = {tuple(r) for r in
             spark.read.option("sep", "\t").csv(out6).collect()}
     assert full == {("ada lovelace", "36"), ("alan turing", "41")}
+
+
+def test_matrix_tutorial_jobs_end_to_end(spark, tmp_path):
+    """The seven matrix-tutorial ports run on a small follow graph and
+    reproduce hand-computed results."""
+    from examples import matrix_tutorial_jobs as mt
+
+    edges = tmp_path / "edges.tsv"
+    edges.write_text("1\t2\t1.0\n1\t3\t1.0\n2\t3\t1.0\n3\t1\t1.0\n")
+
+    def read(out):
+        return [tuple(r) for r in
+                spark.read.option("sep", "\t").csv(str(out)).collect()]
+
+    out0 = tmp_path / "deg"
+    mt.GraphOutDegreeJob(Args(["--input", str(edges), "--output", str(out0)]),
+                         spark).run()
+    assert {(r[0], float(r[1])) for r in read(out0)} == \
+        {("1", 2.0), ("2", 1.0), ("3", 1.0)}
+
+    out1 = tmp_path / "cofollow"
+    mt.CofollowsJob(Args(["--input", str(edges), "--output", str(out1)]),
+                    spark).run()
+    co = {(r[0], r[1]): float(r[2]) for r in read(out1)}
+    assert co[("1", "1")] == 2.0 and co[("1", "2")] == 1.0
+    assert ("1", "3") not in co          # no common targets, zero pruned
+
+    out2 = tmp_path / "filtered"
+    mt.FilterOutdegreeJob(Args(["--input", str(edges), "--output", str(out2),
+                                "--maxOutdegree", "2"]), spark).run()
+    assert {(r[0], r[1]) for r in read(out2)} == {("2", "3"), ("3", "1")}
+
+    out3 = tmp_path / "inter"
+    mt.ComputeMatrixIntersectionJob(
+        Args(["--input1", str(edges), "--input2", str(edges),
+              "--intersection", str(out3)]), spark).run()
+    assert {(r[0], r[1]) for r in read(out3)} == \
+        {("1", "2"), ("1", "3"), ("2", "3"), ("3", "1")}
+
+    out4 = tmp_path / "cos"
+    mt.ComputeCosineJob(Args(["--input", str(edges), "--output", str(out4)]),
+                        spark).run()
+    cos = {(r[0], r[1]): float(r[2]) for r in read(out4)}
+    assert cos[("1", "1")] == pytest.approx(1.0)
+    assert cos[("1", "2")] == pytest.approx(2 ** -0.5)
+
+    out5 = tmp_path / "jac"
+    mt.ComputeJaccardJob(Args(["--input", str(edges), "--output", str(out5)]),
+                         spark).run()
+    jac = {(r[0], r[1]): float(r[2]) for r in read(out5)}
+    assert jac[("1", "2")] == pytest.approx(0.5)   # |{3}| / |{2,3}∪{3}|
+    assert jac[("1", "1")] == pytest.approx(1.0)
+
+    dw = tmp_path / "docword.tsv"
+    dw.write_text("1\ta\t2.0\n1\tb\t1.0\n2\ta\t1.0\n")
+    out6 = tmp_path / "tfidf"
+    mt.TfIdfJob(Args(["--input", str(dw), "--output", str(out6),
+                      "--nrWords", "1"]), spark).run()
+    top = {r[0]: r[1] for r in read(out6)}
+    # b is rarer (df 1 vs 2): idf wins over a's higher tf in doc 1
+    assert top == {"1": "b", "2": "a"}
