@@ -14,6 +14,7 @@ dt_strategy = st.datetimes(min_value=datetime(1990, 1, 1),
 span_units = st.sampled_from(["minutes", "hours", "days", "weeks"])
 
 
+@settings(deadline=None)
 @given(dt_strategy, dt_strategy)
 def test_range_normalizes_and_contains_endpoints(a, b):
     lo, hi = min(a, b), max(a, b)
@@ -24,7 +25,7 @@ def test_range_normalizes_and_contains_endpoints(a, b):
 
 
 @given(dt_strategy, st.integers(0, 500), span_units, st.integers(1, 48))
-@settings(max_examples=60)
+@settings(max_examples=60, deadline=None)
 def test_each_partitions_cover_exactly(start, span_hours, unit, count):
     """DateProperties.scala:27-78: sub-ranges tile the range — consecutive,
     non-overlapping, covering every instant."""
@@ -38,7 +39,7 @@ def test_each_partitions_cover_exactly(start, span_hours, unit, count):
 
 
 @given(dt_strategy, st.integers(1, 36))
-@settings(max_examples=60)
+@settings(max_examples=60, deadline=None)
 def test_embiggen_contains_extend_contains_original(d, n):
     r = DateRange(d, d + timedelta(days=2))
     big = r.embiggen(days(n))
@@ -48,7 +49,7 @@ def test_embiggen_contains_extend_contains_original(d, n):
 
 
 @given(dt_strategy, st.integers(-1000, 1000))
-@settings(max_examples=60)
+@settings(max_examples=60, deadline=None)
 def test_exact_duration_roundtrip(d, n):
     assert Duration("hours", -n).add_to(Duration("hours", n).add_to(d)) == d
     assert Duration("minutes", -n).add_to(Duration("minutes", n).add_to(d)) == d
@@ -56,7 +57,7 @@ def test_exact_duration_roundtrip(d, n):
 
 @given(st.integers(1990, 2049), st.integers(1, 12), st.integers(1, 28),
        st.integers(1, 60))
-@settings(max_examples=60)
+@settings(max_examples=60, deadline=None)
 def test_month_arithmetic_calendar_shift(y, m, d, n):
     base = datetime(y, m, d)
     out = Duration("months", n).add_to(base)
