@@ -78,6 +78,22 @@ def dedup_against(new: DataFrame, seen: DataFrame, text_col: str,
             .drop("__fp"))
 
 
+def dedup_against_fingerprints(new: DataFrame, seen_fps: DataFrame,
+                               text_col: str,
+                               fp_col: str = "fp") -> DataFrame:
+    """:func:`dedup_against` when the corpus side is already a
+    fingerprint-only table (the production shape for a continuously
+    growing corpus: 32 bytes/doc retained, text discarded). Left-anti join
+    of the batch's md5 fingerprints against ``seen_fps[fp_col]`` —
+    increment cost is O(|batch| + |fingerprints|) however much text has
+    accumulated."""
+    fp_new = F.md5(normalize_for_fingerprint(F.col(text_col)))
+    seen = seen_fps.select(F.col(fp_col).alias("__fp")).distinct()
+    return (new.withColumn("__fp", fp_new)
+            .join(seen, on="__fp", how="left_anti")
+            .drop("__fp"))
+
+
 def remove_duplicate_lines(df: DataFrame, text_col: str, id_col: str,
                            scope: str = "corpus",
                            delimiter: str = "\n") -> DataFrame:

@@ -465,3 +465,33 @@ def test_matrix_tutorial_jobs_end_to_end(spark, tmp_path):
     top = {r[0]: r[1] for r in read(out6)}
     # b is rarer (df 1 vs 2): idf wins over a's higher tf in doc 1
     assert top == {"1": "b", "2": "a"}
+
+
+def test_incremental_corpus_job_three_batches(spark, tmp_path):
+    """Three overlapping crawl batches: corpus accumulates each distinct
+    content exactly once; the fingerprint store advances one version per
+    batch."""
+    from examples.incremental_corpus_job import IncrementalCorpusJob
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "fps")
+    batches = [
+        [(1, "alpha doc"), (2, "beta doc"), (3, "alpha  DOC!")],   # 3 ~ 1
+        [(10, "beta doc"), (11, "gamma doc")],                     # 10 seen
+        [(20, "gamma doc"), (21, "delta doc"), (22, "alpha doc")],
+    ]
+    for i, rows in enumerate(batches):
+        b = tmp_path / f"batch{i}.parquet"
+        spark.createDataFrame(rows, "doc_id: bigint, text: string") \
+            .write.parquet(str(b))
+        IncrementalCorpusJob(
+            Args(["--batch", str(b), "--corpus", corpus,
+                  "--store", store]), spark).run()
+
+    got = spark.read.parquet(corpus)
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["alpha doc", "beta doc", "delta doc", "gamma doc"]
+    from scalding_spark.sources.time_pathed import VersionedKeyValSource
+    vs = VersionedKeyValSource(store, key_col="fp", val_col="n")
+    assert vs.versions() == [0, 1, 2]
+    assert vs.read(spark).count() == 4      # one fingerprint per content
