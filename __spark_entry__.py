@@ -1354,6 +1354,41 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("fs") / F.lit(1000000.0)).alias("top_word_frac")))
 
 
+def q_top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition: most-frequent-BIGRAM fraction per doc
+    (tx.top_ngram_fraction, n=2), top-20 most repetitive. Same exact-int
+    scaled-division contract as q_top_word_fraction so the ORDER-BY cut and
+    the emitted double are engine-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    per = tx.top_ngram_fraction(docs, "text", "doc_id", n=2)
+    fs = F.expr("(top_cnt * 1000000L + n_grams div 2) div n_grams")
+    return (per.withColumn("fs", fs)
+            .orderBy(F.col("fs").desc(), "doc_id").limit(20)
+            .select("doc_id", "top_cnt", "n_grams",
+                    (F.col("fs") / F.lit(1000000.0)).alias("top_bigram_frac")))
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate rollup (tx.gopher_pass): per-language doc
+    counts, pass counts, and the integer signal sums behind the gate. Every
+    output is an exact integer — the rules themselves are integer
+    cross-multiplications — so nothing can drift cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    s = tx.gopher_signals(F.col("text"))
+    per = docs.select(
+        "lang",
+        tx.gopher_pass(F.col("text")).cast("int").alias("ok"),
+        s["n_toks"].alias("n_toks"), s["total_chars"].alias("chars"),
+        s["n_numeric"].alias("n_num"), s["n_stop"].alias("n_stop"))
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ok").alias("n_pass"),
+                 F.sum("n_toks").alias("sum_toks"),
+                 F.sum("chars").alias("sum_chars"),
+                 F.sum("n_num").alias("sum_numeric"),
+                 F.sum("n_stop").alias("sum_stop")))
+
+
 def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact dedup (Lee-et-al-style shared-passage detection):
     maximal token runs ≥8 appearing verbatim in two documents, via hashed
@@ -1877,7 +1912,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # already has a driver-green row in CORRECTNESS_r01 or _r02.
     # Driver-row ledger: r01 greens = q1..q13 block at the tail here;
     # r02 greens = TPC-H tail/matrix/dedup/sampling/text/streaming block
-    # after position 50; never-checked after r03 = NONE (full coverage).
+    # after position 50. Never-checked after r03 = the r03-NEW tail entries
+    # (q_train_quality, q_weighted_sample, q_mix_proportions,
+    # q_dedup_against, q_pack_sequences, q_top_bigram_fraction,
+    # q_gopher_quality) — rotate them into the first-50 window in r04.
     return {
         # -- r03 diagnostic probes (may be deliberately red; see docstrings) --
         "q_probe_hugeint": q_probe_hugeint,
@@ -2011,6 +2049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mix_proportions": q_mix_proportions,
         "q_dedup_against": q_dedup_against,
         "q_pack_sequences": q_pack_sequences,
+        "q_top_bigram_fraction": q_top_bigram_fraction,
+        "q_gopher_quality": q_gopher_quality,
     }
 
 
@@ -2999,6 +3039,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, top_cnt, n_toks, fs / 1000000.0 AS top_word_frac
             FROM sc ORDER BY fs DESC, doc_id
             LIMIT 20
+        """,
+        "q_top_bigram_fraction": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+                  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+                  WHERE len(toks) >= 2),
+            cnt AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+            per AS (SELECT doc_id, max(cnt) AS top_cnt,
+                           CAST(sum(cnt) AS BIGINT) AS n_grams
+                    FROM cnt GROUP BY 1),
+            sc AS (SELECT doc_id, top_cnt, n_grams,
+                          (top_cnt * 1000000 + n_grams // 2) // n_grams AS fs
+                   FROM per)
+            SELECT doc_id, top_cnt, n_grams, fs / 1000000.0 AS top_bigram_frac
+            FROM sc ORDER BY fs DESC, doc_id
+            LIMIT 20
+        """,
+        # every signal and the pass bit are exact-integer (the rule bands are
+        # cross-multiplied, e.g. 3*n <= chars <= 10*n) — nothing to drift
+        "q_gopher_quality": f"""
+            WITH t AS (SELECT lang, {_TOKENS} AS toks FROM documents),
+            s AS (SELECT lang,
+                         len(toks) AS n_toks,
+                         coalesce(CAST(list_aggregate(
+                             list_transform(toks, x -> length(x)), 'sum')
+                             AS BIGINT), 0) AS chars,
+                         len(list_filter(toks,
+                             x -> regexp_full_match(x, '[0-9]+'))) AS n_num,
+                         len(list_filter(toks, x -> list_contains(
+                             ['the','and','of','to','in','is','that','it',
+                              'for','with'], x))) AS n_stop
+                  FROM t),
+            p AS (SELECT lang, n_toks, chars, n_num, n_stop,
+                         CASE WHEN n_toks >= 50 AND n_toks <= 100000
+                                   AND chars >= 3 * n_toks
+                                   AND chars <= 10 * n_toks
+                                   AND n_num * 5 <= n_toks * 1
+                                   AND n_stop * 50 >= n_toks * 1
+                              THEN 1 ELSE 0 END AS ok
+                  FROM s)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(ok) AS BIGINT) AS n_pass,
+                   CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+                   CAST(sum(chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(n_num) AS BIGINT) AS sum_numeric,
+                   CAST(sum(n_stop) AS BIGINT) AS sum_stop
+            FROM p GROUP BY lang
         """,
         # spans: the oracle joins on gram STRINGS where Spark joins on their
         # xxhash64 — identical span sets absent a chained 64-bit collision

@@ -156,6 +156,91 @@ def top_word_fraction(df, text_col: str = "text", id_col: str = "doc_id"):
                         F.col("top_cnt").cast("double") / F.col("n_toks")))
 
 
+def ngrams(col: Column, n: int = 2) -> Column:
+    """Word n-gram array WITH duplicates (contrast :func:`shingles`, which
+    dedups for set-similarity): the unit stream for repetition measurement,
+    where multiplicity IS the signal. Expression-only sliding join; docs with
+    fewer than ``n`` tokens yield an empty array (no partial grams, so every
+    gram covers exactly ``n`` tokens and gram counts are comparable across
+    docs)."""
+    toks = tokenize(col)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), k - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_fraction(df, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 2):
+    """Per-document n-gram repetition signal (the Gopher repetition-filter
+    family generalized beyond single tokens): count of the most frequent
+    word n-gram over the total n-gram count. n=1 degenerates to
+    :func:`top_word_fraction`.
+
+    Scale: same shape as top_word_fraction — explode + two combinable aggs.
+    The (id, gram) partial agg is map-side, so the exchange carries one row
+    per DISTINCT gram per doc; gram strings are bounded (n tokens), and at
+    100 TB the group key can be swapped for xxhash64(gram) without changing
+    the counts (collision-negligible), shrinking the shuffle to 16 B/row.
+    Docs with < n tokens produce no row (no grams to measure).
+    Returns (id_col, top_cnt, n_grams, top_ngram_frac)."""
+    ex = df.select(id_col, F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+    cnt = ex.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    return (cnt.groupBy(id_col)
+            .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_grams"))
+            .withColumn("top_ngram_frac",
+                        F.col("top_cnt").cast("double") / F.col("n_grams")))
+
+
+# Gopher-style document-quality rule thresholds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Table A1 — adapted: our tokenizer is
+# alnum-run based, so the "80% of words contain an alphabetic character"
+# rule becomes a cap on all-digit tokens). All rules are integer
+# cross-multiplications — no float division anywhere — so the pass/fail bit
+# is bit-identical on any engine.
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3   # 3 <= total_chars / n_toks <= 10
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_NUMERIC_FRAC = (1, 5)    # n_numeric / n_toks <= 1/5
+GOPHER_MIN_STOPWORD_FRAC = (1, 50)  # n_stop / n_toks >= 1/50  (>=2%)
+
+
+def gopher_signals(col: Column, lang: str = "en") -> dict[str, Column]:
+    """The integer signal vector behind :func:`gopher_pass`: token count,
+    total token chars, distinct tokens, all-digit tokens, stopword tokens.
+    Pure expressions (map-only, fuse into the scan); every signal is an
+    exact integer so downstream thresholds never touch float rounding."""
+    toks = tokenize(col)
+    stops = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    return {
+        "n_toks": F.size(toks),
+        "total_chars": F.aggregate(toks, F.lit(0),
+                                   lambda a, t: a + F.length(t)),
+        "n_distinct": F.size(F.array_distinct(toks)),
+        "n_numeric": F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))),
+        "n_stop": F.size(F.filter(toks, lambda t: F.array_contains(stops, t))),
+    }
+
+
+def gopher_pass(col: Column, lang: str = "en") -> Column:
+    """Gopher-style quality gate as ONE boolean expression: length band,
+    mean-word-length band, numeric-token cap, stopword floor — all integer
+    cross-multiplied (``3*n <= chars <= 10*n`` instead of ``3 <= chars/n``),
+    so the bit is engine-exact. Word-soup corpora (no sentences) keep the
+    four rules meaningful; the line-level Gopher rules live in
+    :func:`duplicate_line_fraction` / :func:`top_ngram_fraction`."""
+    s = gopher_signals(col, lang)
+    n, chars = s["n_toks"], s["total_chars"]
+    num_n, num_d = GOPHER_MAX_NUMERIC_FRAC
+    stop_n, stop_d = GOPHER_MIN_STOPWORD_FRAC
+    return ((n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS)
+            & (chars >= F.lit(GOPHER_MIN_MEAN_WORD_LEN) * n)
+            & (chars <= F.lit(GOPHER_MAX_MEAN_WORD_LEN) * n)
+            & (s["n_numeric"] * F.lit(num_d) <= n * F.lit(num_n))
+            & (s["n_stop"] * F.lit(stop_d) >= n * F.lit(stop_n)))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) — the unit set for Jaccard/MinHash
     dedup. Expression-only: sliding join over the token array."""

@@ -188,6 +188,36 @@ class GroupBuilder:
         """Exact distinct count (expand+dedup under Catalyst)."""
         return self.agg(F.countDistinct(_c(col)).alias(out or f"n_{col}"))
 
+    def approx_percentile(self, col, probs, accuracy: int = 10_000,
+                          out: str | None = None) -> "GroupBuilder":
+        """Approximate percentile(s) per key — the reference's Algebird
+        QTree quantile aggregations (scalding carries QTree sketches in
+        tuple slots; Spark's percentile_approx is the same mergeable-sketch
+        shape: Greenwald-Khanna partials combine map-side, so a 100 TB
+        group costs O(accuracy) state per key, never a sort). ``accuracy``
+        trades memory for error (max rank error ≈ n/accuracy). For exact
+        results on sortable groups use :meth:`percentile_exact`."""
+        c = _c(col)
+        if isinstance(probs, (list, tuple)):
+            p = F.array(*[F.lit(float(x)) for x in probs])
+        else:
+            p = F.lit(float(probs))
+        return self.agg(F.percentile_approx(c, p, F.lit(accuracy))
+                        .alias(out or f"ap_{col}"))
+
+    def cms_sketch(self, col, eps: float = 0.001, confidence: float = 0.99,
+                   seed: int = 42, out: str | None = None) -> "GroupBuilder":
+        """Mergeable Count-Min sketch column (the reference's Algebird CMS
+        monoid, ReduceOperations aggregate surface): binary sketches that
+        re-aggregate with further count_min_sketch merges, for approximate
+        per-item frequencies over streams too wide to count exactly.
+        Width/depth follow Spark's (eps, confidence) parametrization —
+        eps·N additive error at the given confidence."""
+        return self.agg(
+            F.count_min_sketch(_c(col), F.lit(float(eps)),
+                               F.lit(float(confidence)), F.lit(seed))
+            .alias(out or f"cms_{col}"))
+
     def sorted_take(self, cols: list, k: int, out: str = "top",
                     reverse: bool = False) -> "GroupBuilder":
         """Bounded top-k per key (ReduceOperations.scala:420-444), the

@@ -289,6 +289,27 @@ class Pipe:
         tagged = self.df.withColumn(tag, tag_expr)
         return build(GroupBuilder(tagged, [tag])).done()
 
+    def approx_quantiles(self, col: str, probs: list[float],
+                         rel_err: float = 0.01) -> list[float]:
+        """Driver-side approximate quantiles (Greenwald-Khanna) — the
+        reference's submit-time QTree read (readAtSubmitter + Algebird
+        QTree): a scalar handful of cut points fetched to the driver to
+        parameterize the NEXT stage (range bounds, skew thresholds,
+        histogram bins). One pass, mergeable partials, O(1/rel_err) state
+        per partition — safe to call on a 100 TB column."""
+        return self.df.stat.approxQuantile(col, [float(p) for p in probs],
+                                            float(rel_err))
+
+    def heavy_hitters(self, cols: list[str], support: float = 0.01) -> dict:
+        """Driver-side frequent items per column (Karp-Papadimitriou-
+        Shenker via df.stat.freqItems) — the reference's Algebird
+        TopCMS/heavy-hitters read: every item with frequency above
+        ``support`` is RETURNED (possible false positives, no false
+        negatives — same one-sided contract as CMS heavy hitters). Use for
+        skew-key discovery feeding skew_join; O(1/support) driver bytes."""
+        row = self.df.stat.freqItems(cols, support).collect()[0]
+        return {c: sorted(row[f"{c}_freqItems"], key=str) for c in cols}
+
     def force_to_disk(self) -> "Pipe":
         """Materialization barrier (RichPipe.scala:428) → persist()."""
         return Pipe(self.df.persist())

@@ -173,3 +173,64 @@ def test_percentile_exact_values(spark):
            .done().df.collect()[0])
     assert out["med"] == 2.5            # interpolated between 2 and 3
     assert list(out["minmax"]) == [1.0, 4.0]
+
+
+# -- r03: sketch aggregations (QTree / CMS analogs) ----------------------------
+
+def test_approx_percentile_close_to_exact(spark):
+    from scalding_spark.pipe import Pipe
+    import pyspark.sql.functions as F
+    df = spark.range(0, 1001).select(
+        (F.col("id") % 2).alias("k"), F.col("id").cast("double").alias("v"))
+    out = {r["k"]: r for r in (
+        Pipe(df).group_by("k")
+        .approx_percentile("v", [0.25, 0.5, 0.75], accuracy=100_000)
+        .done().to_df().collect())}
+    # accuracy >> n makes GK exact: the discrete element at each rank
+    for k in (0, 1):
+        p25, p50, p75 = out[k]["ap_v"]
+        assert abs(p50 - 500) <= 2
+        assert abs(p25 - 250) <= 2 and abs(p75 - 750) <= 2
+
+
+def test_approx_percentile_scalar_prob(spark):
+    from scalding_spark.pipe import Pipe
+    import pyspark.sql.functions as F
+    df = spark.range(1, 101).select(F.lit(1).alias("k"),
+                                    F.col("id").cast("double").alias("v"))
+    row = (Pipe(df).group_by("k").approx_percentile("v", 0.5, out="med")
+           .done().to_df().first())
+    assert abs(row["med"] - 50) <= 1
+
+
+def test_cms_sketch_binary_and_mergeable(spark):
+    from scalding_spark.pipe import Pipe
+    import pyspark.sql.functions as F
+    df = spark.range(0, 1000).select((F.col("id") % 4).alias("k"),
+                                     (F.col("id") % 10).alias("v"))
+    sk = (Pipe(df).group_by("k").cms_sketch("v", eps=0.01)
+          .done().to_df())
+    rows = sk.collect()
+    assert len(rows) == 4 and all(isinstance(r["cms_v"], (bytes, bytearray))
+                                  for r in rows)
+    # sketches are a fixed-width binary payload (mergeable monoid state);
+    # identical per-key inputs -> identical sketch bytes (seeded hashing)
+    assert len({len(r["cms_v"]) for r in rows}) == 1
+
+
+def test_approx_quantiles_driver_side(spark):
+    from scalding_spark.pipe import Pipe
+    import pyspark.sql.functions as F
+    df = spark.range(0, 1001).select(F.col("id").cast("double").alias("v"))
+    q = Pipe(df).approx_quantiles("v", [0.1, 0.5, 0.9], rel_err=0.001)
+    assert len(q) == 3 and abs(q[1] - 500) <= 5 and q[0] < q[1] < q[2]
+
+
+def test_heavy_hitters_finds_skew_keys(spark):
+    from scalding_spark.pipe import Pipe
+    import pyspark.sql.functions as F
+    # key 7 carries 50% of rows; uniform tail below the 30% support
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 100).alias("k"))
+    hh = Pipe(df).heavy_hitters(["k"], support=0.3)
+    assert 7 in hh["k"]

@@ -126,3 +126,73 @@ def test_train_logistic_layout_independent(labeled_docs):
     w2, b2 = tx.train_logistic_quality(
         labeled_docs.repartition(7), "text", "y", iters=4)
     assert w1 == w2 and b1 == b2
+
+
+# -- r03: Gopher rule suite + n-gram repetition --------------------------------
+
+def test_ngrams_multiplicity_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "solo"), (3, "")], "doc_id long, text string")
+    got = {r.doc_id: r.g for r in
+           df.select("doc_id", tx.ngrams(F.col("text"), 2).alias("g")).collect()}
+    assert got[1] == ["a b", "b a", "a b", "b a"]  # duplicates KEPT
+    assert got[2] == [] and got[3] == []           # no partial grams
+
+
+def test_top_ngram_fraction_matches_hand_count(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "q")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            tx.top_ngram_fraction(df, "text", "doc_id", n=2).collect()}
+    # doc1 bigrams: [a b, b a, a b, b a] -> top 2 of 4
+    assert rows[1]["top_cnt"] == 2 and rows[1]["n_grams"] == 4
+    assert abs(rows[1]["top_ngram_frac"] - 0.5) < 1e-12
+    assert rows[2]["top_cnt"] == 1 and rows[2]["n_grams"] == 2
+    assert 3 not in rows  # 1 token -> no bigram row
+
+
+def test_top_ngram_fraction_n1_equals_top_word(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y")], "doc_id long, text string")
+    a = {(r["doc_id"], r["top_cnt"], r["n_grams"])
+         for r in tx.top_ngram_fraction(df, "text", "doc_id", n=1).collect()}
+    b = {(r["doc_id"], r["top_cnt"], r["n_toks"])
+         for r in tx.top_word_fraction(df, "text", "doc_id").collect()}
+    assert a == b
+
+
+def test_gopher_signals_integer_exact(spark):
+    text = " ".join(["the"] * 10 + ["data"] * 45 + ["42"] * 5)  # 60 toks
+    df = spark.createDataFrame([(text,)], "text string")
+    s = tx.gopher_signals(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in s.items()]).first()
+    assert row["n_toks"] == 60
+    assert row["total_chars"] == 10 * 3 + 45 * 4 + 5 * 2
+    assert row["n_distinct"] == 3
+    assert row["n_numeric"] == 5
+    assert row["n_stop"] == 10
+
+
+@pytest.mark.parametrize("text,expected", [
+    # 60 tokens, healthy: passes every band
+    (" ".join(["the"] * 5 + ["data"] * 55), True),
+    # too short (< 50 tokens)
+    ("the quick brown fox", False),
+    # numeric soup: 30/60 all-digit tokens > 1/5 cap
+    (" ".join(["the"] * 5 + ["word"] * 25 + ["7"] * 30), False),
+    # no stopwords at all: below the 2% floor
+    (" ".join(["data"] * 60), False),
+    # mean word length too long (> 10): fails the band
+    (" ".join(["the"] * 5 + ["extraordinarily"] * 55), False),
+])
+def test_gopher_pass_rules(spark, text, expected):
+    df = spark.createDataFrame([(text,)], "text string")
+    assert df.select(tx.gopher_pass(F.col("text")).alias("p")).first()["p"] is expected
+
+
+def test_gopher_pass_boundary_is_inclusive(spark):
+    # exactly 50 four-char tokens incl. exactly 1 stopword (2% floor met
+    # as 1*50 >= 50*1) and mean word len exactly in band
+    text = " ".join(["the"] + ["data"] * 49)
+    df = spark.createDataFrame([(text,)], "text string")
+    assert df.select(tx.gopher_pass(F.col("text")).alias("p")).first()["p"] is True
