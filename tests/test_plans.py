@@ -362,3 +362,38 @@ def test_train_logistic_gradient_is_one_agg_no_udf(spark):
     p = plan(agg)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("HashAggregate") == 2  # partial + final, nothing more
+
+
+def test_top_ngram_fraction_partial_aggs(spark):
+    """Same contract as top_word_fraction for the n-gram generalization:
+    both aggs map-side combinable (4 HashAggregates), exactly the (gram,
+    doc) exchanges, and gram construction stays in codegen (no UDF)."""
+    from scalding_spark.functions import text as tx
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(tx.top_ngram_fraction(docs, "text", "doc_id", n=2))
+    assert p.count("HashAggregate") == 4
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_gopher_pass_is_map_only(spark):
+    """The quality gate is a pure row expression: zero exchanges, zero
+    Python evals — it fuses into whatever scan feeds it."""
+    from scalding_spark.functions import text as tx
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(docs.select(tx.gopher_pass(F.col("text")).alias("ok")))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_approx_percentile_is_partial_agg(spark):
+    """GK sketch partials combine map-side: two HashAggregate/
+    ObjectHashAggregate levels around ONE exchange, never a sort."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = (Pipe(li).group_by("l_returnflag")
+         .approx_percentile("l_quantity", [0.5]).done().to_df())
+    p = plan(q)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Sort" not in p
+    assert p.count("ObjectHashAggregate") == 2
+    assert "partial_percentile_approx" in p
