@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from scalding_spark.pipe import Pipe
 from scalding_spark import joins
 from scalding_spark.matrix import Matrix, SizeHint, pagerank
-from scalding_spark.functions import dedup, lm, similarity, text as tx
+from scalding_spark.functions import dedup, lm, retrieval, similarity, text as tx
 from scalding_spark.streaming import sessionize
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -1354,6 +1354,16 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("fs") / F.lit(1000000.0)).alias("top_word_frac")))
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval (retrieval.bm25_rank) for a fixed 4-term
+    query, fixed-point term accumulation so the score sum and the top-k cut
+    are engine-stable. The oracle mirrors the exact expression shapes
+    (operand order preserved) in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.bm25_rank(docs, ["hash", "join", "spark", "window"],
+                               k=10, term_decimals=6)
+
+
 def q_top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style n-gram repetition: most-frequent-BIGRAM fraction per doc
     (tx.top_ngram_fraction, n=2), top-20 most repetitive. Same exact-int
@@ -1915,7 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # after position 50. Never-checked after r03 = the r03-NEW tail entries
     # (q_train_quality, q_weighted_sample, q_mix_proportions,
     # q_dedup_against, q_pack_sequences, q_top_bigram_fraction,
-    # q_gopher_quality) — rotate them into the first-50 window in r04.
+    # q_gopher_quality, q_bm25_search) — rotate them into the first-50
+    # window in r04.
     return {
         # -- r03 diagnostic probes (may be deliberately red; see docstrings) --
         "q_probe_hugeint": q_probe_hugeint,
@@ -2051,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_top_bigram_fraction": q_top_bigram_fraction,
         "q_gopher_quality": q_gopher_quality,
+        "q_bm25_search": q_bm25_search,
     }
 
 
@@ -3039,6 +3051,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, top_cnt, n_toks, fs / 1000000.0 AS top_word_frac
             FROM sc ORDER BY fs DESC, doc_id
             LIMIT 20
+        """,
+        # BM25: operand order mirrors retrieval.bm25_rank exactly (0.75*dl*N
+        # /sum_dl etc.), per-term contributions fixed-pointed at 6 decimals,
+        # ORDER BY on the exact-integer sum; sum(bigint) cast off HUGEINT
+        "q_bm25_search": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            hits AS (SELECT doc_id, len(toks) AS dl,
+                            unnest(list_filter(toks, x -> list_contains(
+                                ['hash','join','spark','window'], x))) AS term
+                     FROM t),
+            tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                   FROM hits GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+            scal AS (SELECT count(*) AS N,
+                            CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM t),
+            scored AS (
+                SELECT doc_id,
+                       ln(1.0 + (N - dfc + 0.5) / (dfc + 0.5))
+                         * (tf * (1.2 + 1.0))
+                         / (tf + 1.2 * ((1.0 - 0.75)
+                                        + 0.75 * dl * N / sum_dl)) AS contrib
+                FROM tf JOIN dfreq USING (term), scal),
+            agg AS (SELECT doc_id, count(*) AS n_match_terms,
+                           CAST(sum(CAST(round(contrib * 1000000) AS BIGINT))
+                                AS BIGINT) AS fs
+                    FROM scored GROUP BY 1)
+            SELECT doc_id, n_match_terms, fs / 1000000.0 AS score
+            FROM agg ORDER BY fs DESC, doc_id LIMIT 10
         """,
         "q_top_bigram_fraction": f"""
             WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),

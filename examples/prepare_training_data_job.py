@@ -56,6 +56,12 @@ class PrepareTrainingDataJob(Job):
         if lang:
             docs = docs.where(tx.lang_id(F.col("text")) == lang)
 
+        # 2b. Gopher-rule gate (optional): exact-integer length /
+        # mean-word-length / numeric-cap / stopword-floor bands — another
+        # pure expression that fuses into the same scan pass
+        if self.args.boolean("gopher"):
+            docs = docs.where(tx.gopher_pass(F.col("text")))
+
         # 3. LM-surprise gate: drop the most off-distribution tail by
         # self-trained unigram LM. LEFT join: token-less docs have no LM
         # score (nothing to average) — a gate on "too surprising" must keep
