@@ -1,0 +1,57 @@
+"""Oracle output-type portability guard (the r02 driver-red root cause):
+DuckDB HUGEINT (sum over integers), DECIMAL, and nano-timestamp outputs
+convert differently across duckdb client versions, flipping the driver's
+value hash while staying green locally. Every oracle must emit only
+BIGINT/INTEGER/DOUBLE/VARCHAR/BOOLEAN/DATE/TIMESTAMP(micros)/lists thereof.
+
+Pure DuckDB (LIMIT-0 planning only) — no Spark session, runs in seconds.
+"""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as e
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# the one DELIBERATE exception: a diagnostic probe whose uncast HUGEINT
+# column exists exactly to detect the driver's client conversion behavior
+ALLOWED_RISKY = {"q_probe_hugeint"}
+
+RISKY_PREFIXES = ("HUGEINT", "UHUGEINT", "DECIMAL", "TIMESTAMP_NS",
+                  "TIMESTAMP WITH TIME ZONE", "INTERVAL", "TIME ")
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
+
+
+def test_no_oracle_emits_version_fragile_types(con):
+    bad = {}
+    for name, sql in e.oracle_sql().items():
+        if name in ALLOWED_RISKY:
+            continue
+        desc = con.sql(f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0").fetchall()
+        flagged = [(c, t) for c, t, *_ in desc
+                   if any(t.startswith(p) for p in RISKY_PREFIXES)]
+        if flagged:
+            bad[name] = flagged
+    assert not bad, f"version-fragile oracle output types: {bad}"
+
+
+def test_every_oracle_parses(con):
+    for name, sql in e.oracle_sql().items():
+        con.sql(f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0")
+
+
+def test_probe_is_still_deliberately_risky(con):
+    desc = con.sql(
+        "DESCRIBE SELECT * FROM ({}) LIMIT 0".format(
+            e.oracle_sql()["q_probe_hugeint"])).fetchall()
+    assert any(t.startswith("HUGEINT") for _, t, *_ in desc), \
+        "q_probe_hugeint lost its diagnostic HUGEINT column"
