@@ -1354,6 +1354,18 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("fs") / F.lit(1000000.0)).alias("top_word_frac")))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (similarity.semantic_dedup): cluster-bounded within-cell cosine drop.
+    Rows-only by design (iterative float k-means centroids are not
+    SQL-expressible — same contract as q_kmeans); the exact-rule parity is
+    pinned by test_similarity's k=1 ≡ exact-pair-list test."""
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = similarity.semantic_dedup(emb, threshold=0.99, k=8)
+    return (kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy("label"))
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval (retrieval.bm25_rank) for a fixed 4-term
     query, fixed-point term accumulation so the score sum and the top-k cut
@@ -1925,8 +1937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # after position 50. Never-checked after r03 = the r03-NEW tail entries
     # (q_train_quality, q_weighted_sample, q_mix_proportions,
     # q_dedup_against, q_pack_sequences, q_top_bigram_fraction,
-    # q_gopher_quality, q_bm25_search) — rotate them into the first-50
-    # window in r04.
+    # q_gopher_quality, q_bm25_search, q_semantic_dedup) — rotate them into
+    # the first-50 window in r04.
     return {
         # -- r03 diagnostic probes (may be deliberately red; see docstrings) --
         "q_probe_hugeint": q_probe_hugeint,
@@ -2063,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_bigram_fraction": q_top_bigram_fraction,
         "q_gopher_quality": q_gopher_quality,
         "q_bm25_search": q_bm25_search,
+        "q_semantic_dedup": q_semantic_dedup,  # rows-only (iterative float)
     }
 
 

@@ -331,3 +331,46 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
     src.unpersist()
     out = _assign_cells_bcast(src, cents).select("id", "cell")
     return out, cents
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95, k: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_iter: int = 10, seed: int = 42,
+                   stats: dict | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then within each
+    cluster drop every vector whose cosine similarity to a SMALLER-id
+    vector in the same cluster is ≥ ``threshold``. Returns the kept rows
+    of ``df`` (all original columns).
+
+    Drop rule: greedy-by-id — a vector is dropped if ANY smaller-id
+    within-cluster neighbor clears the threshold (whether or not that
+    neighbor itself survives). Deterministic, one pass; on similarity
+    CHAINS (a~b, b~c, a≁c) it over-drops relative to keeping one doc per
+    connected component — the same conservative contract as the MinHash
+    loser-dropping tier. Use dedup.dedup_clusters over the pair list when
+    component-exact semantics matter.
+
+    Scale: clustering bounds the quadratic — the self-join runs per cell
+    (Σ n_c² work, co-partitioned by one exchange on cell), so ``k`` is the
+    knob that caps cell sizes; pairs below the join carry (id_a, id_b)
+    only, and the final anti-join shuffles ids, never vectors. Assignment
+    inherits kmeans's map-only broadcast-centroid contract. Near-cell-
+    boundary pairs that land in different cells are missed by design
+    (SemDeDup's documented recall trade).
+
+    ``stats``: forwarded to :func:`kmeans` (reports ``iterations``).
+    """
+    assigned, _ = kmeans(df, k=k, max_iter=max_iter, id_col=id_col,
+                         vec_col=vec_col, seed=seed, stats=stats)
+    e = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+         .join(assigned, "id"))
+    l, r = e.alias("l"), e.alias("r")
+    # score+threshold INSIDE the cell join; only loser ids cross the next
+    # exchange (the vectors stay inside the join's own co-partitioning)
+    losers = (l.join(r, (F.col("l.cell") == F.col("r.cell"))
+                     & (F.col("r.id") < F.col("l.id")))
+              .where(cosine(F.col("l.vec"), F.col("r.vec"))
+                     >= F.lit(float(threshold)))
+              .select(F.col("l.id").alias(id_col)).distinct())
+    return df.join(losers, id_col, "left_anti")

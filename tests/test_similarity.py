@@ -107,3 +107,62 @@ def test_ivf_trained_centroids_recall(clustered):
         clustered, clustered.where(F.col("vec_id") < 6), k=5,
         n_cells=8, n_probe=3, train_iters=5)
     assert {(r.query_id, r.neighbor_id) for r in again.collect()} == got
+
+
+# -- r03: SemDeDup-style semantic dedup ---------------------------------------
+
+def _blob_corpus(spark):
+    """4 tight blobs of 3 near-identical vectors + 2 far singletons."""
+    import random as _r
+    rng = _r.Random(7)
+    rows = []
+    vid = 0
+    for b in range(4):
+        base = [10.0 * (b + 1) * ((-1) ** b), 5.0 * b, -3.0 * b + 1.0]
+        for _ in range(3):
+            rows.append((vid, [x + rng.uniform(-0.01, 0.01) for x in base]))
+            vid += 1
+    rows.append((vid, [1.0, -50.0, 2.0])); vid += 1
+    rows.append((vid, [-7.0, 3.0, 40.0])); vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_drops_within_blob_dups(spark):
+    from scalding_spark.functions.similarity import semantic_dedup
+    df = _blob_corpus(spark)
+    kept = semantic_dedup(df, threshold=0.999, k=4, seed=3)
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    # each blob keeps >= 1 (its smallest id survives by construction);
+    # the far singletons always survive
+    assert 12 in ids and 13 in ids
+    assert len(ids) >= 4 + 2 - 2  # at minimum one per blob may merge
+    assert len(ids) < 14          # something was actually dropped
+    # survivors contain the smallest id of every blob that kept exactly one
+    for blob_start in (0, 3, 6, 9):
+        assert any(i in ids for i in range(blob_start, blob_start + 3))
+
+
+def test_semantic_dedup_k1_matches_exact_rule(spark):
+    """With one cluster the cell join is all-pairs, so the kept set must
+    equal the greedy smaller-id rule computed from the exact pair list."""
+    from scalding_spark.functions import similarity as sim
+    df = _blob_corpus(spark)
+    kept = {r["vec_id"] for r in
+            sim.semantic_dedup(df, threshold=0.999, k=1, seed=3).collect()}
+    pairs = sim.embedding_near_dup_exact(df, threshold=0.999).collect()
+    losers = {p["id_b"] for p in pairs}
+    expect = {r["vec_id"] for r in df.collect()} - losers
+    assert kept == expect
+
+
+def test_semantic_dedup_keeps_all_when_threshold_impossible(spark):
+    from scalding_spark.functions.similarity import semantic_dedup
+    df = _blob_corpus(spark)
+    assert semantic_dedup(df, threshold=1.1, k=4).count() == df.count()
+
+
+def test_semantic_dedup_preserves_schema(spark):
+    from scalding_spark.functions.similarity import semantic_dedup
+    df = _blob_corpus(spark).withColumn("extra", F.lit("x"))
+    kept = semantic_dedup(df, threshold=0.999, k=2)
+    assert kept.columns == df.columns
