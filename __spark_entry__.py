@@ -1354,6 +1354,15 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("fs") / F.lit(1000000.0)).alias("top_word_frac")))
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report (tx.corpus_stats): all-integer outputs.
+    The oracle counts distinct NORMALIZED TEXTS where Spark counts distinct
+    64-bit fingerprints — identical absent an xxhash64 collision (the same
+    contract q_substring_spans pins)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.corpus_stats(docs, "text", "doc_id")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings table
     (similarity.semantic_dedup): cluster-bounded within-cell cosine drop.
@@ -2076,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_quality": q_gopher_quality,
         "q_bm25_search": q_bm25_search,
         "q_semantic_dedup": q_semantic_dedup,  # rows-only (iterative float)
+        "q_corpus_stats": q_corpus_stats,
     }
 
 
@@ -3064,6 +3074,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, top_cnt, n_toks, fs / 1000000.0 AS top_word_frac
             FROM sc ORDER BY fs DESC, doc_id
             LIMIT 20
+        """,
+        "q_corpus_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks,
+                              {_NORM_TEXT} AS norm FROM documents),
+            main AS (SELECT count(*) AS n_docs,
+                            CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                            min(len(toks)) AS min_doc_tokens,
+                            max(len(toks)) AS max_doc_tokens,
+                            count(DISTINCT norm) AS n_unique_texts
+                     FROM t),
+            vocab AS (SELECT count(DISTINCT tok) AS vocab_size
+                      FROM (SELECT unnest(toks) AS tok FROM t))
+            SELECT * FROM main, vocab
         """,
         # BM25: operand order mirrors retrieval.bm25_rank exactly (0.75*dl*N
         # /sum_dl etc.), per-term contributions fixed-pointed at 6 decimals,

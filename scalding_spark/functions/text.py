@@ -445,3 +445,31 @@ def duplicate_line_fraction(col: Column, sep: str = "\\.") -> Column:
     n = F.size(segs)
     dups = n - F.size(F.array_distinct(segs))
     return F.when(n > 1, dups / n).otherwise(F.lit(0.0))
+
+
+def corpus_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """One-row corpus health report — the numbers a pipeline owner checks
+    before and after every filter stage: doc count, token totals/extremes,
+    exact-duplicate text count, vocabulary size. All exact integers.
+
+    Plan: the per-doc signals (token count, normalized fingerprint) are
+    map-only expressions feeding ONE global aggregate (partial-agged, no
+    groupBy key — Catalyst merges per-partition partials, no single-task
+    funnel); the vocabulary size needs its own explode + count_distinct
+    pass and rides in on a 1-row broadcast cross join. Two corpus scans
+    total, both streaming, nothing corpus-sized ever shuffles (distinct
+    fingerprints/tokens exchange hash-sized partials).
+    """
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col),
+                     F.size(toks).alias("__nt"),
+                     fingerprint64(F.col(text_col)).alias("__fp"))
+    main = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.min("__nt").alias("min_doc_tokens"),
+        F.max("__nt").alias("max_doc_tokens"),
+        F.count_distinct(F.col("__fp")).alias("n_unique_texts"))
+    vocab = (df.select(F.explode(toks).alias("tok"))
+             .agg(F.count_distinct("tok").alias("vocab_size")))
+    return main.join(F.broadcast(vocab))

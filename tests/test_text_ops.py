@@ -196,3 +196,15 @@ def test_gopher_pass_boundary_is_inclusive(spark):
     text = " ".join(["the"] + ["data"] * 49)
     df = spark.createDataFrame([(text,)], "text string")
     assert df.select(tx.gopher_pass(F.col("text")).alias("p")).first()["p"] is True
+
+
+def test_corpus_stats_hand_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b a"), (3, "c d"), (4, "")],
+        "doc_id long, text string")
+    r = tx.corpus_stats(df).first()
+    assert r["n_docs"] == 4
+    assert r["n_tokens"] == 3 + 3 + 2 + 0
+    assert r["min_doc_tokens"] == 0 and r["max_doc_tokens"] == 3
+    assert r["n_unique_texts"] == 3  # docs 1,2 share a fingerprint
+    assert r["vocab_size"] == 4      # a b c d
