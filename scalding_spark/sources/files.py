@@ -88,3 +88,25 @@ def null_sink(df: DataFrame) -> None:
     """NullSource/NullTap — run the pipeline for its side effects
     (Source.scala:268-308) → the no-op sink executes the full plan."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def parquet(spark: SparkSession, *paths: str, strict: bool = True) -> DataFrame:
+    """Columnar source of record (SURVEY §7.1: parquet replaces the
+    reference's SequenceFile/Lzo container tier). Predicate pushdown,
+    column pruning and partition pruning all reach the scan."""
+    return spark.read.parquet(*_validate(list(paths), strict))
+
+
+def orc(spark: SparkSession, *paths: str, strict: bool = True) -> DataFrame:
+    """ORC twin of :func:`parquet` — same engine-native pushdown/pruning
+    properties, for lakes standardized on ORC. Shares the strict/safe
+    validateTaps contract (FileSource.scala:99-115)."""
+    return spark.read.orc(*_validate(list(paths), strict))
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

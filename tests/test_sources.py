@@ -126,3 +126,32 @@ def test_multiple_text_line_files(spark, tmp_path):
     p2.write_text("z\n")
     df = files.text_line(spark, str(p1), str(p2))
     assert sorted(r["line"] for r in df.collect()) == ["x", "y", "z"]
+
+
+# -- r03: parquet/orc sources ------------------------------------------------
+
+def test_parquet_source_strict_missing_raises(spark):
+    from scalding_spark.sources import files as fs
+    with pytest.raises(fs.InvalidSourceException):
+        fs.parquet(spark, "/nonexistent/p.parquet")
+
+
+def test_orc_roundtrip_and_validation(spark, tmp_path):
+    from scalding_spark.sources import files as fs
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    out = str(tmp_path / "orc_out")
+    fs.write_orc(src, out)
+    back = fs.orc(spark, out)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+    with pytest.raises(fs.InvalidSourceException):
+        fs.orc(spark, str(tmp_path / "missing_orc"))
+
+
+def test_orc_filter_pushdown_reaches_scan(spark, tmp_path):
+    from scalding_spark.sources import files as fs
+    src = spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS v")
+    out = str(tmp_path / "orc_push")
+    fs.write_orc(src, out)
+    q = fs.orc(spark, out).where("k > 990").select("k")
+    p = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in p and "GreaterThan(k,990" in p
