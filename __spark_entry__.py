@@ -1354,6 +1354,17 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("fs") / F.lit(1000000.0)).alias("top_word_frac")))
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (tx.collocations): top-50 frequent adjacent
+    pairs with their PMI. Ordering/cut on exact integers (pair_cnt desc,
+    then the pair); the PMI double comes from ONE pinned-operand-order
+    expression, rounded at 6 on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.collocations(docs, "text", min_count=5)
+    return (out.orderBy(F.col("pair_cnt").desc(), "w1", "w2").limit(50)
+            .select("w1", "w2", "pair_cnt", F.round("pmi", 6).alias("pmi")))
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health report (tx.corpus_stats): all-integer outputs.
     The oracle counts distinct NORMALIZED TEXTS where Spark counts distinct
@@ -1946,8 +1957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # after position 50. Never-checked after r03 = the r03-NEW tail entries
     # (q_train_quality, q_weighted_sample, q_mix_proportions,
     # q_dedup_against, q_pack_sequences, q_top_bigram_fraction,
-    # q_gopher_quality, q_bm25_search, q_semantic_dedup) — rotate them into
-    # the first-50 window in r04.
+    # q_gopher_quality, q_bm25_search, q_semantic_dedup, q_corpus_stats,
+    # q_collocations) — rotate them into the first-50 window in r04
+    # (tests/test_driver_window.py pins this ledger).
     return {
         # -- r03 diagnostic probes (may be deliberately red; see docstrings) --
         "q_probe_hugeint": q_probe_hugeint,
@@ -2086,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_search": q_bm25_search,
         "q_semantic_dedup": q_semantic_dedup,  # rows-only (iterative float)
         "q_corpus_stats": q_corpus_stats,
+        "q_collocations": q_collocations,
     }
 
 
@@ -3074,6 +3087,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, top_cnt, n_toks, fs / 1000000.0 AS top_word_frac
             FROM sc ORDER BY fs DESC, doc_id
             LIMIT 20
+        """,
+        # PMI ratio mirrors tx.collocations verbatim: CAST to double FIRST,
+        # then left-associated * N1 * N1 / N2 / cx / cy — identical
+        # promotion and rounding on both engines
+        "q_collocations": f"""
+            WITH toks AS (SELECT {_TOKENS} AS t FROM documents),
+            ex AS (SELECT t[i] AS w1, t[i+1] AS w2
+                   FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+                   WHERE len(t) >= 2),
+            pm AS (SELECT w1, w2, count(*) AS pair_cnt FROM ex GROUP BY 1, 2),
+            uni AS (SELECT tok, count(*) AS cnt
+                    FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+            sc AS (SELECT (SELECT CAST(sum(pair_cnt) AS BIGINT) FROM pm) AS N2,
+                          (SELECT CAST(sum(cnt) AS BIGINT) FROM uni) AS N1),
+            out AS (SELECT w1, w2, pair_cnt,
+                           ln(CAST(pair_cnt AS DOUBLE) * N1 * N1
+                              / N2 / cx.cnt / cy.cnt) AS pmi
+                    FROM pm JOIN uni cx ON pm.w1 = cx.tok
+                            JOIN uni cy ON pm.w2 = cy.tok, sc
+                    WHERE pair_cnt >= 5)
+            SELECT w1, w2, pair_cnt, round(pmi, 6) AS pmi
+            FROM out ORDER BY pair_cnt DESC, w1, w2 LIMIT 50
         """,
         "q_corpus_stats": f"""
             WITH t AS (SELECT doc_id, {_TOKENS} AS toks,

@@ -473,3 +473,47 @@ def corpus_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     vocab = (df.select(F.explode(toks).alias("tok"))
              .agg(F.count_distinct("tok").alias("vocab_size")))
     return main.join(F.broadcast(vocab))
+
+
+def collocations(df, text_col: str = "text", min_count: int = 5):
+    """Pointwise-mutual-information collocation mining: adjacent token
+    pairs scored by PMI = ln(p(w1 w2) / (p(w1)·p(w2))) — the classic
+    phrase/collocation detector over a corpus (Church & Hanks 1990).
+
+    Scale: same shuffle discipline as the bigram LM — pair and unigram
+    counts are map-side combined (one row per distinct pair/token per
+    partition crosses each exchange, never per occurrence); corpus scalars
+    ride a 1-row broadcast; the unigram joins key on the token (vocab-sized
+    side, AQE splits the hot-token skew; the hot token's count row is ONE
+    row, so replication is free).
+
+    Floats: the probability ratio is computed in ONE double expression with
+    a pinned operand order (casts first, left-associated divisions) so the
+    value is bit-identical across engines; pair it with integer-first
+    ordering downstream (see q_collocations) for stable cuts.
+
+    Returns (w1, w2, pair_cnt, pmi) for pairs with pair_cnt >= min_count.
+    """
+    toks = tokenize(F.col(text_col))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("w1"),
+                           F.element_at(toks, i + 1).alias("w2")))
+    ex = (df.where(F.size(toks) >= 2)
+          .select(F.explode(pairs).alias("bg"))
+          .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))
+    pair_cnt = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    uni = (df.select(F.explode(tokenize(F.col(text_col))).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    scalars = (pair_cnt.agg(F.sum("pair_cnt").alias("N2"))
+               .join(F.broadcast(uni.agg(F.sum("cnt").alias("N1")))))
+    cx = uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("cx"))
+    cy = uni.select(F.col("tok").alias("w2"), F.col("cnt").alias("cy"))
+    # double from the FIRST operand (no bigint·bigint overflow, ANSI-safe),
+    # divisions left-associated — mirrored verbatim in the SQL oracle
+    ratio = (F.col("pair_cnt").cast("double") * F.col("N1") * F.col("N1")
+             / F.col("N2") / F.col("cx") / F.col("cy"))
+    return (pair_cnt.where(F.col("pair_cnt") >= min_count)
+            .join(cx, "w1").join(cy, "w2")
+            .join(F.broadcast(scalars))
+            .select("w1", "w2", "pair_cnt", F.log(ratio).alias("pmi")))

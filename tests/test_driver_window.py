@@ -21,7 +21,7 @@ PENDING_NEXT_ROTATION = {
     "q_train_quality", "q_weighted_sample", "q_mix_proportions",
     "q_dedup_against", "q_pack_sequences", "q_top_bigram_fraction",
     "q_gopher_quality", "q_bm25_search", "q_semantic_dedup",
-    "q_corpus_stats",
+    "q_corpus_stats", "q_collocations",
 }
 
 

@@ -208,3 +208,27 @@ def test_corpus_stats_hand_counts(spark):
     assert r["min_doc_tokens"] == 0 and r["max_doc_tokens"] == 3
     assert r["n_unique_texts"] == 3  # docs 1,2 share a fingerprint
     assert r["vocab_size"] == 4      # a b c d
+
+
+def test_collocations_hand_pmi(spark):
+    import math
+    # corpus: "a b" x3, "a c" x1  -> tokens: a:4 b:3 c:1, N1=8; pairs:
+    # (a,b):3 (a,c):1, N2=4
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "a c")], "doc_id long, text string")
+    rows = {(r["w1"], r["w2"]): r for r in
+            tx.collocations(df, min_count=1).collect()}
+    r = rows[("a", "b")]
+    assert r["pair_cnt"] == 3
+    # NOTE doc1 "a b a b" pairs: (a,b),(b,a),(a,b) -> (b,a) exists too
+    assert rows[("b", "a")]["pair_cnt"] == 1
+    exp = math.log((3 * 8 * 8) / (5 * 4 * 3))  # N2=5 pairs total
+    assert abs(r["pmi"] - exp) < 1e-9
+
+
+def test_collocations_min_count_filters(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "a c")], "doc_id long, text string")
+    got = {(r["w1"], r["w2"]) for r in
+           tx.collocations(df, min_count=3).collect()}
+    assert got == {("a", "b")}
