@@ -1954,12 +1954,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # already has a driver-green row in CORRECTNESS_r01 or _r02.
     # Driver-row ledger: r01 greens = q1..q13 block at the tail here;
     # r02 greens = TPC-H tail/matrix/dedup/sampling/text/streaming block
-    # after position 50. Never-checked after r03 = the r03-NEW tail entries
-    # (q_train_quality, q_weighted_sample, q_mix_proportions,
-    # q_dedup_against, q_pack_sequences, q_top_bigram_fraction,
-    # q_gopher_quality, q_bm25_search, q_semantic_dedup, q_corpus_stats,
-    # q_collocations) — rotate them into the first-50 window in r04
-    # (tests/test_driver_window.py pins this ledger).
+    # after position 50. The r03 window = 2 probes + 13 r02-new + 5 r02
+    # hash-reds + 6 rows-only reconfirmations + the 11 r03-NEW operators
+    # (they took the slots of 11 redundant r01-green padding entries, which
+    # are parked right below position 50) + 13 fast green padding.
+    # Never-checked after the r03 driver run = NONE.
+    # (tests/test_driver_window.py pins this ledger.)
     return {
         # -- r03 diagnostic probes (may be deliberately red; see docstrings) --
         "q_probe_hugeint": q_probe_hugeint,
@@ -1991,6 +1991,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk_ivf": q_cosine_topk_ivf,
         "q_embedding_neardup": q_embedding_neardup,
         "q_hll_distinct": q_hll_distinct,
+        # -- r03-new operators, never driver-checked (took the slots of 11
+        #    redundant r01-green padding entries, now parked below 50) --
+        "q_train_quality": q_train_quality,
+        "q_weighted_sample": q_weighted_sample,
+        "q_mix_proportions": q_mix_proportions,
+        "q_dedup_against": q_dedup_against,
+        "q_pack_sequences": q_pack_sequences,
+        "q_top_bigram_fraction": q_top_bigram_fraction,
+        "q_gopher_quality": q_gopher_quality,
+        "q_bm25_search": q_bm25_search,
+        "q_semantic_dedup": q_semantic_dedup,  # rows-only (iterative float)
+        "q_corpus_stats": q_corpus_stats,
+        "q_collocations": q_collocations,
         # -- padding to 50: fast r01-green entries --
         "q1_pricing_summary": q1_pricing_summary,
         "q_project_filter_map": q_project_filter_map,
@@ -2005,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": q_histogram,
         "q_times_product": q_times_product,
         "q_head_last": q_head_last,
+        # ---- position 50 ends here; all below are driver-green r01/r02 ----
         "q_toset": q_toset,
         "q_histogram_summary": q_histogram_summary,
         "q_maplist": q_maplist,
@@ -2016,7 +2030,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_per_group": q_topk_per_group,
         "q_scan_cumsum": q_scan_cumsum,
         "q_scan_running_max": q_scan_running_max,
-        # ---- position 50 ends here; all below are driver-green r01/r02 ----
         # -- driver-green in r02: TPC-H tail --
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_part_count": q16_supplier_part_count,
@@ -2086,19 +2099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q13_customer_distribution": q13_customer_distribution,
-        # -- NEW in r03 (below the 50-entry window by design; rotate into
-        # the r04 window — the judge's full local gate covers it now) --
-        "q_train_quality": q_train_quality,
-        "q_weighted_sample": q_weighted_sample,
-        "q_mix_proportions": q_mix_proportions,
-        "q_dedup_against": q_dedup_against,
-        "q_pack_sequences": q_pack_sequences,
-        "q_top_bigram_fraction": q_top_bigram_fraction,
-        "q_gopher_quality": q_gopher_quality,
-        "q_bm25_search": q_bm25_search,
-        "q_semantic_dedup": q_semantic_dedup,  # rows-only (iterative float)
-        "q_corpus_stats": q_corpus_stats,
-        "q_collocations": q_collocations,
     }
 
 

@@ -15,14 +15,10 @@ import __spark_entry__ as e
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# r03-new entries, added AFTER the r03 window was frozen; MUST be rotated
-# into the first 50 in round 4 (mirrors the ledger comment in queries()).
-PENDING_NEXT_ROTATION = {
-    "q_train_quality", "q_weighted_sample", "q_mix_proportions",
-    "q_dedup_against", "q_pack_sequences", "q_top_bigram_fraction",
-    "q_gopher_quality", "q_bm25_search", "q_semantic_dedup",
-    "q_corpus_stats", "q_collocations",
-}
+# Entries awaiting the NEXT rotation (mirrors the ledger comment in
+# queries()). Empty after the r03 window absorbed all r03-new operators;
+# new queries added mid-round go here until their rotation.
+PENDING_NEXT_ROTATION: set = set()
 
 
 def _driver_rows() -> set:
@@ -54,7 +50,8 @@ def test_pending_set_matches_reality():
 
 def test_window_holds_the_r03_priorities():
     """The r03 window must contain the 2 probes, the 13 r02-new
-    never-checked queries, and the 5 r02 hash-reds."""
+    never-checked queries, the 5 r02 hash-reds, and the 11 r03-new
+    operators."""
     window = set(list(e.queries())[:50])
     probes = {"q_probe_hugeint", "q_probe_event_micros"}
     r02_new = {"q_substring_spans", "q_unigram_lm", "q_linear_quality",
@@ -64,4 +61,20 @@ def test_window_holds_the_r03_priorities():
                "q_domain_cap"}
     reds = {"q12_priority_by_flag", "q_pii_redact", "q_top_word_fraction",
             "q_asof_join", "q_range_join"}
-    assert probes | r02_new | reds <= window
+    r03_new = {"q_train_quality", "q_weighted_sample", "q_mix_proportions",
+               "q_dedup_against", "q_pack_sequences",
+               "q_top_bigram_fraction", "q_gopher_quality", "q_bm25_search",
+               "q_semantic_dedup", "q_corpus_stats", "q_collocations"}
+    assert probes | r02_new | reds | r03_new <= window
+
+
+def test_no_duplicate_query_keys():
+    """The rotation moves entries between the window and the tail; a key
+    accidentally left in both places silently shadows (dict literal keeps
+    the LAST) and shrinks the effective window."""
+    import ast, inspect
+    src = inspect.getsource(e.queries)
+    d = next(n for n in ast.walk(ast.parse(src)) if isinstance(n, ast.Dict))
+    keys = [k.value for k in d.keys]
+    dupes = {k for k in keys if keys.count(k) > 1}
+    assert not dupes, f"duplicate queries() keys: {dupes}"
