@@ -56,6 +56,12 @@ HEADLINE = [
     "q_weighted_sample",         # score-weighted md5 sampling (map-only)
     "q_mix_proportions",         # token-budget domain mixing (map-only)
     "q_dedup_against",           # incremental anti-join dedup
+    "q_bm25_search",             # BM25 top-k retrieval (filtered explode)
+    "q_collocations",            # PMI pair mining (combinable counts)
+    "q_gopher_quality",          # integer-band quality gate (map-only)
+    "q_corpus_stats",            # keyless global corpus report
+    "q_top_bigram_fraction",     # n-gram repetition (partial aggs)
+    "q_semantic_dedup",          # SemDeDup: kmeans + within-cell pairs
 ]
 
 

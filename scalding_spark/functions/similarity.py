@@ -363,14 +363,30 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95, k: int = 8,
     """
     assigned, _ = kmeans(df, k=k, max_iter=max_iter, id_col=id_col,
                          vec_col=vec_col, seed=seed, stats=stats)
-    e = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # pre-normalize ONCE per row (cosine inside the pair join would
+    # recompute BOTH norms per PAIR — 3x the quadratic-stage flops); a
+    # zero vector normalizes to zeros, so its dot with anything is 0 and
+    # it is never dropped (same contract as cosine's undefined-is-false)
+    v = F.col(vec_col)
+    nrm = _norm(v)
+    vecn = F.when(nrm > 0, F.transform(
+        v, lambda x: x.cast("double") / nrm)).otherwise(
+        F.transform(v, lambda x: F.lit(0.0)))
+    e = (df.select(F.col(id_col).alias("id"), vecn.alias("vec"))
          .join(assigned, "id"))
+    # the (id, vecn, cell) table feeds BOTH sides of the self-join and,
+    # via the loser set, the anti-join — without materialization each
+    # reference re-runs the whole k-means assignment lineage (broadcast
+    # argmin over the corpus, 3x). localCheckpoint computes it once and
+    # truncates the iterative lineage, the same discipline as PageRank/CC
+    # rounds; the stored blocks are n·(dim+2) values — input-sized.
+    e = e.localCheckpoint()
     l, r = e.alias("l"), e.alias("r")
     # score+threshold INSIDE the cell join; only loser ids cross the next
     # exchange (the vectors stay inside the join's own co-partitioning)
     losers = (l.join(r, (F.col("l.cell") == F.col("r.cell"))
                      & (F.col("r.id") < F.col("l.id")))
-              .where(cosine(F.col("l.vec"), F.col("r.vec"))
+              .where(_dot(F.col("l.vec"), F.col("r.vec"))
                      >= F.lit(float(threshold)))
               .select(F.col("l.id").alias(id_col)).distinct())
     return df.join(losers, id_col, "left_anti")
