@@ -1354,6 +1354,20 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("fs") / F.lit(1000000.0)).alias("top_word_frac")))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection (dedup.select_representatives):
+    same pair graph as q_dedup_clusters, but each cluster keeps its LONGEST
+    doc (n_chars desc, doc_id tie-break) instead of the min id — the
+    production keep-the-best-duplicate rule. Integer-only ordering."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                      n=3, threshold=0.05)
+    kept = dedup.select_representatives(
+        docs, pairs.select("id_a", "id_b"), "doc_id",
+        order_by=[F.col("n_chars").desc()])
+    return kept.select("doc_id", "source", "n_chars")
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining (tx.collocations): top-50 frequent adjacent
     pairs with their PMI. Ordering/cut on exact integers (pair_cnt desc,
@@ -1955,9 +1969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver-row ledger: r01 greens = q1..q13 block at the tail here;
     # r02 greens = TPC-H tail/matrix/dedup/sampling/text/streaming block
     # after position 50. The r03 window = 2 probes + 13 r02-new + 5 r02
-    # hash-reds + 6 rows-only reconfirmations + the 11 r03-NEW operators
-    # (they took the slots of 11 redundant r01-green padding entries, which
-    # are parked right below position 50) + 13 fast green padding.
+    # hash-reds + 6 rows-only reconfirmations + the 12 r03-NEW operators
+    # (they took the slots of 12 redundant r01-green padding entries, which
+    # are parked right below position 50) + 12 fast green padding.
     # Never-checked after the r03 driver run = NONE.
     # (tests/test_driver_window.py pins this ledger.)
     return {
@@ -2004,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,  # rows-only (iterative float)
         "q_corpus_stats": q_corpus_stats,
         "q_collocations": q_collocations,
+        "q_dedup_keep_best": q_dedup_keep_best,
         # -- padding to 50: fast r01-green entries --
         "q1_pricing_summary": q1_pricing_summary,
         "q_project_filter_map": q_project_filter_map,
@@ -2017,8 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mkstring": q_mkstring,
         "q_histogram": q_histogram,
         "q_times_product": q_times_product,
-        "q_head_last": q_head_last,
         # ---- position 50 ends here; all below are driver-green r01/r02 ----
+        "q_head_last": q_head_last,
         "q_toset": q_toset,
         "q_histogram_summary": q_histogram_summary,
         "q_maplist": q_maplist,
@@ -3087,6 +3102,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, top_cnt, n_toks, fs / 1000000.0 AS top_word_frac
             FROM sc ORDER BY fs DESC, doc_id
             LIMIT 20
+        """,
+        # same closure as q_dedup_clusters; keeper = longest per component
+        "q_dedup_keep_best": f"""
+            WITH RECURSIVE d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            s AS (SELECT doc_id, {_SHINGLES} AS shs FROM d),
+            e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT id_a, id_b FROM shared
+                JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+                WHERE shared / (x.sz + y.sz - shared) >= 0.05),
+            sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(node, lab) AS (
+                SELECT DISTINCT a, a FROM sym
+                UNION
+                SELECT sym.a, reach.lab FROM sym JOIN reach ON sym.b = reach.node),
+            comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
+            cl AS (SELECT d2.doc_id, d2.source, d2.n_chars,
+                          coalesce(comp.comp, d2.doc_id) AS cluster_id
+                   FROM documents d2 LEFT JOIN comp ON d2.doc_id = comp.node)
+            SELECT doc_id, source, n_chars FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY n_chars DESC, doc_id) AS rn FROM cl)
+            WHERE rn = 1
         """,
         # PMI ratio mirrors tx.collocations verbatim: CAST to double FIRST,
         # then left-associated * N1 * N1 / N2 / cx / cy — identical

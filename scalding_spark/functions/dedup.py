@@ -503,6 +503,33 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
             .drop("node", "comp"))
 
 
+def select_representatives(df: DataFrame, pairs: DataFrame, id_col: str,
+                           order_by: list | None = None,
+                           id_a: str = "id_a", id_b: str = "id_b",
+                           algorithm: str = "label") -> DataFrame:
+    """Keep exactly ONE row per duplicate cluster, the keeper chosen by
+    ``order_by`` (a list of Columns, e.g. ``[F.col('n_chars').desc()]`` to
+    keep the longest; ``[quality.desc()]`` to keep the best-scored). Ties —
+    and the default when ``order_by`` is None — break on ascending
+    ``id_col``, which degenerates to :func:`dedup_clusters`' min-id rule.
+
+    The real-pipeline upgrade over min-id: production dedup keeps the
+    highest-quality / longest / most-recent duplicate, not the smallest id.
+
+    Scale: one per-cluster window after the component join; cluster sizes
+    are near-dup group sizes (small by construction), and the window's
+    exchange keys on cluster_id — no global sort. Rows with no near-dup
+    edge are their own cluster and always survive.
+    """
+    clustered = dedup_clusters(df, pairs, id_col, id_a, id_b, algorithm)
+    if order_by is None:
+        return (clustered.where(F.col("cluster_id") == F.col(id_col))
+                .drop("cluster_id"))
+    w = Window.partitionBy("cluster_id").orderBy(*order_by, F.col(id_col))
+    return (clustered.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn", "cluster_id"))
+
+
 def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
                        n: int = 4, min_len: int = 8,
                        max_gram_freq: int | None = 1000,

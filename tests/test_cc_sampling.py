@@ -532,3 +532,42 @@ def test_pack_sequences_partition_property(spark_keep, lens, budget):
     for r in out:
         got_seq += [r["seq_id"]] * r["n_docs"]
     assert got_seq == py_seq
+
+
+# -- r03: cluster-representative selection ------------------------------------
+
+def test_select_representatives_by_score(spark):
+    from scalding_spark.functions import dedup
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (9, 1.0)],
+        "doc_id long, score double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long")  # {1,2,3} cluster; 4, 9 solo
+    kept = dedup.select_representatives(
+        df, pairs, "doc_id", order_by=[F.col("score").desc()])
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [2, 4, 9]  # highest score wins the cluster; solos survive
+    assert kept.columns == ["doc_id", "score"]
+
+
+def test_select_representatives_tie_breaks_on_id(spark):
+    from scalding_spark.functions import dedup
+    df = spark.createDataFrame(
+        [(7, 1.0), (8, 1.0)], "doc_id long, score double")
+    pairs = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    kept = dedup.select_representatives(
+        df, pairs, "doc_id", order_by=[F.col("score").desc()])
+    assert [r["doc_id"] for r in kept.collect()] == [7]
+
+
+def test_select_representatives_default_is_min_id(spark):
+    from scalding_spark.functions import dedup
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (5, "w")], "doc_id long, v string")
+    pairs = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    a = {r["doc_id"] for r in
+         dedup.select_representatives(df, pairs, "doc_id").collect()}
+    b = {r["doc_id"] for r in
+         dedup.dedup_clusters(df, pairs, "doc_id")
+         .where(F.col("cluster_id") == F.col("doc_id")).collect()}
+    assert a == b == {1, 2, 5}

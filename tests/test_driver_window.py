@@ -64,7 +64,8 @@ def test_window_holds_the_r03_priorities():
     r03_new = {"q_train_quality", "q_weighted_sample", "q_mix_proportions",
                "q_dedup_against", "q_pack_sequences",
                "q_top_bigram_fraction", "q_gopher_quality", "q_bm25_search",
-               "q_semantic_dedup", "q_corpus_stats", "q_collocations"}
+               "q_semantic_dedup", "q_corpus_stats", "q_collocations",
+               "q_dedup_keep_best"}
     assert probes | r02_new | reds | r03_new <= window
 
 
