@@ -1354,6 +1354,20 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("fs") / F.lit(1000000.0)).alias("top_word_frac")))
 
 
+def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-cut pass (dedup.cut_spans over shared_ngram_spans): per victim
+    doc, tokens removed and tokens surviving — exact integers; overlapping
+    spans counted once (the oracle counts DISTINCT covered positions)."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.shared_ngram_spans(docs, "text", "doc_id", n=4, min_len=8)
+    out = dedup.cut_spans(docs, spans, "text", "doc_id")
+    return (out.where(F.col("n_cut_tokens") > 0)
+            .select("doc_id", "n_cut_tokens",
+                    tx.token_count(F.col("text")).cast("bigint")
+                    .alias("n_kept_tokens"))
+            .orderBy("doc_id"))
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-representative selection (dedup.select_representatives):
     same pair graph as q_dedup_clusters, but each cluster keeps its LONGEST
@@ -1969,9 +1983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver-row ledger: r01 greens = q1..q13 block at the tail here;
     # r02 greens = TPC-H tail/matrix/dedup/sampling/text/streaming block
     # after position 50. The r03 window = 2 probes + 13 r02-new + 5 r02
-    # hash-reds + 6 rows-only reconfirmations + the 12 r03-NEW operators
-    # (they took the slots of 12 redundant r01-green padding entries, which
-    # are parked right below position 50) + 12 fast green padding.
+    # hash-reds + 6 rows-only reconfirmations + the 13 r03-NEW operators
+    # (they took the slots of 13 redundant r01-green padding entries, which
+    # are parked right below position 50) + 11 fast green padding.
     # Never-checked after the r03 driver run = NONE.
     # (tests/test_driver_window.py pins this ledger.)
     return {
@@ -2019,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_stats": q_corpus_stats,
         "q_collocations": q_collocations,
         "q_dedup_keep_best": q_dedup_keep_best,
+        "q_cut_spans": q_cut_spans,
         # -- padding to 50: fast r01-green entries --
         "q1_pricing_summary": q1_pricing_summary,
         "q_project_filter_map": q_project_filter_map,
@@ -2031,8 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_stats": q_group_stats,
         "q_mkstring": q_mkstring,
         "q_histogram": q_histogram,
-        "q_times_product": q_times_product,
         # ---- position 50 ends here; all below are driver-green r01/r02 ----
+        "q_times_product": q_times_product,
         "q_head_last": q_head_last,
         "q_toset": q_toset,
         "q_histogram_summary": q_histogram_summary,
@@ -3102,6 +3117,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, top_cnt, n_toks, fs / 1000000.0 AS top_word_frac
             FROM sc ORDER BY fs DESC, doc_id
             LIMIT 20
+        """,
+        # the q_substring_spans CTE chain + distinct covered positions per
+        # victim (id_b) doc; overlaps collapse via the DISTINCT
+        "q_cut_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            g0 AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+3], ' ') AS gram
+                   FROM toks, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)
+                   WHERE len(t) >= 4),
+            p AS (SELECT doc_id, pos, gram FROM (
+                    SELECT *, count(*) OVER (PARTITION BY gram) AS df FROM g0)
+                  WHERE df <= 1000),
+            m AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb,
+                         a.pos - b.pos AS diag
+                  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+            isl AS (SELECT *, pa - row_number() OVER (
+                        PARTITION BY ia, ib, diag ORDER BY pa) AS grp
+                    FROM m),
+            spans AS (SELECT ib AS doc_id, min(pb) AS start_b,
+                             count(*) + 3 AS span_tokens
+                      FROM isl GROUP BY ia, ib, diag, grp
+                      HAVING count(*) + 3 >= 8),
+            cover AS (SELECT doc_id,
+                             unnest(generate_series(start_b,
+                                    start_b + span_tokens - 1)) AS cp
+                      FROM spans),
+            cut AS (SELECT doc_id, count(DISTINCT cp) AS n_cut_tokens
+                    FROM cover GROUP BY doc_id)
+            SELECT c.doc_id, c.n_cut_tokens,
+                   CAST(len(t.t) - c.n_cut_tokens AS BIGINT) AS n_kept_tokens
+            FROM cut c JOIN toks t ON c.doc_id = t.doc_id
+            ORDER BY c.doc_id
         """,
         # same closure as q_dedup_clusters; keeper = longest per component
         "q_dedup_keep_best": f"""

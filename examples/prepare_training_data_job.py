@@ -90,6 +90,17 @@ class PrepareTrainingDataJob(Job):
         spans.write.mode("overwrite").parquet(
             self.args("output").rstrip("/") + "_shared_spans")
 
+        # 5b. optional cut pass: actually remove the duplicated passages
+        # from the higher-id copies (Lee-et-al span dedup) instead of just
+        # auditing them. Rewritten docs carry normalized token text.
+        if self.args.boolean("cut-spans"):
+            # re-read the audit parquet just written: a free checkpoint —
+            # the cut pass must not recompute the span-detection join
+            spans = self.spark.read.parquet(
+                self.args("output").rstrip("/") + "_shared_spans")
+            kept = dedup.cut_spans(kept, spans, "text", "doc_id") \
+                .drop("n_cut_tokens")
+
         # 6. per-source stratified downsample (defaults: keep everything)
         frac = float(self.args.getOrElse("keep-fraction", "1.0"))
         if frac < 1.0:

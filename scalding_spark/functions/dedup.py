@@ -613,3 +613,46 @@ def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
                  (F.count(F.lit(1)) + n - 1).alias("span_tokens"))
             .where(F.col("span_tokens") >= min_len)
             .select("id_a", "id_b", "start_a", "start_b", "span_tokens"))
+
+
+def cut_spans(df: DataFrame, spans: DataFrame, text_col: str, id_col: str):
+    """The cut pass that :func:`shared_ngram_spans` feeds (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": remove the
+    duplicated PASSAGE, keep both documents): for every reported span the
+    HIGHER-id side (``id_b``, at ``start_b``) loses its copy; the lower-id
+    document keeps the canonical occurrence.
+
+    Plan: the span list folds to one array of (start, len) intervals per
+    victim doc (map-side-combined collect_list keyed on the doc — span
+    counts per doc are small); a LEFT join hands each doc its intervals;
+    the rewrite is ONE expression — positional token filter via the
+    two-arg ``filter`` lambda, overlapping intervals handled by the
+    NOT-exists predicate with no interval merging. Docs with no span join
+    null and pass through BYTE-IDENTICAL.
+
+    Rewritten docs get normalized space-joined tokens (the tokenizer
+    contract, same as chunk_documents) — positions index TOKENS, so the
+    original byte layout of a cut doc is not reconstructible anyway.
+
+    Returns ``df`` with ``text_col`` rewritten plus ``n_cut_tokens``.
+    """
+    cuts = spans.select(F.col("id_b").alias(id_col),
+                        F.col("start_b").cast("long").alias("start"),
+                        F.col("span_tokens").cast("long").alias("len"))
+    per = cuts.groupBy(id_col).agg(
+        F.collect_list(F.struct("start", "len")).alias("__cuts"))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""))
+    in_cut = lambda i: F.exists(  # noqa: E731 — named for the plan, not reuse
+        F.col("__cuts"),
+        lambda c: (i >= c["start"]) & (i < c["start"] + c["len"]))
+    kept = F.filter(toks, lambda t, i: ~in_cut(i.cast("long")))
+    n_cut = F.size(toks) - F.size(kept)
+    others = [c for c in df.columns if c != text_col]
+    return (df.join(per, id_col, "left")
+            .select(*others,
+                    F.when(F.col("__cuts").isNull(), F.col(text_col))
+                     .otherwise(F.array_join(kept, " ")).alias(text_col),
+                    F.coalesce(
+                        F.when(F.col("__cuts").isNotNull(), n_cut),
+                        F.lit(0)).cast("long").alias("n_cut_tokens")))

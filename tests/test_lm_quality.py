@@ -312,3 +312,49 @@ def test_chunking_matches_python_reference(spark, n_tokens, chunk, overlap):
         key=lambda r: r.chunk_id)
     assert [(r.chunk_id, r.chunk_text.split()) for r in got] == want
     assert all(r.n_tokens == len(r.chunk_text.split()) for r in got)
+
+
+# -- r03: span cutting (the shared_ngram_spans companion) ---------------------
+
+def test_cut_spans_removes_higher_id_copy(spark):
+    from scalding_spark.functions import dedup
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, f"intro one {shared} tail one"),
+         (2, f"start two two {shared} end"),
+         (3, "совсем unrelated text here ok")],
+        "doc_id long, text string")
+    spans = dedup.shared_ngram_spans(df, "text", "doc_id", n=4, min_len=8)
+    out = {r["doc_id"]: r for r in
+           dedup.cut_spans(df, spans, "text", "doc_id").collect()}
+    # doc1 (lower id) keeps its text untouched, byte-identical
+    assert out[1]["text"] == f"intro one {shared} tail one"
+    assert out[1]["n_cut_tokens"] == 0
+    # doc2 lost exactly the 8 shared tokens; the rest survives in order
+    assert out[2]["n_cut_tokens"] == 8
+    assert out[2]["text"] == "start two two end"
+    # untouched doc is byte-identical (null-join passthrough)
+    assert out[3]["text"] == "совсем unrelated text here ok"
+    assert out[3]["n_cut_tokens"] == 0
+
+
+def test_cut_spans_overlapping_intervals(spark):
+    from scalding_spark.functions import dedup
+    df = spark.createDataFrame(
+        [(9, "a b c d e f g h i j")], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 9, 0, 2, 4), (2, 9, 0, 4, 4)],  # cuts [2,6) and [4,8) on doc 9
+        "id_a long, id_b long, start_a long, start_b long, span_tokens long")
+    out = dedup.cut_spans(df, spans, "text", "doc_id").first()
+    assert out["text"] == "a b i j"       # union of overlaps removed
+    assert out["n_cut_tokens"] == 6
+
+
+def test_cut_spans_schema_and_column_order(spark):
+    from scalding_spark.functions import dedup
+    df = spark.createDataFrame([(1, "x y", "s")],
+                               "doc_id long, text string, src string")
+    spans = spark.createDataFrame(
+        [], "id_a long, id_b long, start_a long, start_b long, span_tokens long")
+    out = dedup.cut_spans(df, spans, "text", "doc_id")
+    assert out.columns == ["doc_id", "src", "text", "n_cut_tokens"]
