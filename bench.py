@@ -62,6 +62,7 @@ HEADLINE = [
     "q_corpus_stats",            # keyless global corpus report
     "q_top_bigram_fraction",     # n-gram repetition (partial aggs)
     "q_semantic_dedup",          # SemDeDup: kmeans + within-cell pairs
+    "q_cut_spans",               # span cut pass (positional token filter)
 ]
 
 

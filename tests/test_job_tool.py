@@ -495,3 +495,21 @@ def test_incremental_corpus_job_three_batches(spark, tmp_path):
     vs = VersionedKeyValSource(store, key_col="fp", val_col="n")
     assert vs.versions() == [0, 1, 2]
     assert vs.read(spark).count() == 4      # one fingerprint per content
+
+
+def test_search_corpus_job_end_to_end(spark, tmp_path):
+    """BM25 search job: runs, ranks, and the top hit actually contains a
+    query term."""
+    from examples.search_corpus_job import SearchCorpusJob
+    out = str(tmp_path / "hits")
+    SearchCorpusJob(
+        Args(["--input", "/root/testdata/sf0.001/documents.parquet",
+              "--query", "spark join window", "--k", "5",
+              "--output", out]), spark).run()
+    got = spark.read.parquet(out)
+    rows = got.orderBy(got.score.desc()).collect()
+    assert 0 < len(rows) <= 5
+    assert {"doc_id", "n_match_terms", "score", "text", "source"} \
+        <= set(got.columns)
+    assert any(t in rows[0]["text"] for t in ("spark", "join", "window"))
+    assert rows[0]["score"] >= rows[-1]["score"]

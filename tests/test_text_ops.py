@@ -232,3 +232,61 @@ def test_collocations_min_count_filters(spark):
     got = {(r["w1"], r["w2"]) for r in
            tx.collocations(df, min_count=3).collect()}
     assert got == {("a", "b")}
+
+
+# -- property-based: Gopher signals vs a pure-Python reference ----------------
+
+from hypothesis import given, settings, strategies as st
+
+_WORDS = ["the", "data", "spark", "a", "42", "7", "extraordinarily", "of",
+          "x1y", "table"]
+
+
+def _py_gopher_signals(text):
+    import re
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    stops = {"the", "and", "of", "to", "in", "is", "that", "it", "for",
+             "with"}
+    return {
+        "n_toks": len(toks),
+        "total_chars": sum(len(t) for t in toks),
+        "n_distinct": len(set(toks)),
+        "n_numeric": sum(t.isdigit() for t in toks),
+        "n_stop": sum(t in stops for t in toks),
+    }
+
+
+def _py_gopher_pass(s):
+    n, chars = s["n_toks"], s["total_chars"]
+    return (50 <= n <= 100_000 and 3 * n <= chars <= 10 * n
+            and s["n_numeric"] * 5 <= n and s["n_stop"] * 50 >= n)
+
+
+@settings(max_examples=10, deadline=None)
+@given(words=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=120))
+def test_gopher_matches_python_reference(spark, words):
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    s = tx.gopher_signals(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in s.items()],
+                    tx.gopher_pass(F.col("text")).alias("ok")).first()
+    ref = _py_gopher_signals(text)
+    for k, v in ref.items():
+        assert row[k] == v, (k, text)
+    assert row["ok"] == _py_gopher_pass(ref), text
+
+
+@settings(max_examples=10, deadline=None)
+@given(words=st.lists(st.sampled_from(_WORDS[:5]), min_size=0, max_size=40))
+def test_top_ngram_fraction_matches_python_reference(spark, words):
+    from collections import Counter
+    text = " ".join(words)
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = tx.top_ngram_fraction(df, "text", "doc_id", n=2).collect()
+    grams = [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
+    if len(words) < 2:
+        assert rows == []
+        return
+    c = Counter(grams)
+    assert rows[0]["top_cnt"] == max(c.values())
+    assert rows[0]["n_grams"] == len(grams)
