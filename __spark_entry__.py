@@ -1950,6 +1950,35 @@ def q_probe_hugeint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.lit(1)).alias("s")))
 
 
+def q_probe_q12_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSTIC for the two-round q12 red: ONE row of pure COUNT(*)
+    columns (bigint on both engines — no SUM, no HUGEINT anywhere) that
+    decompose q12 into its primitives. Reading of CORRECTNESS_r03:
+    - this probe green + q12 red ⇒ the divergence is in the SUM(CASE)
+      aggregation's client conversion (the HUGEINT theory), not filters;
+    - n_flag red ⇒ even string IN-list filtering diverges (data drift);
+    - n_date/n_ts red with n_flag green ⇒ the shipdate window semantics
+      differ between the driver's engine versions, and which of the two
+      formulations is red says whether date-cast or timestamp-literal
+      comparison is the broken primitive;
+    - n_join red with the above green ⇒ the orders join itself."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    flag = F.col("l_returnflag").isin("A", "R")
+    date_win = ((F.to_date("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+                & (F.to_date("l_shipdate") < F.lit("1996-01-01").cast("date")))
+    ts_win = ((F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+              & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")))
+    base = li.where(flag & date_win)
+    return (base.join(o, base.l_orderkey == o.o_orderkey)
+            .agg(F.count(F.lit(1)).alias("n_join"))
+            .join(li.where(flag).agg(F.count(F.lit(1)).alias("n_flag")))
+            .join(li.where(flag & date_win)
+                  .agg(F.count(F.lit(1)).alias("n_date")))
+            .join(li.where(flag & ts_win)
+                  .agg(F.count(F.lit(1)).alias("n_ts"))))
+
+
 def q_probe_event_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIAGNOSTIC twin for the events read path: min/max/count of
     ``unix_micros(ts)`` per event_type (min/max stay BIGINT — no HUGEINT —
@@ -1982,16 +2011,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # already has a driver-green row in CORRECTNESS_r01 or _r02.
     # Driver-row ledger: r01 greens = q1..q13 block at the tail here;
     # r02 greens = TPC-H tail/matrix/dedup/sampling/text/streaming block
-    # after position 50. The r03 window = 2 probes + 13 r02-new + 5 r02
+    # after position 50. The r03 window = 3 probes + 13 r02-new + 5 r02
     # hash-reds + 6 rows-only reconfirmations + the 13 r03-NEW operators
-    # (they took the slots of 13 redundant r01-green padding entries, which
-    # are parked right below position 50) + 11 fast green padding.
+    # (they took the slots of redundant r01-green padding entries, which
+    # are parked right below position 50) + 10 fast green padding.
     # Never-checked after the r03 driver run = NONE.
     # (tests/test_driver_window.py pins this ledger.)
     return {
         # -- r03 diagnostic probes (may be deliberately red; see docstrings) --
         "q_probe_hugeint": q_probe_hugeint,
         "q_probe_event_micros": q_probe_event_micros,
+        "q_probe_q12_filter": q_probe_q12_filter,
         # -- r02-new, never driver-checked --
         "q_substring_spans": q_substring_spans,
         "q_unigram_lm": q_unigram_lm,
@@ -2045,8 +2075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_multi_agg": q_group_multi_agg,
         "q_group_stats": q_group_stats,
         "q_mkstring": q_mkstring,
-        "q_histogram": q_histogram,
         # ---- position 50 ends here; all below are driver-green r01/r02 ----
+        "q_histogram": q_histogram,
         "q_times_product": q_times_product,
         "q_head_last": q_head_last,
         "q_toset": q_toset,
@@ -2267,6 +2297,26 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
                    max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
             FROM events GROUP BY event_type
+        """,
+        # pure COUNT(*) decomposition of q12 (no SUM -> no HUGEINT);
+        # see q_probe_q12_filter's docstring for how to read red/green
+        "q_probe_q12_filter": """
+            SELECT
+                (SELECT count(*) FROM lineitem JOIN orders
+                    ON l_orderkey = o_orderkey
+                  WHERE l_returnflag IN ('A', 'R')
+                    AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+                    AND CAST(l_shipdate AS DATE) < DATE '1996-01-01') AS n_join,
+                (SELECT count(*) FROM lineitem
+                  WHERE l_returnflag IN ('A', 'R')) AS n_flag,
+                (SELECT count(*) FROM lineitem
+                  WHERE l_returnflag IN ('A', 'R')
+                    AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+                    AND CAST(l_shipdate AS DATE) < DATE '1996-01-01') AS n_date,
+                (SELECT count(*) FROM lineitem
+                  WHERE l_returnflag IN ('A', 'R')
+                    AND l_shipdate >= TIMESTAMP '1995-01-01'
+                    AND l_shipdate < TIMESTAMP '1996-01-01') AS n_ts
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

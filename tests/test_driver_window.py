@@ -53,7 +53,8 @@ def test_window_holds_the_r03_priorities():
     never-checked queries, the 5 r02 hash-reds, and the 11 r03-new
     operators."""
     window = set(list(e.queries())[:50])
-    probes = {"q_probe_hugeint", "q_probe_event_micros"}
+    probes = {"q_probe_hugeint", "q_probe_event_micros",
+              "q_probe_q12_filter"}
     r02_new = {"q_substring_spans", "q_unigram_lm", "q_linear_quality",
                "q_global_rank_scan", "q_bigram_lm", "q_kmeans",
                "q_map_stream", "q_chunk_documents", "q_topk_window",
