@@ -1354,6 +1354,37 @@ def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("fs") / F.lit(1000000.0)).alias("top_word_frac")))
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI CUBE in one Expand pass (Pipe.cube_by): all four grouping
+    levels of (returnflag, linestatus) with exact-integer quantity sums —
+    the engine upgrade over the reference's N-chained-groupBys shape."""
+    li = _p(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 10000).cast("bigint")
+    out = (li.cube_by("l_returnflag", "l_linestatus")
+           .agg(F.sum(qty).alias("__s"),
+                F.count(F.lit(1)).alias("n_rows"))
+           .done().to_df())
+    return out.select("l_returnflag", "l_linestatus", "n_rows",
+                      (F.col("__s") / F.lit(10000.0)).alias("sum_qty"))
+
+
+def q_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-less NTILE + PERCENT_RANK via the parallel range-partition
+    pattern (no 1-task window): 7 order-key buckets with per-bucket counts
+    and rank extremes — unique sort key, so every output is deterministic."""
+    o = _p(spark, sf_dir, "orders")
+    t = o.group_all().sort_by("o_orderkey").ntile(7, out="bucket").to_df()
+    pr = (o.group_all().sort_by("o_orderkey")
+          .percent_rank(out="pr").to_df().select("o_orderkey", "pr"))
+    return (t.join(pr, "o_orderkey")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key"),
+                 F.round(F.min("pr"), 9).alias("min_pr"),
+                 F.round(F.max("pr"), 9).alias("max_pr")))
+
+
 def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-cut pass (dedup.cut_spans over shared_ngram_spans): per victim
     doc, tokens removed and tokens surviving — exact integers; overlapping
@@ -2012,9 +2043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver-row ledger: r01 greens = q1..q13 block at the tail here;
     # r02 greens = TPC-H tail/matrix/dedup/sampling/text/streaming block
     # after position 50. The r03 window = 3 probes + 13 r02-new + 5 r02
-    # hash-reds + 6 rows-only reconfirmations + the 13 r03-NEW operators
+    # hash-reds + 6 rows-only reconfirmations + the 15 r03-NEW operators
     # (they took the slots of redundant r01-green padding entries, which
-    # are parked right below position 50) + 10 fast green padding.
+    # are parked right below position 50) + 8 fast green padding.
     # Never-checked after the r03 driver run = NONE.
     # (tests/test_driver_window.py pins this ledger.)
     return {
@@ -2064,6 +2095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collocations": q_collocations,
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_cut_spans": q_cut_spans,
+        "q_cube_agg": q_cube_agg,
+        "q_ntile_ranks": q_ntile_ranks,
         # -- padding to 50: fast r01-green entries --
         "q1_pricing_summary": q1_pricing_summary,
         "q_project_filter_map": q_project_filter_map,
@@ -2073,9 +2106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_distinct": q_union_distinct,
         "q_intersect_except": q_intersect_except,
         "q_group_multi_agg": q_group_multi_agg,
+        # ---- position 50 ends here; all below are driver-green r01/r02 ----
         "q_group_stats": q_group_stats,
         "q_mkstring": q_mkstring,
-        # ---- position 50 ends here; all below are driver-green r01/r02 ----
         "q_histogram": q_histogram,
         "q_times_product": q_times_product,
         "q_head_last": q_head_last,
@@ -3167,6 +3200,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, top_cnt, n_toks, fs / 1000000.0 AS top_word_frac
             FROM sc ORDER BY fs DESC, doc_id
             LIMIT 20
+        """,
+        "q_cube_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        # unique sort key -> NTILE/PERCENT_RANK fully deterministic; the
+        # (rank-1)/(N-1) division is one double op, identical on any engine
+        "q_ntile_ranks": """
+            WITH r AS (SELECT o_orderkey,
+                              ntile(7) OVER (ORDER BY o_orderkey) AS bucket,
+                              percent_rank() OVER (ORDER BY o_orderkey) AS pr
+                       FROM orders)
+            SELECT bucket, count(*) AS n,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                   round(min(pr), 9) AS min_pr, round(max(pr), 9) AS max_pr
+            FROM r GROUP BY bucket
         """,
         # the q_substring_spans CTE chain + distinct covered positions per
         # victim (id_b) doc; overlaps collapse via the DISTINCT

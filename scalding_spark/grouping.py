@@ -41,9 +41,12 @@ class GroupBuilder:
     GroupBuilder.scala:266-303).
     """
 
-    def __init__(self, df: DataFrame, keys: list):
+    def __init__(self, df: DataFrame, keys: list, mode: str = "groupby"):
+        if mode not in ("groupby", "rollup", "cube"):
+            raise ValueError(f"mode must be groupby/rollup/cube, got {mode!r}")
         self._df = df
         self._keys = keys
+        self._mode = mode
         self._aggs: list[Column] = []
 
     # -- scheduling --------------------------------------------------------
@@ -56,6 +59,14 @@ class GroupBuilder:
 
     def done(self) -> Pipe:
         """Schedule the accumulated aggregations (GroupBuilder.scala:266-303)."""
+        if self._mode != "groupby":
+            # multi-level aggregation in ONE pass: Catalyst's Expand emits
+            # each row once per grouping set BEFORE the partial aggregate,
+            # so the shuffle still carries combined partials per (set, key)
+            # — one job where the reference chains N groupBys + a merge
+            grouped = (self._df.rollup(*self._keys) if self._mode == "rollup"
+                       else self._df.cube(*self._keys))
+            return Pipe(grouped.agg(*self._aggs))
         if not self._aggs:
             # identity GroupBy == distinct on keys
             return Pipe(self._df.select(*self._keys).distinct())
@@ -560,6 +571,65 @@ class SortedGroup:
             return Pipe(ranked.join(vals, F.col("__gr") == F.col("__gr_v"), "left")
                         .drop("__gr", "__gr_v"))
         return Pipe(self._df.withColumn(name, F.lag(_c(col), n).over(self._w)))
+
+    def percent_rank(self, out: str = "percent_rank") -> Pipe:
+        """(rank − 1)/(N − 1) — ANSI PERCENT_RANK. Keyed: one window
+        expression. KEY-LESS: the parallel global rank plus ONE broadcast
+        1-row total — still no single-task window."""
+        if not self._keys:
+            ranked = self.rank("__r").df
+            tot = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
+            return Pipe(ranked.join(tot)
+                        .withColumn(out, F.when(
+                            F.col("__n") > 1,
+                            (F.col("__r") - 1).cast("double")
+                            / (F.col("__n") - 1)).otherwise(0.0))
+                        .drop("__r", "__n"))
+        return Pipe(self._df.withColumn(out, F.percent_rank().over(self._w)))
+
+    def cume_dist(self, out: str = "cume_dist") -> Pipe:
+        """rows ≤ current / N — ANSI CUME_DIST. KEY-LESS: rank on the
+        REVERSED order gives rows ≥ current as (N − rank_desc + 1), so
+        cume = that / N — one extra range exchange, no 1-task funnel."""
+        if not self._keys:
+            raws = self._raw_cols("global cume_dist")
+            rev = SortedGroup(
+                self._df, [],
+                [(r.desc() if asc else r.asc())
+                 for r, (_, asc) in zip(raws, self._specs)],
+                [(r, not asc) for r, (_, asc) in zip(raws, self._specs)])
+            ranked = rev.rank("__rd").df
+            tot = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
+            return Pipe(ranked.join(tot)
+                        .withColumn(out, (F.col("__n") - F.col("__rd") + 1)
+                                    .cast("double") / F.col("__n"))
+                        .drop("__rd", "__n"))
+        return Pipe(self._df.withColumn(out, F.cume_dist().over(self._w)))
+
+    def ntile(self, n: int, out: str = "ntile") -> Pipe:
+        """ANSI NTILE(n): n buckets, the first N mod n buckets one row
+        larger. KEY-LESS: global row_number (parallel range pattern) fed
+        through the exact NTILE arithmetic — bit-identical to the window
+        function without its single partition."""
+        if n <= 0:
+            raise ValueError(f"ntile bucket count must be positive, got {n}")
+        if not self._keys:
+            ranked = self._keyless_ranked(F.row_number, "__rn").df
+            tot = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
+            qs = F.expr(f"__n div {n}")
+            r = F.expr(f"__n % {n}")
+            big = (qs + 1) * r  # rows living in the one-larger buckets
+            tile = F.when(
+                F.col("__rn") <= big,
+                F.expr(f"(__rn - 1) div (__n div {n} + 1)") + 1
+            ).otherwise(
+                r + F.expr(f"(__rn - 1 - (__n div {n} + 1) * (__n % {n})) "
+                           f"div (__n div {n})") + 1)
+            # degenerate N < n: every row its own bucket (q = 0 path)
+            tile = F.when(qs == 0, F.col("__rn")).otherwise(tile)
+            return Pipe(ranked.join(tot).withColumn(out, tile.cast("int"))
+                        .drop("__rn", "__n"))
+        return Pipe(self._df.withColumn(out, F.ntile(n).over(self._w)))
 
     def head(self) -> Pipe:
         """Deterministic first row per key (ReduceOperations.scala:207-214

@@ -177,6 +177,20 @@ class Pipe:
         from scalding_spark.grouping import GroupBuilder
         return GroupBuilder(self.df, [])
 
+    def rollup_by(self, *keys: str | Column):
+        """Hierarchical multi-level aggregation (engine upgrade over the
+        reference, where per-level totals need N chained groupBys + a
+        merge): one Expand + one combined partial-agged pass emits every
+        prefix level, NULL marking the rolled-up key (ANSI ROLLUP)."""
+        from scalding_spark.grouping import GroupBuilder
+        return GroupBuilder(self.df, list(keys), mode="rollup")
+
+    def cube_by(self, *keys: str | Column):
+        """All key-subset aggregations in one pass (ANSI CUBE) — same
+        Expand-based single-job plan as :meth:`rollup_by`."""
+        from scalding_spark.grouping import GroupBuilder
+        return GroupBuilder(self.df, list(keys), mode="cube")
+
     # -- randomized repartition / shuffle (RichPipe.scala:199-267) ---------
 
     def shard(self, n: int, seed: int | None = None) -> "Pipe":

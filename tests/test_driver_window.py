@@ -66,7 +66,8 @@ def test_window_holds_the_r03_priorities():
                "q_dedup_against", "q_pack_sequences",
                "q_top_bigram_fraction", "q_gopher_quality", "q_bm25_search",
                "q_semantic_dedup", "q_corpus_stats", "q_collocations",
-               "q_dedup_keep_best", "q_cut_spans"}
+               "q_dedup_keep_best", "q_cut_spans", "q_cube_agg",
+               "q_ntile_ranks"}
     assert probes | r02_new | reds | r03_new <= window
 
 

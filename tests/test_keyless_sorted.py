@@ -116,14 +116,20 @@ def _plan(df):
 
 def _assert_no_singlepartition_data_shuffle(df):
     """Every SinglePartition shuffle must carry ONLY __ helper columns (the
-    #partitions-row offsets table); data rows flow through RangePartitioning."""
+    #partitions-row offsets table) or scalar partial-aggregate buffers
+    (count/sum/min/max — one row per map partition feeding a global total);
+    data rows flow through RangePartitioning."""
     from tests.test_plans import _shuffle_exchange_schemas
     exchanges = _shuffle_exchange_schemas(df)
     assert any("rangepartitioning" in part for _, part, _c in exchanges)
+
+    def tiny(c: str) -> bool:
+        return c.startswith("__") or c in ("count", "sum", "min", "max", "avg")
+
     offenders = [
         (part, cols) for name, part, cols in exchanges
         if name.startswith("Shuffle") and "SinglePartition" in part
-        and any(not c.startswith("__") for c, _ in cols)
+        and any(not tiny(c) for c, _ in cols)
     ]
     assert not offenders, f"data through a 1-task exchange: {offenders}"
 
@@ -233,3 +239,88 @@ def test_rank_by_value_no_tie_class_single_partition(spark):
         if "rangepartitioning" in part:
             # the ranged table is the counts table: carries __n, not id
             assert any(c == "__n" for c, _ in cols)
+
+
+# -- r03: percent_rank / cume_dist / ntile (keyed + keyless) ------------------
+
+def _ref_window(df, fn, *args):
+    """Single-partition window reference (the semantics oracle; the keyless
+    implementations must match it without using its 1-task plan)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy().orderBy("v")
+    return {r["id"]: r["x"] for r in
+            df.withColumn("x", fn(*args).over(w)).select("id", "x").collect()}
+
+
+@pytest.fixture(scope="module")
+def ranked_df(spark):
+    import random
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 30)) for i in range(200)]
+    return spark.createDataFrame(rows, "id long, v long").repartition(8)
+
+
+def test_keyless_percent_rank_matches_window(spark, ranked_df):
+    from scalding_spark.pipe import Pipe
+    got = {r["id"]: r["percent_rank"] for r in
+           Pipe(ranked_df).group_all().sort_by("v").percent_rank()
+           .to_df().collect()}
+    ref = _ref_window(ranked_df, F.percent_rank)
+    assert all(abs(got[i] - ref[i]) < 1e-12 for i in ref)
+
+
+def test_keyless_cume_dist_matches_window(spark, ranked_df):
+    from scalding_spark.pipe import Pipe
+    got = {r["id"]: r["cume_dist"] for r in
+           Pipe(ranked_df).group_all().sort_by("v").cume_dist()
+           .to_df().collect()}
+    ref = _ref_window(ranked_df, F.cume_dist)
+    assert all(abs(got[i] - ref[i]) < 1e-12 for i in ref)
+
+
+@pytest.fixture(scope="module")
+def unique_df(spark):
+    # UNIQUE sort keys: NTILE's bucket of a row is only well-defined up to
+    # tie order, so the equality oracle needs a total order
+    import random
+    rng = random.Random(5)
+    vs = list(range(200))
+    rng.shuffle(vs)
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vs)], "id long, v long").repartition(8)
+
+
+@pytest.mark.parametrize("n", [1, 3, 7, 200, 350])
+def test_keyless_ntile_matches_window(spark, unique_df, n):
+    from scalding_spark.pipe import Pipe
+    got = {r["id"]: r["ntile"] for r in
+           Pipe(unique_df).group_all().sort_by("v").ntile(n)
+           .to_df().collect()}
+    ref = _ref_window(unique_df, F.ntile, n)
+    assert got == ref
+
+
+def test_keyless_new_rank_ops_have_no_single_partition(spark, ranked_df):
+    """Same contract as the other keyless ops: any SinglePartition shuffle
+    carries ONLY tiny helper columns (offsets/totals), never the data."""
+    from scalding_spark.pipe import Pipe
+    for build in (lambda s: s.percent_rank(), lambda s: s.cume_dist(),
+                  lambda s: s.ntile(4)):
+        df = build(Pipe(ranked_df).group_all().sort_by("v")).to_df()
+        assert "rangepartitioning" in _plan(df)
+        _assert_no_singlepartition_data_shuffle(df)
+
+
+def test_keyed_rank_ops_delegate_to_native_windows(spark, ranked_df):
+    from scalding_spark.pipe import Pipe
+    df = ranked_df.withColumn("k", F.col("id") % 3)
+    g = Pipe(df).group_by("k").sort_by("v")
+    from pyspark.sql import Window
+    w = Window.partitionBy("k").orderBy("v")
+    for op, fn in (("percent_rank", F.percent_rank), ("cume_dist", F.cume_dist)):
+        got = {r["id"]: r[op] for r in
+               getattr(Pipe(df).group_by("k").sort_by("v"), op)()
+               .to_df().collect()}
+        ref = {r["id"]: r["x"] for r in
+               df.withColumn("x", fn().over(w)).collect()}
+        assert got == ref

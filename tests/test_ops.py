@@ -234,3 +234,40 @@ def test_heavy_hitters_finds_skew_keys(spark):
         F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 100).alias("k"))
     hh = Pipe(df).heavy_hitters(["k"], support=0.3)
     assert 7 in hh["k"]
+
+
+def test_rollup_matches_unioned_groupbys(spark):
+    from scalding_spark.pipe import Pipe
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4), ("b", "x", 8)],
+        "k1 string, k2 string, v long")
+    got = {(r["k1"], r["k2"]): r["s"] for r in
+           Pipe(df).rollup_by("k1", "k2").sum("v", "s").done()
+           .to_df().collect()}
+    assert got[("a", "x")] == 1 and got[("b", "x")] == 12
+    assert got[("a", None)] == 3 and got[("b", None)] == 12
+    assert got[(None, None)] == 15
+    assert ("x", None) not in {k[::-1] for k in got}  # no (None, k2) level
+
+
+def test_cube_adds_the_cross_levels(spark):
+    from scalding_spark.pipe import Pipe
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+        "k1 string, k2 string, v long")
+    got = {(r["k1"], r["k2"]): r["s"] for r in
+           Pipe(df).cube_by("k1", "k2").sum("v", "s").done()
+           .to_df().collect()}
+    assert got[(None, "x")] == 5 and got[(None, "y")] == 2  # cube-only level
+    assert got[(None, None)] == 7
+
+
+def test_rollup_is_single_expand_job(spark):
+    from scalding_spark.pipe import Pipe
+    df = spark.createDataFrame([("a", "x", 1)], "k1 string, k2 string, v long")
+    q = Pipe(df).rollup_by("k1", "k2").sum("v", "s").done().to_df()
+    p = q._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("HashAggregate") == 2  # partial + final, one pass
