@@ -47,6 +47,7 @@ class GroupBuilder:
         self._df = df
         self._keys = keys
         self._mode = mode
+        self._grouping_sets: list[list[Column]] | None = None
         self._aggs: list[Column] = []
 
     # -- scheduling --------------------------------------------------------
@@ -59,6 +60,10 @@ class GroupBuilder:
 
     def done(self) -> Pipe:
         """Schedule the accumulated aggregations (GroupBuilder.scala:266-303)."""
+        if self._grouping_sets is not None:
+            return Pipe(self._df.groupingSets(
+                self._grouping_sets,
+                *[_c(k) for k in self._keys]).agg(*self._aggs))
         if self._mode != "groupby":
             # multi-level aggregation in ONE pass: Catalyst's Expand emits
             # each row once per grouping set BEFORE the partial aggregate,

@@ -191,6 +191,17 @@ class Pipe:
         from scalding_spark.grouping import GroupBuilder
         return GroupBuilder(self.df, list(keys), mode="cube")
 
+    def grouping_sets(self, sets: list[list[str]], *keys: str):
+        """Explicit ANSI GROUPING SETS — the general form rollup/cube
+        specialize: exactly the requested key subsets, still one Expand +
+        one combined partial-agged pass. ``keys`` is the union of grouping
+        columns; each entry of ``sets`` lists the keys grouped at that
+        level (the rest come back NULL)."""
+        from scalding_spark.grouping import GroupBuilder
+        gb = GroupBuilder(self.df, list(keys), mode="groupby")
+        gb._grouping_sets = [[_to_col(c) for c in s] for s in sets]
+        return gb
+
     # -- randomized repartition / shuffle (RichPipe.scala:199-267) ---------
 
     def shard(self, n: int, seed: int | None = None) -> "Pipe":

@@ -271,3 +271,16 @@ def test_rollup_is_single_expand_job(spark):
     assert "Expand" in p
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("HashAggregate") == 2  # partial + final, one pass
+
+
+def test_grouping_sets_exact_levels(spark):
+    from scalding_spark.pipe import Pipe
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+        "k1 string, k2 string, v long")
+    got = {(r["k1"], r["k2"]): r["s"] for r in
+           Pipe(df).grouping_sets([["k1"], []], "k1", "k2")
+           .sum("v", "s").done().to_df().collect()}
+    # exactly the requested levels: per-k1 and grand total; NO (k1,k2) rows
+    assert got == {("a", None): 3, ("b", None): 4, (None, None): 7}

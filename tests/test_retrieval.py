@@ -73,3 +73,49 @@ def test_bm25_filter_precedes_explode_plan(corpus):
     p = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# -- property-based: BM25 vs a pure-Python reference --------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_VOCAB = ["spark", "join", "window", "table", "scan", "row"]
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75):
+    import math
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for q in set(terms):
+        df = sum(q in v for v in toks.values())
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, v in toks.items():
+            tf = v.count(q)
+            if tf:
+                dl = len(v)
+                out[i] = out.get(i, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl / avgdl))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_bm25_matches_python_reference(spark, data):
+    n_docs = data.draw(st.integers(min_value=2, max_value=6))
+    docs = []
+    for i in range(n_docs):
+        words = data.draw(st.lists(st.sampled_from(_VOCAB),
+                                   min_size=1, max_size=12))
+        docs.append((i, " ".join(words)))
+    terms = data.draw(st.lists(st.sampled_from(_VOCAB),
+                               min_size=1, max_size=3))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in
+           retrieval.bm25_rank(df, terms, k=100).collect()}
+    ref = _py_bm25(docs, terms)
+    assert set(got) == set(ref)
+    assert all(abs(got[i] - ref[i]) < 1e-9 for i in ref)
