@@ -63,6 +63,8 @@ HEADLINE = [
     "q_top_bigram_fraction",     # n-gram repetition (partial aggs)
     "q_semantic_dedup",          # SemDeDup: kmeans + within-cell pairs
     "q_cut_spans",               # span cut pass (positional token filter)
+    "q_cube_agg",                # one-Expand-pass CUBE aggregation
+    "q_ntile_ranks",             # keyless ntile/percent_rank (range pattern)
 ]
 
 
