@@ -314,6 +314,31 @@ class Pipe:
         tagged = self.df.withColumn(tag, tag_expr)
         return build(GroupBuilder(tagged, [tag])).done()
 
+    def from_json(self, col: str | Column, schema, out: str | None = None) -> "Pipe":
+        """Parse a JSON string column into a typed struct (the engine's
+    JsonLine-in-a-column: records embedded in a field rather than a file).
+    Malformed rows yield null structs (PERMISSIVE), matching the safe-parse
+    source contract. Pure expression — fuses into the scan."""
+        c = _to_col(col)
+        name = out or (col if isinstance(col, str) else "parsed")
+        return Pipe(self.df.withColumn(name, F.from_json(c, schema)))
+
+    def to_json(self, out: str, *cols: str) -> "Pipe":
+        """Serialize columns to one JSON string column (write-side twin of
+    :meth:`from_json`); with no ``cols`` the whole row is serialized."""
+        use = list(cols) or [c for c in self.df.columns]
+        return Pipe(self.df.withColumn(out, F.to_json(F.struct(*use))))
+
+    def from_csv(self, col: str | Column, schema: str,
+                 out: str | None = None, sep: str = ",") -> "Pipe":
+        """Parse a delimited string column via the CSV reader's expression
+    form — the Osv/Tsv-in-a-column shape (delimited records embedded in a
+    field)."""
+        c = _to_col(col)
+        name = out or (col if isinstance(col, str) else "parsed")
+        return Pipe(self.df.withColumn(
+            name, F.from_csv(c, F.lit(schema), {"sep": sep})))
+
     def approx_quantiles(self, col: str, probs: list[float],
                          rel_err: float = 0.01) -> list[float]:
         """Driver-side approximate quantiles (Greenwald-Khanna) — the

@@ -155,3 +155,30 @@ def test_orc_filter_pushdown_reaches_scan(spark, tmp_path):
     q = fs.orc(spark, out).where("k > 990").select("k")
     p = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in p and "GreaterThan(k,990" in p
+
+
+def test_from_json_column_roundtrip_and_permissive(spark):
+    from scalding_spark.pipe import Pipe
+    df = spark.createDataFrame(
+        [(1, '{"a": 5, "b": "x"}'), (2, 'not json')], "id long, raw string")
+    out = (Pipe(df).from_json("raw", "a int, b string", out="rec")
+           .to_df().select("id", "rec.a", "rec.b").collect())
+    rows = {r["id"]: (r["a"], r["b"]) for r in out}
+    assert rows[1] == (5, "x")
+    assert rows[2] == (None, None)  # malformed -> null struct, row kept
+
+
+def test_to_json_column_inverse(spark):
+    from scalding_spark.pipe import Pipe
+    import json
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    row = Pipe(df).to_json("j", "a", "b").to_df().first()
+    assert json.loads(row["j"]) == {"a": 1, "b": "x"}
+
+
+def test_from_csv_column(spark):
+    from scalding_spark.pipe import Pipe
+    df = spark.createDataFrame([("5|hi",)], "raw string")
+    row = (Pipe(df).from_csv("raw", "a int, b string", out="rec", sep="|")
+           .to_df().select("rec.a", "rec.b").first())
+    assert (row["a"], row["b"]) == (5, "hi")
