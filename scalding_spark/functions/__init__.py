@@ -19,5 +19,12 @@ host-language lambda (SURVEY.md §2.8). This engine's scalar layer IS
                   packing over chunk token counts).
 - ``lm``          self-trained unigram/bigram LM document scoring
                   (perplexity-proxy quality filter).
+- ``retrieval``   Okapi BM25 ranked top-k search over a corpus.
 - ``multimodal``  opaque binary columns with typed metadata (decode stubs).
+
+r03 additions inside existing modules: text.gopher_signals/gopher_pass
+(integer-band quality gate), text.ngrams/top_ngram_fraction (repetition),
+text.collocations (PMI), text.corpus_stats, dedup.select_representatives
+(keep-best cluster keeper), dedup.cut_spans (span cut pass),
+similarity.semantic_dedup (SemDeDup).
 """
