@@ -1852,6 +1852,23 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (bloom.bloom_anti_join): same
+    parity-split contract as q_dedup_against and row-identical output, but
+    definite-new docs bypass the anti-join exchange entirely — the broadcast
+    Bloom filter kills them map-side, and only fingerprints that might be
+    seen shuffle. The oracle is the plain anti join: the filter must never
+    change results, only shuffle volume."""
+    from scalding_spark.functions import bloom
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(dedup.normalize_for_fingerprint(F.col("text")))
+    n = docs.select("doc_id", "source", fp.alias("__fp"))
+    seen = n.where(F.col("doc_id") % 2 == 0).select("__fp").distinct()
+    new = n.where(F.col("doc_id") % 2 == 1)
+    out = bloom.bloom_anti_join(new, seen, on="__fp")
+    return out.select("doc_id", "source")
+
+
 # data-mixing constants shared by q_mix_proportions and its oracle
 _MIX_PROPS = {f"src{i}": 0.2 for i in range(5)}
 _MIX_TOTAL = 60_000
@@ -2105,8 +2122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_unpack": q_pack_unpack,
         "q_union_distinct": q_union_distinct,
         "q_intersect_except": q_intersect_except,
-        "q_group_multi_agg": q_group_multi_agg,
+        # r03-late addition, needs its first driver row (took the slot of
+        # r01-green padding q_group_multi_agg, parked below position 50)
+        "q_bloom_anti_join": q_bloom_anti_join,
         # ---- position 50 ends here; all below are driver-green r01/r02 ----
+        "q_group_multi_agg": q_group_multi_agg,
         "q_group_stats": q_group_stats,
         "q_mkstring": q_mkstring,
         "q_histogram": q_histogram,
@@ -3454,6 +3474,16 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_sample": _weighted_sample_sql(),
         "q_mix_proportions": _mix_proportions_sql(),
         "q_dedup_against": f"""
+            WITH n AS (SELECT doc_id, source, md5({_NORM_TEXT}) AS fp
+                       FROM documents)
+            SELECT doc_id, source FROM n
+            WHERE doc_id % 2 = 1
+              AND fp NOT IN (SELECT fp FROM n WHERE doc_id % 2 = 0)
+        """,
+        # bloom_anti_join is EXACT (the filter only routes rows around the
+        # exchange), so its oracle is the plain anti join — identical to
+        # q_dedup_against's
+        "q_bloom_anti_join": f"""
             WITH n AS (SELECT doc_id, source, md5({_NORM_TEXT}) AS fp
                        FROM documents)
             SELECT doc_id, source FROM n

@@ -21,6 +21,9 @@ host-language lambda (SURVEY.md §2.8). This engine's scalar layer IS
                   (perplexity-proxy quality filter).
 - ``retrieval``   Okapi BM25 ranked top-k search over a corpus.
 - ``multimodal``  opaque binary columns with typed metadata (decode stubs).
+- ``bloom``       expression-only distributed Bloom filter + exact
+                  bloom-prefiltered semi/anti/inner joins (the 100 TB
+                  shuffle reducer for incremental dedup and key lookups).
 
 r03 additions inside existing modules: text.gopher_signals/gopher_pass
 (integer-band quality gate), text.ngrams/top_ngram_fraction (repetition),

@@ -1,0 +1,134 @@
+"""Bloom-filter prefilter joins (functions/bloom.py): exactness against the
+plain joins they replace, the no-false-negative contract, fp-rate sanity,
+and the 100 TB plan contract (the bypass stream never shuffles)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark.functions import bloom
+from scalding_spark.pipe import Pipe
+
+
+@pytest.fixture(scope="module")
+def big(spark):
+    # ids 0..1999 with some payload; a handful of NULL keys to pin the
+    # null-arbitration contract
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("payload"))
+    nulls = spark.createDataFrame([(None, -1), (None, -2)], "k long, payload long")
+    return base.unionByName(nulls)
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    # every third key in [0, 1500), with duplicates, plus one NULL
+    dups = spark.range(0, 1500, 3).select(F.col("id").alias("k"))
+    return dups.unionByName(dups.limit(50)).unionByName(
+        spark.createDataFrame([(None,)], "k long"))
+
+
+def _rows(df):
+    # None-safe sort (null keys are part of the fixtures)
+    return sorted(((r.k, r.payload) for r in df.collect()),
+                  key=lambda t: tuple((v is None, v) for v in t))
+
+
+def test_params_bits_per_key():
+    m, k = bloom.bloom_params(1_000_000, 0.01)
+    assert 9 <= m / 1_000_000 <= 10.5        # ~9.6 bits/key optimum
+    assert k == 7
+    m01, k01 = bloom.bloom_params(1_000_000, 0.1)
+    assert m01 < m and k01 < k               # looser fpp → smaller/cheaper
+
+
+def test_no_false_negatives(spark, small):
+    bf = bloom.bloom_build(small.dropna(), "k", fpp=0.01)
+    kept = bloom.bloom_filter_df(small.dropna(), "k", bf)
+    assert kept.count() == small.dropna().count()   # every member passes
+
+
+def test_fp_rate_bounded(spark):
+    members = spark.range(1000).select(F.col("id").alias("k"))
+    bf = bloom.bloom_build(members, "k", fpp=0.01)
+    probes = spark.range(100_000, 120_000).select(F.col("id").alias("k"))
+    fps = bloom.bloom_filter_df(probes, "k", bf).count()
+    assert fps / 20_000 < 0.05               # 5× slack over fpp=0.01
+
+
+def test_semi_join_exact(big, small):
+    expect = _rows(big.join(small, on="k", how="left_semi"))
+    got = _rows(bloom.bloom_semi_join(big, small, on="k"))
+    assert got == expect
+    assert got                                # non-trivial fixture
+
+
+def test_anti_join_exact(big, small):
+    expect = _rows(big.join(small, on="k", how="left_anti"))
+    got = _rows(bloom.bloom_anti_join(big, small, on="k"))
+    assert got == expect
+    # null-key rows never equal anything → anti keeps them
+    assert sum(1 for k, _ in got if k is None) == 2
+
+
+def test_anti_join_high_fpp_still_exact(big, small):
+    """fpp tunes shuffle volume, never results."""
+    expect = _rows(big.join(small, on="k", how="left_anti"))
+    got = _rows(bloom.bloom_anti_join(big, small, on="k", fpp=0.5))
+    assert got == expect
+
+
+def test_inner_and_left_join_exact(spark, big):
+    dim = spark.range(0, 1500, 3).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("dim_attr"))
+    def key(t):
+        return tuple((v is None, v) for v in t)
+    for how in ("inner", "left"):
+        expect = sorted(map(tuple, big.join(dim, on="k", how=how).collect()), key=key)
+        got = sorted(map(tuple, bloom.bloom_join(big, dim, on="k", how=how).collect()), key=key)
+        assert got == expect, how
+    with pytest.raises(ValueError):
+        bloom.bloom_join(big, dim, on="k", how="full")
+
+
+def test_multi_column_key(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 11), (2, "a", 12), (3, "c", 13)],
+        "k1 int, k2 string, v int")
+    right = spark.createDataFrame([(1, "a"), (3, "c"), (9, "z")],
+                                  "k1 int, k2 string")
+    expect = sorted(map(tuple, left.join(right, ["k1", "k2"], "left_semi").collect()))
+    got = sorted(map(tuple, bloom.bloom_semi_join(left, right, ["k1", "k2"]).collect()))
+    assert got == expect
+
+
+def test_pipe_in_pipe_out(big, small):
+    out = bloom.bloom_anti_join(Pipe(big), small, on="k")
+    assert isinstance(out, Pipe)
+    assert out.df.count() == big.join(small, "k", "left_anti").count()
+
+
+def test_bypass_stream_never_shuffles(big, small):
+    """The definite-new branch of bloom_anti_join must reach the output
+    through broadcast + filter only — at 100 TB this is the point: most
+    rows never touch an exchange. The suspects branch shuffles (it is the
+    real anti join); the bypass branch must not."""
+    bf = bloom.bloom_build(small.dropna().select(F.col("k").alias("__k")), "__k")
+    build_ex = bf.df._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning")
+    bypass = (big.crossJoin(F.broadcast(bf.df))
+              .where(~bf.contains(F.col("k"))).drop("__bloom_words"))
+    p = bypass._jdf.queryExecution().executedPlan().toString()
+    # the filter BUILD's own word-merge exchange sits inside the broadcast
+    # subtree; the big-side stream must add ZERO exchanges beyond it
+    assert p.count("Exchange hashpartitioning") == build_ex
+    assert "BroadcastExchange" in p          # the one-row filter rides here
+
+
+def test_build_exchange_carries_words_not_keys(small):
+    """The build's groupBy(word) must partial-aggregate: two HashAggregate
+    levels around its exchange, so each map task emits ≤ m/64 rows no
+    matter how many keys it saw."""
+    bf = bloom.bloom_build(small.dropna(), "k")
+    p = bf.df._jdf.queryExecution().executedPlan().toString()
+    first_ex = p.index("Exchange hashpartitioning")
+    assert p[:first_ex].count("HashAggregate") >= 1   # map-side partial OR
