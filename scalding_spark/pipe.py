@@ -24,6 +24,18 @@ def _to_col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# flow-counter registry: Pipe.observe(name, ...) registers here; counters(name)
+# reads after an action. Names are flow-global like Hadoop counter groups —
+# re-observing a name replaces the previous Observation.
+_OBSERVATIONS: dict[str, Any] = {}
+
+
+def counters(name: str) -> dict:
+    """Fetch the metrics of a named :meth:`Pipe.observe` after an action has
+    run over the observed frame (blocks until one has)."""
+    return dict(_OBSERVATIONS[name].get)
+
+
 class Pipe:
     """A named-field tuple stream (reference: Cascading pipe) backed by a DataFrame.
 
@@ -122,6 +134,29 @@ class Pipe:
         """Print tuples (RichPipe.scala:494)."""
         self.df.show(n, truncate=False)
         return self
+
+    def observe(self, name: str, **metrics: Column) -> "Pipe":
+        """Flow counters — the engine's answer to Cascading's flow-level
+        counters that the reference reads after a run (the ``debug`` pipe
+        plus Hadoop counters era). Named aggregate metrics are computed
+        DURING the next action over this frame — zero extra scans, zero
+        extra shuffles — and read back with :func:`counters` afterwards::
+
+            p = pipe.observe("input", n=F.count(F.lit(1)))
+            p = p.filter(ok).observe("kept", n=F.count(F.lit(1)),
+                                     bytes=F.sum(F.length("text")))
+            p.write_parquet(path)
+            dropped = counters("input")["n"] - counters("kept")["n"]
+
+        At 100 TB this is the only sane way to audit per-stage drop rates:
+        a separate ``count()`` per stage would re-run the lineage. One
+        observation name per action; metrics must be aggregates Spark can
+        fold into the pass (no distinct)."""
+        from pyspark.sql import Observation
+        obs = Observation(name)
+        _OBSERVATIONS[name] = obs
+        return Pipe(self.df.observe(
+            obs, *[c.alias(n) for n, c in metrics.items()]))
 
     def unpivot(self, ids: list[str], cols: list[str], var_name: str = "feature",
                 value_name: str = "value") -> "Pipe":
@@ -458,7 +493,15 @@ class Pipe:
             return False
 
     def write_parquet(self, path: str, mode: str = "overwrite",
-                     partition_by: list[str] | None = None) -> "Pipe":
+                     partition_by: list[str] | None = None,
+                     max_records_per_file: int | None = None) -> "Pipe":
+        """``max_records_per_file`` caps output-file size without a
+        repartition: each write task rolls to a new file at the cap. The
+        100 TB output-hygiene lever — a 2000-task job that would emit 2000
+        multi-GB files (or, post-filter, 2000 tiny ones plus a few huge)
+        instead emits files bounded at cap×avg_row_bytes, with NO extra
+        exchange. Pair with ``reducers(n)`` only when task-count itself is
+        the problem."""
         if self._explain_only():
             print(f"== sink: parquet {path} ==")
             self.df.explain(mode="formatted")
@@ -466,6 +509,8 @@ class Pipe:
         w = self.df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
         w.parquet(path)
         return self
 
