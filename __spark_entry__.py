@@ -1852,6 +1852,19 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (lm.importance_weights, Xie et al. 2023):
+    target = the 'src0' slice, raw = the whole corpus; top-20 most
+    target-like docs by the engine-portable fixed-point weight (integer
+    micro-nats, so the ORDER-BY cut cannot drift cross-engine)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    w = lm.importance_weights(docs, target, "text", "doc_id",
+                              n_buckets=4096, term_decimals=6)
+    return (w.orderBy(F.col("lw_fixed").desc(), "doc_id").limit(20)
+            .select("doc_id", "n_feats", "lw_fixed"))
+
+
 def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental dedup (bloom.bloom_anti_join): same
     parity-split contract as q_dedup_against and row-identical output, but
@@ -2121,11 +2134,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": q_unpivot,
         "q_pack_unpack": q_pack_unpack,
         "q_union_distinct": q_union_distinct,
-        "q_intersect_except": q_intersect_except,
-        # r03-late addition, needs its first driver row (took the slot of
-        # r01-green padding q_group_multi_agg, parked below position 50)
+        # r03-late additions, need their first driver row (took the slots
+        # of r01-green padding q_group_multi_agg / q_intersect_except,
+        # parked below position 50)
         "q_bloom_anti_join": q_bloom_anti_join,
+        "q_dsir_weights": q_dsir_weights,
         # ---- position 50 ends here; all below are driver-green r01/r02 ----
+        "q_intersect_except": q_intersect_except,
         "q_group_multi_agg": q_group_multi_agg,
         "q_group_stats": q_group_stats,
         "q_mkstring": q_mkstring,
@@ -3479,6 +3494,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM n
             WHERE doc_id % 2 = 1
               AND fp NOT IN (SELECT fp FROM n WHERE doc_id % 2 = 0)
+        """,
+        # DSIR: per-bucket λ and the normalizer are each rounded to integer
+        # micro-nats BEFORE the per-doc sum, so the weight is an exact
+        # integer on both engines (ln() may drift an ulp across libms, but
+        # a 1e-6-rounded value only flips if the true λ sits within ~1e-16
+        # of a rounding boundary). kb = add_k · n_buckets = 0.5·4096.
+        "q_dsir_weights": f"""
+            WITH toks AS (SELECT doc_id, source, {_TOKENS} AS t FROM documents),
+            feats AS (
+                SELECT doc_id, source, f FROM toks, unnest(t) AS u(f)
+                UNION ALL
+                SELECT doc_id, source, array_to_string(t[i:i+1], ' ') AS f
+                FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+                WHERE len(t) >= 2),
+            b AS (SELECT doc_id, source,
+                         ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+                  FROM feats),
+            fr AS (SELECT doc_id, bucket, count(*) AS occ FROM b GROUP BY 1, 2),
+            mr AS (SELECT bucket, CAST(sum(occ) AS BIGINT) AS c_r
+                   FROM fr GROUP BY 1),
+            mt AS (SELECT bucket, count(*) AS c_t FROM b
+                   WHERE source = 'src0' GROUP BY 1),
+            lam AS (SELECT mr.bucket,
+                           CAST(round((ln(coalesce(c_t, 0) + 0.5)
+                                       - ln(c_r + 0.5)) * 1000000) AS BIGINT)
+                               AS lam_i
+                    FROM mr LEFT JOIN mt ON mr.bucket = mt.bucket),
+            nr AS (SELECT CAST(sum(c_r) AS BIGINT) AS n FROM mr),
+            nt AS (SELECT count(*) AS n FROM b WHERE source = 'src0'),
+            norm AS (SELECT CAST(round((ln((SELECT n FROM nr) + 2048.0)
+                                        - ln((SELECT n FROM nt) + 2048.0))
+                                       * 1000000) AS BIGINT) AS norm_i),
+            w AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_feats,
+                         CAST(sum(occ * lam_i)
+                              + sum(occ) * (SELECT norm_i FROM norm)
+                              AS BIGINT) AS lw_fixed
+                  FROM fr JOIN lam USING (bucket) GROUP BY doc_id)
+            SELECT doc_id, n_feats, lw_fixed FROM w
+            ORDER BY lw_fixed DESC, doc_id LIMIT 20
         """,
         # bloom_anti_join is EXACT (the filter only routes rows around the
         # exchange), so its oracle is the plain anti join — identical to

@@ -127,3 +127,121 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
                           -F.log((F.col("pair_cnt") + F.lit(add_k))
                                  / (F.col("prefix_cnt") + F.lit(add_k) * F.col("V")))))
     return _avg_neg_logp(scored, id_col, "n_bigrams", term_decimals)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public method)
+# ---------------------------------------------------------------------------
+
+def hashed_ngram_features(df: DataFrame, text_col: str, id_col: str,
+                          n_buckets: int = 8192,
+                          use_bigrams: bool = True,
+                          portable_hash: bool = True) -> DataFrame:
+    """Per-doc hashed bag-of-n-grams counts — DSIR's feature map: unigrams
+    (+ bigrams) hashed into ``n_buckets`` buckets. Returns
+    (id_col, bucket, occ), map-side combined before its one exchange.
+
+    ``portable_hash=True`` buckets via md5 (any engine reproduces the exact
+    features — the selection is a dataset contract, same rationale as
+    sampling.hash_bucket); ``False`` uses xxhash64 (~3× faster, JVM-only).
+    """
+    from scalding_spark.functions.text import ngrams
+    toks = tokenize(F.col(text_col))
+    feats = F.concat(toks, ngrams(F.col(text_col), 2)) if use_bigrams else toks
+    ex = df.select(F.col(id_col), F.explode(feats).alias("__f"))
+    if portable_hash:
+        h = F.conv(F.substring(F.md5(F.col("__f")), 1, 8), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64(F.col("__f"))
+    b = F.pmod(h, F.lit(n_buckets))
+    return (ex.select(F.col(id_col), b.alias("bucket"))
+            .groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("occ")))
+
+
+def importance_weights(raw: DataFrame, target: DataFrame, text_col: str,
+                       id_col: str, n_buckets: int = 8192,
+                       add_k: float = 0.5, use_bigrams: bool = True,
+                       term_decimals: int | None = None,
+                       portable_hash: bool = True) -> DataFrame:
+    """DSIR importance weight per raw document:
+    ``log p_target(x) − log p_raw(x)`` under add-k-smoothed multinomials
+    over hashed n-gram buckets. High weight ≈ looks like the target
+    distribution (curated text), low ≈ off-distribution.
+
+    Decomposition keeps everything one-pass: the per-bucket part
+    ``λ(b) = ln(c_t(b)+k) − ln(c_r(b)+k)`` joins on bucket; the
+    normalizer part ``ln(N_r+kB) − ln(N_t+kB)`` is a 1-row scalar
+    multiplied by the doc's feature count. The λ table has ≤ ``n_buckets``
+    rows — it BROADCASTS, so raw-side feature counts never reshuffle for
+    the model join (the 100 TB property: one exchange on (id, bucket),
+    everything after is map-side).
+
+    ``term_decimals`` (engine-portable mode): λ(b) and the normalizer are
+    rounded to that many decimals and accumulated as exact integers —
+    output column ``lw_fixed`` (bigint, scaled by 10^term_decimals) is
+    bit-identical across engines and partitionings. Full-double
+    ``log_weight`` is always emitted.
+
+    Returns (id_col, n_feats, log_weight[, lw_fixed]).
+    """
+    fr = hashed_ngram_features(raw, text_col, id_col, n_buckets,
+                               use_bigrams, portable_hash)
+    ft = hashed_ngram_features(target, text_col, id_col, n_buckets,
+                               use_bigrams, portable_hash)
+    model_r = fr.groupBy("bucket").agg(F.sum("occ").alias("c_r"))
+    model_t = ft.groupBy("bucket").agg(F.sum("occ").alias("c_t"))
+    # raw docs' buckets ⊆ model_r's buckets by construction; target-absent
+    # buckets smooth to k via coalesce
+    lam_tbl = (model_r.join(model_t, "bucket", "left")
+               .select("bucket",
+                       (F.log(F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(add_k))
+                        - F.log(F.col("c_r") + F.lit(add_k))).alias("lam")))
+    n_r = model_r.agg(F.sum("c_r").alias("N_r"))
+    n_t = model_t.agg(F.sum("c_t").alias("N_t"))
+    kb = F.lit(add_k * n_buckets)
+    norm = (n_r.crossJoin(n_t)
+            .select((F.log(F.col("N_r") + kb) - F.log(F.col("N_t") + kb))
+                    .alias("norm")))
+    j = fr.join(F.broadcast(lam_tbl), "bucket").join(F.broadcast(norm))
+    if term_decimals is None:
+        return (j.groupBy(id_col)
+                .agg(F.sum("occ").alias("n_feats"),
+                     (F.sum(F.col("occ") * F.col("lam"))
+                      + F.sum("occ") * F.first("norm")).alias("log_weight")))
+    m = 10 ** term_decimals
+    lam_i = F.round(F.col("lam") * m).cast("bigint")
+    norm_i = F.round(F.col("norm") * m).cast("bigint")
+    return (j.groupBy(id_col)
+            .agg(F.sum("occ").alias("n_feats"),
+                 (F.sum(F.col("occ") * lam_i)
+                  + F.sum("occ") * F.first(norm_i)).alias("lw_fixed"))
+            .withColumn("log_weight", F.col("lw_fixed") / F.lit(float(m))))
+
+
+def importance_resample(raw: DataFrame, target: DataFrame, text_col: str,
+                        id_col: str, k: int, n_buckets: int = 8192,
+                        add_k: float = 0.5, use_bigrams: bool = True,
+                        salt: str = "dsir",
+                        portable_hash: bool = True) -> DataFrame:
+    """Select ``k`` raw documents by Gumbel-top-k over the importance
+    weights — equivalent to sampling k docs WITHOUT replacement with
+    probability ∝ p_target/p_raw (the DSIR selection rule), but fully
+    deterministic: the Gumbel noise derives from md5(salt‖id), so the same
+    (corpus, target, salt) always selects the same ids on any engine.
+
+    Plan: weights (above) → score = log_weight + Gumbel(md5-uniform) →
+    global top-k, which Spark plans as TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows — no global sort) → semi-join back to
+    the raw rows. Returns the selected raw rows plus ``log_weight``.
+    """
+    from scalding_spark.functions.sampling import hash_bucket
+    w = importance_weights(raw, target, text_col, id_col, n_buckets,
+                           add_k, use_bigrams, None, portable_hash)
+    # u ∈ (0,1) strictly: (bucket + 0.5) / 2^32 — both log() calls finite
+    u = (hash_bucket(F.col(id_col), salt) + F.lit(0.5)) / F.lit(float(1 << 32))
+    score = F.col("log_weight") - F.log(-F.log(u))
+    picked = (w.select(id_col, "log_weight", score.alias("__score"))
+              .orderBy(F.col("__score").desc(), id_col).limit(k)
+              .drop("__score"))
+    return raw.join(picked, id_col)
