@@ -65,6 +65,8 @@ HEADLINE = [
     "q_cut_spans",               # span cut pass (positional token filter)
     "q_cube_agg",                # one-Expand-pass CUBE aggregation
     "q_ntile_ranks",             # keyless ntile/percent_rank (range pattern)
+    "q_bloom_anti_join",         # bloom-prefiltered incremental dedup
+    "q_dsir_weights",            # DSIR hashed-ngram importance weights
 ]
 
 

@@ -80,18 +80,31 @@ def dedup_against(new: DataFrame, seen: DataFrame, text_col: str,
 
 def dedup_against_fingerprints(new: DataFrame, seen_fps: DataFrame,
                                text_col: str,
-                               fp_col: str = "fp") -> DataFrame:
+                               fp_col: str = "fp",
+                               use_bloom: bool = False,
+                               bloom_fpp: float = 0.01) -> DataFrame:
     """:func:`dedup_against` when the corpus side is already a
     fingerprint-only table (the production shape for a continuously
     growing corpus: 32 bytes/doc retained, text discarded). Left-anti join
     of the batch's md5 fingerprints against ``seen_fps[fp_col]`` —
     increment cost is O(|batch| + |fingerprints|) however much text has
-    accumulated."""
+    accumulated.
+
+    ``use_bloom=True`` routes through
+    :func:`scalding_spark.functions.bloom.bloom_anti_join`: definitely-new
+    fingerprints (the normal-case majority of a crawl increment) bypass the
+    anti-join exchange via a broadcast Bloom filter — EXACT results, the
+    shuffle shrinks to dups + ~``bloom_fpp`` false positives. Worth it once
+    the seen set is too big to broadcast outright; at ~9.6 bits/key the
+    filter is ~115 MB per 1e8 seen docs."""
     fp_new = F.md5(normalize_for_fingerprint(F.col(text_col)))
     seen = seen_fps.select(F.col(fp_col).alias("__fp")).distinct()
-    return (new.withColumn("__fp", fp_new)
-            .join(seen, on="__fp", how="left_anti")
-            .drop("__fp"))
+    tagged = new.withColumn("__fp", fp_new)
+    if use_bloom:
+        from scalding_spark.functions.bloom import bloom_anti_join
+        return bloom_anti_join(tagged, seen, on="__fp",
+                               fpp=bloom_fpp).drop("__fp")
+    return tagged.join(seen, on="__fp", how="left_anti").drop("__fp")
 
 
 def remove_duplicate_lines(df: DataFrame, text_col: str, id_col: str,

@@ -170,6 +170,62 @@ def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str,
     return w.start()
 
 
+def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,
+                        store_path: str, checkpoint: str, text_col: str,
+                        id_col: str, use_bloom: bool = True,
+                        bloom_fpp: float = 0.01,
+                        available_now: bool = True):
+    """Streaming incremental corpus ingestion: every micro-batch is
+    deduped against the persistent fingerprint store, novel docs append to
+    the corpus, and their fingerprints advance the store — the streaming
+    shape of examples/incremental_corpus_job.py.
+
+    Per batch (foreachBatch, so each side-effecting write happens exactly
+    once per epoch under the checkpoint):
+
+    1. within-batch exact dedup (a batch can repeat itself; min ``id_col``
+       wins);
+    2. :func:`dedup.dedup_against_fingerprints` vs the store —
+       ``use_bloom`` routes definitely-new docs around the anti-join
+       exchange (the normal-case majority at a healthy crawl);
+    3. novel docs append to ``corpus_path``; their fingerprints append to
+       ``store_path``.
+
+    The store append is read back by the NEXT batch's step 2, so dedup is
+    cumulative across the stream's lifetime without any in-memory state —
+    restart-safe, and the state size is 32 bytes/doc on disk, not in the
+    state store. Returns the started StreamingQuery.
+    """
+    from scalding_spark.functions.dedup import (dedup_against_fingerprints,
+                                                exact_dedup)
+    from scalding_spark.functions.text import normalize_for_fingerprint
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = exact_dedup(batch, text_col, id_col)
+        try:
+            seen = spark.read.parquet(store_path)
+        except Exception:  # first batch: no store yet
+            seen = None
+        if seen is not None:
+            batch = dedup_against_fingerprints(batch, seen, text_col,
+                                               use_bloom=use_bloom,
+                                               bloom_fpp=bloom_fpp)
+        # one computation, two sinks: materialize novel ONCE (otherwise the
+        # fingerprint write re-runs the whole dedup lineage)
+        novel = batch.localCheckpoint()
+        novel.write.mode("append").parquet(corpus_path)
+        (novel.select(F.md5(normalize_for_fingerprint(F.col(text_col)))
+                      .alias("fp"))
+         .write.mode("append").parquet(store_path))
+
+    w = (stream_df.writeStream.foreachBatch(ingest)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def _is_aggregating(df: DataFrame) -> bool:
     try:
         plan = df._jdf.queryExecution().logical().toString()

@@ -158,3 +158,51 @@ def test_stream_interval_join_rejects_full_outer(spark, clicks_errors_dirs):
         streaming.stream_interval_join(
             spark.read.parquet(dc), spark.read.parquet(de),
             on=["user"], left_ts="ts", right_ts="err_ts", how="fullOuter")
+
+
+# --- stream_ingest_dedup ----------------------------------------------------
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _run_ingest(spark, batch_rows, paths):
+    """Write one batch dir, stream it through stream_ingest_dedup (its own
+    checkpoint per call simulates successive stream restarts on new data)."""
+    src, corpus, store, ckpt = paths
+    spark.createDataFrame(batch_rows, DOC_SCHEMA) \
+        .write.mode("append").parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, DOC_SCHEMA)
+    q = streaming.stream_ingest_dedup(
+        stream, corpus_path=corpus, store_path=store,
+        checkpoint=ckpt, text_col="text", id_col="doc_id")
+    q.awaitTermination(120)
+
+
+def test_stream_ingest_dedup_cumulative(spark, tmp_path):
+    paths = tuple(str(tmp_path / p) for p in
+                  ("src", "corpus", "store", "ckpt"))
+    # batch 1: 3 docs, one internal dup (doc 2 repeats doc 0's text)
+    _run_ingest(spark, [(0, "alpha beta"), (1, "gamma delta"),
+                        (2, "alpha beta")], paths)
+    corpus = spark.read.parquet(paths[1])
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 1]
+    # batch 2: one true novel doc + one dup of batch 1 (different id)
+    _run_ingest(spark, [(10, "epsilon zeta"), (11, "gamma delta")], paths)
+    corpus = spark.read.parquet(paths[1])
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 1, 10]
+    # fingerprint store tracks exactly the kept docs
+    assert spark.read.parquet(paths[2]).distinct().count() == 3
+
+
+def test_stream_ingest_dedup_without_bloom_same_result(spark, tmp_path):
+    pa = tuple(str(tmp_path / p) for p in ("srcA", "corA", "stoA", "ckA"))
+    src, corpus, store, ckpt = pa
+    spark.createDataFrame([(0, "aa bb"), (1, "cc dd"), (2, "aa bb")],
+                          DOC_SCHEMA).write.parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, DOC_SCHEMA)
+    q = streaming.stream_ingest_dedup(
+        stream, corpus_path=corpus, store_path=store, checkpoint=ckpt,
+        text_col="text", id_col="doc_id", use_bloom=False)
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(corpus).collect()) == [0, 1]
