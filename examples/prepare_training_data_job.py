@@ -75,6 +75,16 @@ class PrepareTrainingDataJob(Job):
                            | (F.col("avg_neg_logp") <= float(max_surprise)))
                     .drop("avg_neg_logp"))
 
+        # 3b. DSIR selection (optional): keep the --dsir-k docs most like a
+        # target corpus (hashed-ngram importance resampling — the
+        # "make the crawl look like curated text" lever)
+        target_path = self.args.getOrElse("dsir-target", "")
+        if target_path:
+            k = int(self.args.getOrElse("dsir-k", "1000"))
+            target = self.spark.read.parquet(target_path)
+            docs = lm.importance_resample(docs, target, "text", "doc_id",
+                                          k=k).drop("log_weight")
+
         # 4. near-dup clustering: keep one canonical doc per component
         thr = float(self.args.getOrElse("jaccard", "0.5"))
         pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",

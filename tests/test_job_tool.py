@@ -99,6 +99,22 @@ def test_prepare_training_data_job_end_to_end(spark, tmp_path):
     assert got.select("doc_id").distinct().count() == n_out
 
 
+def test_prepare_training_data_job_dsir_stage(spark, tmp_path):
+    """--dsir-target caps the corpus at --dsir-k target-like docs before
+    clustering; downstream stages still run."""
+    from examples.prepare_training_data_job import PrepareTrainingDataJob
+    src = "/root/testdata/sf0.001/documents.parquet"
+    tgt = str(tmp_path / "target")
+    spark.read.parquet(src).where("source = 'src0'").write.parquet(tgt)
+    out = str(tmp_path / "corpus_dsir")
+    PrepareTrainingDataJob(
+        Args(["--input", src, "--output", out, "--min-quality", "0.0",
+              "--min-model-score", "0.0", "--dsir-target", tgt,
+              "--dsir-k", "30", "--jaccard", "0.5"]), spark).run()
+    got = spark.read.parquet(out)
+    assert 0 < got.count() <= 30
+
+
 # --- JobTest harness (round 2: reference JobTest.scala:38-150 parity) ------
 
 def _jobtest_imports():
