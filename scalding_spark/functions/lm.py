@@ -187,6 +187,13 @@ def importance_weights(raw: DataFrame, target: DataFrame, text_col: str,
     """
     fr = hashed_ngram_features(raw, text_col, id_col, n_buckets,
                                use_bigrams, portable_hash)
+    # the raw feature table feeds BOTH the model (via model_r → λ, norm)
+    # and the per-doc weight join; without materialization the corpus is
+    # tokenized+hashed+aggregated twice (the broadcast build is a separate
+    # job, so ReusedExchange cannot stitch across it). Lazy localCheckpoint:
+    # computed once on first use, stored as (id, bucket, occ) — far smaller
+    # than the text it derives from — reused everywhere after.
+    fr = fr.localCheckpoint(eager=False)
     ft = hashed_ngram_features(target, text_col, id_col, n_buckets,
                                use_bigrams, portable_hash)
     model_r = fr.groupBy("bucket").agg(F.sum("occ").alias("c_r"))
