@@ -70,10 +70,13 @@ def unigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     """
     ex = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
     doc_tok = ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("occ"))
-    # model derives from doc_tok (sum of occ ≡ direct count), NOT from a
-    # second explode of ex: the shared aggregate subtree becomes a
-    # ReusedExchange, so the corpus is scanned and tokenized ONCE — at
-    # 100 TB the second scan+explode was the dominant cost
+    # doc_tok feeds BOTH the model aggregation and the scoring join; lazy
+    # localCheckpoint materializes it once — without it the corpus is
+    # scanned+tokenized+aggregated twice (pyspark 4.1 does NOT stitch the
+    # shared subtree into a ReusedExchange here — verified empirically),
+    # and at 100 TB the second scan+explode is the dominant cost. Stored:
+    # (id, tok, occ) — distinct-terms-sized, far below token occurrences.
+    doc_tok = doc_tok.localCheckpoint(eager=False)
     model = doc_tok.groupBy("tok").agg(F.sum("occ").alias("cnt"))
     scalars = model.agg(F.sum("cnt").alias("N"),
                         F.count(F.lit(1)).alias("V"))
@@ -111,11 +114,12 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
           .select(F.col(id_col), F.explode(pairs).alias("bg"))
           .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))
     doc_bg = ex.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("occ"))
-    # pair model re-aggregates doc_bg (sum of occ ≡ direct count) instead
-    # of re-exploding the corpus — the shared subtree becomes a
-    # ReusedExchange: one bigram scan+explode instead of two (the vocab
-    # count below still needs its own unigram explode; V covers tokens of
-    # 1-token docs that the bigram stream never sees)
+    # doc_bg feeds the pair model, the prefix model, AND the scoring join —
+    # lazy localCheckpoint materializes the bigram scan+explode once (see
+    # unigram_lm_score: pyspark 4.1 does not ReusedExchange the shared
+    # subtree). The vocab count below still needs its own unigram explode;
+    # V covers tokens of 1-token docs the bigram stream never sees.
+    doc_bg = doc_bg.localCheckpoint(eager=False)
     pair_model = doc_bg.groupBy("w1", "w2").agg(F.sum("occ").alias("pair_cnt"))
     prefix_model = pair_model.groupBy("w1").agg(F.sum("pair_cnt").alias("prefix_cnt"))
     vocab = (df.select(F.explode(tokenize(F.col(text_col))).alias("tok"))
