@@ -53,8 +53,13 @@ def bm25_rank(df: DataFrame, query_terms: list[str],
                        .alias("term")))
     tf = (hits.groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
-    # df(t) re-aggregates tf (shared subtree → ReusedExchange: the corpus is
-    # scanned once); N and total length come from a separate map-only agg
+    # tf feeds BOTH the scored join and the broadcast df(t) build; lazy
+    # localCheckpoint materializes the corpus scan+filter once (pyspark 4.1
+    # does not ReusedExchange across the broadcast-build job boundary —
+    # same empirical finding as lm.py). Stored rows: query-term hits only.
+    tf = tf.localCheckpoint(eager=False)
+    # N and total length come from a separate map-only agg (it must see ALL
+    # docs' lengths, not just hits — one full scan is inherent)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scalars = df.select(F.size(toks).alias("dl")).agg(
         F.count(F.lit(1)).alias("N"), F.sum("dl").alias("sum_dl"))

@@ -505,6 +505,13 @@ def collocations(df, text_col: str = "text", min_count: int = 5):
     pair_cnt = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
     uni = (df.select(F.explode(tokenize(F.col(text_col))).alias("tok"))
            .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    # pair_cnt feeds the result AND the N2 scalar; uni feeds cx, cy AND N1
+    # — without materialization that is FIVE corpus scans (pyspark 4.1
+    # plans no ReusedExchange across these subtrees, same empirical finding
+    # as lm.py). Two lazy localCheckpoints cut it to the two inherent
+    # explodes; stored rows are distinct-pair/vocab-sized count tables.
+    pair_cnt = pair_cnt.localCheckpoint(eager=False)
+    uni = uni.localCheckpoint(eager=False)
     scalars = (pair_cnt.agg(F.sum("pair_cnt").alias("N2"))
                .join(F.broadcast(uni.agg(F.sum("cnt").alias("N1")))))
     cx = uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("cx"))
