@@ -441,6 +441,14 @@ class SortedGroup:
                 .withColumn("__off", prefix_agg(F.col("__tot")).over(w))
                 .select("__pid", "__off"))
 
+    def _keyless_total(self):
+        """Broadcast 1-row N for the key-less rank family — counted over
+        the RAW input, not the ranked lineage: pyspark 4.1 plans no
+        ReusedExchange between the two uses, so counting the ranked frame
+        re-ran its whole range exchange + window; the raw count is a
+        column-pruned scan + partial-agged count."""
+        return F.broadcast(self._df.agg(F.count(F.lit(1)).alias("__n")))
+
     def _keyless_ranked(self, rank_fn, out: str) -> Pipe:
         d = self._ranged()
         local = d.withColumn("__lr", rank_fn().over(self._pid_w()))
@@ -583,7 +591,7 @@ class SortedGroup:
         1-row total — still no single-task window."""
         if not self._keys:
             ranked = self.rank("__r").df
-            tot = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
+            tot = self._keyless_total()
             return Pipe(ranked.join(tot)
                         .withColumn(out, F.when(
                             F.col("__n") > 1,
@@ -604,7 +612,7 @@ class SortedGroup:
                  for r, (_, asc) in zip(raws, self._specs)],
                 [(r, not asc) for r, (_, asc) in zip(raws, self._specs)])
             ranked = rev.rank("__rd").df
-            tot = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
+            tot = self._keyless_total()
             return Pipe(ranked.join(tot)
                         .withColumn(out, (F.col("__n") - F.col("__rd") + 1)
                                     .cast("double") / F.col("__n"))
@@ -620,7 +628,7 @@ class SortedGroup:
             raise ValueError(f"ntile bucket count must be positive, got {n}")
         if not self._keys:
             ranked = self._keyless_ranked(F.row_number, "__rn").df
-            tot = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
+            tot = self._keyless_total()
             qs = F.expr(f"__n div {n}")
             r = F.expr(f"__n % {n}")
             big = (qs + 1) * r  # rows living in the one-larger buckets
