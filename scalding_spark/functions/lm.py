@@ -201,7 +201,10 @@ def importance_weights(raw: DataFrame, target: DataFrame, text_col: str,
     ft = hashed_ngram_features(target, text_col, id_col, n_buckets,
                                use_bigrams, portable_hash)
     model_r = fr.groupBy("bucket").agg(F.sum("occ").alias("c_r"))
-    model_t = ft.groupBy("bucket").agg(F.sum("occ").alias("c_t"))
+    # model_t feeds both λ and the N_t scalar — checkpoint the ≤n_buckets-row
+    # table so the target corpus is scanned once, not twice
+    model_t = (ft.groupBy("bucket").agg(F.sum("occ").alias("c_t"))
+               .localCheckpoint(eager=False))
     # raw docs' buckets ⊆ model_r's buckets by construction; target-absent
     # buckets smooth to k via coalesce
     lam_tbl = (model_r.join(model_t, "bucket", "left")

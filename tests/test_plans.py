@@ -397,3 +397,28 @@ def test_approx_percentile_is_partial_agg(spark):
     assert "Sort" not in p
     assert p.count("ObjectHashAggregate") == 2
     assert "partial_percentile_approx" in p
+
+
+def test_shared_count_tables_scan_corpus_once(spark):
+    """pyspark 4.1 plans NO ReusedExchange when a shared aggregate subtree
+    also feeds a broadcast build — so lm/retrieval/collocations/DSIR
+    materialize their count tables (lazy localCheckpoint) instead. Pin the
+    resulting scan budget: regressions reappear as extra parquet scans."""
+    from scalding_spark.functions import lm, retrieval
+    from scalding_spark.functions import text as tx
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # a checkpointed count table shows as Scan ExistingRDD; the visible
+    # parquet scans are only the NON-shared subtrees. If a checkpoint is
+    # dropped, the shared lineage re-inlines and the parquet count jumps.
+    cases = [
+        # (plan, max visible parquet scans, min ExistingRDD scans)
+        (plan(lm.unigram_lm_score(docs, "text", "doc_id")), 0, 1),
+        (plan(lm.bigram_lm_score(docs, "text", "doc_id")), 1, 1),  # vocab explode
+        (plan(tx.collocations(docs, "text", min_count=2)), 0, 2),
+        (plan(retrieval.bm25_rank(docs, ["alpha", "beta"], k=5)), 1, 1),  # scalars
+        (plan(lm.importance_weights(docs, docs.limit(50), "text",
+                                    "doc_id", n_buckets=256)), 1, 1),  # target side
+    ]
+    for i, (p, max_parquet, min_rdd) in enumerate(cases):
+        assert p.count("Scan parquet") <= max_parquet, (i, p.count("Scan parquet"))
+        assert p.count("Scan ExistingRDD") >= min_rdd, (i, p.count("Scan ExistingRDD"))
