@@ -1852,6 +1852,18 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprints (dedup.winnow_fingerprints, Schleimer et al.
+    2003): per-doc count + checksum of the selected (pos, fp) set — exact
+    integers, so the oracle (window-argmin over the same md5 gram hashes)
+    must match bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    return (fps.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_fps"),
+                 F.sum("fp").alias("fp_sum")))
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (lm.importance_weights, Xie et al. 2023):
     target = the 'src0' slice, raw = the whole corpus; top-20 most
@@ -2133,13 +2145,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flatmap_wordcount": q_flatmap_wordcount,
         "q_unpivot": q_unpivot,
         "q_pack_unpack": q_pack_unpack,
-        "q_union_distinct": q_union_distinct,
         # r03-late additions, need their first driver row (took the slots
-        # of r01-green padding q_group_multi_agg / q_intersect_except,
+        # of r01-green padding q_group_multi_agg / q_intersect_except /
+        # q_union_distinct,
         # parked below position 50)
         "q_bloom_anti_join": q_bloom_anti_join,
         "q_dsir_weights": q_dsir_weights,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
         # ---- position 50 ends here; all below are driver-green r01/r02 ----
+        "q_union_distinct": q_union_distinct,
         "q_intersect_except": q_intersect_except,
         "q_group_multi_agg": q_group_multi_agg,
         "q_group_stats": q_group_stats,
@@ -3494,6 +3508,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM n
             WHERE doc_id % 2 = 1
               AND fp NOT IN (SELECT fp FROM n WHERE doc_id % 2 = 0)
+        """,
+        # winnowing: same md5 gram hashes, same window starts
+        # (1..max(L-w+1, 1)), same rightmost-min rule (ORDER BY h, pos DESC)
+        # — all integers, k=5 w=4 mirror the Spark call
+        "q_winnow_fingerprints": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                         ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                                         1, 8))::BIGINT AS h
+                  FROM toks,
+                       unnest(generate_series(1, len(t) - 4)) AS u(i)
+                  WHERE len(t) >= 5),
+            L AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+            wins AS (SELECT l.doc_id, u.j
+                     FROM L l,
+                          unnest(generate_series(1, greatest(l.n - 3, 1)))
+                              AS u(j)),
+            pick AS (SELECT w.doc_id, g.pos, g.h,
+                            row_number() OVER (PARTITION BY w.doc_id, w.j
+                                ORDER BY g.h, g.pos DESC) AS rk
+                     FROM wins w JOIN g ON g.doc_id = w.doc_id
+                          AND g.pos >= w.j - 1 AND g.pos <= w.j + 2),
+            sel AS (SELECT DISTINCT doc_id, pos, h FROM pick WHERE rk = 1)
+            SELECT doc_id, count(*) AS n_fps,
+                   CAST(sum(h) AS BIGINT) AS fp_sum
+            FROM sel GROUP BY doc_id
         """,
         # DSIR: per-bucket λ and the normalizer are each rounded to integer
         # micro-nats BEFORE the per-doc sum, so the weight is an exact

@@ -67,6 +67,7 @@ HEADLINE = [
     "q_ntile_ranks",             # keyless ntile/percent_rank (range pattern)
     "q_bloom_anti_join",         # bloom-prefiltered incremental dedup
     "q_dsir_weights",            # DSIR hashed-ngram importance weights
+    "q_winnow_fingerprints",     # MOSS winnowing (map-only HOF argmin)
 ]
 
 

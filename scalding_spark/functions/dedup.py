@@ -669,3 +669,59 @@ def cut_spans(df: DataFrame, spans: DataFrame, text_col: str, id_col: str):
                     F.coalesce(
                         F.when(F.col("__cuts").isNotNull(), n_cut),
                         F.lit(0)).cast("long").alias("n_cut_tokens")))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm, adapted to word k-grams like the rest
+    of this module's span family): hash every k-token gram, slide a window
+    of ``window`` consecutive gram hashes, and select each window's minimum
+    (rightmost position on hash ties). Dedup the selections.
+
+    Why winnowing beats "every n-th gram" or "grams ≡ 0 mod p" sampling:
+    the coverage guarantee — any shared token run of at least
+    ``k + window − 1`` tokens contributes AT LEAST ONE common fingerprint
+    to both documents — with an expected density of only 2/(window+1).
+    That makes the fingerprint set a contract, not a heuristic: downstream
+    overlap detection (join on fp) cannot miss long shared passages.
+
+    Plan: pure per-row expression (tokenize → gram hashes → window argmin
+    via higher-order aggregate) with ONE explode at the end — zero
+    exchanges; the (id, pos, fp) output is what shuffles downstream, at
+    2/(window+1) the gram count. Hashes are md5-bucket (engine-portable,
+    same contract as sampling.hash_bucket). Docs with fewer than ``k``
+    tokens yield no fingerprints; with fewer than ``window`` grams, the
+    single window selects one fingerprint.
+
+    Returns (id_col, pos, fp): 0-based token position of the selected gram
+    and its 32-bit fingerprint.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} w={window}")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""))
+    n_grams = F.size(toks) - k + 1
+    gram = lambda j: F.array_join(F.slice(toks, j, k), " ")  # noqa: E731
+    h = lambda j: F.conv(F.substring(F.md5(gram(j)), 1, 8), 16, 10) \
+        .cast("bigint")  # noqa: E731
+    harr = F.transform(F.sequence(F.lit(1), n_grams),
+                       lambda j: F.struct(h(j).alias("h"),
+                                          (j - 1).alias("pos")))
+    # window starts: 1..max(L-w+1, 1); slice clamps at the array end, so a
+    # short final doc (< window grams) still yields its single argmin
+    starts = F.sequence(F.lit(1), F.greatest(n_grams - window + 1, F.lit(1)))
+    zero = F.struct(F.lit(None).cast("bigint").alias("h"),
+                    F.lit(-1).cast("integer").alias("pos"))
+    pick = lambda j: F.aggregate(  # noqa: E731 — rightmost min of the window
+        F.slice(harr, j, window), zero,
+        lambda acc, x: F.when(acc["h"].isNull()
+                              | (x["h"] < acc["h"])
+                              | ((x["h"] == acc["h"]) & (x["pos"] > acc["pos"])),
+                              x).otherwise(acc))
+    sel = F.when(n_grams >= 1,
+                 F.array_distinct(F.transform(starts, pick))) \
+        .otherwise(F.array().cast("array<struct<h:bigint,pos:int>>"))
+    return (df.select(F.col(id_col), F.explode(sel).alias("__s"))
+            .select(id_col, F.col("__s.pos").alias("pos"),
+                    F.col("__s.h").alias("fp")))

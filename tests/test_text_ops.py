@@ -290,3 +290,61 @@ def test_top_ngram_fraction_matches_python_reference(spark, words):
     c = Counter(grams)
     assert rows[0]["top_cnt"] == max(c.values())
     assert rows[0]["n_grams"] == len(grams)
+
+
+# --- winnow_fingerprints ---------------------------------------------------
+
+def _py_winnow(text, k=3, window=3):
+    import hashlib
+    toks = [t for t in __import__("re").split("[^a-z0-9]+", text.lower()) if t]
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    sel = set()
+    for j in range(max(len(hs) - window + 1, 1) if hs else 0):
+        win = list(enumerate(hs))[j:j + window]
+        pos, h = min(win, key=lambda t: (t[1], -t[0]))  # rightmost min
+        sel.add((pos, h))
+    return sel
+
+
+def test_winnow_matches_python_reference(spark):
+    from scalding_spark.functions.dedup import winnow_fingerprints
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "completely different words in this one right here now ok"),
+        (2, "tiny doc"),                  # < k tokens -> no fingerprints
+        (3, "exactly three token"),       # one gram, window > grams -> 1 fp
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=3, window=3).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, txt in texts:
+        assert got.get(i, set()) == _py_winnow(txt, 3, 3), i
+    assert 2 not in got and len(got[3]) == 1
+
+
+def test_winnow_coverage_guarantee(spark):
+    """Any shared token run of >= k + window - 1 tokens must contribute at
+    least one COMMON fingerprint (the winnowing theorem) — here a 12-token
+    verbatim passage embedded in different contexts."""
+    from scalding_spark.functions.dedup import winnow_fingerprints
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [(0, "intro words before " + shared + " and trailing text"),
+         (1, shared + " totally other continuation follows here")],
+        "doc_id long, text string")
+    rows = winnow_fingerprints(df, "text", "doc_id", k=4, window=4).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1], "shared passage must share a fingerprint"
+
+
+def test_winnow_is_map_only(spark):
+    from scalding_spark.functions.dedup import winnow_fingerprints
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = winnow_fingerprints(df, "text", "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
