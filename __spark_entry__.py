@@ -1864,6 +1864,16 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("fp").alias("fp_sum")))
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-based overlap candidates (dedup.winnow_overlap_pairs): docs
+    sharing ≥2 distinct winnowed fingerprints, hot-fp-capped — the MOSS
+    join stage. All-integer output, exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(docs, "text", "doc_id",
+                                      k=5, window=4, min_shared=2,
+                                      max_fp_freq=1000)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (lm.importance_weights, Xie et al. 2023):
     target = the 'src0' slice, raw = the whole corpus; top-20 most
@@ -2144,15 +2154,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_project_filter_map": q_project_filter_map,
         "q_flatmap_wordcount": q_flatmap_wordcount,
         "q_unpivot": q_unpivot,
-        "q_pack_unpack": q_pack_unpack,
         # r03-late additions, need their first driver row (took the slots
         # of r01-green padding q_group_multi_agg / q_intersect_except /
-        # q_union_distinct,
-        # parked below position 50)
+        # q_union_distinct / q_pack_unpack, parked below position 50)
         "q_bloom_anti_join": q_bloom_anti_join,
         "q_dsir_weights": q_dsir_weights,
         "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_winnow_overlap": q_winnow_overlap,
         # ---- position 50 ends here; all below are driver-green r01/r02 ----
+        "q_pack_unpack": q_pack_unpack,
         "q_union_distinct": q_union_distinct,
         "q_intersect_except": q_intersect_except,
         "q_group_multi_agg": q_group_multi_agg,
@@ -2248,6 +2258,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _NORM_TEXT = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+# shared winnowing CTE chain (k=5, w=4): gram hashes → window starts →
+# rightmost-argmin per window → distinct selections
+_WINNOW_SEL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                                 1, 8))::BIGINT AS h
+          FROM toks,
+               unnest(generate_series(1, len(t) - 4)) AS u(i)
+          WHERE len(t) >= 5),
+    L AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+    wins AS (SELECT l.doc_id, u.j
+             FROM L l,
+                  unnest(generate_series(1, greatest(l.n - 3, 1))) AS u(j)),
+    pick AS (SELECT w.doc_id, g.pos, g.h,
+                    row_number() OVER (PARTITION BY w.doc_id, w.j
+                        ORDER BY g.h, g.pos DESC) AS rk
+             FROM wins w JOIN g ON g.doc_id = w.doc_id
+                  AND g.pos >= w.j - 1 AND g.pos <= w.j + 2),
+    sel AS (SELECT DISTINCT doc_id, pos, h FROM pick WHERE rk = 1)
+"""
 _SHINGLES = (
     "CASE WHEN len(toks) >= 3 THEN "
     " list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) "
@@ -3513,27 +3545,24 @@ def oracle_sql() -> dict[str, str]:
         # (1..max(L-w+1, 1)), same rightmost-min rule (ORDER BY h, pos DESC)
         # — all integers, k=5 w=4 mirror the Spark call
         "q_winnow_fingerprints": f"""
-            WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
-            g AS (SELECT doc_id, i - 1 AS pos,
-                         ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
-                                         1, 8))::BIGINT AS h
-                  FROM toks,
-                       unnest(generate_series(1, len(t) - 4)) AS u(i)
-                  WHERE len(t) >= 5),
-            L AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-            wins AS (SELECT l.doc_id, u.j
-                     FROM L l,
-                          unnest(generate_series(1, greatest(l.n - 3, 1)))
-                              AS u(j)),
-            pick AS (SELECT w.doc_id, g.pos, g.h,
-                            row_number() OVER (PARTITION BY w.doc_id, w.j
-                                ORDER BY g.h, g.pos DESC) AS rk
-                     FROM wins w JOIN g ON g.doc_id = w.doc_id
-                          AND g.pos >= w.j - 1 AND g.pos <= w.j + 2),
-            sel AS (SELECT DISTINCT doc_id, pos, h FROM pick WHERE rk = 1)
+            {_WINNOW_SEL}
             SELECT doc_id, count(*) AS n_fps,
                    CAST(sum(h) AS BIGINT) AS fp_sum
             FROM sel GROUP BY doc_id
+        """,
+        # overlap stage: distinct (doc, fp) → hot-fp cap → self-join —
+        # mirrors winnow_overlap_pairs(min_shared=2, max_fp_freq=1000)
+        "q_winnow_overlap": f"""
+            {_WINNOW_SEL},
+            fps0 AS (SELECT DISTINCT doc_id, h FROM sel),
+            fps AS (SELECT doc_id, h FROM (
+                        SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+                        FROM fps0)
+                    WHERE df <= 1000)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS shared_fps
+            FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         # DSIR: per-bucket λ and the normalizer are each rounded to integer
         # micro-nats BEFORE the per-doc sum, so the weight is an exact

@@ -725,3 +725,35 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     return (df.select(F.col(id_col), F.explode(sel).alias("__s"))
             .select(id_col, F.col("__s.pos").alias("pos"),
                     F.col("__s.h").alias("fp")))
+
+
+def winnow_overlap_pairs(df: DataFrame, text_col: str, id_col: str,
+                         k: int = 5, window: int = 4,
+                         min_shared: int = 2,
+                         max_fp_freq: int | None = 1000) -> DataFrame:
+    """Document-overlap candidates from winnowed fingerprints — the MOSS
+    pipeline's join stage: docs sharing ≥ ``min_shared`` distinct selected
+    fingerprints. By the winnowing coverage theorem every verbatim run of
+    ≥ k+window−1 tokens contributes a shared fingerprint, so recall for
+    long shared passages is structural, at ~2/(window+1) the index size of
+    the all-grams inverted index (:func:`shared_ngram_spans`' front end).
+
+    Plan: fingerprint (map-only) → inverted-index self-join on the 8-byte
+    fp → pair count. ``max_fp_freq`` drops boilerplate fingerprints hotter
+    than the cap BEFORE the self-join (same conservative-recall contract
+    and window-rides-the-join's-exchange shape as ngram_jaccard_pairs).
+
+    Returns (id_a, id_b, shared_fps) with id_a < id_b.
+    """
+    fps = (winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+           .select(F.col(id_col).alias("id"), "fp").distinct())
+    if max_fp_freq is not None:
+        w = Window.partitionBy("fp")
+        fps = (fps.withColumn("__df", F.count(F.lit(1)).over(w))
+               .where(F.col("__df") <= max_fp_freq).drop("__df"))
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .where(F.col("shared_fps") >= min_shared))

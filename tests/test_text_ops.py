@@ -348,3 +348,33 @@ def test_winnow_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_winnow_overlap_pairs_finds_shared_passage(spark):
+    from scalding_spark.functions.dedup import winnow_overlap_pairs
+    shared = ("one two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen fifteen sixteen")
+    df = spark.createDataFrame(
+        [(0, "prefix words " + shared + " suffix tail"),
+         (1, shared + " other ending entirely"),
+         (2, "unrelated content with no common passage at all whatsoever")],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.shared_fps
+           for r in winnow_overlap_pairs(df, "text", "doc_id",
+                                         k=4, window=4).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 2
+    assert not any(2 in pair for pair in got)
+
+
+def test_winnow_overlap_pairs_hot_fp_cap(spark):
+    """A fingerprint hotter than max_fp_freq must not generate pairs (the
+    boilerplate guard): with every doc sharing the same passage and the cap
+    below the doc count, no pairs survive."""
+    from scalding_spark.functions.dedup import winnow_overlap_pairs
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([(i, text) for i in range(6)],
+                               "doc_id long, text string")
+    assert winnow_overlap_pairs(df, "text", "doc_id", k=4, window=4,
+                                max_fp_freq=5).count() == 0
+    assert winnow_overlap_pairs(df, "text", "doc_id", k=4, window=4,
+                                max_fp_freq=None).count() == 15
