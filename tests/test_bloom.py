@@ -132,3 +132,36 @@ def test_build_exchange_carries_words_not_keys(small):
     p = bf.df._jdf.queryExecution().executedPlan().toString()
     first_ex = p.index("Exchange hashpartitioning")
     assert p[:first_ex].count("HashAggregate") >= 1   # map-side partial OR
+
+
+def test_params_properties():
+    """Sizing-formula properties over a broad random grid (pure Python)."""
+    from hypothesis import given, settings, strategies as st
+    from scalding_spark.functions import bloom
+
+    @given(n=st.integers(1, 10**9), fpp=st.floats(0.0001, 0.5))
+    @settings(max_examples=200, deadline=None)
+    def check(n, fpp):
+        m, k = bloom.bloom_params(n, fpp)
+        assert m % 64 == 0 and m >= 64 and k >= 1
+        # optimal k ≈ (m/n)·ln2 — never absurdly far off
+        import math
+        assert k <= max(1, int(m / n * math.log(2)) + 1)
+        # tighter fpp never shrinks the filter
+        m2, _ = bloom.bloom_params(n, min(0.5, fpp * 2))
+        assert m2 <= m
+
+    check()
+
+
+def test_random_membership_parity(spark):
+    """Seeded random key sets: zero false negatives at several sizes/fpps
+    in one Spark pass each."""
+    import random
+    from scalding_spark.functions import bloom
+    rnd = random.Random(11)
+    for n, fpp in [(10, 0.01), (500, 0.1), (2000, 0.001)]:
+        keys = rnd.sample(range(10**12), n)
+        df = spark.createDataFrame([(x,) for x in keys], "k long")
+        bf = bloom.bloom_build(df, "k", fpp=fpp)
+        assert bloom.bloom_filter_df(df, "k", bf).count() == n, (n, fpp)

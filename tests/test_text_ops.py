@@ -378,3 +378,22 @@ def test_winnow_overlap_pairs_hot_fp_cap(spark):
                                 max_fp_freq=5).count() == 0
     assert winnow_overlap_pairs(df, "text", "doc_id", k=4, window=4,
                                 max_fp_freq=None).count() == 15
+
+
+def test_winnow_random_corpus_parity(spark):
+    """Seeded random corpus (uneven lengths incl. sub-k docs, skewed vocab
+    so hash ties occur) must match the Python reference exactly — one
+    Spark job for the whole batch."""
+    import random
+    from scalding_spark.functions.dedup import winnow_fingerprints
+    rnd = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]          # small vocab → repeats
+    texts = [(i, " ".join(rnd.choice(vocab)
+                          for _ in range(rnd.randint(0, 40))))
+             for i in range(30)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=3, window=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, txt in texts:
+        assert got.get(i, set()) == _py_winnow(txt, 3, 4), (i, txt)
