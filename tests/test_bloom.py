@@ -113,14 +113,12 @@ def test_bypass_stream_never_shuffles(big, small):
     rows never touch an exchange. The suspects branch shuffles (it is the
     real anti join); the bypass branch must not."""
     bf = bloom.bloom_build(small.dropna().select(F.col("k").alias("__k")), "__k")
-    build_ex = bf.df._jdf.queryExecution().executedPlan().toString().count(
-        "Exchange hashpartitioning")
     bypass = (big.crossJoin(F.broadcast(bf.df))
               .where(~bf.contains(F.col("k"))).drop("__bloom_words"))
     p = bypass._jdf.queryExecution().executedPlan().toString()
-    # the filter BUILD's own word-merge exchange sits inside the broadcast
-    # subtree; the big-side stream must add ZERO exchanges beyond it
-    assert p.count("Exchange hashpartitioning") == build_ex
+    # the build already ran (eager collect); the probe stream is broadcast
+    # + filter only — zero hash exchanges
+    assert p.count("Exchange hashpartitioning") == 0
     assert "BroadcastExchange" in p          # the one-row filter rides here
 
 
@@ -128,8 +126,8 @@ def test_build_exchange_carries_words_not_keys(small):
     """The build's groupBy(word) must partial-aggregate: two HashAggregate
     levels around its exchange, so each map task emits ≤ m/64 rows no
     matter how many keys it saw."""
-    bf = bloom.bloom_build(small.dropna(), "k")
-    p = bf.df._jdf.queryExecution().executedPlan().toString()
+    wr = bloom._word_rows(small.dropna(), "k", m_bits=8192, k=7)
+    p = wr._jdf.queryExecution().executedPlan().toString()
     first_ex = p.index("Exchange hashpartitioning")
     assert p[:first_ex].count("HashAggregate") >= 1   # map-side partial OR
 
