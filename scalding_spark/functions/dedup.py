@@ -699,18 +699,32 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     """
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1, got k={k} w={window}")
+    # STAGED columns, each referencing the PREVIOUS stage's bound attribute:
+    # interpreted higher-order functions re-evaluate their operand
+    # expressions per lambda element, so inlining `toks` into the gram
+    # lambda costs one full regex re-tokenization PER GRAM — O(n²) per doc
+    # (measured: 50k × 300-token docs went from un-runnable to ~2 s).
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                     lambda t: t != F.lit(""))
-    n_grams = F.size(toks) - k + 1
-    gram = lambda j: F.array_join(F.slice(toks, j, k), " ")  # noqa: E731
-    h = lambda j: F.conv(F.substring(F.md5(gram(j)), 1, 8), 16, 10) \
-        .cast("bigint")  # noqa: E731
-    harr = F.transform(F.sequence(F.lit(1), n_grams),
-                       lambda j: F.struct(h(j).alias("h"),
-                                          (j - 1).alias("pos")))
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    tks = F.col("__toks")
+    n_grams = F.size(tks) - k + 1
+    h = lambda j: F.conv(  # noqa: E731 — md5 bucket of the j-th gram
+        F.substring(F.md5(F.array_join(F.slice(tks, j, k), " ")), 1, 8),
+        16, 10).cast("bigint")
+    d = d.select(id_col, n_grams.alias("__n"),
+                 # floor at 1 (never 0/negative): sequence(1, 0) would step
+                 # DOWNWARD; a too-short doc computes one garbage gram that
+                 # the `sel` guard below discards
+                 F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                             lambda j: F.struct(h(j).alias("h"),
+                                                (j - 1).alias("pos")))
+                 .alias("__h"))
+    harr = F.col("__h")
     # window starts: 1..max(L-w+1, 1); slice clamps at the array end, so a
     # short final doc (< window grams) still yields its single argmin
-    starts = F.sequence(F.lit(1), F.greatest(n_grams - window + 1, F.lit(1)))
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.col("__n") - window + 1, F.lit(1)))
     zero = F.struct(F.lit(None).cast("bigint").alias("h"),
                     F.lit(-1).cast("integer").alias("pos"))
     pick = lambda j: F.aggregate(  # noqa: E731 — rightmost min of the window
@@ -719,10 +733,10 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
                               | (x["h"] < acc["h"])
                               | ((x["h"] == acc["h"]) & (x["pos"] > acc["pos"])),
                               x).otherwise(acc))
-    sel = F.when(n_grams >= 1,
+    sel = F.when(F.col("__n") >= 1,
                  F.array_distinct(F.transform(starts, pick))) \
         .otherwise(F.array().cast("array<struct<h:bigint,pos:int>>"))
-    return (df.select(F.col(id_col), F.explode(sel).alias("__s"))
+    return (d.select(F.col(id_col), F.explode(sel).alias("__s"))
             .select(id_col, F.col("__s.pos").alias("pos"),
                     F.col("__s.h").alias("fp")))
 
