@@ -223,11 +223,16 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     sf0.1, and at 100 TB it removes a full-corpus exchange). Each shingle is
     string-hashed once (h0); the per-seed hashes derive from the 8-byte h0,
     and codegen-level common-subexpression elimination computes h0 once."""
+    from scalding_spark.functions.text import let_bound
     shs = shingles(F.col(text_col), shingle_n)
-    h0 = F.transform(shs, lambda x: F.xxhash64(x))
-    sig = F.array(*[
-        F.array_min(F.transform(h0, lambda h, s=s: F.xxhash64(h, F.lit(s))))
-        for s in range(num_hashes)])
+    # let-bound h0: as an inlined operand it would be re-derived (shingle
+    # strings re-hashed) once per SEED — a num_hashes× factor, since
+    # interpreted HOFs don't share subexpressions (see text.let_bound)
+    sig = let_bound(
+        F.transform(shs, lambda x: F.xxhash64(x)),
+        lambda h0: F.array(*[
+            F.array_min(F.transform(h0, lambda h, s=s: F.xxhash64(h, F.lit(s))))
+            for s in range(num_hashes)]))
     return (df.where(F.size(shs) > 0)
             .select(F.col(id_col).alias("id"), sig.alias("sig")))
 
@@ -584,12 +589,15 @@ def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
     ``stats['gram_index']`` so the caller can ``.unpersist()`` it once the
     result is materialized.
     """
+    from scalding_spark.functions.text import let_bound
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                     lambda t: t != F.lit(""))
     k = F.size(toks)
-    idx = F.sequence(F.lit(0), k - n)  # valid gram start positions
-    grams = F.transform(
-        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")))
+    # let-bound: inlined, the gram lambda re-tokenizes per gram — O(n²)
+    # per row (see text.let_bound)
+    grams = let_bound(toks, lambda t: F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.array_join(F.slice(t, i + 1, n), " "))))
     g = (df.where(k >= n)
          .select(F.col(id_col).alias("id"),
                  F.posexplode(grams).alias("pos", "gh")))

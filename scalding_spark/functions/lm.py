@@ -105,11 +105,14 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     exchanges; the final probability join keys on the bigram's first token
     (prefix counts) and the bigram itself (pair counts).
     """
+    from scalding_spark.functions.text import let_bound
     toks = tokenize(F.col(text_col))
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(F.element_at(toks, i).alias("w1"),
-                           F.element_at(toks, i + 1).alias("w2")))
+    # let-bound: inlining `toks` into the pair lambda re-tokenizes the doc
+    # once per bigram — O(n²) per row (see text.let_bound)
+    pairs = let_bound(toks, lambda t: F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1))),
+        lambda i: F.struct(F.element_at(t, i).alias("w1"),
+                           F.element_at(t, i + 1).alias("w2"))))
     ex = (df.where(F.size(toks) >= 2)
           .select(F.col(id_col), F.explode(pairs).alias("bg"))
           .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))

@@ -32,6 +32,22 @@ def tokenize(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
 
 
+def let_bound(value: Column, body) -> Column:
+    """Let-binding for expression pipelines: evaluate ``value`` ONCE per row
+    and hand it to ``body`` as a bound lambda variable.
+
+    Why it exists: Spark's interpreted higher-order functions re-evaluate
+    any expression INLINED into the per-element lambda for every element.
+    ``transform(seq(1,n), i -> slice(tokenize(text), i, k))`` therefore
+    re-tokenizes the document once per gram — O(n²) per row (measured: the
+    n-gram explode over 300-token docs ran 10×+ slower; winnowing was
+    quadratic to the point of unrunnable). ``transform`` over a one-element
+    array evaluates the element expression exactly once and the lambda sees
+    it as an O(1) variable reference; ``get(..., 0)`` unwraps the result.
+    """
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def token_count(col: Column) -> Column:
     """Whitespace/punct token count — the cheap pre-BPE budget estimate."""
     return F.size(tokenize(col))
@@ -163,11 +179,14 @@ def ngrams(col: Column, n: int = 2) -> Column:
     fewer than ``n`` tokens yield an empty array (no partial grams, so every
     gram covers exactly ``n`` tokens and gram counts are comparable across
     docs)."""
-    toks = tokenize(col)
-    k = F.size(toks)
-    idx = F.sequence(F.lit(0), k - n)
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+    def build(toks: Column) -> Column:
+        k = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+        grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+    # let-bound tokens: inlining tokenize into the per-gram lambda would
+    # re-tokenize once PER GRAM — O(n²) per doc (see let_bound)
+    return let_bound(tokenize(col), build)
 
 
 def top_ngram_fraction(df, text_col: str = "text", id_col: str = "doc_id",
@@ -244,12 +263,15 @@ def gopher_pass(col: Column, lang: str = "en") -> Column:
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) — the unit set for Jaccard/MinHash
     dedup. Expression-only: sliding join over the token array."""
-    toks = tokenize(col)
-    k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return F.when(k >= n, F.array_distinct(grams)).otherwise(
-        F.when(k > 0, F.array(F.array_join(toks, " "))).otherwise(F.array().cast("array<string>")))
+    def build(toks: Column) -> Column:
+        k = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+        grams = F.transform(idx,
+                            lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        return F.when(k >= n, F.array_distinct(grams)).otherwise(
+            F.when(k > 0, F.array(F.array_join(toks, " ")))
+            .otherwise(F.array().cast("array<string>")))
+    return let_bound(tokenize(col), build)  # O(n), not O(n²) — see let_bound
 
 
 # Default logistic quality-scorer weights: hand-set, documented magnitudes —
@@ -406,19 +428,24 @@ def chunk_documents(df, text_col: str, id_col: str,
         raise ValueError(
             f"overlap must be in [0, chunk_tokens), got {overlap}")
     stride = chunk_tokens - overlap
-    toks = tokenize(F.col(text_col))
-    n = F.size(toks)
-    # 1 + ceil(max(n - chunk_tokens, 0) / stride), exact in integer math
-    n_chunks = (F.lit(1) +
-                F.floor((F.greatest(n - chunk_tokens, F.lit(0))
-                         + F.lit(stride - 1)) / F.lit(stride)).cast("int"))
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " ")
-             .alias("chunk_text"),
-            F.least(F.lit(chunk_tokens), n - i * stride).alias("n_tokens")))
-    return (df.where(n > 0)
+
+    def build(toks: Column) -> Column:
+        # let-bound (see let_bound): inlined, the chunk lambda would
+        # re-tokenize the doc once per chunk — O(n²/stride) per row
+        n = F.size(toks)
+        # 1 + ceil(max(n - chunk_tokens, 0) / stride), exact integer math
+        n_chunks = (F.lit(1) +
+                    F.floor((F.greatest(n - chunk_tokens, F.lit(0))
+                             + F.lit(stride - 1)) / F.lit(stride)).cast("int"))
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " ")
+                 .alias("chunk_text"),
+                F.least(F.lit(chunk_tokens), n - i * stride).alias("n_tokens")))
+
+    chunks = let_bound(tokenize(F.col(text_col)), build)
+    return (df.where(F.size(tokenize(F.col(text_col))) > 0)
             .select(F.col(id_col),
                     F.posexplode(chunks).alias("chunk_id", "__c"))
             .select(id_col, "chunk_id",
@@ -495,10 +522,10 @@ def collocations(df, text_col: str = "text", min_count: int = 5):
     Returns (w1, w2, pair_cnt, pmi) for pairs with pair_cnt >= min_count.
     """
     toks = tokenize(F.col(text_col))
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(F.element_at(toks, i).alias("w1"),
-                           F.element_at(toks, i + 1).alias("w2")))
+    pairs = let_bound(toks, lambda t: F.transform(  # O(n), not O(n²)
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1))),
+        lambda i: F.struct(F.element_at(t, i).alias("w1"),
+                           F.element_at(t, i + 1).alias("w2"))))
     ex = (df.where(F.size(toks) >= 2)
           .select(F.explode(pairs).alias("bg"))
           .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))
