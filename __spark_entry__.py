@@ -22,6 +22,7 @@ from scalding_spark.pipe import Pipe
 from scalding_spark import joins
 from scalding_spark.matrix import Matrix, SizeHint, pagerank
 from scalding_spark.functions import dedup, lm, retrieval, similarity, text as tx
+from scalding_spark.functions import sampling as sampling_fns
 from scalding_spark.streaming import sessionize
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -1528,6 +1529,33 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("avg_neg_logp", 6).alias("avg_neg_logp")))
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing
+    (lm.perplexity_buckets): unigram-LM score → parallel range-partition
+    rank → exact floor(n·f) cut counts. All-integer output (bucket sizes +
+    token totals) so the hash cannot drift on float formatting."""
+    docs = _t(spark, sf_dir, "documents")
+    out = lm.perplexity_buckets(docs, "text", "doc_id",
+                                fractions=(1 / 3, 2 / 3), add_k=0.5,
+                                term_decimals=6)
+    return (out.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_toks").cast("bigint").alias("total_toks")))
+
+
+def q_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact top-fraction cut (sampling.top_fraction): keep the
+    longest ceil(n·0.25) docs by (n_chars desc, doc_id), rolled up per
+    source — the 'train on the top X% by score' pipeline stage. Integer
+    outputs only."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = sampling_fns.top_fraction(
+        docs, [F.col("n_chars").desc()], 0.25, "doc_id")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars")))
+
+
 def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast logistic quality model over expression-only features
     (tx.linear_quality_score): scoring is a map-only pass fused into the
@@ -2151,9 +2179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntile_ranks": q_ntile_ranks,
         # -- padding to 50: fast r01-green entries --
         "q1_pricing_summary": q1_pricing_summary,
-        "q_project_filter_map": q_project_filter_map,
         "q_flatmap_wordcount": q_flatmap_wordcount,
-        "q_unpivot": q_unpivot,
+        # r03-late additions needing their first driver row (took the
+        # padding slots of r01-green q_project_filter_map / q_unpivot,
+        # parked below position 50)
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_top_fraction": q_top_fraction,
         # r03-late additions, need their first driver row (took the slots
         # of r01-green padding q_group_multi_agg / q_intersect_except /
         # q_union_distinct / q_pack_unpack, parked below position 50)
@@ -2162,6 +2193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
         # ---- position 50 ends here; all below are driver-green r01/r02 ----
+        "q_project_filter_map": q_project_filter_map,
+        "q_unpivot": q_unpivot,
         "q_pack_unpack": q_pack_unpack,
         "q_union_distinct": q_union_distinct,
         "q_intersect_except": q_intersect_except,
@@ -3492,6 +3525,49 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) + 3)::BIGINT AS span_tokens
             FROM isl GROUP BY ia, ib, diag, grp
             HAVING count(*) + 3 >= 8
+        """,
+        # same LM-score pipeline as q_unigram_lm, then the CCNet cut:
+        # rank by (score, doc_id), bucket by exact floor(n·f) counts — the
+        # fraction literals are the exact doubles the Spark side uses
+        # (repr(1/3), repr(2/3)), so floor() agrees bit-for-bit.
+        "q_ccnet_buckets": f"""
+            WITH ex AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+            dt AS (SELECT doc_id, tok, count(*) AS occ FROM ex GROUP BY 1, 2),
+            model AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY 1),
+            s AS (SELECT sum(cnt) AS n, count(*) AS v FROM model),
+            scored AS (SELECT doc_id, occ,
+                              CAST(round(-ln((cnt + 0.5) / ((SELECT n FROM s)
+                                   + 0.5 * (SELECT v FROM s))) * 1000000)
+                                   AS BIGINT) AS fx
+                       FROM dt JOIN model USING (tok)),
+            per AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_toks,
+                           sum(occ * fx) / (1000000.0 * sum(occ)) AS anl
+                    FROM scored GROUP BY 1),
+            rk AS (SELECT doc_id, n_toks,
+                          row_number() OVER (ORDER BY anl, doc_id) AS r,
+                          count(*) OVER () AS n
+                   FROM per),
+            lab AS (SELECT n_toks,
+                           CASE WHEN r <= floor(n * 0.3333333333333333)
+                                    THEN 'head'
+                                WHEN r <= floor(n * 0.6666666666666666)
+                                    THEN 'middle'
+                                ELSE 'tail' END AS bucket
+                    FROM rk)
+            SELECT bucket, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS total_toks
+            FROM lab GROUP BY bucket
+        """,
+        "q_top_fraction": """
+            WITH rk AS (SELECT source, n_chars,
+                               row_number() OVER (ORDER BY n_chars DESC,
+                                                  doc_id) AS r,
+                               count(*) OVER () AS n
+                        FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM rk WHERE r <= ceil(n * 0.25)
+            GROUP BY source
         """,
         "q_unigram_lm": f"""
             WITH ex AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),

@@ -68,6 +68,7 @@ HEADLINE = [
     "q_bloom_anti_join",         # bloom-prefiltered incremental dedup
     "q_dsir_weights",            # DSIR hashed-ngram importance weights
     "q_winnow_fingerprints",     # MOSS winnowing (map-only HOF argmin)
+    "q_ccnet_buckets",           # CCNet perplexity terciles (LM + range rank)
 ]
 
 

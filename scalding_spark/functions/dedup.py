@@ -779,3 +779,39 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str, id_col: str,
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("shared_fps"))
             .where(F.col("shared_fps") >= min_shared))
+
+
+def lsh_plan(threshold: float, num_hashes: int = 64) -> tuple[int, int]:
+    """Choose the MinHash LSH banding (bands, rows_per_band) whose S-curve
+    midpoint best matches a target Jaccard ``threshold``.
+
+    For b bands of r rows, P(candidate | jaccard=s) = 1 - (1 - s^r)^b,
+    steepest around s* = (1/b)^(1/r). This scans the divisor pairs of
+    ``num_hashes`` and returns the (b, r) minimizing |s* - threshold|
+    (ties -> more bands, i.e. higher recall). Driver-side arithmetic only —
+    feed the result to :func:`minhash_lsh_pairs`:
+
+        b, r = lsh_plan(0.8, num_hashes=128)
+        pairs = minhash_lsh_pairs(df, "text", "doc_id",
+                                  num_hashes=b * r, bands=b, threshold=0.8)
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"need num_hashes >= 2, got {num_hashes}")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        if b == 1 or r == 1:
+            # degenerate curves (single band = AND-only, single row =
+            # OR-only) are only right at the extremes; still considered so
+            # thresholds near 0/1 resolve to them
+            pass
+        midpoint = (1.0 / b) ** (1.0 / r)
+        err = abs(midpoint - threshold)
+        if best is None or err < best[0] - 1e-12 or (
+                abs(err - best[0]) <= 1e-12 and b > best[1]):
+            best = (err, b, r)
+    return best[1], best[2]

@@ -262,3 +262,53 @@ def importance_resample(raw: DataFrame, target: DataFrame, text_col: str,
               .orderBy(F.col("__score").desc(), id_col).limit(k)
               .drop("__score"))
     return raw.join(picked, id_col)
+
+
+def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
+                       fractions: tuple[float, ...] = (1 / 3, 2 / 3),
+                       labels: tuple[str, ...] = ("head", "middle", "tail"),
+                       add_k: float = 0.5,
+                       term_decimals: int | None = 6) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, CCNet): score
+    every document with the corpus's own unigram LM, order by score
+    ascending (low = most LM-ordinary), and label the first
+    ``fractions[0]`` of docs ``head``, the next slice ``middle``, ... —
+    the standard head/middle/tail quality split used to curriculum-filter
+    web corpora.
+
+    Cut points are EXACT doc counts (``floor(n * f)``), not approximate
+    quantiles: the global ordering uses the parallel range-partition rank
+    (``Pipe.rank_by`` — no single-task window), ties broken by ``id_col``,
+    so membership is deterministic on any engine and any partitioning
+    (scores use the fixed-point ``term_decimals`` accumulation — see
+    :func:`_avg_neg_logp`).
+
+    Returns the scored rows: (id_col, n_toks, avg_neg_logp, bucket).
+    Docs with no tokens are absent (same contract as the scorer).
+
+    Scale: one corpus scan for the LM + scoring (see unigram_lm_score),
+    one range exchange of (id, score) rows for the rank, and a broadcast
+    of the #partitions-row offset table — nothing keys on a hot value.
+    """
+    if len(labels) != len(fractions) + 1:
+        raise ValueError(
+            f"need len(labels) == len(fractions)+1, got {len(labels)} labels "
+            f"for {len(fractions)} fractions")
+    if list(fractions) != sorted(fractions) or not all(
+            0.0 < f < 1.0 for f in fractions):
+        raise ValueError(f"fractions must be ascending in (0,1): {fractions}")
+    from scalding_spark.pipe import Pipe
+    scored = unigram_lm_score(df, text_col, id_col, add_k, term_decimals)
+    ranked = (Pipe(scored)
+              .rank_by(F.col("avg_neg_logp"), F.col(id_col), rank_col="__rk")
+              .to_df())
+    n = F.count(F.lit(1)).alias("__n")
+    total = F.broadcast(ranked.agg(n))  # 1-row scalar ride-along
+    bucket = None
+    for f, lab in zip(fractions, labels):
+        cond = F.col("__rk") <= F.floor(F.col("__n") * F.lit(float(f)))
+        bucket = F.when(cond, lab) if bucket is None else bucket.when(cond, lab)
+    bucket = bucket.otherwise(labels[-1])
+    return (ranked.join(total)
+            .withColumn("bucket", bucket)
+            .drop("__rk", "__n"))

@@ -239,3 +239,29 @@ def pack_into_shards(df: DataFrame, weight_col: str, shard_budget: int,
         out, F.floor((F.col("__cum") - F.col(weight_col)) / F.lit(shard_budget))
         .cast("bigint"))
         .drop("__cum"))
+
+
+def top_fraction(df: DataFrame, order_by: list, fraction: float,
+                 tie_break: str) -> DataFrame:
+    """Keep exactly ``ceil(n * fraction)`` rows — the globally best under
+    ``order_by`` (list of Columns, best first) — the "train on the top X%
+    by quality score" cut.
+
+    Unlike ``df.orderBy(...).limit(k)`` the cut count is a FRACTION of a
+    corpus whose size isn't known up front, and unlike per-partition
+    sampling the cut is exact and deterministic: global rank via the
+    parallel range-partition pattern (no single-task window, no driver
+    count round-trip), ``tie_break`` (an id column) forces a total order,
+    and membership is rank <= ceil(n·fraction) with both sides exact
+    integers. Returns the kept rows of ``df`` unchanged (no rank column).
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    from scalding_spark.pipe import Pipe
+    ranked = (Pipe(df)
+              .rank_by(*order_by, F.col(tie_break), rank_col="__rk")
+              .to_df())
+    total = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
+    keep = F.col("__rk") <= F.ceil(F.col("__n") * F.lit(float(fraction)))
+    return (ranked.join(total).where(keep)
+            .drop("__rk", "__n"))

@@ -571,3 +571,86 @@ def test_select_representatives_default_is_min_id(spark):
          dedup.dedup_clusters(df, pairs, "doc_id")
          .where(F.col("cluster_id") == F.col("doc_id")).collect()}
     assert a == b == {1, 2, 5}
+
+
+# ---------------------------------------------------------------------------
+# top_fraction (global exact quantile cut)
+# ---------------------------------------------------------------------------
+
+def test_top_fraction_exact_count_and_membership(spark):
+    rows = [(i, float(100 - i)) for i in range(40)]  # id 0 has best score
+    df = spark.createDataFrame(rows, "id long, score double")
+    kept = sampling.top_fraction(df, [F.col("score").desc()], 0.25, "id")
+    got = sorted(r["id"] for r in kept.collect())
+    assert got == list(range(10))  # ceil(40*0.25)=10 best scores
+    assert set(kept.columns) == {"id", "score"}
+
+
+def test_top_fraction_ceil_and_ties(spark):
+    # 7 rows, fraction 1/3 -> ceil(7/3) = 3 kept; all scores tie, so the
+    # tie-break id decides membership deterministically
+    df = spark.createDataFrame([(i, 1.0) for i in range(7)],
+                               "id long, score double")
+    kept = sampling.top_fraction(df, [F.col("score").desc()], 1 / 3, "id")
+    assert sorted(r["id"] for r in kept.collect()) == [0, 1, 2]
+
+
+def test_top_fraction_layout_independent(spark):
+    rows = [(i, float((i * 37) % 23)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    a = sampling.top_fraction(df, [F.col("score").desc()], 0.4, "id")
+    b = sampling.top_fraction(df.repartition(11),
+                              [F.col("score").desc()], 0.4, "id")
+    assert (sorted(r["id"] for r in a.collect())
+            == sorted(r["id"] for r in b.collect()))
+
+
+def test_top_fraction_validates(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, score double")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            sampling.top_fraction(df, [F.col("score")], bad, "id")
+
+
+def test_top_fraction_full_keeps_all(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(5)],
+                               "id long, score double")
+    kept = sampling.top_fraction(df, [F.col("score")], 1.0, "id")
+    assert kept.count() == 5
+
+
+# ---------------------------------------------------------------------------
+# lsh_plan (banding calibration)
+# ---------------------------------------------------------------------------
+
+def test_lsh_plan_divisor_contract():
+    for nh in (16, 64, 128, 100):
+        for t in (0.1, 0.3, 0.5, 0.7, 0.9):
+            b, r = dedup.lsh_plan(t, nh)
+            assert b * r == nh and b >= 1 and r >= 1
+
+
+def test_lsh_plan_monotone_threshold():
+    # higher target similarity -> at least as many rows per band (AND-ier)
+    prev_r = 0
+    for t in (0.1, 0.3, 0.5, 0.7, 0.9, 0.97):
+        _, r = dedup.lsh_plan(t, 64)
+        assert r >= prev_r
+        prev_r = r
+
+
+def test_lsh_plan_midpoint_quality():
+    # the chosen midpoint is within 0.15 of target across the usable band
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        b, r = dedup.lsh_plan(t, 128)
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t) < 0.15, (t, b, r, mid)
+
+
+def test_lsh_plan_validates():
+    with pytest.raises(ValueError):
+        dedup.lsh_plan(0.0)
+    with pytest.raises(ValueError):
+        dedup.lsh_plan(1.0)
+    with pytest.raises(ValueError):
+        dedup.lsh_plan(0.5, 1)

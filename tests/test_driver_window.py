@@ -67,7 +67,9 @@ def test_window_holds_the_r03_priorities():
                "q_top_bigram_fraction", "q_gopher_quality", "q_bm25_search",
                "q_semantic_dedup", "q_corpus_stats", "q_collocations",
                "q_dedup_keep_best", "q_cut_spans", "q_cube_agg",
-               "q_ntile_ranks"}
+               "q_ntile_ranks", "q_bloom_anti_join", "q_dsir_weights",
+               "q_winnow_fingerprints", "q_winnow_overlap",
+               "q_ccnet_buckets", "q_top_fraction"}
     assert probes | r02_new | reds | r03_new <= window
 
 

@@ -358,3 +358,71 @@ def test_cut_spans_schema_and_column_order(spark):
         [], "id_a long, id_b long, start_a long, start_b long, span_tokens long")
     out = dedup.cut_spans(df, spans, "text", "doc_id")
     assert out.columns == ["doc_id", "src", "text", "n_cut_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+def _bucket_corpus(spark):
+    # 12 docs: 4 of repeated common words (low surprise), 4 mixed, 4 of
+    # unique rare tokens (high surprise)
+    rows = []
+    for i in range(4):
+        rows.append((i, "the cat sat on the mat the cat sat again"))
+    for i in range(4, 8):
+        rows.append((i, f"the cat pondered quantum flux number{i}"))
+    for i in range(8, 12):
+        rows.append((i, f"zyx{i}a qwv{i}b jkl{i}c mnp{i}d"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_perplexity_buckets_exact_sizes(spark):
+    df = _bucket_corpus(spark)
+    out = lm.perplexity_buckets(df, "text", "doc_id").toPandas()
+    assert len(out) == 12
+    sizes = out.groupby("bucket").size().to_dict()
+    assert sizes == {"head": 4, "middle": 4, "tail": 4}
+    assert set(out.columns) == {"doc_id", "n_toks", "avg_neg_logp", "bucket"}
+
+
+def test_perplexity_buckets_order_semantics(spark):
+    # head must hold the LOWEST avg_neg_logp docs, tail the highest
+    df = _bucket_corpus(spark)
+    out = lm.perplexity_buckets(df, "text", "doc_id").toPandas()
+    by = out.groupby("bucket")["avg_neg_logp"]
+    assert by.max()["head"] <= by.min()["middle"]
+    assert by.max()["middle"] <= by.min()["tail"]
+    # repeated-common-word docs land in head, rare-token docs in tail
+    head_ids = set(out[out.bucket == "head"].doc_id)
+    tail_ids = set(out[out.bucket == "tail"].doc_id)
+    assert head_ids == {0, 1, 2, 3}
+    assert tail_ids == {8, 9, 10, 11}
+
+
+def test_perplexity_buckets_layout_independent(spark):
+    df = _bucket_corpus(spark)
+    a = lm.perplexity_buckets(df, "text", "doc_id")
+    b = lm.perplexity_buckets(df.repartition(7), "text", "doc_id")
+    pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert (pa["bucket"] == pb["bucket"]).all()
+
+
+def test_perplexity_buckets_custom_fractions(spark):
+    df = _bucket_corpus(spark)
+    out = lm.perplexity_buckets(df, "text", "doc_id",
+                                fractions=(0.25,), labels=("keep", "drop"))
+    sizes = out.toPandas().groupby("bucket").size().to_dict()
+    assert sizes == {"keep": 3, "drop": 9}
+
+
+def test_perplexity_buckets_validates(spark):
+    df = _bucket_corpus(spark)
+    with pytest.raises(ValueError):
+        lm.perplexity_buckets(df, "text", "doc_id", fractions=(0.5,),
+                              labels=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        lm.perplexity_buckets(df, "text", "doc_id", fractions=(0.7, 0.3))
+    with pytest.raises(ValueError):
+        lm.perplexity_buckets(df, "text", "doc_id", fractions=(0.0, 0.5))
