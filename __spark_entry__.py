@@ -1556,6 +1556,21 @@ def q_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("bigint").alias("total_chars")))
 
 
+def q_corpus_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level domain-shift detection (lm.corpus_divergence): add-k
+    unigram KL between the even- and odd-doc_id halves of the documents
+    table, fixed-point term accumulation (9 decimals) so the sums are
+    layout- and engine-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    out = lm.corpus_divergence(a, b, "text", add_k=0.5, term_decimals=9)
+    return out.select("n_toks_a", "n_toks_b", "vocab",
+                      F.round("kl_ab", 6).alias("kl_ab"),
+                      F.round("kl_ba", 6).alias("kl_ba"),
+                      F.round("jsd_proxy", 6).alias("jsd_proxy"))
+
+
 def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast logistic quality model over expression-only features
     (tx.linear_quality_score): scoring is a map-only pass fused into the
@@ -2193,6 +2208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
         # ---- position 50 ends here; all below are driver-green r01/r02 ----
+        # (except q_corpus_kl: added after the r03 window filled — ledgered
+        # in tests/test_driver_window.py PENDING_NEXT_ROTATION for r04)
+        "q_corpus_kl": q_corpus_kl,
         "q_project_filter_map": q_project_filter_map,
         "q_unpivot": q_unpivot,
         "q_pack_unpack": q_pack_unpack,
@@ -3568,6 +3586,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM rk WHERE r <= ceil(n * 0.25)
             GROUP BY source
+        """,
+        # operand order mirrors lm.corpus_divergence exactly: pa/pb built
+        # as (c + 0.5) / (n + 0.5*v), per-term fixed-point at 1e9, HALF-UP
+        # rounding matches Spark's F.round on both signs
+        "q_corpus_kl": f"""
+            WITH ca AS (SELECT tok, count(*) AS ca FROM (
+                            SELECT unnest({_TOKENS}) AS tok FROM documents
+                            WHERE doc_id % 2 = 0) GROUP BY tok),
+            cb AS (SELECT tok, count(*) AS cb FROM (
+                            SELECT unnest({_TOKENS}) AS tok FROM documents
+                            WHERE doc_id % 2 = 1) GROUP BY tok),
+            j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                  FROM ca FULL OUTER JOIN cb USING (tok)),
+            s AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                         CAST(sum(cb) AS BIGINT) AS nb,
+                         count(*) AS v FROM j),
+            terms AS (SELECT
+                ((ca + 0.5) / ((SELECT na FROM s) + 0.5 * (SELECT v FROM s)))
+                    AS pa,
+                ((cb + 0.5) / ((SELECT nb FROM s) + 0.5 * (SELECT v FROM s)))
+                    AS pb
+                FROM j),
+            agg AS (SELECT
+                sum(CAST(round(pa * ln(pa / pb) * 1000000000) AS BIGINT))
+                    / 1000000000.0 AS kl_ab,
+                sum(CAST(round(pb * ln(pb / pa) * 1000000000) AS BIGINT))
+                    / 1000000000.0 AS kl_ba
+                FROM terms)
+            SELECT (SELECT na FROM s) AS n_toks_a,
+                   (SELECT nb FROM s) AS n_toks_b,
+                   (SELECT v FROM s) AS vocab,
+                   round(kl_ab, 6) AS kl_ab,
+                   round(kl_ba, 6) AS kl_ba,
+                   round((kl_ab + kl_ba) / 2.0, 6) AS jsd_proxy
+            FROM agg
         """,
         "q_unigram_lm": f"""
             WITH ex AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),

@@ -312,3 +312,57 @@ def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
     return (ranked.join(total)
             .withColumn("bucket", bucket)
             .drop("__rk", "__n"))
+
+
+def corpus_divergence(df_a: DataFrame, df_b: DataFrame, text_col: str,
+                      add_k: float = 0.5,
+                      term_decimals: int | None = 9) -> DataFrame:
+    """Unigram-distribution divergence between two corpora — the cheap
+    domain-shift / contamination-drift detector (is my new crawl batch
+    distributed like my curated corpus?).
+
+    Both corpora get add-k-smoothed unigram models over the UNION
+    vocabulary (so every token has nonzero mass on both sides and the KL
+    terms are finite). Returns ONE row:
+    (n_toks_a, n_toks_b, vocab, kl_ab, kl_ba, jsd_proxy) with
+    kl_ab = Σ p_a·ln(p_a/p_b) in nats and jsd_proxy = (kl_ab+kl_ba)/2
+    (the symmetrized KL, not the true JSD — no mixture model pass).
+
+    Plan: one count aggregation per corpus (map-side combined), a full
+    outer join on the token, scalars on a 1-row broadcast, and a keyless
+    partial-aggregated sum — nothing shuffles per occurrence.
+    ``term_decimals`` applies the engine-portable fixed-point trick to
+    each KL term (see :func:`_avg_neg_logp`).
+    """
+    ca = unigram_counts(df_a, text_col).withColumnRenamed("cnt", "ca")
+    cb = unigram_counts(df_b, text_col).withColumnRenamed("cnt", "cb")
+    j = (ca.join(cb, "tok", "full_outer")
+         .select(F.coalesce("ca", F.lit(0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0)).alias("cb")))
+    scalars = F.broadcast(j.agg(F.sum("ca").alias("na"),
+                                F.sum("cb").alias("nb"),
+                                F.count(F.lit(1)).alias("v")))
+    k = F.lit(float(add_k))
+    w = j.join(scalars)
+    pa = (F.col("ca") + k) / (F.col("na") + k * F.col("v"))
+    pb = (F.col("cb") + k) / (F.col("nb") + k * F.col("v"))
+    t_ab = pa * F.log(pa / pb)
+    t_ba = pb * F.log(pb / pa)
+    if term_decimals is not None:
+        m = 10 ** term_decimals
+        # fixed-point per-term rounding: 9 decimals (not the usual 6) —
+        # per-token KL terms scale like 1/vocab, so a coarser grid would
+        # zero the long tail and bias the sum; at 1e9 the total stays far
+        # inside bigint range (sum of |t| is bounded by the KLs themselves)
+        fx = lambda t: F.round(t * m).cast("bigint")  # noqa: E731
+        kl_ab = F.sum(fx(t_ab)) / F.lit(float(m))
+        kl_ba = F.sum(fx(t_ba)) / F.lit(float(m))
+    else:
+        kl_ab, kl_ba = F.sum(t_ab), F.sum(t_ba)
+    return (w.agg(F.max("na").alias("n_toks_a"),
+                  F.max("nb").alias("n_toks_b"),
+                  F.max("v").alias("vocab"),
+                  kl_ab.alias("kl_ab"),
+                  kl_ba.alias("kl_ba"))
+            .withColumn("jsd_proxy",
+                        (F.col("kl_ab") + F.col("kl_ba")) / F.lit(2.0)))

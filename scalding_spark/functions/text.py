@@ -551,3 +551,27 @@ def collocations(df, text_col: str = "text", min_count: int = 5):
             .join(cx, "w1").join(cy, "w2")
             .join(F.broadcast(scalars))
             .select("w1", "w2", "pair_cnt", F.log(ratio).alias("pmi")))
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (bits) of the character distribution — the classic
+    gibberish/boilerplate signal: natural language sits ~4-4.6 bits,
+    single-char runs at 0, base64/random blobs push toward log2(alphabet).
+
+    Map-only expression: distinct chars (≤ alphabet size, not text length)
+    drive one O(distinct × len) counting pass via higher-order functions —
+    no explode, no shuffle, nothing leaves the row. Empty/null-safe: 0.0.
+    """
+    return let_bound(
+        F.split(col, ""),
+        lambda chars: let_bound(
+            F.array_distinct(chars),
+            lambda alphabet: F.coalesce(
+                -F.aggregate(
+                    alphabet,
+                    F.lit(0.0),
+                    lambda acc, c: acc + let_bound(
+                        F.size(F.filter(chars, lambda x: x == c))
+                        / F.size(chars).cast("double"),
+                        lambda p: p * F.log2(p))),
+                F.lit(0.0))))

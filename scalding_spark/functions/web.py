@@ -1,0 +1,68 @@
+"""URL/domain utilities for web-corpus curation.
+
+Production pretraining pipelines filter by URL before anything touches the
+text: domain blocklists (UT1-style categories), per-domain caps, and
+domain-level quality priors all key on a NORMALIZED registrable domain.
+Everything here is expression-only (regex + string ops on the JVM) except
+the blocklist itself, which rides a broadcast join — the 100 TB-correct
+shape for a list of at most a few million domains.
+
+No reference analog (the reference predates web-corpus curation); shapes
+follow this engine's sampling/dedup conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# scheme://[userinfo@]HOST[:port][/path...] — capture group 1 is the host.
+# Deliberately RE2/Java-portable: no backrefs, no lookaround, no \b.
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+).*$"
+
+# "registrable domain" heuristic: last two labels, or last three when the
+# second-level label is a well-known public-suffix second level (co.uk,
+# com.au, ...). A full public-suffix list can be swapped in via
+# ``filter_blocklist``'s exact-domain mode; this covers the bulk cheaply.
+_PSL2 = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host part of a URL (null when ``url`` has no scheme://
+    host shape). Strips userinfo and port."""
+    h = F.regexp_extract(url, _HOST_RE, 1)
+    return F.when(h != "", F.lower(h))
+
+
+def registrable_domain(url_or_host: Column, is_host: bool = False) -> Column:
+    """eTLD+1-style registrable domain: ``a.b.example.co.uk`` →
+    ``example.co.uk``, ``sub.example.com`` → ``example.com``. IPs and
+    single-label hosts pass through unchanged."""
+    host = url_or_host if is_host else host_of(url_or_host)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    second_level = F.element_at(parts, -2)
+    take = F.when((n >= 3) & second_level.isin(*_PSL2), 3).otherwise(2)
+    is_ip = host.rlike(r"^[0-9.]+$")  # IPv4: no label structure to trim
+    return F.when(is_ip | (n <= 2), host).otherwise(
+        F.array_join(F.slice(parts, n - take + 1, take), "."))
+
+
+def filter_blocklist(df: DataFrame, url_col: str, blocklist: DataFrame,
+                     domain_col: str = "domain",
+                     keep_unparseable: bool = False) -> DataFrame:
+    """Drop rows whose URL's registrable domain appears in ``blocklist``
+    (a one-column domain table). The blocklist side is explicitly
+    broadcast — domain lists are millions of rows at most, so the corpus
+    never shuffles for this filter; the anti-join folds into the scan.
+
+    ``keep_unparseable``: rows whose URL yields no host (null domain)
+    are dropped by default (can't be vetted); True passes them through.
+    """
+    dom = registrable_domain(F.col(url_col))
+    tagged = df.withColumn("__dom", dom)
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("__dom")).distinct())
+    kept = tagged.join(bl, "__dom", "left_anti")
+    if not keep_unparseable:
+        kept = kept.where(F.col("__dom").isNotNull())
+    return kept.drop("__dom")

@@ -426,3 +426,70 @@ def test_perplexity_buckets_validates(spark):
         lm.perplexity_buckets(df, "text", "doc_id", fractions=(0.7, 0.3))
     with pytest.raises(ValueError):
         lm.perplexity_buckets(df, "text", "doc_id", fractions=(0.0, 0.5))
+
+
+# ---------------------------------------------------------------------------
+# corpus_divergence (domain-shift KL)
+# ---------------------------------------------------------------------------
+
+def _py_kl(corpus_a, corpus_b, add_k=0.5):
+    import re
+    from collections import Counter
+    tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    ca = Counter(t for s in corpus_a for t in tok(s))
+    cb = Counter(t for s in corpus_b for t in tok(s))
+    vocab = set(ca) | set(cb)
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    kl_ab = kl_ba = 0.0
+    for t in vocab:
+        pa = (ca[t] + add_k) / (na + add_k * v)
+        pb = (cb[t] + add_k) / (nb + add_k * v)
+        kl_ab += pa * math.log(pa / pb)
+        kl_ba += pb * math.log(pb / pa)
+    return na, nb, v, kl_ab, kl_ba
+
+
+def test_corpus_divergence_matches_python_reference(spark):
+    a = ["the cat sat on the mat", "the dog sat too", "a cat and a dog"]
+    b = ["quantum flux decoheres rapidly", "the flux capacitor hums",
+         "entangled states decohere"]
+    da = spark.createDataFrame([(i, t) for i, t in enumerate(a)], "id long, text string")
+    db = spark.createDataFrame([(i, t) for i, t in enumerate(b)], "id long, text string")
+    row = lm.corpus_divergence(da, db, "text", term_decimals=None).collect()[0]
+    na, nb, v, kl_ab, kl_ba = _py_kl(a, b)
+    assert (row["n_toks_a"], row["n_toks_b"], row["vocab"]) == (na, nb, v)
+    assert abs(row["kl_ab"] - kl_ab) < 1e-9
+    assert abs(row["kl_ba"] - kl_ba) < 1e-9
+    assert abs(row["jsd_proxy"] - (kl_ab + kl_ba) / 2) < 1e-9
+
+
+def test_corpus_divergence_identical_corpora_is_zero(spark):
+    a = ["alpha beta gamma", "beta gamma delta"]
+    da = spark.createDataFrame([(i, t) for i, t in enumerate(a)], "id long, text string")
+    row = lm.corpus_divergence(da, da, "text", term_decimals=None).collect()[0]
+    assert row["kl_ab"] == 0.0 and row["kl_ba"] == 0.0
+
+
+def test_corpus_divergence_fixed_point_close_and_layout_stable(spark):
+    a = ["the cat sat on the mat"] * 3 + ["dogs bark loudly at night"]
+    b = ["stock prices fell sharply today", "the market rallied late"]
+    da = spark.createDataFrame([(i, t) for i, t in enumerate(a)], "id long, text string")
+    db = spark.createDataFrame([(i, t) for i, t in enumerate(b)], "id long, text string")
+    exact = lm.corpus_divergence(da, db, "text", term_decimals=None).collect()[0]
+    fx1 = lm.corpus_divergence(da, db, "text").collect()[0]
+    fx2 = lm.corpus_divergence(da.repartition(5), db.repartition(3),
+                               "text").collect()[0]
+    assert abs(fx1["kl_ab"] - exact["kl_ab"]) < 1e-6
+    assert fx1["kl_ab"] == fx2["kl_ab"] and fx1["kl_ba"] == fx2["kl_ba"]
+
+
+def test_corpus_divergence_shift_is_detectable(spark):
+    # near-identical corpora diverge far less than disjoint-domain ones
+    base = ["the cat sat on the mat", "the dog sat too"]
+    near = ["the cat sat on a mat", "the dog sat there too"]
+    far = ["quantum flux decoheres", "entangled states collapse"]
+    mk = lambda c: spark.createDataFrame(
+        [(i, t) for i, t in enumerate(c)], "id long, text string")
+    d_near = lm.corpus_divergence(mk(base), mk(near), "text").collect()[0]
+    d_far = lm.corpus_divergence(mk(base), mk(far), "text").collect()[0]
+    assert d_near["jsd_proxy"] < d_far["jsd_proxy"] / 2

@@ -397,3 +397,75 @@ def test_winnow_random_corpus_parity(spark):
         got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
     for i, txt in texts:
         assert got.get(i, set()) == _py_winnow(txt, 3, 4), (i, txt)
+
+
+# ---------------------------------------------------------------------------
+# char_entropy
+# ---------------------------------------------------------------------------
+
+def test_char_entropy_hand_values(spark):
+    from scalding_spark.functions.text import char_entropy
+    df = spark.createDataFrame(
+        [("aaaa",), ("abab",), ("abcdefgh",), ("",), (None,)], "t string")
+    got = {r["t"]: r["h"] for r in df.select(
+        "t", F.round(char_entropy(F.col("t")), 6).alias("h")).collect()}
+    assert got["aaaa"] == 0.0          # single symbol
+    assert got["abab"] == 1.0          # two equiprobable symbols
+    assert got["abcdefgh"] == 3.0      # eight equiprobable symbols
+    assert got[""] == 0.0
+    assert got[None] == 0.0
+
+
+def test_char_entropy_discriminates_gibberish(spark):
+    from scalding_spark.functions.text import char_entropy
+    df = spark.createDataFrame(
+        [("en", "the quick brown fox jumps over the lazy dog"),
+         ("run", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+         ("b64", "QWxhZGRpbjpvcGVuIHNlc2FtZQeJ30x9kPz5Yh2K")], "k string, t string")
+    got = {r["k"]: r["h"] for r in df.select(
+        "k", char_entropy(F.col("t")).alias("h")).collect()}
+    assert got["run"] < 0.5 < 3.5 < got["en"]
+    assert got["b64"] > got["en"]  # near-uniform alphabet
+
+
+# ---------------------------------------------------------------------------
+# web: host/domain/blocklist
+# ---------------------------------------------------------------------------
+
+def test_host_and_registrable_domain(spark):
+    from scalding_spark.functions import web
+    rows = [
+        ("https://Sub.Example.COM:8443/a/b?q=1", "sub.example.com", "example.com"),
+        ("http://user:pw@deep.a.example.co.uk/x", "deep.a.example.co.uk", "example.co.uk"),
+        ("https://example.org", "example.org", "example.org"),
+        ("ftp://10.1.2.3/file", "10.1.2.3", "10.1.2.3"),  # IPv4 passes through
+        ("notaurl", None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
+    got = df.select("url", web.host_of(F.col("url")).alias("h"),
+                    web.registrable_domain(F.col("url")).alias("d")).collect()
+    for (u, eh, ed), r in zip(rows, got):
+        assert r["h"] == eh, (u, r["h"])
+        assert r["d"] == ed, (u, r["d"])
+
+
+def test_filter_blocklist(spark):
+    from scalding_spark.functions import web
+    docs = spark.createDataFrame(
+        [(1, "https://spam.example.com/p"), (2, "https://ok.example.org/p"),
+         (3, "https://a.b.bad.co.uk/x"), (4, "garbage-no-url")],
+        "id long, url string")
+    bl = spark.createDataFrame([("example.com",), ("BAD.co.uk",)], "domain string")
+    kept = web.filter_blocklist(docs, "url", bl)
+    assert sorted(r["id"] for r in kept.collect()) == [2]
+    kept2 = web.filter_blocklist(docs, "url", bl, keep_unparseable=True)
+    assert sorted(r["id"] for r in kept2.collect()) == [2, 4]
+    assert kept2.columns == docs.columns
+
+
+def test_filter_blocklist_broadcast_plan(spark):
+    from scalding_spark.functions import web
+    docs = spark.createDataFrame([(1, "https://x.example.com/")], "id long, url string")
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    plan = web.filter_blocklist(docs, "url", bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
