@@ -2,11 +2,15 @@
 engine's operators, from raw corpus to reproducible train/val/test splits.
 
   raw docs
+   → URL blocklist           (optional: registrable-domain broadcast
+                              anti-join — web.filter_blocklist)
    → PII redaction           (pure-codegen regex cascade, no UDF)
    → quality + language gate (heuristic band + logistic model score, both
                               column expressions fused into the scan)
    → LM-surprise gate        (self-trained unigram LM: drops the gibberish
                               tail the linear model can't see)
+   → CCNet bucket gate       (optional: head/middle/tail perplexity
+                              terciles, keep a relative slice)
    → near-dup CLUSTERING     (n-gram Jaccard pairs → connected components;
                               keeps the canonical doc per cluster, unlike
                               pairwise loser-dropping which over-deletes
@@ -41,6 +45,17 @@ from scalding_spark.functions import text as tx
 class PrepareTrainingDataJob(Job):
     def build(self) -> None:
         docs = self.spark.read.parquet(self.args("input"))
+        raw = docs  # kept for the optional drift report (step 10)
+
+        # 0. URL blocklist (optional, needs a url column + a one-column
+        # domain parquet): registrable-domain broadcast anti-join — the
+        # corpus never shuffles for this gate
+        bl_path = self.args.getOrElse("blocklist", "")
+        if bl_path:
+            from scalding_spark.functions import web
+            docs = web.filter_blocklist(
+                docs, self.args.getOrElse("url-col", "url"),
+                self.spark.read.parquet(bl_path))
 
         # 1. redact PII in place (email/IP/phone — shared regex constants)
         docs = docs.withColumn("text", tx.pii_redact(F.col("text")))
@@ -74,6 +89,18 @@ class PrepareTrainingDataJob(Job):
                     .where(F.col("avg_neg_logp").isNull()
                            | (F.col("avg_neg_logp") <= float(max_surprise)))
                     .drop("avg_neg_logp"))
+
+        # 3a. CCNet perplexity buckets (optional): rank the corpus into
+        # head/middle/tail by LM surprise and keep only --ccnet-keep
+        # buckets (exact floor(n·f) cuts — complements the absolute
+        # --max-neg-logp gate with a RELATIVE one)
+        ccnet_keep = self.args.getOrElse("ccnet-keep", "")
+        if ccnet_keep:
+            keep = {b.strip() for b in ccnet_keep.split(",") if b.strip()}
+            bucketed = lm.perplexity_buckets(docs, "text", "doc_id")
+            docs = docs.join(
+                bucketed.where(F.col("bucket").isin(*keep))
+                .select("doc_id"), "doc_id")
 
         # 3b. DSIR selection (optional): keep the --dsir-k docs most like a
         # target corpus (hashed-ngram importance resampling — the
@@ -145,3 +172,12 @@ class PrepareTrainingDataJob(Job):
                 seq_tokens=int(pack))
             seqs.write.mode("overwrite").parquet(
                 self.args("output").rstrip("/") + "_train_sequences")
+
+        # 10. drift report (optional): one-row unigram-KL summary of how
+        # far the kept corpus drifted from the raw input — the monitoring
+        # artifact a recurring pipeline run alerts on
+        if self.args.boolean("drift-report"):
+            kept_final = self.spark.read.parquet(self.args("output"))
+            lm.corpus_divergence(raw, kept_final, "text") \
+                .write.mode("overwrite").parquet(
+                    self.args("output").rstrip("/") + "_drift")

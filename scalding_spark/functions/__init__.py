@@ -25,9 +25,15 @@ host-language lambda (SURVEY.md §2.8). This engine's scalar layer IS
                   bloom-prefiltered semi/anti/inner joins (the 100 TB
                   shuffle reducer for incremental dedup and key lookups).
 
+- ``web``         URL host / registrable-domain extraction and broadcast
+                  blocklist filtering (web-corpus curation).
+
 r03 additions inside existing modules: text.gopher_signals/gopher_pass
 (integer-band quality gate), text.ngrams/top_ngram_fraction (repetition),
-text.collocations (PMI), text.corpus_stats, dedup.select_representatives
-(keep-best cluster keeper), dedup.cut_spans (span cut pass),
-similarity.semantic_dedup (SemDeDup).
+text.collocations (PMI), text.corpus_stats, text.char_entropy,
+dedup.select_representatives (keep-best cluster keeper), dedup.cut_spans
+(span cut pass), dedup.lsh_plan (banding calibration),
+similarity.semantic_dedup (SemDeDup), lm.perplexity_buckets (CCNet
+head/middle/tail), lm.corpus_divergence (domain-shift KL),
+sampling.top_fraction (exact global quantile cut).
 """
