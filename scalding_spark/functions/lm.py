@@ -302,6 +302,11 @@ def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
     ranked = (Pipe(scored)
               .rank_by(F.col("avg_neg_logp"), F.col(id_col), rank_col="__rk")
               .to_df())
+    # ranked feeds BOTH the total-count broadcast and the join; without a
+    # materialization the whole LM-score + rank lineage runs twice (the
+    # broadcast build is a separate job — no ReusedExchange, see
+    # test_shared_count_tables_scan_corpus_once). Stored rows: one per doc.
+    ranked = ranked.localCheckpoint(eager=False)
     n = F.count(F.lit(1)).alias("__n")
     total = F.broadcast(ranked.agg(n))  # 1-row scalar ride-along
     bucket = None
@@ -339,6 +344,11 @@ def corpus_divergence(df_a: DataFrame, df_b: DataFrame, text_col: str,
     j = (ca.join(cb, "tok", "full_outer")
          .select(F.coalesce("ca", F.lit(0)).alias("ca"),
                  F.coalesce("cb", F.lit(0)).alias("cb")))
+    # j feeds the scalar broadcast AND the term sum — materialize the
+    # joined count table once (vocab-sized rows) instead of running both
+    # corpus scans + the outer join twice (no ReusedExchange across the
+    # broadcast-build job boundary)
+    j = j.localCheckpoint(eager=False)
     scalars = F.broadcast(j.agg(F.sum("ca").alias("na"),
                                 F.sum("cb").alias("nb"),
                                 F.count(F.lit(1)).alias("v")))

@@ -261,6 +261,10 @@ def top_fraction(df: DataFrame, order_by: list, fraction: float,
     ranked = (Pipe(df)
               .rank_by(*order_by, F.col(tie_break), rank_col="__rk")
               .to_df())
+    # shared subtree: ranked feeds the count broadcast AND the filter join;
+    # materialize once (same discipline as perplexity_buckets — the
+    # broadcast build is a separate job, no ReusedExchange)
+    ranked = ranked.localCheckpoint(eager=False)
     total = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
     keep = F.col("__rk") <= F.ceil(F.col("__n") * F.lit(float(fraction)))
     return (ranked.join(total).where(keep)

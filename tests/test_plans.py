@@ -418,6 +418,8 @@ def test_shared_count_tables_scan_corpus_once(spark):
         (plan(retrieval.bm25_rank(docs, ["alpha", "beta"], k=5)), 1, 1),  # scalars
         (plan(lm.importance_weights(docs, docs.limit(50), "text",
                                     "doc_id", n_buckets=256)), 1, 1),  # target side
+        (plan(lm.perplexity_buckets(docs, "text", "doc_id")), 0, 1),
+        (plan(lm.corpus_divergence(docs.limit(100), docs, "text")), 0, 1),
     ]
     for i, (p, max_parquet, min_rdd) in enumerate(cases):
         assert p.count("Scan parquet") <= max_parquet, (i, p.count("Scan parquet"))
