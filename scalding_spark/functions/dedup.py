@@ -237,6 +237,33 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
             .select(F.col(id_col).alias("id"), sig.alias("sig")))
 
 
+def minhash_band_hashes(num_hashes: int, bands: int,
+                        sig_col: str = "sig") -> Column:
+    """Band-hash array over a MinHash signature column: element b is
+    xxhash64 of the b-th signature slice, salted by the band index (two
+    docs are LSH candidates iff any element matches). Shared by the batch
+    self-join (:func:`minhash_lsh_pairs`) and the streaming
+    batch-vs-store probe so both bucket identically."""
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    r = num_hashes // bands
+    return F.array(*[
+        F.xxhash64(F.slice(sig_col, b * r + 1, r), F.lit(b))
+        for b in range(bands)])
+
+
+def signature_jaccard(sig_a: Column, sig_b: Column,
+                      num_hashes: int) -> Column:
+    """Jaccard ESTIMATE from two MinHash signatures: the fraction of
+    agreeing hash slots (unbiased, stderr ≈ 1/sqrt(num_hashes)). The
+    text-free verifier for cross-corpus dedup where only signatures are
+    retained (32·num_hashes bits/doc, never the text)."""
+    return (F.size(F.filter(F.zip_with(sig_a, sig_b,
+                                       lambda x, y: x == y),
+                            lambda m: m))
+            / F.lit(float(num_hashes)))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.7,
@@ -250,7 +277,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
     Band math: rows-per-band r = num_hashes/bands; P(candidate) = 1-(1-j^r)^b,
     steep around j ≈ (1/b)^(1/r) — defaults target j ≈ 0.5-0.7."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     if persist_signatures:
         # Signatures are map-only now, so without a persist BOTH sides of the
@@ -258,9 +284,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         # (num_hashes × 8 B per doc) — persisting is the 100 TB-safe choice,
         # unlike shingle arrays (corpus-sized). ~2× faster at sf0.1.
         sigs = sigs.persist()
-    band_arr = F.array(*[
-        F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b))
-        for b in range(bands)])
+    band_arr = minhash_band_hashes(num_hashes, bands)
     buckets = sigs.select("id", F.explode(band_arr).alias("bucket"))
     l, r = buckets.alias("l"), buckets.alias("r")
     cands = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))

@@ -206,3 +206,77 @@ def test_stream_ingest_dedup_without_bloom_same_result(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(r.doc_id for r in
                   spark.read.parquet(corpus).collect()) == [0, 1]
+
+
+# --- stream_ingest_neardup --------------------------------------------------
+
+BASE = ("the quick brown fox jumps over the lazy dog while seven wizards "
+        "quietly brew hex elixirs beneath the ancient stone bridge at dawn "
+        "watching pale mist curl across the silent river")
+
+
+def _run_neardup(spark, batch_rows, paths, threshold=0.7):
+    src, corpus, store, ckpt = paths
+    spark.createDataFrame(batch_rows, DOC_SCHEMA) \
+        .write.mode("append").parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, DOC_SCHEMA)
+    q = streaming.stream_ingest_neardup(
+        stream, corpus_path=corpus, store_path=store, checkpoint=ckpt,
+        text_col="text", id_col="doc_id", threshold=threshold)
+    q.awaitTermination(120)
+
+
+def test_stream_ingest_neardup_within_and_cross_batch(spark, tmp_path):
+    paths = tuple(str(tmp_path / p) for p in
+                  ("src", "corpus", "store", "ckpt"))
+    # batch 1: base doc, an exact dup, a near dup (one word changed), and
+    # one unrelated doc
+    near = BASE.replace("lazy", "sleepy")
+    other = ("completely different content about distributed query engines "
+             "aggregating partitioned columnar data with adaptive shuffles "
+             "and broadcast hash joins across many executor nodes tonight")
+    _run_neardup(spark, [(0, BASE), (1, BASE), (2, near), (3, other)], paths)
+    corpus = spark.read.parquet(paths[1])
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 3]
+    # batch 2: near dup of the STORED base doc (only signatures remain),
+    # plus a novel doc
+    near2 = BASE.replace("dawn", "dusk")
+    novel = ("fresh unseen narrative describing orchard keepers grafting "
+             "rare apple cultivars onto hardy rootstock under autumn skies "
+             "while migrating geese trace long chevrons overhead")
+    _run_neardup(spark, [(10, near2), (11, novel)], paths)
+    corpus = spark.read.parquet(paths[1])
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 3, 11]
+    # store holds exactly one signature per kept doc
+    store = spark.read.parquet(paths[2])
+    assert sorted(r.id for r in store.select("id").collect()) == [0, 3, 11]
+
+
+def test_stream_ingest_neardup_distinct_docs_all_kept(spark, tmp_path):
+    paths = tuple(str(tmp_path / p) for p in
+                  ("s2", "c2", "st2", "ck2"))
+    docs = [(i, f"wholly distinct document number {i} about topic "
+                f"{'alpha beta gamma delta epsilon'.split()[i]} with unique "
+                f"token{i}a token{i}b token{i}c token{i}d token{i}e")
+            for i in range(5)]
+    _run_neardup(spark, docs[:3], paths)
+    _run_neardup(spark, docs[3:], paths)
+    corpus = spark.read.parquet(paths[1])
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_signature_jaccard_estimator(spark):
+    from scalding_spark.functions.dedup import (minhash_signatures,
+                                                signature_jaccard)
+    near = BASE.replace("lazy", "sleepy")
+    df = spark.createDataFrame(
+        [(0, BASE), (1, near), (2, "entirely unrelated words here today")],
+        DOC_SCHEMA)
+    sigs = minhash_signatures(df, "text", "doc_id", num_hashes=64)
+    a = sigs.where(F.col("id") == 0).select(F.col("sig").alias("sa"))
+    for other, lo, hi in ((1, 0.6, 1.0), (2, 0.0, 0.2)):
+        b = sigs.where(F.col("id") == other).select(F.col("sig").alias("sb"))
+        est = a.join(b).select(
+            signature_jaccard(F.col("sa"), F.col("sb"), 64).alias("j")
+        ).collect()[0]["j"]
+        assert lo <= est <= hi, (other, est)
