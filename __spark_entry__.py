@@ -1556,6 +1556,26 @@ def q_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("bigint").alias("total_chars")))
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-1 self-join (joins.fuzzy_join, PassJoin segment
+    filter + levenshtein verify) over md5-bucketed 8-hex key strings (300
+    buckets over customers, so distance-0 collisions actually exist and
+    the occasional cross-bucket distance-1 pair exercises the filter).
+    Output: exact-integer pair count + distance sum vs the brute-force
+    inequality-join oracle."""
+    from scalding_spark.joins import fuzzy_join
+    s = F.substring(F.md5((F.col("c_custkey") % 300).cast("string")), 1, 8)
+    c = _t(spark, sf_dir, "customer")
+    l = c.select(F.col("c_custkey").alias("lid"), s.alias("ls"))
+    r = c.select(F.col("c_custkey").alias("rid"), s.alias("rs"))
+    pairs = (fuzzy_join(l, r, "ls", "rs", "lid", "rid", max_distance=1).df
+             .where(F.col("lid") < F.col("rid")))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("distance"), F.lit(0)).cast("bigint")
+        .alias("total_distance"))
+
+
 def q_corpus_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level domain-shift detection (lm.corpus_divergence): add-k
     unigram KL between the even- and odd-doc_id halves of the documents
@@ -2211,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (except q_corpus_kl: added after the r03 window filled — ledgered
         # in tests/test_driver_window.py PENDING_NEXT_ROTATION for r04)
         "q_corpus_kl": q_corpus_kl,
+        "q_fuzzy_join": q_fuzzy_join,
         "q_project_filter_map": q_project_filter_map,
         "q_unpivot": q_unpivot,
         "q_pack_unpack": q_pack_unpack,
@@ -3586,6 +3607,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM rk WHERE r <= ceil(n * 0.25)
             GROUP BY source
+        """,
+        "q_fuzzy_join": """
+            WITH s AS (SELECT c_custkey AS id,
+                              substring(md5(CAST(c_custkey % 300 AS VARCHAR)),
+                                        1, 8) AS st
+                       FROM customer)
+            SELECT count(*) AS n_pairs,
+                   CAST(coalesce(sum(levenshtein(a.st, b.st)), 0) AS BIGINT)
+                       AS total_distance
+            FROM s a JOIN s b
+              ON a.id < b.id AND levenshtein(a.st, b.st) <= 1
         """,
         # operand order mirrors lm.corpus_divergence exactly: pa/pb built
         # as (c + 0.5) / (n + 0.5*v), per-term fixed-point at 1e9, HALF-UP

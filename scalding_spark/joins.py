@@ -395,3 +395,104 @@ def multi_join(pipes: list, on: list[str], hows: list[str] | None = None) -> Pip
     for p, how in zip(pipes[1:], hows):
         out = out.join(_df(p), on=on, how=how)
     return Pipe(out)
+
+
+def fuzzy_join(left, right, left_col: str, right_col: str,
+               left_id: str, right_id: str, max_distance: int = 1,
+               out_distance: str = "distance") -> Pipe:
+    """EXACT edit-distance join: all (left, right) row pairs with
+    levenshtein(left_col, right_col) <= ``max_distance`` — the entity-
+    resolution / near-key join, without the crossJoin.
+
+    Plan (PassJoin-family segment filter, Li et al. EDBT 2011 "PassJoin",
+    simplified to a ±k position window):
+
+    - RIGHT side splits each string into k+1 contiguous segments:
+      key = (len, segment_idx, segment_text). If ed(s, r) <= k, at most k
+      segments of r are touched by edits, so (pigeonhole) at least one
+      segment survives verbatim inside s, its start shifted by at most k.
+    - LEFT side emits, for each plausible right length l in
+      [len(s)-k, len(s)+k] and each segment slot, every substring of s
+      that could be that surviving segment (start within ±k of the
+      segment's home position): <= (2k+1)²·(k+1) short keys per row.
+    - Both key tables carry ONLY (id, string) — payloads never ride the
+      candidate exchange; they re-attach by id at the end.
+    - equi-join on the key → distinct candidate id pairs → exact
+      ``levenshtein`` verification.
+
+    Strings shorter than k+1 chars have no k+1-segment split; those RIGHT
+    rows take a dedicated broadcast nested-loop path against the (also
+    short, len <= 2k) left rows — correct, and cheap when short keys are
+    rare (if most keys are <= k chars, an edit-distance-k join is the
+    wrong tool).
+
+    Exactness: the filter window is a superset of the tight PassJoin
+    bound (recall-complete) and verification is exact — output equals the
+    brute-force inequality join. Self-join dedup/ordering is the caller's
+    concern (filter ``id_a < id_b`` downstream). Hot shared substrings
+    (constant prefixes) inflate candidates; AQE skew-join splits the
+    bucket — or strip known-constant prefixes before joining.
+
+    Returns (left_id, left_col, right_id, right_col, ``out_distance``);
+    join payloads back by id.
+    """
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    k = int(max_distance)
+    ldf = _df(left).select(left_id, left_col)
+    rdf = _df(right).select(right_id, right_col)
+    if {left_id, left_col} & {right_id, right_col}:
+        raise ValueError("left and right id/string column names must differ")
+
+    def seg_bounds(n, i: int):
+        """Segment i (0-based) of k+1 near-even segments of a length-n
+        string: 1-based start and length (first n%(k+1) segments get the
+        extra char — any deterministic split works, both sides use this)."""
+        base = F.floor(n / (k + 1)).cast("int")
+        extra = (n % (k + 1)).cast("int")
+        li = base + F.when(F.lit(i) < extra, 1).otherwise(0)
+        start = (F.lit(i) * base + F.least(F.lit(i), extra) + 1).cast("int")
+        return start, li
+
+    rn = F.length(F.col(right_col))
+    ln = F.length(F.col(left_col))
+
+    # main path: rights long enough to have k+1 nonempty segments
+    r_long = rdf.where(rn > k)
+    r_keys = F.array(*[
+        F.struct(rn.cast("int").alias("l"), F.lit(i).alias("i"),
+                 F.substring(F.col(right_col), *seg_bounds(rn, i)).alias("s"))
+        for i in range(k + 1)])
+    r_ex = r_long.select(right_id, right_col, F.explode(r_keys).alias("__k")) \
+                 .select(right_id, right_col, "__k.*")
+
+    cands = []
+    for d in range(-k, k + 1):
+        l = ln + d
+        for i in range(k + 1):
+            start, li = seg_bounds(l, i)
+            for shift in range(-k, k + 1):
+                p = start + shift
+                cands.append(F.when(
+                    (l > k) & (p >= 1) & (p + li - 1 <= ln),
+                    F.struct(l.cast("int").alias("l"), F.lit(i).alias("i"),
+                             F.substring(F.col(left_col), p, li).alias("s"))))
+    l_keys = F.array_distinct(
+        F.filter(F.array(*cands), lambda x: x.isNotNull()))
+    l_ex = ldf.select(left_id, left_col, F.explode(l_keys).alias("__k")) \
+              .select(left_id, left_col, "__k.*")
+
+    main = (l_ex.join(r_ex, ["l", "i", "s"])
+            .select(left_id, left_col, right_id, right_col)
+            .distinct())
+
+    # short-right path: no segment split exists; ed <= k forces the left
+    # side short too (len(s) <= len(r) + k <= 2k) — tiny × tiny, broadcast
+    short = (ldf.where(ln <= 2 * k)
+             .join(F.broadcast(rdf.where(rn <= k))))
+
+    verified = (main.unionByName(short)
+                .withColumn(out_distance,
+                            F.levenshtein(F.col(left_col), F.col(right_col)))
+                .where(F.col(out_distance) <= k))
+    return Pipe(verified)

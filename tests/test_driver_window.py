@@ -18,7 +18,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Entries awaiting the NEXT rotation (mirrors the ledger comment in
 # queries()). Empty after the r03 window absorbed all r03-new operators;
 # new queries added mid-round go here until their rotation.
-PENDING_NEXT_ROTATION: set = {"q_corpus_kl"}
+PENDING_NEXT_ROTATION: set = {"q_corpus_kl", "q_fuzzy_join"}
 
 
 def _driver_rows() -> set:

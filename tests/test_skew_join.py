@@ -86,3 +86,62 @@ def test_skew_replication_formulas_match_reference(spark):
     assert run(joins.SkewReplicationB(), 0) == [ref_b(l, r, 0) for l, r in rows]
     assert run(joins.SkewReplicationB(50, 500), 8) == \
         [ref_b(l, r, 8, 50, 500) for l, r in rows]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join (exact edit-distance join, PassJoin segment filter)
+# ---------------------------------------------------------------------------
+
+def _brute(spark, L, R, k):
+    ldf = spark.createDataFrame(L, "lid long, ls string")
+    rdf = spark.createDataFrame(R, "rid long, rs string")
+    return {(r.lid, r.rid, r.d) for r in
+            ldf.crossJoin(rdf)
+            .withColumn("d", F.levenshtein("ls", "rs"))
+            .where(F.col("d") <= k).collect()}
+
+
+def _fuzzy(spark, L, R, k):
+    from scalding_spark.joins import fuzzy_join
+    ldf = spark.createDataFrame(L, "lid long, ls string")
+    rdf = spark.createDataFrame(R, "rid long, rs string")
+    out = fuzzy_join(ldf, rdf, "ls", "rs", "lid", "rid", max_distance=k).df
+    return {(r.lid, r.rid, r.distance) for r in out.collect()}
+
+
+def test_fuzzy_join_hand_cases(spark):
+    L = [(0, "kitten"), (1, "saturday"), (2, "abc"), (3, "x")]
+    R = [(10, "sitten"), (11, "sunday"), (12, "abcd"), (13, "xy"),
+         (14, "kitten")]
+    for k in (1, 2, 3):
+        assert _fuzzy(spark, L, R, k) == _brute(spark, L, R, k), k
+
+
+def test_fuzzy_join_equals_bruteforce_random(spark):
+    import random
+    rnd = random.Random(7)
+    mk = lambda: "".join(rnd.choice("ab1") for _ in range(rnd.randint(0, 8)))
+    L = [(i, mk()) for i in range(60)]
+    R = [(1000 + i, mk()) for i in range(60)]
+    for k in (1, 2):
+        assert _fuzzy(spark, L, R, k) == _brute(spark, L, R, k), k
+
+
+def test_fuzzy_join_short_strings_and_empties(spark):
+    # everything at or below the segment threshold goes through the
+    # short-bucket path; empties must still obey the distance contract
+    L = [(0, ""), (1, "a"), (2, "ab"), (3, "abcdef")]
+    R = [(10, ""), (11, "b"), (12, "ba"), (13, "abcdefg")]
+    for k in (1, 2):
+        assert _fuzzy(spark, L, R, k) == _brute(spark, L, R, k), k
+
+
+def test_fuzzy_join_validates(spark):
+    from scalding_spark.joins import fuzzy_join
+    ldf = spark.createDataFrame([(1, "a")], "lid long, s string")
+    rdf = spark.createDataFrame([(2, "b")], "rid long, s string")
+    with pytest.raises(ValueError, match="differ"):
+        fuzzy_join(ldf, rdf, "s", "s", "lid", "rid")
+    with pytest.raises(ValueError, match="max_distance"):
+        fuzzy_join(ldf, rdf.withColumnRenamed("s", "t"), "s", "t",
+                   "lid", "rid", max_distance=0)
