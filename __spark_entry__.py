@@ -6,9 +6,9 @@ Column names and (where feasible) types are aligned between both engines;
 double aggregates are rounded identically on both sides so the driver's
 order-insensitive value hash is stable across engines.
 
-Keys without an oracle entry (MinHash/SimHash/LSH/PageRank/HLL) are
-non-SQL-reproducible (seeded xxhash64 / random hyperplanes / iteration) and
-get the driver's rows-only check.
+Keys without an oracle entry (MinHash/SimHash/ANN-LSH/IVF/HLL/k-means/
+SemDeDup) are non-SQL-reproducible (seeded xxhash64 / random hyperplanes /
+iterative float centroids) and get the driver's rows-only check.
 """
 
 from __future__ import annotations

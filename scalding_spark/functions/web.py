@@ -30,6 +30,8 @@ def host_of(url: Column) -> Column:
     """Lowercased host part of a URL (null when ``url`` has no scheme://
     host shape). Strips userinfo and port."""
     h = F.regexp_extract(url, _HOST_RE, 1)
+    # strip the FQDN trailing dot ("example.com." == "example.com")
+    h = F.regexp_replace(h, r"\.$", "")
     return F.when(h != "", F.lower(h))
 
 

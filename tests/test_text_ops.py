@@ -440,6 +440,7 @@ def test_host_and_registrable_domain(spark):
         ("https://example.org", "example.org", "example.org"),
         ("ftp://10.1.2.3/file", "10.1.2.3", "10.1.2.3"),  # IPv4 passes through
         ("notaurl", None, None),
+        ("https://example.com./x", "example.com", "example.com"),  # FQDN dot
     ]
     df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
     got = df.select("url", web.host_of(F.col("url")).alias("h"),
