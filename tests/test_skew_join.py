@@ -145,3 +145,15 @@ def test_fuzzy_join_validates(spark):
     with pytest.raises(ValueError, match="max_distance"):
         fuzzy_join(ldf, rdf.withColumnRenamed("s", "t"), "s", "t",
                    "lid", "rid", max_distance=0)
+
+
+def test_fuzzy_join_null_strings_excluded(spark):
+    # levenshtein(NULL, x) is NULL on both engines -> never <= k; the
+    # filter paths must agree (null lengths fail every candidate guard)
+    L = [(0, None), (1, "abc")]
+    R = [(10, "abd"), (11, None)]
+    ldf = spark.createDataFrame(L, "lid long, ls string")
+    rdf = spark.createDataFrame(R, "rid long, rs string")
+    from scalding_spark.joins import fuzzy_join
+    out = fuzzy_join(ldf, rdf, "ls", "rs", "lid", "rid", 1).df.collect()
+    assert {(r.lid, r.rid) for r in out} == {(1, 10)}
