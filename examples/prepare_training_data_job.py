@@ -98,9 +98,12 @@ class PrepareTrainingDataJob(Job):
         if ccnet_keep:
             keep = {b.strip() for b in ccnet_keep.split(",") if b.strip()}
             bucketed = lm.perplexity_buckets(docs, "text", "doc_id")
+            # anti-join the DROPPED buckets: token-less docs have no LM
+            # score (absent from the bucketing) and must be kept, same
+            # contract as the --max-neg-logp gate above
             docs = docs.join(
-                bucketed.where(F.col("bucket").isin(*keep))
-                .select("doc_id"), "doc_id")
+                bucketed.where(~F.col("bucket").isin(*keep))
+                .select("doc_id"), "doc_id", "left_anti")
 
         # 3b. DSIR selection (optional): keep the --dsir-k docs most like a
         # target corpus (hashed-ngram importance resampling — the

@@ -243,10 +243,13 @@ def minhash_band_hashes(num_hashes: int, bands: int,
     xxhash64 of the b-th signature slice, salted by the band index (two
     docs are LSH candidates iff any element matches). Shared by the batch
     self-join (:func:`minhash_lsh_pairs`) and the streaming
-    batch-vs-store probe so both bucket identically."""
-    if num_hashes % bands:
-        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    batch-vs-store probe so both bucket identically. When ``bands`` does
+    not divide ``num_hashes`` the trailing ``num_hashes % bands``
+    signature slots are unused (rows_per_band = num_hashes // bands) —
+    the historical minhash_lsh_pairs contract."""
     r = num_hashes // bands
+    if r < 1:
+        raise ValueError(f"bands ({bands}) exceeds num_hashes ({num_hashes})")
     return F.array(*[
         F.xxhash64(F.slice(sig_col, b * r + 1, r), F.lit(b))
         for b in range(bands)])
@@ -828,11 +831,9 @@ def lsh_plan(threshold: float, num_hashes: int = 64) -> tuple[int, int]:
         if num_hashes % b:
             continue
         r = num_hashes // b
-        if b == 1 or r == 1:
-            # degenerate curves (single band = AND-only, single row =
-            # OR-only) are only right at the extremes; still considered so
-            # thresholds near 0/1 resolve to them
-            pass
+        # degenerate pairs (b=1: AND-only, r=1: OR-only) stay in the scan
+        # so thresholds near 0/1 resolve to them (pinned by the
+        # monotonicity test reaching r=num_hashes at high thresholds)
         midpoint = (1.0 / b) ** (1.0 / r)
         err = abs(midpoint - threshold)
         if best is None or err < best[0] - 1e-12 or (

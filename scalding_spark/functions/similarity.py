@@ -313,12 +313,13 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
     # bound). ~50k dim-64 vectors ≈ 25 MB per task; at real scale the
     # formula saturates at the input's own partition count — a no-op.
     from pyspark import StorageLevel
-    n_rows = src.count()  # one pre-persist scan; round 1 paid it anyway
-    target = max(1, min(src.rdd.getNumPartitions(),
-                        (n_rows + 49_999) // 50_000))
-    if target < src.rdd.getNumPartitions():
-        src = src.coalesce(target)
-    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    cached = src.persist(StorageLevel.MEMORY_AND_DISK)
+    n_rows = cached.count()  # materializes the cache (no extra lineage pass)
+    parts = cached.rdd.getNumPartitions()
+    target = max(1, min(parts, (n_rows + 49_999) // 50_000))
+    # narrow coalesce OVER the cached relation: rounds read the same
+    # cached blocks through fewer tasks — no recompute, no shuffle
+    src = cached.coalesce(target) if target < parts else cached
     iters = 0
     for _ in range(max_iter):
         iters += 1
@@ -339,7 +340,7 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
         stats["iterations"] = iters
     # no storage leak: the returned plan recomputes src lazily (one ordinary
     # map-only corpus read when the caller materializes it)
-    src.unpersist()
+    cached.unpersist()
     out = _assign_cells_bcast(src, cents).select("id", "cell")
     return out, cents
 

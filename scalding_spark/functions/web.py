@@ -21,8 +21,8 @@ _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+).*$"
 
 # "registrable domain" heuristic: last two labels, or last three when the
 # second-level label is a well-known public-suffix second level (co.uk,
-# com.au, ...). A full public-suffix list can be swapped in via
-# ``filter_blocklist``'s exact-domain mode; this covers the bulk cheaply.
+# com.au, ...) — covers the bulk cheaply; host-specific blocklist entries
+# go through ``filter_blocklist(match='host')`` instead.
 _PSL2 = ("co", "com", "net", "org", "gov", "ac", "edu")
 
 
@@ -51,16 +51,26 @@ def registrable_domain(url_or_host: Column, is_host: bool = False) -> Column:
 
 def filter_blocklist(df: DataFrame, url_col: str, blocklist: DataFrame,
                      domain_col: str = "domain",
-                     keep_unparseable: bool = False) -> DataFrame:
-    """Drop rows whose URL's registrable domain appears in ``blocklist``
-    (a one-column domain table). The blocklist side is explicitly
-    broadcast — domain lists are millions of rows at most, so the corpus
-    never shuffles for this filter; the anti-join folds into the scan.
+                     keep_unparseable: bool = False,
+                     match: str = "domain") -> DataFrame:
+    """Drop rows whose URL's domain appears in ``blocklist`` (a one-column
+    domain table). The blocklist side is explicitly broadcast — domain
+    lists are millions of rows at most, so the corpus never shuffles for
+    this filter; the anti-join folds into the scan.
+
+    ``match``: ``'domain'`` (default) compares the PSL-2-heuristic
+    registrable domain — list entries more specific than eTLD+1 will
+    never match; ``'host'`` compares the EXACT full host, for UT1-style
+    lists carrying host-level entries (e.g. ``spam.users.example.com``).
+    Run both passes with the list split by entry depth to mix the two.
 
     ``keep_unparseable``: rows whose URL yields no host (null domain)
     are dropped by default (can't be vetted); True passes them through.
     """
-    dom = registrable_domain(F.col(url_col))
+    if match not in ("domain", "host"):
+        raise ValueError(f"match must be 'domain' or 'host', got {match!r}")
+    dom = (registrable_domain(F.col(url_col)) if match == "domain"
+           else host_of(F.col(url_col)))
     tagged = df.withColumn("__dom", dom)
     bl = F.broadcast(
         blocklist.select(F.lower(F.col(domain_col)).alias("__dom")).distinct())

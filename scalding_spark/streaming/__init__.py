@@ -135,91 +135,7 @@ def stateful_map(df: DataFrame, keys: list[str], fn, state_schema: str,
                                     timeoutConf=timeout))
 
 
-def stream_ingest_neardup(stream_df: DataFrame, corpus_path: str,
-                          store_path: str, checkpoint: str, text_col: str,
-                          id_col: str, num_hashes: int = 64, bands: int = 16,
-                          shingle_n: int = 3, threshold: float = 0.7,
-                          available_now: bool = True):
-    """Streaming incremental NEAR-dup ingestion — the MinHash upgrade of
-    :func:`stream_ingest_dedup`: each micro-batch is near-dup-checked
-    against every document ever kept, using only a persistent signature
-    store (``num_hashes`` × 8 B/doc — the corpus TEXT never re-enters the
-    stream).
-
-    Per batch (foreachBatch):
-
-    1. within-batch exact dedup, then within-batch near-dup via
-       :func:`dedup.minhash_lsh_pairs` (text in hand ⇒ EXACT shingle-
-       Jaccard verification; smaller ``id_col`` survives);
-    2. vs the store: band-hash probe — the batch's band table BROADCASTS
-       against a map-only scan of the (id, sig) store, so the store is
-       never shuffled — then candidates are verified by
-       :func:`dedup.signature_jaccard` (estimator, stderr ≈
-       1/√num_hashes — the standard text-free cross-corpus contract);
-    3. novel docs append to ``corpus_path``; their signatures append to
-       ``store_path``.
-
-    Exact duplicates of stored docs estimate at 1.0 and are caught by the
-    same probe; token-less docs carry no signature and always pass (same
-    contract as the batch LSH). State is on disk, restart-safe under the
-    checkpoint.
-
-    100 TB note: the per-batch store cost is two map-only scans (band
-    probe + candidate verify). When the store outgrows one scan per
-    micro-batch, write it partitioned by a band-hash bucket so the probe
-    prunes partitions; the verify scan prunes by the candidate semi-join.
-    """
-    from scalding_spark.functions.dedup import (exact_dedup,
-                                                minhash_band_hashes,
-                                                minhash_lsh_pairs,
-                                                minhash_signatures,
-                                                signature_jaccard)
-
-    def ingest(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        batch = exact_dedup(batch, text_col, id_col)
-        losers = (minhash_lsh_pairs(batch, text_col, id_col, num_hashes,
-                                    bands, shingle_n, threshold)
-                  .select(F.col("id_b").alias(id_col)).distinct())
-        batch = batch.join(losers, id_col, "left_anti")
-        # signatures feed the store probe AND the store append — one
-        # computation (batch-sized rows of num_hashes bigints)
-        sigs = (minhash_signatures(batch, text_col, id_col, num_hashes,
-                                   shingle_n)
-                .localCheckpoint())
-        try:
-            store = spark.read.parquet(store_path)
-        except Exception:  # first batch: no store yet
-            store = None
-        if store is not None:
-            bh = minhash_band_hashes(num_hashes, bands)
-            batch_bands = sigs.select(
-                F.col("id").alias("bid"), F.posexplode(bh).alias("band", "h"))
-            store_bands = store.select(
-                F.col("id").alias("sid"), F.posexplode(bh).alias("band", "h"))
-            cands = (store_bands
-                     .join(F.broadcast(batch_bands), ["band", "h"])
-                     .select("bid", "sid").distinct())
-            bsigs = sigs.select(F.col("id").alias("bid"),
-                                F.col("sig").alias("bsig"))
-            dups = (store.join(F.broadcast(cands),
-                               store["id"] == F.col("sid"))
-                    .join(F.broadcast(bsigs), "bid")
-                    .where(signature_jaccard(F.col("bsig"), store["sig"],
-                                             num_hashes)
-                           >= F.lit(float(threshold)))
-                    .select(F.col("bid").alias(id_col)).distinct())
-            batch = batch.join(dups, id_col, "left_anti")
-        novel = batch.localCheckpoint()
-        novel.write.mode("append").parquet(corpus_path)
-        (sigs.join(novel.select(F.col(id_col).alias("id")), "id")
-         .write.mode("append").parquet(store_path))
-
-    w = (stream_df.writeStream.foreachBatch(ingest)
-         .option("checkpointLocation", checkpoint))
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
+from scalding_spark.streaming._neardup import stream_ingest_neardup  # noqa: E402,F401
 
 
 def stream_from_parquet_dir(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -279,13 +195,19 @@ def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,
        ``store_path``.
 
     The store append is read back by the NEXT batch's step 2, so dedup is
-    cumulative across the stream's lifetime without any in-memory state —
-    restart-safe, and the state size is 32 bytes/doc on disk, not in the
-    state store. Returns the started StreamingQuery.
+    cumulative across the stream's lifetime without any in-memory state;
+    the state size is 32 bytes/doc on disk, not in the state store. Both
+    writes land in a ``__batch`` partition keyed by (checkpoint-id, epoch)
+    under dynamic-partition OVERWRITE, so a replayed epoch rewrites its own
+    partition instead of appending duplicates — idempotent under
+    foreachBatch's replay semantics — while a fresh checkpoint writes a
+    disjoint partition namespace. Returns the started StreamingQuery.
     """
     from scalding_spark.functions.dedup import (dedup_against_fingerprints,
                                                 exact_dedup)
     from scalding_spark.functions.text import normalize_for_fingerprint
+    import hashlib
+    run_tag = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def ingest(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -301,10 +223,16 @@ def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,
         # one computation, two sinks: materialize novel ONCE (otherwise the
         # fingerprint write re-runs the whole dedup lineage)
         novel = batch.localCheckpoint()
-        novel.write.mode("append").parquet(corpus_path)
+        tag = F.lit(f"{run_tag}-{int(epoch_id)}")
+        (novel.withColumn("__batch", tag)
+         .write.mode("overwrite").partitionBy("__batch")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(corpus_path))
         (novel.select(F.md5(normalize_for_fingerprint(F.col(text_col)))
-                      .alias("fp"))
-         .write.mode("append").parquet(store_path))
+                      .alias("fp"), tag.alias("__batch"))
+         .write.mode("overwrite").partitionBy("__batch")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(store_path))
 
     w = (stream_df.writeStream.foreachBatch(ingest)
          .option("checkpointLocation", checkpoint))

@@ -470,3 +470,21 @@ def test_filter_blocklist_broadcast_plan(spark):
     bl = spark.createDataFrame([("example.com",)], "domain string")
     plan = web.filter_blocklist(docs, "url", bl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_filter_blocklist_host_mode(spark):
+    from scalding_spark.functions import web
+    docs = spark.createDataFrame(
+        [(1, "https://spam.users.example.com/p"),
+         (2, "https://ok.users.example.com/p"),
+         (3, "https://example.com/p")],
+        "id long, url string")
+    bl = spark.createDataFrame([("spam.users.example.com",)], "domain string")
+    kept = web.filter_blocklist(docs, "url", bl, match="host")
+    assert sorted(r["id"] for r in kept.collect()) == [2, 3]
+    # the same host-level entry is dead weight in domain mode (documented)
+    kept_dom = web.filter_blocklist(docs, "url", bl, match="domain")
+    assert sorted(r["id"] for r in kept_dom.collect()) == [1, 2, 3]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="match"):
+        web.filter_blocklist(docs, "url", bl, match="bogus")
