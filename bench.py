@@ -69,6 +69,9 @@ HEADLINE = [
     "q_dsir_weights",            # DSIR hashed-ngram importance weights
     "q_winnow_fingerprints",     # MOSS winnowing (map-only HOF argmin)
     "q_ccnet_buckets",           # CCNet perplexity terciles (LM + range rank)
+    "q_top_fraction",            # exact global top-25% cut (range rank)
+    "q_corpus_kl",               # unigram KL drift (outer join + 1-row bcast)
+    "q_fuzzy_join",              # edit-distance-1 join (segment filter)
 ]
 
 
