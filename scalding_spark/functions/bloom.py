@@ -159,8 +159,15 @@ def bloom_build(keys: DataFrame, key_col: str, n_items: int | None = None,
     if m_bits is None or k is None:
         if n_items is None:
             n_items = keys.count()
-        mb, kk = bloom_params(n_items, fpp)
-        m_bits, k = m_bits or mb, k or kk
+        if m_bits is None:
+            m_bits, _ = bloom_params(n_items, fpp)
+        if k is None:
+            # optimal k for the EFFECTIVE m (which may be caller-overridden
+            # and far from the fpp-derived size): k = m/n·ln2. Deriving k
+            # from the fpp-optimal m while honoring a smaller caller m
+            # would over-probe and saturate the filter.
+            k = (max(1, round(m_bits / n_items * math.log(2)))
+                 if n_items > 0 else 1)
     else:
         n_items = n_items if n_items is not None else -1
     rows = _word_rows(keys, key_col, m_bits, k).collect()
@@ -185,9 +192,37 @@ def bloom_filter_df(df: DataFrame, key_col: str, bf: BloomFilter,
     return (df.crossJoin(F.broadcast(bf.df)).where(pred).drop(_WORDS))
 
 
-def _split(big: DataFrame, on: list[str] | str, bf: BloomFilter):
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _aligned_key(side: DataFrame, other: DataFrame, on_l: list[str]):
+    """Hash-input expression for ``side``'s join keys, cast so BOTH sides
+    hash identical bytes for values the downstream equi-join would match.
+    xxhash64 is TYPE-sensitive (xxhash64(5 as int) != xxhash64(5 as
+    bigint)) while the verifying join type-coerces — un-aligned types turn
+    every true match into a bloom 'definite negative' and silently drop
+    rows. Integral widths widen to bigint (lossless, matches Spark's
+    coercion); any other cross-type pair must be cast by the caller."""
+    a, b = dict(side.dtypes), dict(other.dtypes)
+    cols = []
+    for c in on_l:
+        ta, tb = a[c], b[c]
+        if ta == tb:
+            cols.append(F.col(c))
+        elif ta in _INTEGRAL and tb in _INTEGRAL:
+            cols.append(F.col(c).cast("bigint"))
+        else:
+            raise ValueError(
+                f"bloom join key {c!r} has mismatched types ({ta} vs {tb}) "
+                "— cast both sides to a common type before the bloom join "
+                "(the filter would otherwise silently drop true matches)")
+    return F.struct(*cols) if len(cols) > 1 else cols[0]
+
+
+def _split(big: DataFrame, on: list[str] | str, bf: BloomFilter,
+           small: DataFrame):
     on = [on] if isinstance(on, str) else list(on)
-    key = F.struct(*[F.col(c) for c in on]) if len(on) > 1 else F.col(on[0])
+    key = _aligned_key(big, small, on)
     tagged = (big.crossJoin(F.broadcast(bf.df))
               .withColumn("__bloom_hit", bf.contains(key)).drop(_WORDS))
     return on, tagged
@@ -202,10 +237,9 @@ def bloom_semi_join(big, small: DataFrame, on: list[str] | str,
     from scalding_spark.pipe import Pipe
     bdf = big.df if isinstance(big, Pipe) else big
     on_l = [on] if isinstance(on, str) else list(on)
-    key_src = small.select(
-        (F.struct(*on_l) if len(on_l) > 1 else F.col(on_l[0])).alias("__k"))
+    key_src = small.select(_aligned_key(small, bdf, on_l).alias("__k"))
     bf = bloom_build(key_src, "__k", n_items=n_items, fpp=fpp)
-    on_l, tagged = _split(bdf, on, bf)
+    on_l, tagged = _split(bdf, on, bf, small)
     out = (tagged.where("__bloom_hit").drop("__bloom_hit")
            .join(small.select(*on_l).distinct(), on=on_l, how="left_semi"))
     return Pipe(out) if isinstance(big, Pipe) else out
@@ -225,10 +259,9 @@ def bloom_anti_join(big, seen: DataFrame, on: list[str] | str,
     from scalding_spark.pipe import Pipe
     bdf = big.df if isinstance(big, Pipe) else big
     on_l = [on] if isinstance(on, str) else list(on)
-    key_src = seen.select(
-        (F.struct(*on_l) if len(on_l) > 1 else F.col(on_l[0])).alias("__k"))
+    key_src = seen.select(_aligned_key(seen, bdf, on_l).alias("__k"))
     bf = bloom_build(key_src, "__k", n_items=n_items, fpp=fpp)
-    on_l, tagged = _split(bdf, on, bf)
+    on_l, tagged = _split(bdf, on, bf, seen)
     definite_new = tagged.where(~F.col("__bloom_hit")).drop("__bloom_hit")
     suspects = (tagged.where("__bloom_hit").drop("__bloom_hit")
                 .join(seen.select(*on_l).distinct(), on=on_l, how="left_anti"))
@@ -249,10 +282,9 @@ def bloom_join(big, small: DataFrame, on: list[str] | str,
     if how not in ("inner", "left"):
         raise ValueError(f"bloom_join supports inner/left, got {how!r}")
     on_l = [on] if isinstance(on, str) else list(on)
-    key_src = small.select(
-        (F.struct(*on_l) if len(on_l) > 1 else F.col(on_l[0])).alias("__k"))
+    key_src = small.select(_aligned_key(small, bdf, on_l).alias("__k"))
     bf = bloom_build(key_src, "__k", n_items=n_items, fpp=fpp)
-    on_l, tagged = _split(bdf, on, bf)
+    on_l, tagged = _split(bdf, on, bf, small)
     hits = tagged.where("__bloom_hit").drop("__bloom_hit")
     joined = hits.join(small, on=on_l, how=how)
     if how == "inner":

@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from scalding_spark.functions.text import normalize_for_fingerprint, shingles
+from scalding_spark.functions.text import (normalize_for_fingerprint,
+                                           shingles, tokenize)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -129,8 +130,12 @@ def remove_duplicate_lines(df: DataFrame, text_col: str, id_col: str,
     """
     if scope not in ("corpus", "doc"):
         raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
+    # \Q...\E: Java Pattern.quote — F.split takes a REGEX but the
+    # delimiter contract here is a LITERAL (it is re-joined verbatim
+    # below; an unquoted '.' or '|' would shred every document)
     lines = (df.select(F.col(id_col).alias("__id"),
-                       F.posexplode(F.split(F.col(text_col), delimiter))
+                       F.posexplode(F.split(F.col(text_col),
+                                            "\\Q" + delimiter + "\\E"))
                        .alias("__pos", "__line"))
              .withColumn("__fp", F.md5(F.col("__line"))))
     keys = ["__fp"] if scope == "corpus" else ["__id", "__fp"]
@@ -616,9 +621,8 @@ def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
     ``stats['gram_index']`` so the caller can ``.unpersist()`` it once the
     result is materialized.
     """
-    from scalding_spark.functions.text import let_bound
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                    lambda t: t != F.lit(""))
+    from scalding_spark.functions.text import let_bound, tokenize
+    toks = tokenize(F.col(text_col))  # the ONE tokenizer (text.py)
     k = F.size(toks)
     # let-bound: inlined, the gram lambda re-tokenizes per gram — O(n²)
     # per row (see text.let_bound)
@@ -689,8 +693,8 @@ def cut_spans(df: DataFrame, spans: DataFrame, text_col: str, id_col: str):
                         F.col("span_tokens").cast("long").alias("len"))
     per = cuts.groupBy(id_col).agg(
         F.collect_list(F.struct("start", "len")).alias("__cuts"))
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                    lambda t: t != F.lit(""))
+    toks = tokenize(F.col(text_col))  # the ONE tokenizer (text.py) —
+    # span positions must agree with shared_ngram_spans token indices
     in_cut = lambda i: F.exists(  # noqa: E731 — named for the plan, not reuse
         F.col("__cuts"),
         lambda c: (i >= c["start"]) & (i < c["start"] + c["len"]))
@@ -739,8 +743,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     # expressions per lambda element, so inlining `toks` into the gram
     # lambda costs one full regex re-tokenization PER GRAM — O(n²) per doc
     # (measured: 50k × 300-token docs went from un-runnable to ~2 s).
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                    lambda t: t != F.lit(""))
+    toks = tokenize(F.col(text_col))  # the ONE tokenizer (text.py)
     d = df.select(F.col(id_col), toks.alias("__toks"))
     tks = F.col("__toks")
     n_grams = F.size(tks) - k + 1
@@ -796,6 +799,12 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     fps = (winnow_fingerprints(df, text_col, id_col, k=k, window=window)
            .select(F.col(id_col).alias("id"), "fp").distinct())
+    # fps feeds BOTH sides of the self-join (and the hot-fp window): the
+    # winnowing HOF argmin over the whole corpus is the expensive stage —
+    # materialize its (id, fp) output once instead of running it twice
+    # (no ReusedExchange across self-join subtrees; same discipline as the
+    # LM/BM25 count tables)
+    fps = fps.localCheckpoint(eager=False)
     if max_fp_freq is not None:
         w = Window.partitionBy("fp")
         fps = (fps.withColumn("__df", F.count(F.lit(1)).over(w))

@@ -173,6 +173,21 @@ def write_stream_parquet(stream_df: DataFrame, path: str, checkpoint: str,
     return w.start()
 
 
+def _read_store(spark, store_path: str):
+    """Read a persistent store, returning None ONLY when it doesn't exist
+    yet (the first batch). Any other failure — permissions, corrupt files,
+    storage hiccups — re-raises: swallowing it would silently skip
+    cross-batch dedup and append duplicates with no error."""
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,
                         store_path: str, checkpoint: str, text_col: str,
                         id_col: str, use_bloom: bool = True,
@@ -212,10 +227,7 @@ def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,
     def ingest(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         batch = exact_dedup(batch, text_col, id_col)
-        try:
-            seen = spark.read.parquet(store_path)
-        except Exception:  # first batch: no store yet
-            seen = None
+        seen = _read_store(spark, store_path)
         if seen is not None:
             batch = dedup_against_fingerprints(batch, seen, text_col,
                                                use_bloom=use_bloom,

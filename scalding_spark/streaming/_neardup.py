@@ -90,10 +90,8 @@ def stream_ingest_neardup(stream_df: DataFrame, corpus_path: str,
                          "id", "left_anti")
         bbands = bbands.join(losers, "bid", "left_anti")
         bsigs = bsigs.join(losers, "bid", "left_anti")
-        try:
-            store = spark.read.parquet(store_path)
-        except Exception:  # first batch: no store yet
-            store = None
+        from scalding_spark.streaming import _read_store
+        store = _read_store(spark, store_path)
         if store is not None:
             store_bands = store.select(
                 F.col("id").alias("sid"), F.posexplode(bh).alias("band", "h"))

@@ -163,3 +163,32 @@ def test_random_membership_parity(spark):
         df = spark.createDataFrame([(x,) for x in keys], "k long")
         bf = bloom.bloom_build(df, "k", fpp=fpp)
         assert bloom.bloom_filter_df(df, "k", bf).count() == n, (n, fpp)
+
+
+def test_bloom_joins_widen_integral_key_types(spark):
+    # xxhash64 is type-sensitive; the joins must hash both sides through a
+    # common (widened) type or every true match becomes a false negative
+    from scalding_spark.functions.bloom import bloom_anti_join, bloom_semi_join
+    big = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    small = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    assert bloom_semi_join(big, small, on="k").count() \
+        == big.join(small, "k", "left_semi").count() == 5
+    assert bloom_anti_join(big, small, on="k").count() \
+        == big.join(small, "k", "left_anti").count() == 5
+
+
+def test_bloom_joins_reject_incompatible_key_types(spark):
+    from scalding_spark.functions.bloom import bloom_semi_join
+    big = spark.createDataFrame([(1,)], "k int")
+    small = spark.createDataFrame([("1",)], "k string")
+    with pytest.raises(ValueError, match="mismatched types"):
+        bloom_semi_join(big, small, on="k")
+
+
+def test_bloom_build_k_follows_overridden_m_bits(spark):
+    # a caller-squeezed m must not inherit the fpp-optimal k of a much
+    # larger m (k=7 probes into 1 bit/key saturates the filter)
+    from scalding_spark.functions.bloom import bloom_build
+    keys = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    bf = bloom_build(keys, "k", n_items=1000, m_bits=1024)
+    assert bf.k == 1, bf.k

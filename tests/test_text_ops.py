@@ -488,3 +488,16 @@ def test_filter_blocklist_host_mode(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="match"):
         web.filter_blocklist(docs, "url", bl, match="bogus")
+
+
+def test_remove_duplicate_lines_metachar_delimiter(spark):
+    # the delimiter is a LITERAL: '|' or '.' must not be treated as regex
+    from scalding_spark.functions.dedup import remove_duplicate_lines
+    df = spark.createDataFrame([(1, "a|b|a|c")], "doc_id long, text string")
+    out = remove_duplicate_lines(df, "text", "doc_id", scope="doc",
+                                 delimiter="|")
+    assert out.collect()[0]["text"] == "a|b|c"
+    df2 = spark.createDataFrame([(1, "x. y. x. z")], "doc_id long, text string")
+    out2 = remove_duplicate_lines(df2, "text", "doc_id", scope="doc",
+                                  delimiter=". ")
+    assert out2.collect()[0]["text"] == "x. y. z"
