@@ -2212,14 +2212,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cut_spans": q_cut_spans,
         "q_cube_agg": q_cube_agg,
         "q_ntile_ranks": q_ntile_ranks,
-        # -- padding to 50: fast r01-green entries --
-        "q1_pricing_summary": q1_pricing_summary,
-        "q_flatmap_wordcount": q_flatmap_wordcount,
         # r03-late additions needing their first driver row (took the
-        # padding slots of r01-green q_project_filter_map / q_unpivot,
+        # padding slots of r01-green q1_pricing_summary /
+        # q_project_filter_map / q_flatmap_wordcount / q_unpivot,
         # parked below position 50)
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_top_fraction": q_top_fraction,
+        "q_corpus_kl": q_corpus_kl,
+        "q_fuzzy_join": q_fuzzy_join,
         # r03-late additions, need their first driver row (took the slots
         # of r01-green padding q_group_multi_agg / q_intersect_except /
         # q_union_distinct / q_pack_unpack, parked below position 50)
@@ -2228,10 +2228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
         # ---- position 50 ends here; all below are driver-green r01/r02 ----
-        # (except q_corpus_kl: added after the r03 window filled — ledgered
-        # in tests/test_driver_window.py PENDING_NEXT_ROTATION for r04)
-        "q_corpus_kl": q_corpus_kl,
-        "q_fuzzy_join": q_fuzzy_join,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q_flatmap_wordcount": q_flatmap_wordcount,
         "q_project_filter_map": q_project_filter_map,
         "q_unpivot": q_unpivot,
         "q_pack_unpack": q_pack_unpack,

@@ -18,7 +18,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Entries awaiting the NEXT rotation (mirrors the ledger comment in
 # queries()). Empty after the r03 window absorbed all r03-new operators;
 # new queries added mid-round go here until their rotation.
-PENDING_NEXT_ROTATION: set = {"q_corpus_kl", "q_fuzzy_join"}
+PENDING_NEXT_ROTATION: set = set()
 
 
 def _driver_rows() -> set:
@@ -69,7 +69,8 @@ def test_window_holds_the_r03_priorities():
                "q_dedup_keep_best", "q_cut_spans", "q_cube_agg",
                "q_ntile_ranks", "q_bloom_anti_join", "q_dsir_weights",
                "q_winnow_fingerprints", "q_winnow_overlap",
-               "q_ccnet_buckets", "q_top_fraction"}
+               "q_ccnet_buckets", "q_top_fraction", "q_corpus_kl",
+               "q_fuzzy_join"}
     assert probes | r02_new | reds | r03_new <= window
 
 
