@@ -269,3 +269,34 @@ def top_fraction(df: DataFrame, order_by: list, fraction: float,
     keep = F.col("__rk") <= F.ceil(F.col("__n") * F.lit(float(fraction)))
     return (ranked.join(total).where(keep)
             .drop("__rk", "__n"))
+
+
+def temperature_mix(df: DataFrame, key_col: str, domain_col: str,
+                    size_col: str, total: int, alpha: float = 0.3,
+                    salt: str = "", stats: dict | None = None) -> DataFrame:
+    """Temperature-based domain mixing (the mT5/XLM-R multilingual
+    sampling rule): target proportion of domain d is
+    ``size_d^alpha / Σ size^alpha`` — ``alpha=1`` keeps the natural
+    distribution, ``alpha→0`` approaches uniform, and the usual
+    ``alpha≈0.3`` boosts low-resource domains without drowning the head.
+
+    A thin driver on :func:`mix_to_proportions`: one #domains-row
+    aggregation computes the sizes, the exponentiated shares are derived
+    driver-side (#domains floats), and the same md5-cutoff machinery
+    applies them — reproducible, layout-independent, scan-fused.
+
+    ``stats`` gains ``proportions`` (plus mix_to_proportions' own keys).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    sizes = {r["d"]: r["s"] for r in
+             df.groupBy(F.col(domain_col).alias("d"))
+               .agg(F.sum(F.col(size_col)).alias("s")).collect()
+             if r["d"] is not None and r["s"]}
+    powed = {d: float(s) ** alpha for d, s in sizes.items()}
+    z = sum(powed.values())
+    props = {d: p / z for d, p in powed.items()} if z > 0 else {}
+    if stats is not None:
+        stats["proportions"] = props
+    return mix_to_proportions(df, key_col, domain_col, size_col, props,
+                              total, salt, stats)

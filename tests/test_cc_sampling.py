@@ -654,3 +654,51 @@ def test_lsh_plan_validates():
         dedup.lsh_plan(1.0)
     with pytest.raises(ValueError):
         dedup.lsh_plan(0.5, 1)
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix
+# ---------------------------------------------------------------------------
+
+def _tm_corpus(spark):
+    # head domain 10x the tail domain
+    rows = ([(i, "big", 100) for i in range(200)]
+            + [(1000 + i, "small", 100) for i in range(20)])
+    return spark.createDataFrame(rows, "id long, dom string, toks long")
+
+
+def test_temperature_mix_boosts_tail(spark):
+    df = _tm_corpus(spark)
+    stats_nat, stats_cool = {}, {}
+    sampling.temperature_mix(df, "id", "dom", "toks", total=11_000,
+                             alpha=1.0, stats=stats_nat).count()
+    sampling.temperature_mix(df, "id", "dom", "toks", total=11_000,
+                             alpha=0.3, stats=stats_cool).count()
+    # natural: shares follow sizes (10:1); cooled: tail share rises
+    assert abs(stats_nat["proportions"]["big"] - 200 / 220) < 1e-9
+    assert (stats_cool["proportions"]["small"]
+            > stats_nat["proportions"]["small"] * 2)
+
+
+def test_temperature_mix_alpha_zero_is_uniform(spark):
+    df = _tm_corpus(spark)
+    stats = {}
+    sampling.temperature_mix(df, "id", "dom", "toks", total=1000,
+                             alpha=0.0, stats=stats).count()
+    assert abs(stats["proportions"]["big"] - 0.5) < 1e-9
+    assert abs(stats["proportions"]["small"] - 0.5) < 1e-9
+
+
+def test_temperature_mix_deterministic_and_layout_free(spark):
+    df = _tm_corpus(spark)
+    a = sampling.temperature_mix(df, "id", "dom", "toks", total=5000)
+    b = sampling.temperature_mix(df.repartition(13), "id", "dom", "toks",
+                                 total=5000)
+    assert (sorted(r["id"] for r in a.collect())
+            == sorted(r["id"] for r in b.collect()))
+
+
+def test_temperature_mix_validates(spark):
+    df = _tm_corpus(spark)
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mix(df, "id", "dom", "toks", 100, alpha=-1)
