@@ -31,6 +31,21 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _aligned_zero(df, value_col, zero):
+    """F.aggregate requires the zero's type to equal the merge result's.
+    Align a NUMERIC python zero with the value column's numeric type (int
+    literal vs bigint column is the common analysis-time crash); any other
+    zero keeps its own type — casting e.g. '' to the element type would
+    null it and poison the fold. Mirrors typed.TypedGrouped.fold_left."""
+    from pyspark.sql import types as T
+    zero_col = F.lit(zero)
+    if isinstance(zero, (int, float)) and not isinstance(zero, bool):
+        vt = df.select(_c(value_col).alias("__z")).schema["__z"].dataType
+        if isinstance(vt, T.NumericType):
+            zero_col = zero_col.cast(vt)
+    return zero_col
+
+
 class GroupBuilder:
     """Accumulates aggregations over one grouping, like the reference's
     ``pipe.groupBy('k){ _.size.sum('x).max('x) }`` (GroupBuilder.scala:46-72).
@@ -58,8 +73,23 @@ class GroupBuilder:
         self._aggs.extend(exprs)
         return self
 
+    def _plain_groupby_only(self, op: str) -> None:
+        """Ops that compute their own groupBy shape (pivot, histograms,
+        sorted streams) can't honor rollup/cube/grouping-sets — refuse
+        loudly rather than silently emit the plain-groupBy answer."""
+        if self._mode != "groupby" or self._grouping_sets is not None:
+            raise ValueError(
+                f"{op} supports plain group_by only — it cannot honor "
+                f"mode={self._mode!r}/grouping sets; aggregate with "
+                "agg-style builders instead")
+
     def done(self) -> Pipe:
         """Schedule the accumulated aggregations (GroupBuilder.scala:266-303)."""
+        if (self._mode != "groupby" or self._grouping_sets is not None) \
+                and not self._aggs:
+            raise ValueError(
+                "rollup/cube/grouping-sets grouping needs at least one "
+                "aggregation before done()")
         if self._grouping_sets is not None:
             return Pipe(self._df.groupingSets(
                 self._grouping_sets,
@@ -263,8 +293,9 @@ class GroupBuilder:
         arr = F.collect_list(_c(col))
         if sort:
             arr = F.array_sort(arr)
-        e = F.aggregate(arr, F.lit(zero), merge, finish) if finish else \
-            F.aggregate(arr, F.lit(zero), merge)
+        zero_col = _aligned_zero(self._df, col, zero)
+        e = F.aggregate(arr, zero_col, merge, finish) if finish else \
+            F.aggregate(arr, zero_col, merge)
         return self.agg(e.alias(out))
 
     # -- non-chained group ops that reshape rows ---------------------------
@@ -274,6 +305,7 @@ class GroupBuilder:
         """Long→wide (ReduceOperations.scala:174-186). The reference errors on
         duplicate keys; we take first() by default. Passing explicit
         ``values`` avoids the extra distinct-scan job."""
+        self._plain_groupby_only("pivot")
         g = self._df.groupBy(*self._keys)
         p = g.pivot(feature_col, values) if values else g.pivot(feature_col)
         return Pipe(p.agg(agg if agg is not None else F.first(value_col)))
@@ -284,6 +316,7 @@ class GroupBuilder:
         mathematics/Histogram.scala). Returns one row per (key, bin) — the
         COO form scales where the reference's in-memory Map does not.
         Summary stats (median/quartiles) via functions.histogram_summary."""
+        self._plain_groupby_only("histogram")
         b = (F.floor(_c(col) / bin_width) * bin_width).alias(bin_out)
         return Pipe(
             self._df.groupBy(*self._keys, b).agg(F.count(F.lit(1)).alias(count_out))
@@ -297,6 +330,7 @@ class GroupBuilder:
 
         Plan: one hash agg to bins, then per-key cdf percentile picks — two
         exchanges total, no per-row state."""
+        self._plain_groupby_only("histogram_summary")
         b = (F.floor(_c(col) / bin_width) * bin_width).alias("__bin")
         bins = (self._df.groupBy(*self._keys, b)
                 .agg(F.count(F.lit(1)).alias("__n")))
@@ -345,6 +379,7 @@ class GroupBuilder:
     def sort_by(self, *cols, reverse: bool = False) -> "SortedGroup":
         """Secondary sort (GroupBuilder.scala:308-318): switch to ordered
         group-stream semantics over (keys, sort columns)."""
+        self._plain_groupby_only("sort_by")
         order, specs, names = [], [], []
         for c in cols:
             col = _c(c)
@@ -687,7 +722,8 @@ class SortedGroup:
                 return res
             ordered = F.array_sort(arr, cmp)
         vals = F.transform(ordered, lambda s: s["__v"])
-        folded = F.aggregate(vals, F.lit(zero), merge)
+        folded = F.aggregate(vals, _aligned_zero(self._df, value_col, zero),
+                             merge)
         keys = [_c(k) if not isinstance(k, str) else F.col(k) for k in self._keys]
         return Pipe(self._df.groupBy(*keys).agg(folded.alias(out)))
 

@@ -77,7 +77,7 @@ def anti_join(left, right, on) -> Pipe:
 
 
 def salted_skew_join(left, right, on: list[str], salt: int = 16,
-                     how: str = "inner") -> Pipe:
+                     how: str = "inner", seed: int = 42) -> Pipe:
     """Explicit replicate-fragment join for extreme key skew — the
     blockJoin/skewJoin family (JoinAlgorithms.scala:265-458,
     SkewReplication.scala:21-66), as a static-salting recipe:
@@ -93,11 +93,10 @@ def salted_skew_join(left, right, on: list[str], salt: int = 16,
     validity matrix (JoinAlgorithms.scala:286-293)."""
     if how not in ("inner", "left"):
         raise ValueError("salted skew join supports inner/left only (JoinAlgorithms.scala:286)")
-    ldf, rdf = _df(left), _df(right)
-    ldf = ldf.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
-    rdf = rdf.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-    joined = ldf.join(rdf, on=on + ["__salt"], how=how).drop("__salt")
-    return Pipe(joined)
+    # exactly block_join's (left_repl=1, right_repl=salt) corner — one
+    # implementation, one place to fix fragment/seed plumbing
+    return block_join(left, right, on, left_repl=1, right_repl=salt,
+                      how=how, seed=seed)
 
 
 def block_join(left, right, on: list[str], left_repl: int = 1,
@@ -391,6 +390,12 @@ def multi_join(pipes: list, on: list[str], hows: list[str] | None = None) -> Pip
     shared key. Catalyst reuses the key's hash partitioning across the chained
     joins, so the fact table shuffles once, not n times."""
     hows = hows or ["inner"] * (len(pipes) - 1)
+    if len(hows) != len(pipes) - 1:
+        # zip would silently TRUNCATE to the shorter list, dropping whole
+        # tables from the join with no diagnostic
+        raise ValueError(
+            f"hows has {len(hows)} entries for {len(pipes)} pipes "
+            f"(need {len(pipes) - 1})")
     out = _df(pipes[0])
     for p, how in zip(pipes[1:], hows):
         out = out.join(_df(p), on=on, how=how)

@@ -311,8 +311,12 @@ class Matrix:
         return Matrix(out, hint=self.hint)
 
     def binarize(self) -> "Matrix":
-        """binarizeAs (Matrix.scala:231-241)."""
-        return Matrix(self.df.withColumn("val", F.lit(1.0)), hint=self.hint)
+        """binarizeAs (Matrix.scala:231-241): nonzero → 1, zero STAYS zero
+        (the reference maps through the boolean ring; an explicitly-stored
+        0.0 entry must not become an edge) — zeros are pruned like
+        map_values does."""
+        return Matrix(self.df.where(F.col("val") != 0)
+                      .withColumn("val", F.lit(1.0)), hint=self.hint)
 
     def transpose(self) -> "Matrix":
         return Matrix(
@@ -446,7 +450,10 @@ class Matrix:
         rb = F.coalesce(F.col("b.val"), F.lit(0.0))
         out = (joined.select("row", "col", combine(la, rb).alias("val"))
                .where(F.col("val") != 0))
-        return Matrix(out, hint=self.hint)
+        # hint SUM algebra (SizeHint.scala:34-44): the union's bounds come
+        # from BOTH operands — keeping only self.hint would let a tiny
+        # left side mislabel (tiny + huge) as broadcastable
+        return Matrix(out, hint=self.hint + other.hint)
 
     def __add__(self, other: "Matrix") -> "Matrix":
         return self._elementwise(other, lambda a, b: a + b)
@@ -652,8 +659,11 @@ class RowVector:
     def dot(self, other: ColVector) -> DataFrame:
         """Inner product row·col → 1-row scalar DataFrame."""
         o = other.df.select(F.col("row").alias("col"), F.col("val").alias("o_val"))
+        # coalesce: disjoint sparse supports give an EMPTY join, whose sum
+        # is null — the sparse dot product there is 0, not null
         return (self.df.join(o, on="col")
-                .agg(F.sum(F.col("val") * F.col("o_val")).alias("dot")))
+                .agg(F.coalesce(F.sum(F.col("val") * F.col("o_val")),
+                                F.lit(0.0)).alias("dot")))
 
     def times_matrix(self, m: Matrix) -> "RowVector":
         """row-vector × matrix (MatrixProduct.scala:287-340): broadcast the

@@ -279,9 +279,12 @@ class Pipe:
                 .withColumn("__off",
                             F.coalesce(F.sum("__n").over(off_w), F.lit(0)))
                 .select("__pid", "__off"))
+        # bigint: this API's whole point is >2^31-row corpora, where an
+        # int rank overflows (ANSI throw / legacy wraparound); matches
+        # rank_by_value, which already emits bigint
         return Pipe(local.join(F.broadcast(offs), on="__pid")
                     .withColumn(rank_col, (F.col("__off") + F.col("__lr"))
-                                .cast("int"))
+                                .cast("bigint"))
                     .drop("__pid", "__lr", "__off"))
 
     def rank_by_value(self, *cols: str, rank_col: str = "rank",

@@ -133,9 +133,13 @@ class TypedGrouped:
         arr = F.collect_list(VALUE)
         if sort:
             arr = F.array_sort(arr)
+        # try_element_at: a group whose values are ALL null collects to an
+        # empty array, and plain element_at(arr, 1) throws under ANSI mode
+        # (the Spark 4 default) — the reduce of an empty stream is null,
+        # matching reduceLeft-over-Option semantics
         folded = F.aggregate(
             F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-            F.element_at(arr, 1), merge)
+            F.try_element_at(arr, F.lit(1)), merge)
         return self._agg(folded)
 
     def fold_left(self, zero: Any, merge: Callable[[Column, Column], Column],

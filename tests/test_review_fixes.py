@@ -252,3 +252,88 @@ def test_lm_gate_keeps_tokenless_docs(spark, tmp_path):
          "--jaccard", "0.9"]), spark).run()
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# r03 core-module review fixes
+# ---------------------------------------------------------------------------
+
+def test_fold_and_reduce_align_numeric_zero(spark):
+    # python int zero vs bigint column: F.aggregate requires matching types
+    from scalding_spark.pipe import Pipe
+    df = spark.createDataFrame([(1, 10), (1, 20)], "k long, v long")
+    f = (Pipe(df).group_by("k").sort_by("v")
+         .fold_left("v", 0, lambda a, x: a + x, out="s").to_df().collect())
+    assert f[0]["s"] == 30
+    r = (Pipe(df).group_by("k")
+         .reduce("v", 0, lambda a, x: a + x, out="s").done().to_df().collect())
+    assert r[0]["s"] == 30
+    # non-numeric zero keeps its own type (string concat fold)
+    df2 = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    s = (Pipe(df2).group_by("k").sort_by("v")
+         .fold_left("v", "", lambda a, x: F.concat(a, x), out="s")
+         .to_df().collect())
+    assert s[0]["s"] == "ab"
+
+
+def test_typed_reduce_all_null_group(spark):
+    from scalding_spark.typed import TypedPipe
+    out = (TypedPipe.from_iterable(spark, [None, None], schema="long")
+           .group_all().reduce(lambda a, b: a + b).collect())
+    assert out[0]["value"] is None  # reduce of empty stream, not a crash
+
+
+def test_rollup_mode_rejects_reshaping_ops(spark):
+    from scalding_spark.pipe import Pipe
+    df = spark.createDataFrame([(1, "x", 2.0)], "k long, f string, v double")
+    for op in (lambda g: g.pivot("f", "v"),
+               lambda g: g.histogram("v"),
+               lambda g: g.histogram_summary("v"),
+               lambda g: g.sort_by("v")):
+        with pytest.raises(ValueError, match="plain group_by only"):
+            op(Pipe(df).rollup_by("k"))
+    with pytest.raises(ValueError, match="at least one aggregation"):
+        Pipe(df).rollup_by("k").done()
+
+
+def test_multi_join_rejects_short_hows(spark):
+    from scalding_spark.joins import multi_join
+    a = spark.createDataFrame([(1, 1)], "k long, x long")
+    b = spark.createDataFrame([(1, 2)], "k long, y long")
+    c = spark.createDataFrame([(1, 3)], "k long, z long")
+    with pytest.raises(ValueError, match="hows"):
+        multi_join([a, b, c], on=["k"], hows=["inner"])
+
+
+def test_matrix_binarize_keeps_zero_dead(spark):
+    from scalding_spark.matrix import Matrix
+    m = Matrix(spark.createDataFrame([(1, 1, 0.0), (1, 2, 5.0)],
+                                     "row long, col long, val double"))
+    got = sorted((r.row, r.col, r.val) for r in m.binarize().df.collect())
+    assert got == [(1, 2, 1.0)]  # stored zero is NOT an edge
+
+
+def test_vector_dot_disjoint_support_is_zero(spark):
+    from scalding_spark.matrix import RowVector, ColVector
+    rv = RowVector(spark.createDataFrame([(1, 2.0)], "col long, val double"))
+    cv = ColVector(spark.createDataFrame([(2, 3.0)], "row long, val double"))
+    assert rv.dot(cv).collect()[0]["dot"] == 0.0
+
+
+def test_elementwise_sum_hint_uses_both_operands(spark):
+    from scalding_spark.matrix import Matrix, FiniteHint
+    a = Matrix(spark.createDataFrame([(1, 1, 1.0)],
+                                     "row long, col long, val double"),
+               hint=FiniteHint(10, 10))
+    b = Matrix(spark.createDataFrame([(2, 2, 1.0)],
+                                     "row long, col long, val double"),
+               hint=FiniteHint(10**6, 10**6))
+    h = (a + b).hint
+    assert h.total >= 10**12  # tiny-left must not mislabel the union
+
+
+def test_rank_by_emits_bigint(spark):
+    from scalding_spark.pipe import Pipe
+    df = spark.createDataFrame([(i,) for i in range(5)], "v long")
+    out = Pipe(df).rank_by(F.col("v")).to_df()
+    assert dict(out.dtypes)["rank"] == "bigint"
