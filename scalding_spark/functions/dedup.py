@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from scalding_spark.session import materialize
+
 from scalding_spark.functions.text import (normalize_for_fingerprint,
                                            shingles, tokenize)
 
@@ -385,9 +387,9 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
         .distinct().persist()
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .select("node", F.col("node").alias("comp"))
-              .localCheckpoint(eager=True))
+    labels = materialize(
+        sym.select(F.col("a").alias("node")).distinct()
+           .select("node", F.col("node").alias("comp")), eager=True)
     null_old = F.lit(None).cast(labels.schema["comp"].dataType).alias("old")
     for _ in range(max_iter):
         # One shuffle + one action per iteration: the neighbor-min agg also
@@ -397,11 +399,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         # materializes during the `changed` action.
         nbr = (sym.join(labels, sym.b == labels.node)
                .select(sym.a.alias("node"), F.col("comp"), null_old))
-        new_labels = (labels.select("node", "comp", F.col("comp").alias("old"))
-                      .union(nbr)
-                      .groupBy("node").agg(F.min("comp").alias("comp"),
-                                           F.min("old").alias("old"))
-                      .localCheckpoint(eager=False))
+        new_labels = materialize(
+            labels.select("node", "comp", F.col("comp").alias("old"))
+                  .union(nbr)
+                  .groupBy("node").agg(F.min("comp").alias("comp"),
+                                       F.min("old").alias("old")),
+            eager=False)
         # full aggregate, NOT limit(1): a short-circuiting action would
         # materialize only some partitions of the lazy checkpoint, and the
         # unmaterialized rest would re-run its whole lineage next iteration
@@ -481,11 +484,13 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     """
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u") != F.col("v")))
-    all_nodes = (e.select(F.col("u").alias("node"))
-                 .union(e.select(F.col("v").alias("node")))
-                 .distinct().localCheckpoint(eager=True))
-    e = (e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-         .distinct().localCheckpoint(eager=True))
+    all_nodes = materialize(
+        e.select(F.col("u").alias("node"))
+         .union(e.select(F.col("v").alias("node")))
+         .distinct(), eager=True)
+    e = materialize(
+        e.select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v")).distinct(), eager=True)
     prev_fp = None
     rounds = 0
     from pyspark.sql import Window
@@ -515,7 +520,7 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         own = ss.select("u", F.col("m").alias("v"))  # dup rows die in the
         # round-end distinct — an inner distinct here would be its own
         # exchange for nothing
-        e = nbr.union(own).distinct().localCheckpoint(eager=False)
+        e = materialize(nbr.union(own).distinct(), eager=False)
         # decimal sum: a long sum of 64-bit hashes overflows under ANSI mode;
         # decimal(20,0) terms sum at precision 30 — safe past 1e10 edges
         cnt, hs = e.agg(
@@ -804,7 +809,7 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str, id_col: str,
     # materialize its (id, fp) output once instead of running it twice
     # (no ReusedExchange across self-join subtrees; same discipline as the
     # LM/BM25 count tables)
-    fps = fps.localCheckpoint(eager=False)
+    fps = materialize(fps, eager=False)
     if max_fp_freq is not None:
         w = Window.partitionBy("fp")
         fps = (fps.withColumn("__df", F.count(F.lit(1)).over(w))

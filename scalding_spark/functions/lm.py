@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from scalding_spark.session import materialize
+
 from scalding_spark.functions.text import tokenize
 
 
@@ -76,7 +78,7 @@ def unigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     # shared subtree into a ReusedExchange here — verified empirically),
     # and at 100 TB the second scan+explode is the dominant cost. Stored:
     # (id, tok, occ) — distinct-terms-sized, far below token occurrences.
-    doc_tok = doc_tok.localCheckpoint(eager=False)
+    doc_tok = materialize(doc_tok, eager=False)
     model = doc_tok.groupBy("tok").agg(F.sum("occ").alias("cnt"))
     scalars = model.agg(F.sum("cnt").alias("N"),
                         F.count(F.lit(1)).alias("V"))
@@ -122,7 +124,7 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     # unigram_lm_score: pyspark 4.1 does not ReusedExchange the shared
     # subtree). The vocab count below still needs its own unigram explode;
     # V covers tokens of 1-token docs the bigram stream never sees.
-    doc_bg = doc_bg.localCheckpoint(eager=False)
+    doc_bg = materialize(doc_bg, eager=False)
     pair_model = doc_bg.groupBy("w1", "w2").agg(F.sum("occ").alias("pair_cnt"))
     prefix_model = pair_model.groupBy("w1").agg(F.sum("pair_cnt").alias("prefix_cnt"))
     vocab = (df.select(F.explode(tokenize(F.col(text_col))).alias("tok"))
@@ -200,14 +202,14 @@ def importance_weights(raw: DataFrame, target: DataFrame, text_col: str,
     # job, so ReusedExchange cannot stitch across it). Lazy localCheckpoint:
     # computed once on first use, stored as (id, bucket, occ) — far smaller
     # than the text it derives from — reused everywhere after.
-    fr = fr.localCheckpoint(eager=False)
+    fr = materialize(fr, eager=False)
     ft = hashed_ngram_features(target, text_col, id_col, n_buckets,
                                use_bigrams, portable_hash)
     model_r = fr.groupBy("bucket").agg(F.sum("occ").alias("c_r"))
     # model_t feeds both λ and the N_t scalar — checkpoint the ≤n_buckets-row
     # table so the target corpus is scanned once, not twice
-    model_t = (ft.groupBy("bucket").agg(F.sum("occ").alias("c_t"))
-               .localCheckpoint(eager=False))
+    model_t = materialize(
+        ft.groupBy("bucket").agg(F.sum("occ").alias("c_t")), eager=False)
     # raw docs' buckets ⊆ model_r's buckets by construction; target-absent
     # buckets smooth to k via coalesce
     lam_tbl = (model_r.join(model_t, "bucket", "left")
@@ -306,7 +308,7 @@ def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
     # materialization the whole LM-score + rank lineage runs twice (the
     # broadcast build is a separate job — no ReusedExchange, see
     # test_shared_count_tables_scan_corpus_once). Stored rows: one per doc.
-    ranked = ranked.localCheckpoint(eager=False)
+    ranked = materialize(ranked, eager=False)
     n = F.count(F.lit(1)).alias("__n")
     total = F.broadcast(ranked.agg(n))  # 1-row scalar ride-along
     bucket = None
@@ -348,7 +350,7 @@ def corpus_divergence(df_a: DataFrame, df_b: DataFrame, text_col: str,
     # joined count table once (vocab-sized rows) instead of running both
     # corpus scans + the outer join twice (no ReusedExchange across the
     # broadcast-build job boundary)
-    j = j.localCheckpoint(eager=False)
+    j = materialize(j, eager=False)
     scalars = F.broadcast(j.agg(F.sum("ca").alias("na"),
                                 F.sum("cb").alias("nb"),
                                 F.count(F.lit(1)).alias("v")))

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from scalding_spark.session import materialize
+
 from scalding_spark.functions.text import tokenize
 
 
@@ -57,7 +59,7 @@ def bm25_rank(df: DataFrame, query_terms: list[str],
     # localCheckpoint materializes the corpus scan+filter once (pyspark 4.1
     # does not ReusedExchange across the broadcast-build job boundary —
     # same empirical finding as lm.py). Stored rows: query-term hits only.
-    tf = tf.localCheckpoint(eager=False)
+    tf = materialize(tf, eager=False)
     # N and total length come from a separate map-only agg (it must see ALL
     # docs' lengths, not just hits — one full scan is inherent)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

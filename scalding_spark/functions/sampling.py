@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from scalding_spark.session import materialize
+
 # 2^32 buckets from the first 8 hex chars of md5 — plenty of resolution for
 # per-mille sampling, and cheap to mirror in any engine with md5().
 _BUCKETS = 1 << 32
@@ -264,7 +266,7 @@ def top_fraction(df: DataFrame, order_by: list, fraction: float,
     # shared subtree: ranked feeds the count broadcast AND the filter join;
     # materialize once (same discipline as perplexity_buckets — the
     # broadcast build is a separate job, no ReusedExchange)
-    ranked = ranked.localCheckpoint(eager=False)
+    ranked = materialize(ranked, eager=False)
     total = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
     keep = F.col("__rk") <= F.ceil(F.col("__n") * F.lit(float(fraction)))
     return (ranked.join(total).where(keep)

@@ -19,6 +19,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from scalding_spark.session import materialize
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, left-to-right (deterministic)."""
@@ -392,7 +394,7 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95, k: int = 8,
     # argmin over the corpus, 3x). localCheckpoint computes it once and
     # truncates the iterative lineage, the same discipline as PageRank/CC
     # rounds; the stored blocks are n·(dim+2) values — input-sized.
-    e = e.localCheckpoint()
+    e = materialize(e)
     l, r = e.alias("l"), e.alias("r")
     # score+threshold INSIDE the cell join; only loser ids cross the next
     # exchange (the vectors stay inside the join's own co-partitioning)

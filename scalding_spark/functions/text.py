@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from scalding_spark.session import materialize
+
 # Tiny per-language stopword inventories for the n-gram/stopword language-id
 # heuristic. Deliberately small and deterministic.
 STOPWORDS = {
@@ -537,8 +539,8 @@ def collocations(df, text_col: str = "text", min_count: int = 5):
     # plans no ReusedExchange across these subtrees, same empirical finding
     # as lm.py). Two lazy localCheckpoints cut it to the two inherent
     # explodes; stored rows are distinct-pair/vocab-sized count tables.
-    pair_cnt = pair_cnt.localCheckpoint(eager=False)
-    uni = uni.localCheckpoint(eager=False)
+    pair_cnt = materialize(pair_cnt, eager=False)
+    uni = materialize(uni, eager=False)
     scalars = (pair_cnt.agg(F.sum("pair_cnt").alias("N2"))
                .join(F.broadcast(uni.agg(F.sum("cnt").alias("N1")))))
     cx = uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("cx"))

@@ -33,16 +33,21 @@ def _c(col: str | Column) -> Column:
 
 def _aligned_zero(df, value_col, zero):
     """F.aggregate requires the zero's type to equal the merge result's.
-    Align a NUMERIC python zero with the value column's numeric type (int
-    literal vs bigint column is the common analysis-time crash); any other
-    zero keeps its own type — casting e.g. '' to the element type would
-    null it and poison the fold. Mirrors typed.TypedGrouped.fold_left."""
+    Align a NUMERIC python zero with the value column's numeric type, but
+    only when the cast is LOSSLESS: an int zero casts to the column's type
+    (int literal vs bigint column is the common analysis-time crash); a
+    FRACTIONAL zero casts to double so accumulation stays fractional —
+    casting 0.5 to a bigint column would silently truncate every fold
+    result. Any other zero keeps its own type — casting e.g. '' to the
+    element type would null it and poison the fold. Mirrors
+    typed.TypedGrouped.fold_left."""
     from pyspark.sql import types as T
     zero_col = F.lit(zero)
     if isinstance(zero, (int, float)) and not isinstance(zero, bool):
         vt = df.select(_c(value_col).alias("__z")).schema["__z"].dataType
         if isinstance(vt, T.NumericType):
-            zero_col = zero_col.cast(vt)
+            zero_col = zero_col.cast(vt) if isinstance(zero, int) \
+                else zero_col.cast("double")
     return zero_col
 
 

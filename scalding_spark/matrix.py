@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from scalding_spark.session import materialize
+
 # The reference's broadcast cutoff: MatrixProduct.maxTinyJoin = 100000 elements
 # (MatrixProduct.scala:88).
 MAX_TINY_JOIN = 100_000
@@ -720,5 +722,5 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         # Eager localCheckpoint: materializes AND truncates lineage — without
         # it the logical plan doubles per iteration (exponential analysis
         # cost; driver OOM building plan strings past ~20 iterations).
-        ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = materialize(new_ranks, eager=True)
     return ranks.select(F.col("row").alias("node"), F.col("val").alias("rank"))

@@ -25,15 +25,97 @@ def _to_col(c: str | Column) -> Column:
 
 
 # flow-counter registry: Pipe.observe(name, ...) registers here; counters(name)
-# reads after an action. Names are flow-global like Hadoop counter groups —
-# re-observing a name replaces the previous Observation.
-_OBSERVATIONS: dict[str, Any] = {}
+# reads after an action. SCOPED PER SparkSession (a WeakKeyDictionary, so a
+# stopped session's observations are garbage-collected rather than pinned
+# process-wide) — two flows on different sessions can reuse a name without
+# silently replacing each other's Observation. Within one session, names are
+# flow-global like Hadoop counter groups: re-observing a name replaces the
+# previous Observation (pinned by test_observe_reregister_replaces).
+import weakref
+
+_OBSERVATIONS: "weakref.WeakKeyDictionary[Any, dict[str, Any]]" = \
+    weakref.WeakKeyDictionary()
 
 
-def counters(name: str) -> dict:
-    """Fetch the metrics of a named :meth:`Pipe.observe` after an action has
-    run over the observed frame (blocks until one has)."""
-    return dict(_OBSERVATIONS[name].get)
+def _obs_scope(session) -> dict:
+    scope = _OBSERVATIONS.get(session)
+    if scope is None:
+        scope = {}
+        _OBSERVATIONS[session] = scope
+    return scope
+
+
+def _obs_row_or_none(obs) -> dict | None:
+    """Non-blocking read of an Observation: the observed metrics dict if an
+    action has completed over the observed frame, else None. Uses the JVM
+    side's getRowOrEmpty (public Scala API) — falls back to None if the
+    handle isn't wired (e.g. Spark Connect)."""
+    try:
+        jo = obs._jo
+        if jo is None:
+            return None
+        opt = jo.getRowOrEmpty()
+        if not opt.isDefined():
+            return None
+        from pyspark.serializers import CPickleSerializer
+        utils = getattr(obs._jvm,
+                        "org.apache.spark.sql.api.python.PythonSQLUtils")
+        return CPickleSerializer().loads(
+            utils.toPyRow(opt.get())).asDict(recursive=False)
+    except AttributeError:
+        return None
+
+
+def counters(name: str, timeout: float | None = None,
+             session=None) -> dict:
+    """Fetch the metrics of a named :meth:`Pipe.observe`.
+
+    With ``timeout=None`` (default) this BLOCKS until an action has run over
+    the observed frame — call it only after ``write``/``count``/``collect``
+    has materialized the pipe, or the call never returns. Pass a ``timeout``
+    in seconds to poll instead and raise :class:`TimeoutError` if no action
+    completes in time (``timeout=0`` is a pure non-blocking probe).
+
+    ``session`` selects which SparkSession's registry to read; defaults to
+    the active session, falling back to the only registered one."""
+    from pyspark.sql import SparkSession
+    if session is None:
+        session = SparkSession.getActiveSession()
+    scope = _OBSERVATIONS.get(session) if session is not None else None
+    if scope is None or name not in scope:
+        # active-session miss (e.g. called from a different thread): search
+        # all registered scopes — unambiguous iff the name is unique
+        hits = [s[name] for s in _OBSERVATIONS.values() if name in s]
+        if len(hits) != 1:
+            raise KeyError(
+                f"no observation named {name!r} registered"
+                + (" (ambiguous across sessions)" if len(hits) > 1 else ""))
+        obs = hits[0]
+    else:
+        obs = scope[name]
+    if timeout is None:
+        return dict(obs.get)
+    import time
+    deadline = time.monotonic() + timeout
+    while True:
+        row = _obs_row_or_none(obs)
+        if row is not None:
+            return row
+        if time.monotonic() >= deadline:
+            raise TimeoutError(
+                f"observation {name!r} has no completed action after "
+                f"{timeout}s — run an action over the observed frame first")
+        time.sleep(0.05)
+
+
+def clear_counters(session=None) -> None:
+    """Drop registered observations — all sessions' (default) or one
+    session's. Long-running drivers that observe many flow names should
+    clear between flows; a replaced name is dropped automatically."""
+    if session is None:
+        _OBSERVATIONS.clear()
+    else:
+        _OBSERVATIONS.pop(session, None)
 
 
 class Pipe:
@@ -154,7 +236,7 @@ class Pipe:
         fold into the pass (no distinct)."""
         from pyspark.sql import Observation
         obs = Observation(name)
-        _OBSERVATIONS[name] = obs
+        _obs_scope(self.df.sparkSession)[name] = obs
         return Pipe(self.df.observe(
             obs, *[c.alias(n) for n, c in metrics.items()]))
 

@@ -54,6 +54,45 @@ def get_spark(
     return spark
 
 
+MATERIALIZE_CONF = "spark.scalding_spark.materialize"
+
+
+def materialize(df, eager: bool = False):
+    """Cut lineage / force ONE computation of a shared subtree.
+
+    Every iterative or multi-consumer operator in this engine funnels its
+    lineage cuts through here; the physical strategy is selected by the
+    session conf ``spark.scalding_spark.materialize``:
+
+    - ``local`` (default): ``df.localCheckpoint(eager)`` — fastest (no
+      distributed-FS write), but the blocks live on EXECUTOR-LOCAL storage
+      with lineage severed: losing an executor (spot kill, dynamic-allocation
+      decommission) makes downstream actions unrecoverable and fails the
+      job. Right for interactive work, tests, and short jobs on static
+      executors.
+    - ``persist``: ``persist(MEMORY_AND_DISK)`` — lineage retained, so lost
+      blocks recompute on executor loss; the cache entry stays alive until
+      the caller/session unpersists (eager forces a count()).
+    - ``reliable``: ``df.checkpoint(eager)`` — writes to the directory set
+      via ``sc.setCheckpointDir`` (HDFS/S3); survives any executor loss.
+      The production choice for long-running 100 TB jobs with spot
+      instances or dynamic allocation.
+    """
+    mode = df.sparkSession.conf.get(MATERIALIZE_CONF, "local")
+    if mode == "persist":
+        from pyspark import StorageLevel
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    if mode == "reliable":
+        return df.checkpoint(eager=eager)
+    if mode != "local":
+        raise ValueError(
+            f"{MATERIALIZE_CONF} must be local/persist/reliable, got {mode!r}")
+    return df.localCheckpoint(eager=eager)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read the driver's parquet tables; returns dict name -> DataFrame.
 

@@ -229,6 +229,13 @@ def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,
         batch = exact_dedup(batch, text_col, id_col)
         seen = _read_store(spark, store_path)
         if seen is not None:
+            # replay hole: a crash mid store-write can leave THIS epoch's
+            # partition partially committed; reading it back would flag the
+            # already-written docs as duplicates and the dynamic overwrite
+            # would then drop them from corpus AND store forever. Exclude
+            # the epoch's own namespace (a partition-pruned filter — the
+            # scan skips the directory entirely).
+            seen = seen.where(F.col("__batch") != f"{run_tag}-{int(epoch_id)}")
             batch = dedup_against_fingerprints(batch, seen, text_col,
                                                use_bloom=use_bloom,
                                                bloom_fpp=bloom_fpp)

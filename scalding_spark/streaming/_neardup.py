@@ -93,6 +93,13 @@ def stream_ingest_neardup(stream_df: DataFrame, corpus_path: str,
         from scalding_spark.streaming import _read_store
         store = _read_store(spark, store_path)
         if store is not None:
+            # replay hole: exclude THIS epoch's own (possibly partially
+            # committed) partition from the store read — otherwise a
+            # replayed epoch sees its own docs as "already stored" and the
+            # dynamic overwrite then erases them from corpus and store.
+            # Partition-pruned filter: the scan skips the directory.
+            store = store.where(
+                F.col("__batch") != f"{run_tag}-{int(epoch_id)}")
             store_bands = store.select(
                 F.col("id").alias("sid"), F.posexplode(bh).alias("band", "h"))
             cands = (store_bands

@@ -150,15 +150,19 @@ class TypedGrouped:
         if sort:
             arr = F.array_sort(arr)
         # F.aggregate needs zero's type to match the merge result. Align a
-        # NUMERIC zero with a numeric value column (int literal vs bigint
-        # values is the common mismatch); a zero of a different kind (e.g. ''
-        # for a string-concat fold over numbers) must keep its own type —
-        # casting it to the element type would null it and poison the fold.
+        # NUMERIC zero with a numeric value column, but only losslessly: an
+        # int zero casts to the column's type (int literal vs bigint values
+        # is the common mismatch); a FRACTIONAL zero casts to double so the
+        # fold stays fractional (casting 0.5 to bigint would truncate every
+        # result). A zero of a different kind (e.g. '' for a string-concat
+        # fold over numbers) must keep its own type — casting it to the
+        # element type would null it and poison the fold.
         zero_col = F.lit(zero)
         vt = self.kv.schema[VALUE].dataType
         if isinstance(zero, (int, float)) and not isinstance(zero, bool) \
                 and isinstance(vt, T.NumericType):
-            zero_col = zero_col.cast(vt)
+            zero_col = zero_col.cast(vt) if isinstance(zero, int) \
+                else zero_col.cast("double")
         return self._agg(F.aggregate(arr, zero_col, merge))
 
     # -- ordered stream ops (TypedPipe.scala:230-317) ----------------------
