@@ -296,7 +296,12 @@ def temperature_mix(df: DataFrame, key_col: str, domain_col: str,
                .agg(F.sum(F.col(size_col)).alias("s")).collect()
              if r["d"] is not None and r["s"]}
     powed = {d: float(s) ** alpha for d, s in sizes.items()}
-    z = sum(powed.values())
+    # sum in sorted-domain order: collect() row order is layout-dependent,
+    # and float addition isn't associative — a fixed order makes the
+    # normalizer (hence every cutoff) bit-reproducible across runs/engines
+    z = 0.0
+    for d in sorted(powed):
+        z += powed[d]
     props = {d: p / z for d, p in powed.items()} if z > 0 else {}
     if stats is not None:
         stats["proportions"] = props
