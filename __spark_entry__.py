@@ -2084,13 +2084,13 @@ def _train_quality_sql(iters: int = 3, lr: float = 1.0) -> str:
 # ---------------------------------------------------------------------------
 
 def q_probe_hugeint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DIAGNOSTIC, not an operator claim. Its oracle deliberately returns a
-    raw DuckDB HUGEINT column (uncast ``sum(1)``) — the one output type the
-    r02 analysis found in ALL five driver-red oracles and NO green one.
-    Reading of CORRECTNESS_r03: if this row is red while the five formerly
-    red queries (now BIGINT-cast) are green, the driver's client-side
-    HUGEINT conversion is confirmed as the r02 mechanism; if it is green,
-    the casts were harmless and the reds must be re-bisected."""
+    """DIAGNOSTIC (retired r05). In r03/r04 its oracle deliberately emitted
+    a raw DuckDB HUGEINT column (uncast ``sum(1)``); the probe ran red while
+    the five formerly red BIGINT-cast queries ran green, CONFIRMING the
+    driver's client-side HUGEINT conversion as the r02 hash-red mechanism.
+    Diagnosis complete, the oracle is now BIGINT-cast like every other
+    (tests/test_oracle_types.py enforces the portable-type rule repo-wide
+    with no exceptions)."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
             .agg(F.sum(F.lit(1)).alias("s")))
@@ -2469,11 +2469,10 @@ def _pii_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        # r03 diagnostic probes — q_probe_hugeint's sum(1) is DELIBERATELY
-        # left uncast (HUGEINT) to expose the driver's client-side conversion
-        # of that type; see the probe docstrings for how to read the result.
+        # r03 diagnostic probes; q_probe_hugeint's HUGEINT diagnosis
+        # completed in r03/r04 (mechanism confirmed) — BIGINT-cast since r05.
         "q_probe_hugeint": """
-            SELECT l_returnflag, sum(1) AS s
+            SELECT l_returnflag, CAST(sum(1) AS BIGINT) AS s
             FROM lineitem GROUP BY l_returnflag
         """,
         "q_probe_event_micros": """

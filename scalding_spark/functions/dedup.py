@@ -389,7 +389,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .distinct().persist()
     labels = materialize(
         sym.select(F.col("a").alias("node")).distinct()
-           .select("node", F.col("node").alias("comp")), eager=True)
+           .select("node", F.col("node").alias("comp")),
+        eager=True, iterative=True)
     null_old = F.lit(None).cast(labels.schema["comp"].dataType).alias("old")
     for _ in range(max_iter):
         # One shuffle + one action per iteration: the neighbor-min agg also
@@ -404,7 +405,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                   .union(nbr)
                   .groupBy("node").agg(F.min("comp").alias("comp"),
                                        F.min("old").alias("old")),
-            eager=False)
+            eager=False, iterative=True)
         # full aggregate, NOT limit(1): a short-circuiting action would
         # materialize only some partitions of the lazy checkpoint, and the
         # unmaterialized rest would re-run its whole lineage next iteration
@@ -487,10 +488,11 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     all_nodes = materialize(
         e.select(F.col("u").alias("node"))
          .union(e.select(F.col("v").alias("node")))
-         .distinct(), eager=True)
+         .distinct(), eager=True, iterative=True)
     e = materialize(
         e.select(F.greatest("u", "v").alias("u"),
-                 F.least("u", "v").alias("v")).distinct(), eager=True)
+                 F.least("u", "v").alias("v")).distinct(),
+        eager=True, iterative=True)
     prev_fp = None
     rounds = 0
     from pyspark.sql import Window
@@ -520,7 +522,8 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         own = ss.select("u", F.col("m").alias("v"))  # dup rows die in the
         # round-end distinct — an inner distinct here would be its own
         # exchange for nothing
-        e = materialize(nbr.union(own).distinct(), eager=False)
+        e = materialize(nbr.union(own).distinct(), eager=False,
+                        iterative=True)
         # decimal sum: a long sum of 64-bit hashes overflows under ANSI mode;
         # decimal(20,0) terms sum at precision 30 — safe past 1e10 edges
         cnt, hs = e.agg(

@@ -394,7 +394,10 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95, k: int = 8,
     # argmin over the corpus, 3x). localCheckpoint computes it once and
     # truncates the iterative lineage, the same discipline as PageRank/CC
     # rounds; the stored blocks are n·(dim+2) values — input-sized.
-    e = materialize(e)
+    # eager: a short-circuiting first action (show/limit) over a lazy cut
+    # would materialize only SOME partitions and later actions re-run the
+    # full k-means assignment lineage — the exact hazard this cut prevents
+    e = materialize(e, eager=True)
     l, r = e.alias("l"), e.alias("r")
     # score+threshold INSIDE the cell join; only loser ids cross the next
     # exchange (the vectors stay inside the join's own co-partitioning)

@@ -31,24 +31,61 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def _aligned_zero(df, value_col, zero):
+def _zero_for_type(zero, vt):
     """F.aggregate requires the zero's type to equal the merge result's.
-    Align a NUMERIC python zero with the value column's numeric type, but
-    only when the cast is LOSSLESS: an int zero casts to the column's type
-    (int literal vs bigint column is the common analysis-time crash); a
-    FRACTIONAL zero casts to double so accumulation stays fractional —
-    casting 0.5 to a bigint column would silently truncate every fold
-    result. Any other zero keeps its own type — casting e.g. '' to the
-    element type would null it and poison the fold. Mirrors
-    typed.TypedGrouped.fold_left."""
+    Returns ``(zero_col, acc_type)``: the aligned zero literal, plus the
+    DecimalType the accumulator must be cast back to per merge step (None
+    for every non-decimal path).
+
+    Alignment is applied only when LOSSLESS: an int zero casts to the
+    column's type (int literal vs bigint column is the common analysis-time
+    crash); a FRACTIONAL zero over an INTEGRAL column casts to double so
+    accumulation stays fractional — casting 0.5 to a bigint column would
+    silently truncate every fold result — while over a DecimalType whose
+    scale can represent the zero exactly it casts to that decimal, keeping
+    the fold in exact decimal arithmetic (promoting 0.5 over decimal(38,10)
+    to double would trade exact accumulation for float rounding). Spark
+    widens decimal arithmetic per step ((38,10)+(38,10) → (38,9)), which
+    F.aggregate rejects, so the decimal path also requires casting the
+    merge result back to the zero's type — hence acc_type. Any other zero
+    keeps its own type — casting e.g. '' to the element type would null it
+    and poison the fold."""
     from pyspark.sql import types as T
     zero_col = F.lit(zero)
-    if isinstance(zero, (int, float)) and not isinstance(zero, bool):
-        vt = df.select(_c(value_col).alias("__z")).schema["__z"].dataType
-        if isinstance(vt, T.NumericType):
-            zero_col = zero_col.cast(vt) if isinstance(zero, int) \
-                else zero_col.cast("double")
-    return zero_col
+    if not isinstance(zero, (int, float)) or isinstance(zero, bool) \
+            or not isinstance(vt, T.NumericType):
+        return zero_col, None
+    if isinstance(zero, int):
+        if isinstance(vt, T.DecimalType):
+            # integer fold over decimals hits the same per-step widening
+            return zero_col.cast(vt), vt
+        return zero_col.cast(vt), None
+    if isinstance(vt, (T.FloatType, T.DoubleType)):
+        return zero_col.cast("double"), None
+    if isinstance(vt, T.DecimalType):
+        from decimal import Decimal
+        d = Decimal(str(zero)).normalize()
+        exp = -d.as_tuple().exponent          # fractional digits needed
+        int_digits = max(len(d.as_tuple().digits) - exp, 0)
+        if 0 <= exp <= vt.scale and int_digits + vt.scale <= vt.precision:
+            return zero_col.cast(vt), vt
+    return zero_col.cast("double"), None
+
+
+def _fold_zero_merge(zero, vt, merge):
+    """Aligned (zero_col, merge) pair for a fold via F.aggregate — wraps the
+    merge with a cast back to the accumulator's DecimalType when the decimal
+    path is taken (see :func:`_zero_for_type`; overflow then nulls/errors
+    per ANSI mode instead of silently losing scale)."""
+    zero_col, acc_t = _zero_for_type(zero, vt)
+    if acc_t is not None:
+        inner = merge
+        merge = lambda a, x: inner(a, x).cast(acc_t)  # noqa: E731
+    return zero_col, merge
+
+
+def _value_type(df, value_col):
+    return df.select(_c(value_col).alias("__z")).schema["__z"].dataType
 
 
 class GroupBuilder:
@@ -298,7 +335,8 @@ class GroupBuilder:
         arr = F.collect_list(_c(col))
         if sort:
             arr = F.array_sort(arr)
-        zero_col = _aligned_zero(self._df, col, zero)
+        zero_col, merge = _fold_zero_merge(zero, _value_type(self._df, col),
+                                           merge)
         e = F.aggregate(arr, zero_col, merge, finish) if finish else \
             F.aggregate(arr, zero_col, merge)
         return self.agg(e.alias(out))
@@ -727,8 +765,9 @@ class SortedGroup:
                 return res
             ordered = F.array_sort(arr, cmp)
         vals = F.transform(ordered, lambda s: s["__v"])
-        folded = F.aggregate(vals, _aligned_zero(self._df, value_col, zero),
-                             merge)
+        zero_col, merge = _fold_zero_merge(
+            zero, _value_type(self._df, value_col), merge)
+        folded = F.aggregate(vals, zero_col, merge)
         keys = [_c(k) if not isinstance(k, str) else F.col(k) for k in self._keys]
         return Pipe(self._df.groupBy(*keys).agg(folded.alias(out)))
 

@@ -722,5 +722,5 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         # Eager localCheckpoint: materializes AND truncates lineage — without
         # it the logical plan doubles per iteration (exponential analysis
         # cost; driver OOM building plan strings past ~20 iterations).
-        ranks = materialize(new_ranks, eager=True)
+        ranks = materialize(new_ranks, eager=True, iterative=True)
     return ranks.select(F.col("row").alias("node"), F.col("val").alias("rank"))

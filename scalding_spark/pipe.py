@@ -45,15 +45,24 @@ def _obs_scope(session) -> dict:
     return scope
 
 
-def _obs_row_or_none(obs) -> dict | None:
+# sentinel: the Observation has no JVM handle to probe (Spark Connect, or a
+# future PySpark that renames the private attrs) — distinct from "handle
+# present but no action completed yet" (None)
+_NO_HANDLE = object()
+
+
+def _obs_row_or_none(obs):
     """Non-blocking read of an Observation: the observed metrics dict if an
-    action has completed over the observed frame, else None. Uses the JVM
-    side's getRowOrEmpty (public Scala API) — falls back to None if the
-    handle isn't wired (e.g. Spark Connect)."""
+    action has completed over the observed frame, None if not yet, or
+    ``_NO_HANDLE`` when there is nothing to probe. Reaches into PRIVATE
+    PySpark attrs (``obs._jo``, ``PythonSQLUtils.toPyRow`` — present and
+    stable in classic PySpark 3.4-4.x; absent on Spark Connect where the
+    Observation is server-side); on any attribute drift the caller degrades
+    to a thread-bounded blocking ``obs.get`` instead of breaking."""
     try:
         jo = obs._jo
         if jo is None:
-            return None
+            return _NO_HANDLE
         opt = jo.getRowOrEmpty()
         if not opt.isDefined():
             return None
@@ -63,7 +72,7 @@ def _obs_row_or_none(obs) -> dict | None:
         return CPickleSerializer().loads(
             utils.toPyRow(opt.get())).asDict(recursive=False)
     except AttributeError:
-        return None
+        return _NO_HANDLE
 
 
 def counters(name: str, timeout: float | None = None,
@@ -99,6 +108,15 @@ def counters(name: str, timeout: float | None = None,
     deadline = time.monotonic() + timeout
     while True:
         row = _obs_row_or_none(obs)
+        if row is _NO_HANDLE:
+            # No JVM handle to probe (Spark Connect / attr drift): bound the
+            # BLOCKING obs.get with a worker thread instead of polling, so
+            # timeout= still returns the metrics once the action completes
+            # rather than always timing out. The worker is a daemon; if the
+            # action never runs it parks on obs.get until interpreter exit
+            # (documented cost of the degraded path).
+            return _blocking_get_bounded(
+                obs, name, max(deadline - time.monotonic(), 0.0), timeout)
         if row is not None:
             return row
         if time.monotonic() >= deadline:
@@ -106,6 +124,23 @@ def counters(name: str, timeout: float | None = None,
                 f"observation {name!r} has no completed action after "
                 f"{timeout}s — run an action over the observed frame first")
         time.sleep(0.05)
+
+
+def _blocking_get_bounded(obs, name: str, remaining: float, timeout) -> dict:
+    import queue
+    import threading
+    out: "queue.Queue" = queue.Queue(maxsize=1)
+    t = threading.Thread(target=lambda: out.put(dict(obs.get)), daemon=True)
+    t.start()
+    try:
+        # small floor so a COMPLETED action's instant get can cross the
+        # thread boundary even at timeout=0 (which here can't be a true
+        # non-blocking probe)
+        return out.get(timeout=max(remaining, 0.2))
+    except queue.Empty:
+        raise TimeoutError(
+            f"observation {name!r} has no completed action after "
+            f"{timeout}s — run an action over the observed frame first")
 
 
 def clear_counters(session=None) -> None:

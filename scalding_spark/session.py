@@ -56,8 +56,36 @@ def get_spark(
 
 MATERIALIZE_CONF = "spark.scalding_spark.materialize"
 
+# Session-scoped ledger of DataFrames persisted by materialize()'s `persist`
+# mode. Library operators cut lineage on INTERNAL subtrees the caller never
+# sees, so the caller cannot unpersist them — without this registry a
+# long-running job in persist mode (the mode's stated audience) accumulates
+# cache entries forever, and Spark's cache manager keeps substituting the
+# stale InMemoryRelations into unrelated later plans. WeakKeyDictionary so a
+# stopped session's entries are garbage-collected (same pattern as
+# pipe._OBSERVATIONS).
+import weakref
 
-def materialize(df, eager: bool = False):
+_MATERIALIZED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def release_materialized(session=None) -> None:
+    """Unpersist every frame cached by ``materialize()``'s persist mode —
+    one session's, or all sessions' (default). Call between flows in a
+    long-running driver, or in test teardown after running an operator
+    under ``MATERIALIZE_CONF=persist``; the mirror of
+    :func:`scalding_spark.pipe.clear_counters`."""
+    scopes = ([_MATERIALIZED.pop(session, [])] if session is not None
+              else [_MATERIALIZED.pop(s, []) for s in list(_MATERIALIZED)])
+    for frames in scopes:
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # session already stopped
+
+
+def materialize(df, eager: bool = False, iterative: bool = False):
     """Cut lineage / force ONE computation of a shared subtree.
 
     Every iterative or multi-consumer operator in this engine funnels its
@@ -71,17 +99,33 @@ def materialize(df, eager: bool = False):
       job. Right for interactive work, tests, and short jobs on static
       executors.
     - ``persist``: ``persist(MEMORY_AND_DISK)`` — lineage retained, so lost
-      blocks recompute on executor loss; the cache entry stays alive until
-      the caller/session unpersists (eager forces a count()).
+      blocks recompute on executor loss; every persisted frame is recorded
+      in a session-scoped ledger released by :func:`release_materialized`
+      (eager forces a count()).
     - ``reliable``: ``df.checkpoint(eager)`` — writes to the directory set
       via ``sc.setCheckpointDir`` (HDFS/S3); survives any executor loss.
       The production choice for long-running 100 TB jobs with spot
       instances or dynamic allocation.
+
+    ``iterative=True`` marks a lineage cut inside an iterative loop
+    (PageRank, connected components): those REQUIRE plan truncation — the
+    logical plan doubles per round without it (exponential analysis cost,
+    driver OOM past ~20 rounds) — and would persist a new frame every round.
+    persist() cannot truncate a plan, so under persist mode an iterative cut
+    falls back to a truncating strategy: the reliable checkpoint when a
+    checkpoint dir is configured, else localCheckpoint (documented caveat:
+    executor loss is then unrecoverable for that loop).
     """
     mode = df.sparkSession.conf.get(MATERIALIZE_CONF, "local")
     if mode == "persist":
+        if iterative:
+            sc = df.sparkSession.sparkContext
+            if sc._jsc.sc().getCheckpointDir().isDefined():
+                return df.checkpoint(eager=eager)
+            return df.localCheckpoint(eager=eager)
         from pyspark import StorageLevel
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _MATERIALIZED.setdefault(df.sparkSession, []).append(out)
         if eager:
             out.count()
         return out

@@ -144,25 +144,16 @@ class TypedGrouped:
 
     def fold_left(self, zero: Any, merge: Callable[[Column, Column], Column],
                   sort: bool = True) -> DataFrame:
-        from pyspark.sql import types as T
-
         arr = F.collect_list(VALUE)
         if sort:
             arr = F.array_sort(arr)
-        # F.aggregate needs zero's type to match the merge result. Align a
-        # NUMERIC zero with a numeric value column, but only losslessly: an
-        # int zero casts to the column's type (int literal vs bigint values
-        # is the common mismatch); a FRACTIONAL zero casts to double so the
-        # fold stays fractional (casting 0.5 to bigint would truncate every
-        # result). A zero of a different kind (e.g. '' for a string-concat
-        # fold over numbers) must keep its own type — casting it to the
-        # element type would null it and poison the fold.
-        zero_col = F.lit(zero)
-        vt = self.kv.schema[VALUE].dataType
-        if isinstance(zero, (int, float)) and not isinstance(zero, bool) \
-                and isinstance(vt, T.NumericType):
-            zero_col = zero_col.cast(vt) if isinstance(zero, int) \
-                else zero_col.cast("double")
+        # Zero/value type alignment rules live in grouping._fold_zero_merge
+        # (lossless int cast; fractional→double over integrals but kept
+        # decimal over representable DecimalTypes, with the merge cast back
+        # to the accumulator decimal; foreign kinds untouched).
+        from scalding_spark.grouping import _fold_zero_merge
+        zero_col, merge = _fold_zero_merge(
+            zero, self.kv.schema[VALUE].dataType, merge)
         return self._agg(F.aggregate(arr, zero_col, merge))
 
     # -- ordered stream ops (TypedPipe.scala:230-317) ----------------------

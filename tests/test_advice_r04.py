@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from scalding_spark import streaming
 from scalding_spark.grouping import GroupBuilder
 from scalding_spark.pipe import Pipe, clear_counters, counters
-from scalding_spark.session import MATERIALIZE_CONF, materialize
+from scalding_spark.session import (MATERIALIZE_CONF, materialize,
+                                    release_materialized)
 from scalding_spark.typed import TypedPipe
 
 
@@ -174,4 +175,9 @@ def test_materialize_persist_mode_end_to_end_lm(spark, sf_dir):
             docs, "text", "doc_id", term_decimals=6).collect()))
     finally:
         spark.conf.unset(MATERIALIZE_CONF)
+        # the operator persisted an INTERNAL subtree the caller never sees;
+        # without releasing it, Spark's cache manager substitutes the leaked
+        # InMemoryRelation into later matching plans (r04 regression: broke
+        # test_plans' HashAggregate count thousands of tests later)
+        release_materialized(spark)
     assert got == base

@@ -1,0 +1,162 @@
+"""Round-5 regression pins for the r04 ADVICE + VERDICT findings.
+
+1. materialize() persist mode: session-scoped ledger + release_materialized
+   (the r04 cache leak that turned the suite red in default order).
+2. iterative lineage cuts under persist mode fall back to a plan-truncating
+   strategy (persist cannot truncate; plans double per round otherwise).
+3. fold zero over DecimalType: a fractional zero stays in exact decimal
+   arithmetic when the column's scale can represent it; scale-0 decimals
+   and integral columns still promote to double.
+4. counters(timeout=) degrades to a thread-bounded blocking get when the
+   Observation has no JVM probe handle (Spark Connect) instead of always
+   raising TimeoutError.
+"""
+
+import threading
+import time
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark import pipe as pipe_mod
+from scalding_spark.grouping import GroupBuilder, _zero_for_type
+from scalding_spark.pipe import counters
+from scalding_spark.session import (MATERIALIZE_CONF, _MATERIALIZED,
+                                    materialize, release_materialized)
+from scalding_spark.typed import TypedPipe
+
+
+# --- 1. persist-mode ledger + release ----------------------------------------
+
+def test_release_materialized_unpersists_persist_mode_frames(spark):
+    df = spark.range(50).withColumn("v", F.col("id") * 3)
+    spark.conf.set(MATERIALIZE_CONF, "persist")
+    try:
+        out = materialize(df, eager=True)
+        assert out.storageLevel.useMemory, "persist mode did not cache"
+        assert any(out is f for f in _MATERIALIZED.get(spark, [])), \
+            "persist-mode frame not recorded in the session ledger"
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+        release_materialized(spark)
+    assert not out.storageLevel.useMemory, "release_materialized left cache"
+    assert not _MATERIALIZED.get(spark, []), "ledger not cleared"
+
+
+def test_local_mode_registers_nothing(spark):
+    before = len(_MATERIALIZED.get(spark, []))
+    materialize(spark.range(10), eager=True)
+    assert len(_MATERIALIZED.get(spark, [])) == before
+
+
+# --- 2. iterative cuts truncate the plan even in persist mode ----------------
+
+def test_iterative_persist_mode_truncates_plan_and_registers_nothing(spark):
+    df = spark.range(20).withColumn("v", F.col("id") + 1)
+    spark.conf.set(MATERIALIZE_CONF, "persist")
+    try:
+        before = len(_MATERIALIZED.get(spark, []))
+        out = materialize(df, eager=True, iterative=True)
+        # plan truncated: the logical plan is a leaf scan, not the original
+        # Range->Project tree (localCheckpoint/checkpoint fallback)
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "Range" not in plan, f"iterative cut kept lineage: {plan}"
+        assert len(_MATERIALIZED.get(spark, [])) == before, \
+            "iterative cut must not accumulate ledger entries per round"
+        assert sorted(r.id for r in out.collect()) == list(range(20))
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+        release_materialized(spark)
+
+
+def test_iterative_persist_mode_uses_reliable_when_ckpt_dir_set(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.range(10)
+    spark.conf.set(MATERIALIZE_CONF, "persist")
+    try:
+        out = materialize(df, eager=True, iterative=True)
+        assert sorted(r.id for r in out.collect()) == list(range(10))
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+
+
+# --- 3. decimal fold zero -----------------------------------------------------
+
+def test_fold_fractional_zero_over_decimal_stays_decimal(spark):
+    df = spark.createDataFrame(
+        [(1, Decimal("0.1000000000")), (1, Decimal("0.2000000000"))],
+        "k int, v decimal(38,10)")
+    out = (GroupBuilder(df, ["k"])
+           .reduce("v", 0.5, lambda a, x: a + x, out="s").done()
+           .df.collect())
+    # exact decimal accumulation: 0.5 + 0.1 + 0.2 == 0.8 with NO float error
+    assert out[0]["s"] == Decimal("0.8")
+    assert isinstance(out[0]["s"], Decimal), \
+        f"fold switched to {type(out[0]['s'])} — float rounding introduced"
+
+
+def test_fold_fractional_zero_over_scale0_decimal_promotes_to_double(spark):
+    df = spark.createDataFrame(
+        [(1, Decimal("10")), (1, Decimal("20"))], "k int, v decimal(10,0)")
+    out = (GroupBuilder(df, ["k"])
+           .reduce("v", 0.5, lambda a, x: a + x, out="s").done()
+           .df.collect())
+    assert out[0]["s"] == pytest.approx(30.5)
+
+
+def test_typed_fold_fractional_zero_over_decimal_stays_decimal(spark):
+    tp = TypedPipe.from_iterable(
+        spark, [Decimal("0.1000"), Decimal("0.2000")], "decimal(20,4)")
+    g = tp.group_by(lambda v: F.lit(1))
+    rows = g.fold_left(0.5, lambda a, x: a + x).collect()
+    assert rows[0][-1] == Decimal("0.8")
+    assert isinstance(rows[0][-1], Decimal)
+
+
+def test_zero_for_type_unrepresentable_zero_falls_back_to_double(spark):
+    from pyspark.sql import types as T
+
+    def tname(zero, dt):
+        col, _ = _zero_for_type(zero, dt)
+        return spark.range(1).select(col.alias("z")).schema["z"] \
+            .dataType.typeName()
+
+    # 0.25 needs scale 2 > 1 → double; 123.5 overflows decimal(3,1) → double
+    assert "double" in tname(0.25, T.DecimalType(10, 1))
+    assert "double" in tname(123.5, T.DecimalType(3, 1))
+    assert "decimal" in tname(0.5, T.DecimalType(10, 1))
+
+
+# --- 4. counters() degraded probe path ---------------------------------------
+
+class _FakeObsReady:
+    """Observation with no _jo handle whose action has completed."""
+    @property
+    def get(self):
+        return {"n": 7}
+
+
+class _FakeObsNever:
+    """Observation with no _jo handle whose .get blocks forever."""
+    @property
+    def get(self):
+        threading.Event().wait(60)
+        return {}
+
+
+def _register_fake(spark, name, obs):
+    pipe_mod._obs_scope(spark)[name] = obs
+
+
+def test_counters_timeout_degrades_to_blocking_get_when_no_handle(spark):
+    _register_fake(spark, "r05_nohandle_ready", _FakeObsReady())
+    t0 = time.monotonic()
+    assert counters("r05_nohandle_ready", timeout=5) == {"n": 7}
+    assert time.monotonic() - t0 < 5, "degraded path blocked the full timeout"
+
+
+def test_counters_timeout_still_raises_when_no_handle_and_no_action(spark):
+    _register_fake(spark, "r05_nohandle_never", _FakeObsNever())
+    with pytest.raises(TimeoutError):
+        counters("r05_nohandle_never", timeout=0.3)

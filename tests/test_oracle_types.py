@@ -15,9 +15,10 @@ import __spark_entry__ as e
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# the one DELIBERATE exception: a diagnostic probe whose uncast HUGEINT
-# column exists exactly to detect the driver's client conversion behavior
-ALLOWED_RISKY = {"q_probe_hugeint"}
+# No exceptions since r05: q_probe_hugeint's deliberate HUGEINT diagnostic
+# completed in r03/r04 (driver client conversion confirmed) and its oracle
+# is BIGINT-cast like every other.
+ALLOWED_RISKY: set = set()
 
 RISKY_PREFIXES = ("HUGEINT", "UHUGEINT", "DECIMAL", "TIMESTAMP_NS",
                   "TIMESTAMP WITH TIME ZONE", "INTERVAL", "TIME ")
@@ -49,9 +50,9 @@ def test_every_oracle_parses(con):
         con.sql(f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0")
 
 
-def test_probe_is_still_deliberately_risky(con):
+def test_retired_probe_is_no_longer_risky(con):
     desc = con.sql(
         "DESCRIBE SELECT * FROM ({}) LIMIT 0".format(
             e.oracle_sql()["q_probe_hugeint"])).fetchall()
-    assert any(t.startswith("HUGEINT") for _, t, *_ in desc), \
-        "q_probe_hugeint lost its diagnostic HUGEINT column"
+    assert all(t == "BIGINT" or c == "l_returnflag" for c, t, *_ in desc), \
+        f"retired probe regressed to a fragile output type: {desc}"
