@@ -2139,6 +2139,186 @@ def q_probe_event_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r05: first driver rows for the formerly tests-only operators
+# (VERDICT r04 next-round #5)
+# ---------------------------------------------------------------------------
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_duplicate_lines (dedup.py:113, RefinedWeb line-level cleanup)
+    rewriting documents: within each doc every space-delimited segment keeps
+    only its first occurrence, reassembled in position order. Compares the
+    full rebuilt text per doc — a strong end-to-end check of the
+    posexplode → fingerprint window → sorted-reassembly plan."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.remove_duplicate_lines(
+        docs.where(F.col("doc_id") < 300), "text", "doc_id",
+        scope="doc", delimiter=" ")
+    return out.select("doc_id", F.col("text").alias("dedup_text"))
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """char_entropy (text.py): Shannon entropy of each doc's character
+    distribution, map-only higher-order expression. Rounded to 6 — the
+    per-char p·log2(p) sum order differs between engines and float addition
+    is non-associative."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.where(F.col("doc_id") < 200)
+            .select("doc_id",
+                    F.round(tx.char_entropy(F.col("text")), 6)
+                     .alias("entropy")))
+
+
+def q_duplicate_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_line_fraction (text.py, Gopher repetition family): fraction
+    of normalized segments that repeat an earlier one, averaged per
+    source. Space separator — the synthetic docs carry no sentence
+    punctuation, so segments are words."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("source",
+                        tx.duplicate_line_fraction(F.col("text"), sep=" ")
+                          .alias("f"))
+            .groupBy("source")
+            .agg(F.round(F.avg("f"), 6).alias("avg_dup_fraction")))
+
+
+_TM_ALPHA = 0.3
+_TM_TOTAL = 60_000
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temperature_mix (sampling.py, mT5/XLM-R sampling rule): target
+    share of domain d is size_d^alpha / Z with Z accumulated in
+    sorted-domain order (bit-reproducible normalizer); membership via the
+    md5-cutoff machinery shared with mix_to_proportions. The oracle
+    mirrors the exact arithmetic: pow over exact integer sizes, chained
+    additions in the same sorted order, identical cutoff floor."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling_fns.temperature_mix(docs, "doc_id", "source", "n_chars",
+                                       total=_TM_TOTAL, alpha=_TM_ALPHA,
+                                       salt="tm")
+    return out.select("doc_id", "source")
+
+
+def _temperature_mix_sql() -> str:
+    doms = sorted(f"src{i}" for i in range(20))
+    # chained left-associated additions in sorted-domain order — the same
+    # order temperature_mix's Python loop uses, so the float normalizer
+    # (hence every cutoff) is bit-identical
+    z = " + ".join(
+        f"pow(CAST((SELECT s FROM sz WHERE source = '{d}') AS DOUBLE), "
+        f"{_TM_ALPHA!r})" for d in doms)
+    return f"""
+        WITH sz AS (SELECT source, sum(n_chars) AS s FROM documents
+                    GROUP BY source),
+        cut AS (SELECT source,
+                       CAST(floor(least(1.0,
+                           ((pow(CAST(s AS DOUBLE), {_TM_ALPHA!r}) / ({z}))
+                            * {float(_TM_TOTAL)!r}) / CAST(s AS DOUBLE))
+                           * 4294967296.0) AS BIGINT) AS cutoff
+                FROM sz)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN cut c ON d.source = c.source
+        WHERE ('0x' || substr(md5('tm' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+              < c.cutoff
+    """
+
+
+def _fake_url_col() -> Column:
+    """Deterministic URL synthesis (documents carry no URL column; same
+    injection pattern as q_pii_redact): five host shapes exercising
+    userinfo/port stripping, PSL-2 heuristics, IPs, single labels, and
+    FQDN trailing dots."""
+    d = F.col("doc_id")
+    host = (F.when(d % 5 == 0,
+                   F.concat(F.lit("cdn"), (d % 7).cast("string"),
+                            F.lit(".shop.example.co.uk")))
+            .when(d % 5 == 1,
+                  F.concat(F.lit("www.site"), (d % 11).cast("string"),
+                           F.lit(".Example.com")))
+            .when(d % 5 == 2, F.lit("192.168.4.25"))
+            .when(d % 5 == 3, F.lit("localhost"))
+            .otherwise(F.concat(F.lit("a.b.news"), (d % 3).cast("string"),
+                                F.lit(".example.org."))))
+    return F.concat(F.lit("https://user:pw@"), host, F.lit(":8080/path?q=1"))
+
+
+_FAKE_URL_SQL = """
+    'https://user:pw@' ||
+    CASE
+        WHEN doc_id % 5 = 0 THEN 'cdn' || (doc_id % 7)::VARCHAR || '.shop.example.co.uk'
+        WHEN doc_id % 5 = 1 THEN 'www.site' || (doc_id % 11)::VARCHAR || '.Example.com'
+        WHEN doc_id % 5 = 2 THEN '192.168.4.25'
+        WHEN doc_id % 5 = 3 THEN 'localhost'
+        ELSE 'a.b.news' || (doc_id % 3)::VARCHAR || '.example.org.'
+    END || ':8080/path?q=1'
+"""
+
+# SQL mirror of web.host_of / web.registrable_domain over a `url` column
+# (same RE2-portable regex and PSL-2 heuristic constants as web.py)
+_WEB_DOMAIN_SQL = """
+    h0 AS (SELECT *, nullif(lower(regexp_replace(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+).*$', 1),
+               '\\.$', '')), '') AS host FROM u),
+    h1 AS (SELECT *, string_split(host, '.') AS parts,
+                  len(string_split(host, '.')) AS n FROM h0),
+    h2 AS (SELECT *, CASE WHEN n >= 3 AND parts[n - 1] IN
+                              ('co', 'com', 'net', 'org', 'gov', 'ac', 'edu')
+                          THEN 3 ELSE 2 END AS take,
+                  regexp_matches(host, '^[0-9.]+$') AS is_ip FROM h1),
+    h3 AS (SELECT *, CASE WHEN is_ip OR n <= 2 THEN host
+                          ELSE array_to_string(parts[n - take + 1 : n], '.')
+                     END AS domain FROM h2)
+"""
+
+
+def q_web_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """web.host_of + web.registrable_domain (web.py): URL → normalized host
+    → eTLD+1-style registrable domain, counted. Expression-only — the
+    corpus never shuffles anything but the tiny (host, domain) pairs."""
+    from scalding_spark.functions import web
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select("doc_id", _fake_url_col().alias("url"))
+    return (u.select(web.host_of(F.col("url")).alias("host"),
+                     web.registrable_domain(F.col("url")).alias("domain"))
+            .groupBy("host", "domain")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_web_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """web.filter_blocklist (web.py): broadcast anti-join of the corpus
+    against a domain blocklist on the registrable domain; unparseable URLs
+    dropped (keep_unparseable=False default)."""
+    from scalding_spark.functions import web
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select("doc_id", "source", _fake_url_col().alias("url"))
+    bl = spark.createDataFrame(
+        [("example.co.uk",), ("EXAMPLE.org",), ("unrelated.net",)],
+        "domain string")
+    kept = web.filter_blocklist(u, "url", bl)
+    return kept.select("doc_id", "source")
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_interval_join (streaming/__init__.py:72) exercised in its
+    batch shape (same code path minus watermarks): clicks paired with
+    errors up to 60 minutes before, per user — the streaming counterpart
+    of joins.range_join, so the oracle is q_range_join's inequality
+    join."""
+    from scalding_spark import streaming as streaming_mod
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"))
+    j = streaming_mod.stream_interval_join(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="err_ts",
+        min_delay="0 seconds", max_delay="60 minutes")
+    return (j.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.unix_micros(F.col("ts"))
+                       - F.unix_micros(F.col("err_ts"))).alias("total_gap_us")))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2149,26 +2329,124 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
-    # r03 window (per VERDICT r02 next-round #3): 2 diagnostic probes, the
-    # 13 r02-new never-driver-checked queries, the 5 r02 hash-reds (root
-    # cause: oracle HUGEINT outputs, now BIGINT-cast) + the 2 lm queries
-    # that carried the same latent bug, the 6 rows-only re-confirmations,
-    # padded to 50 with fast r01-green entries. Everything below position 50
-    # already has a driver-green row in CORRECTNESS_r01 or _r02.
-    # Driver-row ledger: r01 greens = q1..q13 block at the tail here;
-    # r02 greens = TPC-H tail/matrix/dedup/sampling/text/streaming block
-    # after position 50. The r03 window = 3 probes + 13 r02-new + 5 r02
-    # hash-reds + 6 rows-only reconfirmations + the 15 r03-NEW operators
-    # (they took the slots of redundant r01-green padding entries, which
-    # are parked right below position 50) + 8 fast green padding.
-    # Never-checked after the r03 driver run = NONE.
-    # (tests/test_driver_window.py pins this ledger.)
+    # r05 window (VERDICT r04 next-round #3: rotate to the 50
+    # longest-unverified): the 7 r05-NEW operators (first driver rows),
+    # then 43 of the 49 queries whose newest driver row is r01 — three
+    # rounds stale, the oldest in the ledger. The 6 remaining r01-stale
+    # entries (q_dot q_toset q_mkstring q_head_last q_times_product
+    # q_maplist) plus the 39 r02-stale entries are parked DIRECTLY below
+    # position 50 in staleness order: they are the r06 window (45 entries
+    # + r06-new), after which every query's newest driver row is ≤2 rounds
+    # old — the steady state tests/test_driver_window.py's rotation
+    # invariant enforces. The r03/r04-green block sits at the tail.
     return {
-        # -- r03 diagnostic probes (may be deliberately red; see docstrings) --
+        # -- r05-new: first driver rows (formerly tests-only operators) --
+        "q_dedup_lines": q_dedup_lines,
+        "q_char_entropy": q_char_entropy,
+        "q_duplicate_line_fraction": q_duplicate_line_fraction,
+        "q_temperature_mix": q_temperature_mix,
+        "q_web_domains": q_web_domains,
+        "q_web_blocklist": q_web_blocklist,
+        "q_stream_interval_join": q_stream_interval_join,
+        # -- r01-stale block (newest driver row = CORRECTNESS_r01) --
+        "q1_pricing_summary": q1_pricing_summary,
+        "q_flatmap_wordcount": q_flatmap_wordcount,
+        "q_project_filter_map": q_project_filter_map,
+        "q_unpivot": q_unpivot,
+        "q_pack_unpack": q_pack_unpack,
+        "q_union_distinct": q_union_distinct,
+        "q_intersect_except": q_intersect_except,
+        "q_group_multi_agg": q_group_multi_agg,
+        "q_group_stats": q_group_stats,
+        "q_histogram": q_histogram,
+        "q_histogram_summary": q_histogram_summary,
+        "q_pivot": q_pivot,
+        "q_normalize": q_normalize,
+        "q_groupall": q_groupall,
+        "q_fold_reduce": q_fold_reduce,
+        "q_topk_per_group": q_topk_per_group,
+        "q_scan_cumsum": q_scan_cumsum,
+        "q_scan_running_max": q_scan_running_max,
+        "q_block_join": q_block_join,
+        "q_take_drop_while": q_take_drop_while,
+        "q_rank_lag": q_rank_lag,
+        "q_join_revenue_by_segment": q_join_revenue_by_segment,
+        "q_broadcast_join": q_broadcast_join,
+        "q_left_join_nulls": q_left_join_nulls,
+        "q_semi_anti": q_semi_anti,
+        "q_cross_tiny": q_cross_tiny,
+        "q_salted_skew_join": q_salted_skew_join,
+        "q_sampled_skew_join": q_sampled_skew_join,
+        "q_cogroup": q_cogroup,
+        "q_median_quartiles": q_median_quartiles,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority_exists": q4_order_priority_exists,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_effect": q14_promo_effect,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "q22_idle_customers": q22_idle_customers,
+        # ---- position 50 ends here ----
+        # -- r06 window queue: the 6 remaining r01-stale ... --
+        "q_mkstring": q_mkstring,
+        "q_times_product": q_times_product,
+        "q_head_last": q_head_last,
+        "q_toset": q_toset,
+        "q_maplist": q_maplist,
+        "q_dot": q_dot,
+        # -- ... then the 39 r02-stale: TPC-H tail --
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        # -- r02-stale: matrix library --
+        "q_matmul": q_matmul,
+        "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
+        "q_matrix_elementwise": q_matrix_elementwise,
+        "q_matrix_reductions": q_matrix_reductions,
+        "q_matrix_col_normalize": q_matrix_col_normalize,
+        "q_matrix_filter_ops": q_matrix_filter_ops,
+        "q_matrix_zip": q_matrix_zip,
+        "q_matrix_map_rows": q_matrix_map_rows,
+        "q_vector_matrix_product": q_vector_matrix_product,
+        "q_diag_inverse_trace": q_diag_inverse_trace,
+        "q_combinations": q_combinations,
+        "q_subset_sum": q_subset_sum,
+        "q_pagerank": q_pagerank,
+        # -- r02-stale: dedup / sampling / similarity / text --
+        "q_exact_dedup": q_exact_dedup,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_deterministic_sample": q_deterministic_sample,
+        "q_train_split": q_train_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_vocabulary": q_vocabulary,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_multimodal_features": q_multimodal_features,
+        "q_cosine_topk": q_cosine_topk,
+        "q_embedding_neardup_exact": q_embedding_neardup_exact,
+        # -- r02-stale: streaming / graph --
+        "q_events_daily": q_events_daily,
+        "q_events_rollup": q_events_rollup,
+        "q_session_window": q_session_window,
+        "q_sessionize": q_sessionize,
+        "q_cc_star": q_cc_star,
+        # -- driver-green in r04 (the r03/r04 window, freshest rows) --
         "q_probe_hugeint": q_probe_hugeint,
         "q_probe_event_micros": q_probe_event_micros,
         "q_probe_q12_filter": q_probe_q12_filter,
-        # -- r02-new, never driver-checked --
         "q_substring_spans": q_substring_spans,
         "q_unigram_lm": q_unigram_lm,
         "q_linear_quality": q_linear_quality,
@@ -2182,21 +2460,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_pack_shards": q_pack_shards,
         "q_domain_cap": q_domain_cap,
-        # -- r02 hash-red, oracle HUGEINT outputs now BIGINT-cast --
         "q12_priority_by_flag": q12_priority_by_flag,
         "q_pii_redact": q_pii_redact,
         "q_top_word_fraction": q_top_word_fraction,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
-        # -- rows-only re-confirmations (no oracle by design) --
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_cosine_topk_lsh": q_cosine_topk_lsh,
         "q_cosine_topk_ivf": q_cosine_topk_ivf,
         "q_embedding_neardup": q_embedding_neardup,
         "q_hll_distinct": q_hll_distinct,
-        # -- r03-new operators, never driver-checked (took the slots of 11
-        #    redundant r01-green padding entries, now parked below 50) --
         "q_train_quality": q_train_quality,
         "q_weighted_sample": q_weighted_sample,
         "q_mix_proportions": q_mix_proportions,
@@ -2212,115 +2486,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cut_spans": q_cut_spans,
         "q_cube_agg": q_cube_agg,
         "q_ntile_ranks": q_ntile_ranks,
-        # r03-late additions needing their first driver row (took the
-        # padding slots of r01-green q1_pricing_summary /
-        # q_project_filter_map / q_flatmap_wordcount / q_unpivot,
-        # parked below position 50)
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_top_fraction": q_top_fraction,
         "q_corpus_kl": q_corpus_kl,
         "q_fuzzy_join": q_fuzzy_join,
-        # r03-late additions, need their first driver row (took the slots
-        # of r01-green padding q_group_multi_agg / q_intersect_except /
-        # q_union_distinct / q_pack_unpack, parked below position 50)
         "q_bloom_anti_join": q_bloom_anti_join,
         "q_dsir_weights": q_dsir_weights,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
-        # ---- position 50 ends here; all below are driver-green r01/r02 ----
-        "q1_pricing_summary": q1_pricing_summary,
-        "q_flatmap_wordcount": q_flatmap_wordcount,
-        "q_project_filter_map": q_project_filter_map,
-        "q_unpivot": q_unpivot,
-        "q_pack_unpack": q_pack_unpack,
-        "q_union_distinct": q_union_distinct,
-        "q_intersect_except": q_intersect_except,
-        "q_group_multi_agg": q_group_multi_agg,
-        "q_group_stats": q_group_stats,
-        "q_mkstring": q_mkstring,
-        "q_histogram": q_histogram,
-        "q_times_product": q_times_product,
-        "q_head_last": q_head_last,
-        "q_toset": q_toset,
-        "q_histogram_summary": q_histogram_summary,
-        "q_maplist": q_maplist,
-        "q_pivot": q_pivot,
-        "q_normalize": q_normalize,
-        "q_dot": q_dot,
-        "q_groupall": q_groupall,
-        "q_fold_reduce": q_fold_reduce,
-        "q_topk_per_group": q_topk_per_group,
-        "q_scan_cumsum": q_scan_cumsum,
-        "q_scan_running_max": q_scan_running_max,
-        # -- driver-green in r02: TPC-H tail --
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_count": q16_supplier_part_count,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        # -- driver-green in r02: matrix library --
-        "q_matmul": q_matmul,
-        "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
-        "q_matrix_elementwise": q_matrix_elementwise,
-        "q_matrix_reductions": q_matrix_reductions,
-        "q_matrix_col_normalize": q_matrix_col_normalize,
-        "q_matrix_filter_ops": q_matrix_filter_ops,
-        "q_matrix_zip": q_matrix_zip,
-        "q_matrix_map_rows": q_matrix_map_rows,
-        "q_vector_matrix_product": q_vector_matrix_product,
-        "q_diag_inverse_trace": q_diag_inverse_trace,
-        "q_combinations": q_combinations,
-        "q_subset_sum": q_subset_sum,
-        "q_pagerank": q_pagerank,
-        # -- driver-green in r02: dedup / sampling / similarity / text --
-        "q_exact_dedup": q_exact_dedup,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_deterministic_sample": q_deterministic_sample,
-        "q_train_split": q_train_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_text_quality": q_text_quality,
-        "q_lang_id": q_lang_id,
-        "q_fingerprint": q_fingerprint,
-        "q_vocabulary": q_vocabulary,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_multimodal_features": q_multimodal_features,
-        "q_cosine_topk": q_cosine_topk,
-        "q_embedding_neardup_exact": q_embedding_neardup_exact,
-        # -- driver-green in r02: streaming / graph --
-        "q_events_daily": q_events_daily,
-        "q_events_rollup": q_events_rollup,
-        "q_session_window": q_session_window,
-        "q_sessionize": q_sessionize,
-        "q_cc_star": q_cc_star,
-        # -- driver-green in r01 (those not already used as window padding) --
-        "q_block_join": q_block_join,
-        "q_take_drop_while": q_take_drop_while,
-        "q_rank_lag": q_rank_lag,
-        "q_join_revenue_by_segment": q_join_revenue_by_segment,
-        "q_broadcast_join": q_broadcast_join,
-        "q_left_join_nulls": q_left_join_nulls,
-        "q_semi_anti": q_semi_anti,
-        "q_cross_tiny": q_cross_tiny,
-        "q_salted_skew_join": q_salted_skew_join,
-        "q_sampled_skew_join": q_sampled_skew_join,
-        "q_cogroup": q_cogroup,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q18_large_volume_customer": q18_large_volume_customer,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_effect": q14_promo_effect,
-        "q4_order_priority_exists": q4_order_priority_exists,
-        "q11_important_parts": q11_important_parts,
-        "q22_idle_customers": q22_idle_customers,
-        "q_median_quartiles": q_median_quartiles,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q13_customer_distribution": q13_customer_distribution,
     }
 
 
@@ -2474,6 +2647,78 @@ def oracle_sql() -> dict[str, str]:
         "q_probe_hugeint": """
             SELECT l_returnflag, CAST(sum(1) AS BIGINT) AS s
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # -- r05: formerly tests-only operators (VERDICT r04 #5) --
+        "q_dedup_lines": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts
+                       FROM documents WHERE doc_id < 300),
+            e AS (SELECT doc_id, i AS pos, parts[i] AS w
+                  FROM t, unnest(generate_series(1, len(parts))) AS u(i)),
+            r AS (SELECT doc_id, pos, w,
+                         row_number() OVER (PARTITION BY doc_id, md5(w)
+                                            ORDER BY pos) AS rk
+                  FROM e)
+            SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS dedup_text
+            FROM r WHERE rk = 1 GROUP BY doc_id
+        """,
+        "q_char_entropy": """
+            WITH c AS (SELECT doc_id,
+                              [text[i] for i in generate_series(1, len(text))]
+                                  AS chars
+                       FROM documents WHERE doc_id < 200)
+            SELECT doc_id,
+                   round(coalesce(-list_sum(
+                       [ (len(list_filter(chars, x -> x = ch)) / len(chars))
+                         * log2(len(list_filter(chars, x -> x = ch))
+                                / len(chars))
+                         for ch in list_distinct(chars)]), 0.0), 6) AS entropy
+            FROM c
+        """,
+        "q_duplicate_line_fraction": """
+            WITH s AS (SELECT source,
+                              list_filter(list_transform(
+                                  string_split_regex(text, ' '),
+                                  x -> trim(regexp_replace(lower(x),
+                                            '[^a-z0-9]+', ' ', 'g'))),
+                                  x -> x <> '') AS segs
+                       FROM documents),
+            f AS (SELECT source,
+                         CASE WHEN len(segs) > 1
+                              THEN (len(segs) - len(list_distinct(segs)))
+                                   / len(segs)
+                              ELSE 0.0 END AS f
+                  FROM s)
+            SELECT source, round(avg(f), 6) AS avg_dup_fraction
+            FROM f GROUP BY source
+        """,
+        "q_temperature_mix": _temperature_mix_sql(),
+        "q_web_domains": f"""
+            WITH u AS (SELECT doc_id, {_FAKE_URL_SQL} AS url FROM documents),
+            {_WEB_DOMAIN_SQL}
+            SELECT host, domain, count(*) AS n
+            FROM h3 GROUP BY host, domain
+        """,
+        "q_web_blocklist": f"""
+            WITH u AS (SELECT doc_id, source, {_FAKE_URL_SQL} AS url
+                       FROM documents),
+            {_WEB_DOMAIN_SQL}
+            SELECT doc_id, source FROM h3
+            WHERE domain IS NOT NULL
+              AND domain NOT IN ('example.co.uk', 'example.org',
+                                 'unrelated.net')
+        """,
+        "q_stream_interval_join": """
+            WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                            FROM events WHERE event_type = 'click'),
+            errs AS (SELECT user_id AS e_user, CAST(ts AS TIMESTAMP) AS err_ts
+                     FROM events WHERE event_type = 'error'),
+            j AS (SELECT user_id, ts, err_ts FROM clicks JOIN errs
+                  ON user_id = e_user AND ts >= err_ts
+                     AND ts <= err_ts + INTERVAL 60 MINUTE)
+            SELECT user_id, count(*) AS n_pairs,
+                   CAST(sum(epoch_us(ts) - epoch_us(err_ts)) AS BIGINT)
+                       AS total_gap_us
+            FROM j GROUP BY user_id
         """,
         "q_probe_event_micros": """
             SELECT event_type, count(*) AS n,

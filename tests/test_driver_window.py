@@ -1,77 +1,105 @@
-"""Rotation-discipline guard (VERDICT r02 #8): the driver checks only the
-FIRST 50 queries() entries per round. This test makes dropping a
-never-checked query out of the window a test failure instead of a silent
-verification gap: every queries() key must have a driver row in a past
-round's CORRECTNESS file, sit inside the current 50-entry window, or be
-explicitly ledgered for the next rotation.
+"""Rotation discipline for the driver's 50-query correctness window.
+
+The driver checks only the FIRST 50 ``queries()`` entries per round, so
+with ~145 queries full re-verification takes ceil(N/50) = 3 rounds. These
+tests turn that schedule into enforced invariants (VERDICT r03 #1 /
+r04 #3) instead of a comment:
+
+1. every query has SOME driver row, sits in the current window, or is
+   explicitly ledgered as new;
+2. the window is a true ROTATION: never-checked queries first, then the
+   stalest (no query outside the window may be strictly staler than the
+   staleness tier the window is drawn from);
+3. staleness is bounded: every query was verified within the last
+   ceil(N/50) rounds, is in the current window, or is queued in the block
+   directly below position 50 (the next round's window).
 
 No Spark session — dict/JSON only.
 """
 
 import json
+import math
 import os
 
 import __spark_entry__ as e
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
 
-# Entries awaiting the NEXT rotation (mirrors the ledger comment in
-# queries()). Empty after the r03 window absorbed all r03-new operators;
-# new queries added mid-round go here until their rotation.
+# Entries added mid-round, awaiting their first driver run. The r05-new
+# operators lead the current window, so nothing is pending.
 PENDING_NEXT_ROTATION: set = set()
 
 
-def _driver_rows() -> set:
-    seen = set()
+def _last_rounds() -> dict:
+    """query -> newest round with a driver row (absent = never checked)."""
+    last = {}
     for fn in os.listdir(HERE):
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
-            seen |= set(json.load(open(os.path.join(HERE, fn))))
-    return seen
+            r = int(fn[len("CORRECTNESS_r"):-len(".json")])
+            for k in json.load(open(os.path.join(HERE, fn))):
+                last[k] = max(last.get(k, 0), r)
+    return last
 
 
 def test_every_query_is_driver_checked_or_ledgered():
     names = list(e.queries())
-    window = set(names[:50])
-    covered = _driver_rows() | window | PENDING_NEXT_ROTATION
+    window = set(names[:WINDOW])
+    covered = set(_last_rounds()) | window | PENDING_NEXT_ROTATION
     missing = [n for n in names if n not in covered]
     assert not missing, (
-        f"queries() entries with NO driver row, outside the 50-entry "
-        f"window, and not ledgered for rotation: {missing}")
+        f"queries() entries with NO driver row, outside the {WINDOW}-entry "
+        f"window, and not ledgered: {missing}")
 
 
 def test_pending_set_matches_reality():
-    # entries ledgered as pending must actually exist and actually lack
-    # a driver row (else the ledger is stale)
     names = set(e.queries())
     assert PENDING_NEXT_ROTATION <= names
-    stale = PENDING_NEXT_ROTATION & _driver_rows()
+    stale = PENDING_NEXT_ROTATION & set(_last_rounds())
     assert not stale, f"ledgered-as-pending but already driver-checked: {stale}"
 
 
-def test_window_holds_the_r03_priorities():
-    """The r03 window must contain the 2 probes, the 13 r02-new
-    never-checked queries, the 5 r02 hash-reds, and the 11 r03-new
-    operators."""
-    window = set(list(e.queries())[:50])
-    probes = {"q_probe_hugeint", "q_probe_event_micros",
-              "q_probe_q12_filter"}
-    r02_new = {"q_substring_spans", "q_unigram_lm", "q_linear_quality",
-               "q_global_rank_scan", "q_bigram_lm", "q_kmeans",
-               "q_map_stream", "q_chunk_documents", "q_topk_window",
-               "q_rank_by_value", "q_decontaminate", "q_pack_shards",
-               "q_domain_cap"}
-    reds = {"q12_priority_by_flag", "q_pii_redact", "q_top_word_fraction",
-            "q_asof_join", "q_range_join"}
-    r03_new = {"q_train_quality", "q_weighted_sample", "q_mix_proportions",
-               "q_dedup_against", "q_pack_sequences",
-               "q_top_bigram_fraction", "q_gopher_quality", "q_bm25_search",
-               "q_semantic_dedup", "q_corpus_stats", "q_collocations",
-               "q_dedup_keep_best", "q_cut_spans", "q_cube_agg",
-               "q_ntile_ranks", "q_bloom_anti_join", "q_dsir_weights",
-               "q_winnow_fingerprints", "q_winnow_overlap",
-               "q_ccnet_buckets", "q_top_fraction", "q_corpus_kl",
-               "q_fuzzy_join"}
-    assert probes | r02_new | reds | r03_new <= window
+def test_window_is_a_rotation_of_the_stalest():
+    """Never-checked queries must ALL be in the window; beyond those, the
+    window must be drawn from the stalest tiers — any query strictly
+    staler than the window's staleness threshold that is left outside
+    breaks the rotation."""
+    names = list(e.queries())
+    window = set(names[:WINDOW])
+    last = _last_rounds()
+    never = [n for n in names if n not in last]
+    out = [n for n in never if n not in window]
+    assert not out, f"never-driver-checked queries outside the window: {out}"
+    # the 50th-stalest last-round is the tier the window is drawn from;
+    # everything strictly staler must be inside
+    ages = sorted(last.get(n, -1) for n in names)
+    threshold = ages[min(WINDOW, len(names)) - 1]
+    must_be_in = [n for n in names
+                  if last.get(n, -1) < threshold and n not in window]
+    assert not must_be_in, (
+        f"queries staler than the window tier (last round < {threshold}) "
+        f"left outside the window: {must_be_in}")
+
+
+def test_staleness_is_bounded():
+    """Every query: verified within the last ceil(N/50) rounds, OR in the
+    current window (verified next round), OR queued directly below
+    position 50 (verified the round after) — the steady-state guarantee
+    that no driver row goes stale beyond one rotation cycle."""
+    names = list(e.queries())
+    last = _last_rounds()
+    if not last:
+        return
+    newest = max(last.values())
+    cycle = math.ceil(len(names) / WINDOW)
+    window = set(names[:WINDOW])
+    next_window = set(names[WINDOW:2 * WINDOW])
+    stale = [n for n in names
+             if last.get(n, newest) <= newest - cycle
+             and n not in window and n not in next_window]
+    assert not stale, (
+        f"queries with driver rows older than {cycle} rounds, neither in "
+        f"the current window nor queued for the next: {stale}")
 
 
 def test_no_duplicate_query_keys():
