@@ -2640,6 +2640,29 @@ def _pii_sql() -> str:
     """
 
 
+def py_oracle() -> dict[str, Callable]:
+    """Python-reference oracles for the 8 queries DuckDB SQL cannot express
+    (seeded xxhash64, random hyperplanes, iterative float centroids —
+    VERDICT r04 #4). Each entry is ``check(sf_dir, rows, cols) -> error |
+    None`` run by scripts/driver_check.py against the Spark result; the
+    goldens in py_reference.py recompute the same deterministic arithmetic
+    (Spark-compatible XXH64, same seeds, same left-to-right double
+    accumulation) without Spark. q_hll_distinct is the one accuracy-bound
+    check (estimate within 5×rsd of exact) — HLL++ internals are not
+    mirrored."""
+    import py_reference as pr
+    return {
+        "q_minhash_lsh_pairs": pr.golden_checker(pr.golden_minhash_lsh_pairs),
+        "q_simhash_pairs": pr.golden_checker(pr.golden_simhash_pairs),
+        "q_cosine_topk_lsh": pr.golden_checker(pr.golden_cosine_topk_lsh),
+        "q_cosine_topk_ivf": pr.golden_checker(pr.golden_cosine_topk_ivf),
+        "q_embedding_neardup": pr.golden_checker(pr.golden_embedding_neardup),
+        "q_kmeans": pr.golden_checker(pr.golden_kmeans),
+        "q_semantic_dedup": pr.golden_checker(pr.golden_semantic_dedup),
+        "q_hll_distinct": pr.check_hll_distinct,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # r03 diagnostic probes; q_probe_hugeint's HUGEINT diagnosis

@@ -235,11 +235,20 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     # let-bound h0: as an inlined operand it would be re-derived (shingle
     # strings re-hashed) once per SEED — a num_hashes× factor, since
     # interpreted HOFs don't share subexpressions (see text.let_bound)
+    # NOTE: the per-seed lambda must stay SINGLE-argument. PySpark's
+    # `transform` inspects the callable's arity and passes the element
+    # INDEX as a second positional arg — a `lambda h, s=s:` capture is a
+    # 2-arg callable, so `s` silently becomes the element index and every
+    # seed computes the IDENTICAL hash (minhash degenerates to 1 effective
+    # hash function; r05 py_oracle caught it). Closure capture is safe:
+    # transform() invokes the lambda once at expression-BUILD time, while
+    # the comprehension's `s` holds its current value.
+    def per_seed(h0: Column, s: int) -> Column:
+        return F.array_min(F.transform(h0, lambda h: F.xxhash64(h, F.lit(s))))
+
     sig = let_bound(
         F.transform(shs, lambda x: F.xxhash64(x)),
-        lambda h0: F.array(*[
-            F.array_min(F.transform(h0, lambda h, s=s: F.xxhash64(h, F.lit(s))))
-            for s in range(num_hashes)]))
+        lambda h0: F.array(*[per_seed(h0, s) for s in range(num_hashes)]))
     return (df.where(F.size(shs) > 0)
             .select(F.col(id_col).alias("id"), sig.alias("sig")))
 

@@ -55,6 +55,7 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracles = e.oracle_sql()
+py_oracles = e.py_oracle() if hasattr(e, "py_oracle") else {}
 fails, rows_only = [], []
 for name, fn in e.queries().items():
     if only and name not in only:
@@ -69,6 +70,16 @@ for name, fn in e.queries().items():
         print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}")
         continue
     if name not in oracles:
+        if name in py_oracles:
+            # Python-reference golden (non-SQL-expressible query)
+            err = py_oracles[name](sf_dir, rows, cols)
+            if err:
+                fails.append(name)
+                print(f"FAIL {name} (py_oracle): {err}")
+            else:
+                print(f"OKpy {name}: {len(rows)} rows match "
+                      f"({time.time()-t0:.1f}s)")
+            continue
         rows_only.append(name)
         print(f"rows-only {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
         continue

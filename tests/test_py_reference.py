@@ -1,0 +1,111 @@
+"""Parity pins for py_reference (the Python-side oracles of the 8
+non-SQL-expressible queries) against Spark's own primitives, plus the
+regression pin for the MinHash seed-arity bug the py_oracle caught:
+a 2-arg HOF lambda (`lambda h, s=s:`) makes PySpark bind the second
+parameter to the ELEMENT INDEX, collapsing all minhash seeds into one
+hash function.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import py_reference as pr
+
+
+XXH_CASES = [
+    (0, ""),
+    (1, "hello"),
+    (-42, "a"),
+    (2**63 - 1, "abcdefg"),          # 7-byte tail
+    (-(2**63), "abcdefgh"),          # exact 8-byte word
+    (123456789, "x" * 31),           # just under the 32-byte stripe
+    (-987654321, "y" * 32),          # exactly one stripe
+    (42, "z" * 45),                  # stripe + word + int + byte tails
+    (7, "the quick brown fox jumps over the lazy dog " * 4),
+]
+
+
+def test_xxhash64_matches_spark(spark):
+    df = spark.createDataFrame(XXH_CASES, "l long, s string")
+    got = df.select(
+        F.xxhash64("l").alias("hl"),
+        F.xxhash64("s").alias("hs"),
+        F.xxhash64("l", F.lit(5)).alias("hli"),
+        F.xxhash64("s", "l").alias("hsl"),
+        F.xxhash64(F.array(F.col("l"), F.lit(11).cast("long")),
+                   F.lit(3)).alias("ha"),
+    ).collect()
+    for (l, s), r in zip(XXH_CASES, got):
+        assert pr.xxhash64(l) == r.hl
+        assert pr.xxhash64(s) == r.hs
+        assert pr.xxhash64(l, ("i32", 5)) == r.hli
+        assert pr.xxhash64(s, l) == r.hsl
+        assert pr.xxhash64([l, 11], ("i32", 3)) == r.ha
+
+
+def test_round_half_up_matches_spark(spark):
+    # dyadic fractions hit exact .5 boundaries where HALF_UP vs banker's
+    # rounding (and exact-binary vs shortest-repr BigDecimal) diverge
+    vals = [0.0000015, 1.0 / 128, 7.0 / 64, -0.0000015, -1.0 / 128,
+            0.1234565, 123.4567895, 0.9, 0.0]
+    got = (spark.createDataFrame([(v,) for v in vals], "v double")
+           .select(F.round("v", 6).alias("r")).collect())
+    for v, r in zip(vals, got):
+        assert pr.round_half_up(v, 6) == r.r, v
+
+
+def test_tokenize_and_shingles_match_spark(spark, sf_dir):
+    from scalding_spark.functions.dedup import shingles
+    from scalding_spark.functions.text import tokenize
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 20)
+    got = docs.select("doc_id", "text",
+                      tokenize(F.col("text")).alias("toks"),
+                      shingles(F.col("text"), 3).alias("shs")).collect()
+    for r in got:
+        assert pr.tokenize(r.text) == list(r.toks)
+        assert pr.shingles(r.text, 3) == list(r.shs)
+
+
+def test_minhash_seeds_actually_differ(spark):
+    """Regression: every signature slot uses a DIFFERENT seeded hash.
+    Before the r05 fix, `lambda h, s=s:` was a 2-arg callable, PySpark
+    passed the element index as `s`, and all num_hashes slots collapsed
+    to the identical function (signatures were one value repeated)."""
+    from scalding_spark.functions.dedup import minhash_signatures
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    sig = list(minhash_signatures(df, "text", "doc_id", 16, 3)
+               .collect()[0].sig)
+    assert len(set(sig)) > 1, (
+        "all minhash slots identical — per-seed lambda degenerated")
+    # and each slot matches the independent Python reference
+    shs = pr.shingles("one two three four five six seven eight nine ten", 3)
+    h0 = [pr.xxhash64(s) for s in shs]
+    expect = [min(pr.xxhash64(h, ("i32", s)) for h in h0) for s in range(16)]
+    assert sig == expect
+
+
+def test_hyperplanes_and_bucket_match_spark(spark):
+    from scalding_spark.functions import similarity as sim
+    planes = pr.random_hyperplanes(8, 6, seed=99)
+    assert planes == sim.random_hyperplanes(8, 6, seed=99)
+    vecs = [([float(i % 3) - 1.0 for i in range(j, j + 8)],) for j in range(5)]
+    df = spark.createDataFrame(vecs, "v array<double>")
+    got = df.select(sim.lsh_bucket(F.col("v"), planes).alias("b")).collect()
+    for (v,), r in zip(vecs, got):
+        assert pr.lsh_bucket(v, planes) == r.b
+
+
+def test_py_oracle_map_covers_all_rows_only_queries():
+    """Every queries() entry without a SQL oracle must have a py_oracle —
+    driver_check then reports value-verified for all queries, rows-only
+    for none."""
+    import __spark_entry__ as e
+    no_sql = set(e.queries()) - set(e.oracle_sql())
+    assert no_sql == set(e.py_oracle()), (
+        f"rows-only queries missing a py_oracle: "
+        f"{no_sql - set(e.py_oracle())}; "
+        f"py_oracle entries shadowing SQL oracles: "
+        f"{set(e.py_oracle()) - no_sql}")
