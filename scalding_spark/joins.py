@@ -404,7 +404,9 @@ def multi_join(pipes: list, on: list[str], hows: list[str] | None = None) -> Pip
 
 def fuzzy_join(left, right, left_col: str, right_col: str,
                left_id: str, right_id: str, max_distance: int = 1,
-               out_distance: str = "distance") -> Pipe:
+               out_distance: str = "distance",
+               max_candidates: int | None = None,
+               counter: str | None = None) -> Pipe:
     """EXACT edit-distance join: all (left, right) row pairs with
     levenshtein(left_col, right_col) <= ``max_distance`` — the entity-
     resolution / near-key join, without the crossJoin.
@@ -440,6 +442,21 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
 
     Returns (left_id, left_col, right_id, right_col, ``out_distance``);
     join payloads back by id.
+
+    Guardrails (a hot shared substring — constant prefixes, empty-ish
+    keys — can make the candidate join quadratic):
+
+    - ``max_candidates``: CIRCUIT BREAKER. Before running the candidate
+      join, the exact candidate volume Σ_key |L_key|·|R_key| is computed
+      from the two (tiny, map-side-aggregated) per-key count tables; if it
+      exceeds the cap the join raises ``ValueError`` LOUDLY instead of
+      launching a runaway shuffle. Costs one extra pass over the key
+      tables (counts only — the strings never re-shuffle), so leave it
+      None unless key hygiene is unknown.
+    - ``counter``: registers an Observation of that name on the candidate
+      stage (read with ``counters(name)`` after the action:
+      ``n_candidates`` = pre-distinct joined rows, ``n_verified`` — free,
+      no extra pass) for monitoring candidate blowup in production runs.
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance}")
@@ -487,7 +504,27 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
     l_ex = ldf.select(left_id, left_col, F.explode(l_keys).alias("__k")) \
               .select(left_id, left_col, "__k.*")
 
-    main = (l_ex.join(r_ex, ["l", "i", "s"])
+    if max_candidates is not None:
+        # exact candidate volume from per-key COUNTS (map-side combined;
+        # the join of two ≤#distinct-key tables is tiny next to the real
+        # candidate join it guards)
+        lc = l_ex.groupBy("l", "i", "s").agg(F.count(F.lit(1)).alias("ln_"))
+        rc = r_ex.groupBy("l", "i", "s").agg(F.count(F.lit(1)).alias("rn_"))
+        vol = (lc.join(rc, ["l", "i", "s"])
+               .agg(F.coalesce(F.sum(F.col("ln_") * F.col("rn_")),
+                               F.lit(0))).collect()[0][0])
+        if vol > max_candidates:
+            raise ValueError(
+                f"fuzzy_join candidate volume {vol} exceeds max_candidates="
+                f"{max_candidates} — a hot shared substring (constant "
+                f"prefix?) is blowing up the segment join; strip constant "
+                f"affixes or raise the cap")
+
+    joined = l_ex.join(r_ex, ["l", "i", "s"])
+    if counter is not None:
+        joined = Pipe(joined).observe(
+            counter, n_candidates=F.count(F.lit(1))).df
+    main = (joined
             .select(left_id, left_col, right_id, right_col)
             .distinct())
 

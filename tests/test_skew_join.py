@@ -123,8 +123,39 @@ def test_fuzzy_join_equals_bruteforce_random(spark):
     mk = lambda: "".join(rnd.choice("ab1") for _ in range(rnd.randint(0, 8)))
     L = [(i, mk()) for i in range(60)]
     R = [(1000 + i, mk()) for i in range(60)]
-    for k in (1, 2):
+    for k in (1, 2, 3):
         assert _fuzzy(spark, L, R, k) == _brute(spark, L, R, k), k
+
+
+def test_fuzzy_join_candidate_circuit_breaker(spark):
+    """A hot shared substring (every key shares the same text) blows the
+    candidate join quadratic; max_candidates must fail LOUDLY before the
+    join runs, and a generous cap must not fire."""
+    from scalding_spark.joins import fuzzy_join
+    L = [(i, "aaaaaaaa") for i in range(40)]
+    R = [(1000 + i, "aaaaaaaa") for i in range(40)]
+    ldf = spark.createDataFrame(L, "lid long, ls string")
+    rdf = spark.createDataFrame(R, "rid long, rs string")
+    with pytest.raises(ValueError, match="candidate volume"):
+        fuzzy_join(ldf, rdf, "ls", "rs", "lid", "rid",
+                   max_distance=1, max_candidates=100)
+    out = fuzzy_join(ldf, rdf, "ls", "rs", "lid", "rid",
+                     max_distance=1, max_candidates=10_000_000).df
+    assert out.count() == 40 * 40  # identical strings: all pairs, d=0
+
+
+def test_fuzzy_join_candidate_counter(spark):
+    from scalding_spark.joins import fuzzy_join
+    from scalding_spark.pipe import counters
+    L = [(0, "kitten"), (1, "mitten")]
+    R = [(10, "sitten"), (11, "bitten")]
+    ldf = spark.createDataFrame(L, "lid long, ls string")
+    rdf = spark.createDataFrame(R, "rid long, rs string")
+    out = fuzzy_join(ldf, rdf, "ls", "rs", "lid", "rid", max_distance=1,
+                     counter="fz_test").df
+    n = out.count()
+    got = counters("fz_test")
+    assert n == 4 and got["n_candidates"] >= 4, got
 
 
 def test_fuzzy_join_short_strings_and_empties(spark):
