@@ -87,3 +87,86 @@ def test_decode_none_content_raises(spark):
                                mm.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         mm.extract_image_features(df).collect()
+
+
+# -- real codec paths (feature-detected; r05 directive) ----------------------
+
+def _pgm(w, h, fn):
+    """Tiny binary PGM built by hand — decodable with zero codec libs."""
+    px = bytes(fn(x, y) for y in range(h) for x in range(w))
+    return b"P5\n# test\n%d %d\n255\n" % (w, h) + px
+
+
+def _wav(samples, rate=8000):
+    import io
+    import struct
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_real_image_decode_pgm_through_spark(spark):
+    # top half black, bottom half white → first bands ~0, last bands ~1
+    img = _pgm(16, 16, lambda x, y: 0 if y < 8 else 255)
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=img, mime="image/x-portable-graymap",
+             width=16, height=16, duration_ms=None)], mm.MEDIA_SCHEMA)
+    feats = mm.extract_image_features(df, decode=mm.decode_image_real) \
+        .collect()[0].features
+    assert len(feats) == 8
+    assert feats[0] < 0.01 and feats[-1] > 0.99, feats
+
+
+def test_real_image_resize_pgm(spark):
+    img = _pgm(16, 16, lambda x, y: (x * 16) % 256)
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=img, mime="image/x-portable-graymap",
+             width=16, height=16, duration_ms=None)], mm.MEDIA_SCHEMA)
+    out = mm.resize_images(df, 4, 4, resize=mm.resize_image_real).collect()[0]
+    assert out.width == 4 and out.height == 4
+    gray, w, h = mm._parse_pnm(bytes(out.content))
+    assert (w, h) == (4, 4)
+
+
+def test_real_audio_decode_wav_through_spark(spark):
+    import math
+    quiet = _wav([0] * 4000)
+    loud = _wav([int(20000 * math.sin(i / 5)) for i in range(4000)])
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=quiet, mime="audio/wav",
+             width=None, height=None, duration_ms=500),
+         Row(media_id=2, content=loud, mime="audio/wav",
+             width=None, height=None, duration_ms=500)], mm.MEDIA_SCHEMA)
+    rows = {r.media_id: r.energies for r in
+            mm.extract_audio_features(df, decode=mm.decode_audio_real,
+                                      n_windows=4).collect()}
+    assert all(len(v) == 4 for v in rows.values())
+    # amplitude 20000/32768 ≈ 0.61 → sine RMS ≈ 0.61/√2 ≈ 0.43
+    assert max(rows[1]) < 0.001 and min(rows[2]) > 0.4, rows
+
+
+def test_real_decoder_raises_on_unknown_format_without_pil(spark):
+    if mm.CODECS["pil"]:
+        pytest.skip("PIL installed — compressed formats decodable")
+    with pytest.raises(NotImplementedError, match="no codec"):
+        mm.decode_image_real(b"\x89PNG\r\n\x1a\nnot-actually-parsed")
+
+
+@pytest.mark.skipif(not mm.CODECS["pil"], reason="PIL not installed")
+def test_real_image_decode_png_with_pil(spark):
+    import io
+    img = mm._PILImage.new("L", (8, 8), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    feats = mm.decode_image_real(buf.getvalue())
+    assert len(feats) == 8 and all(abs(f - 128 / 255) < 0.01 for f in feats)
+
+
+def test_default_decoders_are_real():
+    assert mm.default_image_decoder() is mm.decode_image_real
+    assert mm.default_audio_decoder() is mm.decode_audio_real
