@@ -72,6 +72,14 @@ HEADLINE = [
     "q_top_fraction",            # exact global top-25% cut (range rank)
     "q_corpus_kl",               # unigram KL drift (outer join + 1-row bcast)
     "q_fuzzy_join",              # edit-distance-1 join (segment filter)
+    # -- added r05 (first driver rows for formerly tests-only operators) --
+    "q_dedup_lines",             # line-level dedup rewriting docs (window + reassembly)
+    "q_char_entropy",            # char-distribution entropy (map-only HOF)
+    "q_duplicate_line_fraction", # segment repetition stat (map-only)
+    "q_temperature_mix",         # size^alpha domain mixing (map-only cutoffs)
+    "q_web_domains",             # URL host/registrable-domain extraction
+    "q_web_blocklist",           # broadcast domain blocklist anti-join
+    "q_stream_interval_join",    # interval join, batch shape
 ]
 
 
