@@ -109,3 +109,43 @@ def test_py_oracle_map_covers_all_rows_only_queries():
         f"{no_sql - set(e.py_oracle())}; "
         f"py_oracle entries shadowing SQL oracles: "
         f"{set(e.py_oracle()) - no_sql}")
+
+
+def test_winnow_matches_independent_python_mirror(spark):
+    """winnow_fingerprints vs a from-scratch Python winnowing (md5-bucket
+    gram hashes, rightmost-min tie-break): exact selection parity over a
+    tiny-vocab random corpus — small vocab forces repeated grams, i.e.
+    hash TIES inside windows, the subtle branch of the argmin."""
+    import hashlib
+    import random
+
+    from scalding_spark.functions import dedup
+
+    def py_winnow(text, k=5, window=4):
+        toks = pr.tokenize(text)
+        if len(toks) - k + 1 < 1:
+            return set()
+        grams = [int(hashlib.md5(" ".join(toks[i:i + k]).encode())
+                     .hexdigest()[:8], 16)
+                 for i in range(len(toks) - k + 1)]
+        sel = set()
+        for j in range(max(len(grams) - window + 1, 1)):
+            win = grams[j:j + window]
+            best_i, best = 0, win[0]
+            for i, h in enumerate(win):
+                if h <= best:          # rightmost minimum
+                    best, best_i = h, i
+            sel.add((j + best_i, best))
+        return sel
+
+    rng = random.Random(3)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 30))))
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in dedup.winnow_fingerprints(df, "text", "doc_id",
+                                       k=5, window=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in rows:
+        assert got.get(i, set()) == py_winnow(t), (i, t)
