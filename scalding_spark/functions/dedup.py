@@ -192,7 +192,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                     F.explode(shingles(F.col(text_col), n)).alias("sh")))
     if persist_index:
         from pyspark import StorageLevel
+
+        from scalding_spark.session import register_persisted
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        register_persisted(sh)  # internal persist — released via
+        # session.release_materialized() (callers never see this handle)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         # window count over sh, not groupBy+semi-join: one exchange on sh
@@ -302,7 +306,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         # bucket self-join recompute them (no exchange to reuse). They're tiny
         # (num_hashes × 8 B per doc) — persisting is the 100 TB-safe choice,
         # unlike shingle arrays (corpus-sized). ~2× faster at sf0.1.
+        from scalding_spark.session import register_persisted
         sigs = sigs.persist()
+        register_persisted(sigs)  # released via release_materialized()
     band_arr = minhash_band_hashes(num_hashes, bands)
     buckets = sigs.select("id", F.explode(band_arr).alias("bucket"))
     l, r = buckets.alias("l"), buckets.alias("r")
@@ -659,7 +665,9 @@ def shared_ngram_spans(df: DataFrame, text_col: str, id_col: str,
         # the windowed index separately per join side (observed: two gh
         # exchanges, no reuse, under AQE broadcast) and tokenize runs twice.
         from pyspark import StorageLevel
+        from scalding_spark.session import register_persisted
         g = g.persist(StorageLevel.MEMORY_AND_DISK)
+        register_persisted(g)  # also freed by release_materialized()
         if stats is not None:
             stats["gram_index"] = g  # caller unpersists after materializing
     if max_gram_freq is not None:

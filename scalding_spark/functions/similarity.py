@@ -327,26 +327,29 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
     # cached blocks through fewer tasks — no recompute, no shuffle
     src = cached.coalesce(target) if target < parts else cached
     iters = 0
-    for _ in range(max_iter):
-        iters += 1
-        assigned = _assign_cells_bcast(src, cents)
-        sums = (assigned.select("cell", F.posexplode("v").alias("dim", "x"))
-                .groupBy("cell", "dim")
-                .agg(F.avg(F.col("x").cast("double")).alias("m")))
-        new_cents = [list(c) for c in cents]  # empty cells keep position
-        for r in sums.collect():              # ≤ k·dim tiny rows
-            new_cents[r.cell][r.dim] = r.m
-        shift = max((abs(a - b)
-                     for row_a, row_b in zip(cents, new_cents)
-                     for a, b in zip(row_a, row_b)), default=0.0)
-        cents = new_cents
-        if shift < tol:
-            break
+    try:
+        for _ in range(max_iter):
+            iters += 1
+            assigned = _assign_cells_bcast(src, cents)
+            sums = (assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+                    .groupBy("cell", "dim")
+                    .agg(F.avg(F.col("x").cast("double")).alias("m")))
+            new_cents = [list(c) for c in cents]  # empty cells keep position
+            for r in sums.collect():              # ≤ k·dim tiny rows
+                new_cents[r.cell][r.dim] = r.m
+            shift = max((abs(a - b)
+                         for row_a, row_b in zip(cents, new_cents)
+                         for a, b in zip(row_a, row_b)), default=0.0)
+            cents = new_cents
+            if shift < tol:
+                break
+    finally:
+        # no storage leak — even when an iteration throws: the returned
+        # plan recomputes src lazily (one ordinary map-only corpus read
+        # when the caller materializes it)
+        cached.unpersist()
     if stats is not None:
         stats["iterations"] = iters
-    # no storage leak: the returned plan recomputes src lazily (one ordinary
-    # map-only corpus read when the caller materializes it)
-    cached.unpersist()
     out = _assign_cells_bcast(src, cents).select("id", "cell")
     return out, cents
 

@@ -723,4 +723,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         # it the logical plan doubles per iteration (exponential analysis
         # cost; driver OOM building plan strings past ~20 iterations).
         ranks = materialize(new_ranks, eager=True, iterative=True)
+    # the final ranks are EAGERLY materialized with lineage cut, so the
+    # returned plan no longer references nodes/trans — release their cache
+    # here instead of leaking it for the session's lifetime
+    nodes.unpersist()
+    trans.unpersist()
     return ranks.select(F.col("row").alias("node"), F.col("val").alias("rank"))

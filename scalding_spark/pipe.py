@@ -516,8 +516,13 @@ class Pipe:
         return {c: sorted(row[f"{c}_freqItems"], key=str) for c in cols}
 
     def force_to_disk(self) -> "Pipe":
-        """Materialization barrier (RichPipe.scala:428) → persist()."""
-        return Pipe(self.df.persist())
+        """Materialization barrier (RichPipe.scala:428) → persist().
+        Recorded in the session ledger: ``release_materialized()`` frees
+        it along with every internal library persist."""
+        from scalding_spark.session import register_persisted
+        out = self.df.persist()
+        register_persisted(out)
+        return Pipe(out)
 
     def map_partitions(self, fn, schema, barrier_setup: Callable | None = None) -> "Pipe":
         """``using(resource).map`` parity (RichPipe.scala:73-119): per-batch
@@ -577,7 +582,9 @@ class Pipe:
                 if recs:
                     yield pd.DataFrame(recs, columns=out_cols + [error_col, orig_col])
 
+        from scalding_spark.session import register_persisted
         result = self.df.mapInPandas(runner, schema=out_schema).persist()
+        register_persisted(result)  # released via release_materialized()
         if trap_path and not self._explain_only():
             # NOTE: the trap write is an eager action (Spark has no lazy
             # multi-sink); appends accumulate across job runs by design —

@@ -69,11 +69,22 @@ import weakref
 _MATERIALIZED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def register_persisted(df) -> None:
+    """Record an internally-persisted frame in the session ledger so
+    :func:`release_materialized` can free it. Library operators persist
+    subtrees their RETURNED plan still depends on (shingle indexes,
+    MinHash signatures, trap splits) — the caller never sees those
+    handles, so without the ledger a long-running driver accumulates
+    cache entries forever (the r04 leak class)."""
+    _MATERIALIZED.setdefault(df.sparkSession, []).append(df)
+
+
 def release_materialized(session=None) -> None:
-    """Unpersist every frame cached by ``materialize()``'s persist mode —
-    one session's, or all sessions' (default). Call between flows in a
-    long-running driver, or in test teardown after running an operator
-    under ``MATERIALIZE_CONF=persist``; the mirror of
+    """Unpersist every frame cached by ``materialize()``'s persist mode
+    or registered via :func:`register_persisted` — one session's, or all
+    sessions' (default). Call between flows in a long-running driver, or
+    in test teardown after running an operator under
+    ``MATERIALIZE_CONF=persist``; the mirror of
     :func:`scalding_spark.pipe.clear_counters`."""
     scopes = ([_MATERIALIZED.pop(session, [])] if session is not None
               else [_MATERIALIZED.pop(s, []) for s in list(_MATERIALIZED)])

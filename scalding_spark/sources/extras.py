@@ -98,8 +98,10 @@ def read_codec(spark: SparkSession, df: DataFrame, decode: Callable[[bytes], dic
             if recs:
                 yield pd.DataFrame(recs, columns=out_cols + ["__ok"])
 
+    from scalding_spark.session import register_persisted
     marked = df.select(bytes_col).mapInPandas(
         runner, schema=schema + ", __ok boolean").persist()
+    register_persisted(marked)  # released via release_materialized()
     out = marked.where(F.col("__ok")).drop("__ok")
 
     def check() -> int:

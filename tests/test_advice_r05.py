@@ -160,3 +160,69 @@ def test_counters_timeout_still_raises_when_no_handle_and_no_action(spark):
     _register_fake(spark, "r05_nohandle_never", _FakeObsNever())
     with pytest.raises(TimeoutError):
         counters("r05_nohandle_never", timeout=0.3)
+
+
+# --- 5. internal-persist ledger coverage (the r04 leak class, swept) ---------
+
+def _cached_rdd_count(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_pagerank_releases_its_internal_persists(spark):
+    """nodes/trans are CacheManager entries (live until unpersist — the
+    leak class); the per-iteration localCheckpoint RDDs are plain persists
+    that ContextCleaner frees once the JVM GCs their references. After a
+    GC nudge everything must be gone — before the r05 fix nodes/trans
+    survived any amount of GC."""
+    from scalding_spark.matrix import pagerank
+    before = _cached_rdd_count(spark)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long")
+    out = pagerank(edges, iterations=3)
+    out.count()
+    del out
+    import gc
+    deadline = time.monotonic() + 30
+    while _cached_rdd_count(spark) > before and time.monotonic() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+    # <=: the GC nudge may also clean GC-able leftovers of EARLIER tests
+    assert _cached_rdd_count(spark) <= before, (
+        "pagerank leaked cache entries that survive GC "
+        "(nodes/trans unpersist missing)")
+
+
+def test_minhash_and_ngram_persists_are_released(spark):
+    from scalding_spark.functions import dedup
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 3}")
+         for i in range(30)], "doc_id long, text string")
+    before = _cached_rdd_count(spark)
+    dedup.minhash_lsh_pairs(docs, "text", "doc_id", 16, 8,
+                            threshold=0.5).count()
+    dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                              threshold=0.5).count()
+    assert _cached_rdd_count(spark) > before, "expected internal persists"
+    release_materialized(spark)
+    assert _cached_rdd_count(spark) == before, (
+        "release_materialized left internal library persists cached")
+
+
+def test_kmeans_unpersists_even_when_iteration_throws(spark):
+    from scalding_spark.functions import similarity
+    before = _cached_rdd_count(spark)
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    similarity.kmeans(emb, k=2, max_iter=2)
+    assert _cached_rdd_count(spark) == before
+    # exception path: break the corpus so the first action inside fails
+    bad = emb.withColumn(
+        "embedding",
+        (F.col("vec_id") / F.lit(0)).cast("array<double>")
+        if False else F.raise_error(F.lit("boom")).cast("array<double>"))
+    with pytest.raises(Exception):
+        similarity.kmeans(bad, k=2, max_iter=2)
+    assert _cached_rdd_count(spark) == before, (
+        "kmeans leaked its corpus cache on the exception path")
