@@ -110,6 +110,72 @@ def dedup_against_fingerprints(new: DataFrame, seen_fps: DataFrame,
     return tagged.join(seen, on="__fp", how="left_anti").drop("__fp")
 
 
+class FingerprintStore:
+    """Bucketed fingerprint store for a continuously growing corpus — the
+    100 TB shape of :func:`dedup_against_fingerprints`.
+
+    A plain fingerprint table re-shuffles on EVERY increment (the anti
+    join exchanges both sides); bucketing the store by its fingerprint
+    once (``sources/bucketed.py`` machinery) makes every later anti join
+    read the store pre-partitioned — only the new batch exchanges, sized
+    to the increment, not the corpus. With the corpus at 1e10 docs and a
+    daily increment of 1e7, that is the difference between shuffling
+    320 GB and 320 MB per run (32-byte md5 keys).
+
+    Usage::
+
+        store = FingerprintStore(spark, "corpus_fps", n_buckets=256)
+        if not store.exists():
+            store.initialize(first_batch, "text")
+        kept = store.dedup_new_batch(batch, "text")   # drops known dups
+        store.append(kept, "text")                    # grow the store
+
+    ``tests/test_bucketed.py`` pins the one-sided-exchange plan.
+    """
+
+    def __init__(self, spark, table: str, n_buckets: int = 256,
+                 fp_col: str = "fp"):
+        self.spark = spark
+        self.table = table
+        self.n_buckets = n_buckets
+        self.fp_col = fp_col
+
+    def _fps_of(self, df: DataFrame, text_col: str) -> DataFrame:
+        return df.select(
+            F.md5(normalize_for_fingerprint(F.col(text_col)))
+            .alias(self.fp_col)).distinct()
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def initialize(self, df: DataFrame, text_col: str) -> None:
+        """Create the store from a first batch (bucketed by fingerprint)."""
+        from scalding_spark.sources.bucketed import write_bucketed
+        write_bucketed(self._fps_of(df, text_col), self.table,
+                       keys=[self.fp_col], n_buckets=self.n_buckets)
+
+    def append(self, df: DataFrame, text_col: str) -> None:
+        """Append a batch's fingerprints (same bucket spec — appends land
+        in their buckets, the pre-partitioning survives). Caller contract:
+        append only the KEPT rows of a deduped batch, or store-side
+        duplicates accumulate (they stay correct — the anti join semantics
+        don't change — but waste store bytes)."""
+        (self._fps_of(df, text_col).write.mode("append").format("parquet")
+         .bucketBy(self.n_buckets, self.fp_col).saveAsTable(self.table))
+
+    def fps(self) -> DataFrame:
+        return self.spark.table(self.table)
+
+    def dedup_new_batch(self, new: DataFrame, text_col: str) -> DataFrame:
+        """Drop rows of ``new`` whose content fingerprint is in the store.
+        The store side arrives bucket-partitioned (no exchange); only the
+        batch shuffles."""
+        fp_new = F.md5(normalize_for_fingerprint(F.col(text_col)))
+        tagged = new.withColumn(self.fp_col, fp_new)
+        return (tagged.join(self.fps(), on=self.fp_col, how="left_anti")
+                .drop(self.fp_col))
+
+
 def remove_duplicate_lines(df: DataFrame, text_col: str, id_col: str,
                            scope: str = "corpus",
                            delimiter: str = "\n") -> DataFrame:

@@ -41,3 +41,58 @@ def test_bucketed_agg_no_shuffle(spark, tables):
     agg = bucketed.read_bucketed(spark, lt).groupBy("k").agg(F.sum("lv"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# -- FingerprintStore: bucketed incremental dedup (r05) ----------------------
+
+def test_fingerprint_store_incremental_rounds(spark):
+    from scalding_spark.functions.dedup import FingerprintStore
+    store = FingerprintStore(spark, "t_fp_store_inc", n_buckets=4)
+    spark.sql("DROP TABLE IF EXISTS t_fp_store_inc")
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string")
+    store.initialize(b0, "text")
+    assert store.exists()
+    # batch 1: one dup of batch 0, one new
+    b1 = spark.createDataFrame(
+        [(2, "Alpha  beta!"), (3, "epsilon zeta")],  # 2 normalizes to dup
+        "doc_id long, text string")
+    kept1 = store.dedup_new_batch(b1, "text")
+    assert sorted(r.doc_id for r in kept1.collect()) == [3]
+    store.append(kept1, "text")
+    # batch 2: dups of BOTH prior batches + one new
+    b2 = spark.createDataFrame(
+        [(4, "gamma delta"), (5, "EPSILON zeta"), (6, "eta theta")],
+        "doc_id long, text string")
+    kept2 = store.dedup_new_batch(b2, "text")
+    assert sorted(r.doc_id for r in kept2.collect()) == [6]
+    assert store.fps().count() == 3  # alpha-beta, gamma-delta, epsilon-zeta
+    spark.sql("DROP TABLE t_fp_store_inc")
+
+
+def test_fingerprint_store_anti_join_never_exchanges_the_store(spark):
+    """The point of the bucketed store: the anti join's STORE side arrives
+    pre-partitioned — only the batch side plans an Exchange."""
+    from scalding_spark.functions.dedup import FingerprintStore
+    store = FingerprintStore(spark, "t_fp_store_plan", n_buckets=4)
+    spark.sql("DROP TABLE IF EXISTS t_fp_store_plan")
+    b0 = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(50)],
+        "doc_id long, text string")
+    store.initialize(b0, "text")
+    batch = spark.createDataFrame(
+        [(100 + i, f"doc number {i * 2}") for i in range(20)],
+        "doc_id long, text string")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (store.dedup_new_batch(batch, "text")
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    n_exchange = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_exchange == 1, (
+        f"expected exactly ONE shuffle (the batch side); plan:\n{plan}")
+    # and the store scan reports its bucketing
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+    spark.sql("DROP TABLE t_fp_store_plan")
