@@ -2298,6 +2298,30 @@ def q_web_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source")
 
 
+def q_fp_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FingerprintStore (dedup.py): BUCKETED incremental dedup — three
+    batches (doc_id % 3) flow through initialize → dedup → append rounds;
+    the store side of every anti join arrives bucket-partitioned (only the
+    batch exchanges — plan pinned in test_bucketed). Oracle: a doc in
+    batch b survives iff its fingerprint is absent from all earlier
+    batches. The synthetic corpus carries real cross-batch dups."""
+    from scalding_spark.functions.dedup import FingerprintStore
+    docs = _t(spark, sf_dir, "documents")
+    batches = [docs.where(F.col("doc_id") % 3 == b) for b in range(3)]
+    store = FingerprintStore(spark, "q_fp_store_tbl", n_buckets=4)
+    spark.sql("DROP TABLE IF EXISTS q_fp_store_tbl")
+    store.initialize(batches[0], "text")
+    kept = []
+    for b in (1, 2):
+        k = store.dedup_new_batch(batches[b], "text")
+        # materialize the kept set BEFORE appending its fingerprints —
+        # appends would otherwise feed back into the lazy anti join
+        k = k.select("doc_id", "source").localCheckpoint()
+        store.append(docs.join(k.select("doc_id"), "doc_id"), "text")
+        kept.append(k)
+    return kept[0].unionByName(kept[1])
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_interval_join (streaming/__init__.py:72) exercised in its
     batch shape (same code path minus watermarks): clicks paired with
@@ -2330,15 +2354,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
     # r05 window (VERDICT r04 next-round #3: rotate to the 50
-    # longest-unverified): the 7 r05-NEW operators (first driver rows),
-    # then 43 of the 49 queries whose newest driver row is r01 — three
-    # rounds stale, the oldest in the ledger. The 6 remaining r01-stale
-    # entries (q_dot q_toset q_mkstring q_head_last q_times_product
-    # q_maplist) plus the 39 r02-stale entries are parked DIRECTLY below
-    # position 50 in staleness order: they are the r06 window (45 entries
-    # + r06-new), after which every query's newest driver row is ≤2 rounds
-    # old — the steady state tests/test_driver_window.py's rotation
-    # invariant enforces. The r03/r04-green block sits at the tail.
+    # longest-unverified): the 8 r05-NEW operators (first driver rows),
+    # then 42 of the 49 queries whose newest driver row is r01 — three
+    # rounds stale, the oldest in the ledger. The 7 remaining r01-stale
+    # entries (q22_idle_customers q_dot q_toset q_mkstring q_head_last
+    # q_times_product q_maplist) plus the 39 r02-stale entries are parked
+    # DIRECTLY below position 50 in staleness order: they are the r06
+    # window (46 entries + r06-new), after which every query's newest
+    # driver row is ≤2 rounds old — the steady state
+    # tests/test_driver_window.py's rotation invariant enforces. The
+    # r03/r04-green block sits at the tail.
     return {
         # -- r05-new: first driver rows (formerly tests-only operators) --
         "q_dedup_lines": q_dedup_lines,
@@ -2348,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_web_domains": q_web_domains,
         "q_web_blocklist": q_web_blocklist,
         "q_stream_interval_join": q_stream_interval_join,
+        "q_fp_store_dedup": q_fp_store_dedup,
         # -- r01-stale block (newest driver row = CORRECTNESS_r01) --
         "q1_pricing_summary": q1_pricing_summary,
         "q_flatmap_wordcount": q_flatmap_wordcount,
@@ -2391,9 +2417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_effect": q14_promo_effect,
         "q18_large_volume_customer": q18_large_volume_customer,
-        "q22_idle_customers": q22_idle_customers,
         # ---- position 50 ends here ----
-        # -- r06 window queue: the 6 remaining r01-stale ... --
+        # -- r06 window queue: the 7 remaining r01-stale ... --
+        "q22_idle_customers": q22_idle_customers,
         "q_mkstring": q_mkstring,
         "q_times_product": q_times_product,
         "q_head_last": q_head_last,
@@ -2729,6 +2755,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE domain IS NOT NULL
               AND domain NOT IN ('example.co.uk', 'example.org',
                                  'unrelated.net')
+        """,
+        "q_fp_store_dedup": f"""
+            WITH n AS (SELECT doc_id, source, doc_id % 3 AS b,
+                              md5({_NORM_TEXT}) AS fp
+                       FROM documents)
+            SELECT doc_id, source FROM n x
+            WHERE b > 0 AND NOT EXISTS (
+                SELECT 1 FROM n y WHERE y.b < x.b AND y.fp = x.fp)
         """,
         "q_stream_interval_join": """
             WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -80,6 +80,7 @@ HEADLINE = [
     "q_web_domains",             # URL host/registrable-domain extraction
     "q_web_blocklist",           # broadcast domain blocklist anti-join
     "q_stream_interval_join",    # interval join, batch shape
+    "q_fp_store_dedup",          # bucketed incremental fingerprint store
 ]
 
 
