@@ -2305,10 +2305,15 @@ def q_fp_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch exchanges — plan pinned in test_bucketed). Oracle: a doc in
     batch b survives iff its fingerprint is absent from all earlier
     batches. The synthetic corpus carries real cross-batch dups."""
+    import tempfile
+
     from scalding_spark.functions.dedup import FingerprintStore
     docs = _t(spark, sf_dir, "documents")
     batches = [docs.where(F.col("doc_id") % 3 == b) for b in range(3)]
-    store = FingerprintStore(spark, "q_fp_store_tbl", n_buckets=4)
+    # external-table path under tmp: the store files never land in the
+    # driver's warehouse dir (only the catalog entry does)
+    store = FingerprintStore(spark, "q_fp_store_tbl", n_buckets=4,
+                             path=tempfile.mkdtemp(prefix="q_fp_store_"))
     spark.sql("DROP TABLE IF EXISTS q_fp_store_tbl")
     store.initialize(batches[0], "text")
     kept = []

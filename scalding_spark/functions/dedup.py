@@ -134,11 +134,15 @@ class FingerprintStore:
     """
 
     def __init__(self, spark, table: str, n_buckets: int = 256,
-                 fp_col: str = "fp"):
+                 fp_col: str = "fp", path: str | None = None):
+        """``path``: store the files at an explicit location (EXTERNAL
+        bucketed table) instead of the session warehouse dir — bucketing
+        metadata still lives in the catalog either way."""
         self.spark = spark
         self.table = table
         self.n_buckets = n_buckets
         self.fp_col = fp_col
+        self.path = path
 
     def _fps_of(self, df: DataFrame, text_col: str) -> DataFrame:
         return df.select(
@@ -148,11 +152,17 @@ class FingerprintStore:
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.table)
 
+    def _writer(self, df: DataFrame, mode: str):
+        w = (df.write.mode(mode).format("parquet")
+             .bucketBy(self.n_buckets, self.fp_col))
+        if self.path:
+            w = w.option("path", self.path)
+        return w
+
     def initialize(self, df: DataFrame, text_col: str) -> None:
         """Create the store from a first batch (bucketed by fingerprint)."""
-        from scalding_spark.sources.bucketed import write_bucketed
-        write_bucketed(self._fps_of(df, text_col), self.table,
-                       keys=[self.fp_col], n_buckets=self.n_buckets)
+        self._writer(self._fps_of(df, text_col),
+                     "overwrite").saveAsTable(self.table)
 
     def append(self, df: DataFrame, text_col: str) -> None:
         """Append a batch's fingerprints (same bucket spec — appends land
@@ -160,8 +170,8 @@ class FingerprintStore:
         append only the KEPT rows of a deduped batch, or store-side
         duplicates accumulate (they stay correct — the anti join semantics
         don't change — but waste store bytes)."""
-        (self._fps_of(df, text_col).write.mode("append").format("parquet")
-         .bucketBy(self.n_buckets, self.fp_col).saveAsTable(self.table))
+        self._writer(self._fps_of(df, text_col),
+                     "append").saveAsTable(self.table)
 
     def fps(self) -> DataFrame:
         return self.spark.table(self.table)
