@@ -199,14 +199,24 @@ def test_minhash_and_ngram_persists_are_released(spark):
         [(i, f"alpha beta gamma delta epsilon zeta {i % 3}")
          for i in range(30)], "doc_id long, text string")
     before = _cached_rdd_count(spark)
+    led_before = len(_MATERIALIZED.get(spark, []))
     dedup.minhash_lsh_pairs(docs, "text", "doc_id", 16, 8,
                             threshold=0.5).count()
     dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
                               threshold=0.5).count()
-    assert _cached_rdd_count(spark) > before, "expected internal persists"
+    # ledger growth, not raw RDD count: ContextCleaner may concurrently
+    # free GC-able leftovers of earlier tests, moving the count both ways
+    assert len(_MATERIALIZED.get(spark, [])) >= led_before + 2, (
+        "expected the sig + shingle-index persists in the ledger")
+    still_cached = [f for f in _MATERIALIZED.get(spark, [])
+                    if f.storageLevel.useMemory or f.storageLevel.useDisk]
+    assert still_cached, "ledgered frames lost their storage level"
     release_materialized(spark)
-    assert _cached_rdd_count(spark) == before, (
+    assert _cached_rdd_count(spark) <= before, (
         "release_materialized left internal library persists cached")
+    assert not _MATERIALIZED.get(spark, []), "ledger not drained"
+    assert all(not f.storageLevel.useMemory and not f.storageLevel.useDisk
+               for f in still_cached), "release left frames cached"
 
 
 def test_kmeans_unpersists_even_when_iteration_throws(spark):
@@ -253,11 +263,13 @@ def test_iterative_ops_identical_under_all_materialize_modes(spark, tmp_path):
     must produce identical results."""
     base_pr, base_cc = _pagerank_rows(spark), _cc_rows(spark)
     before = _cached_rdd_count(spark)
+    led_before = len(_MATERIALIZED.get(spark, []))
     spark.conf.set(MATERIALIZE_CONF, "persist")
     try:
         assert _pagerank_rows(spark) == base_pr
         assert _cc_rows(spark) == base_cc
-        assert not _MATERIALIZED.get(spark, []), (
+        # relative: EARLIER tests' library calls may have ledgered entries
+        assert len(_MATERIALIZED.get(spark, [])) == led_before, (
             "iterative ops under persist mode must not grow the ledger")
         spark.sparkContext.setCheckpointDir(str(tmp_path / "rck"))
         spark.conf.set(MATERIALIZE_CONF, "reliable")
