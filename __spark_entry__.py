@@ -2181,6 +2181,19 @@ def q_duplicate_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.avg("f"), 6).alias("avg_dup_fraction")))
 
 
+def q_dup_line_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_line_char_fraction (text.py): Gopher's CHAR-weighted
+    duplicate-segment rule — Σ (count−1)·len over repeated segments /
+    total segment chars — averaged per source (word segments, like
+    q_duplicate_line_fraction's count-weighted companion)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("source",
+                        tx.duplicate_line_char_fraction(F.col("text"),
+                                                        sep=" ").alias("f"))
+            .groupBy("source")
+            .agg(F.round(F.avg("f"), 6).alias("avg_dup_char_fraction")))
+
+
 _TM_ALPHA = 0.3
 _TM_TOTAL = 60_000
 
@@ -2359,11 +2372,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
     # r05 window (VERDICT r04 next-round #3: rotate to the 50
-    # longest-unverified): the 8 r05-NEW operators (first driver rows),
-    # then 42 of the 49 queries whose newest driver row is r01 — three
-    # rounds stale, the oldest in the ledger. The 7 remaining r01-stale
-    # entries (q22_idle_customers q_dot q_toset q_mkstring q_head_last
-    # q_times_product q_maplist) plus the 39 r02-stale entries are parked
+    # longest-unverified): the 9 r05-NEW operators (first driver rows),
+    # then 41 of the 49 queries whose newest driver row is r01 — three
+    # rounds stale, the oldest in the ledger. The 8 remaining r01-stale
+    # entries (q18_large_volume_customer q22_idle_customers q_dot q_toset
+    # q_mkstring q_head_last q_times_product q_maplist) plus the 39
+    # r02-stale entries are parked
     # DIRECTLY below position 50 in staleness order: they are the r06
     # window (46 entries + r06-new), after which every query's newest
     # driver row is ≤2 rounds old — the steady state
@@ -2379,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_web_blocklist": q_web_blocklist,
         "q_stream_interval_join": q_stream_interval_join,
         "q_fp_store_dedup": q_fp_store_dedup,
+        "q_dup_line_chars": q_dup_line_chars,
         # -- r01-stale block (newest driver row = CORRECTNESS_r01) --
         "q1_pricing_summary": q1_pricing_summary,
         "q_flatmap_wordcount": q_flatmap_wordcount,
@@ -2421,9 +2436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_effect": q14_promo_effect,
-        "q18_large_volume_customer": q18_large_volume_customer,
         # ---- position 50 ends here ----
-        # -- r06 window queue: the 7 remaining r01-stale ... --
+        # -- r06 window queue: the 8 remaining r01-stale ... --
+        "q18_large_volume_customer": q18_large_volume_customer,
         "q22_idle_customers": q22_idle_customers,
         "q_mkstring": q_mkstring,
         "q_times_product": q_times_product,
@@ -2743,6 +2758,29 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END AS f
                   FROM s)
             SELECT source, round(avg(f), 6) AS avg_dup_fraction
+            FROM f GROUP BY source
+        """,
+        "q_dup_line_chars": """
+            WITH s AS (SELECT source,
+                              list_filter(list_transform(
+                                  string_split_regex(text, ' '),
+                                  x -> trim(regexp_replace(lower(x),
+                                            '[^a-z0-9]+', ' ', 'g'))),
+                                  x -> x <> '') AS segs
+                       FROM documents),
+            f AS (SELECT source,
+                         CASE WHEN len(segs) > 1 AND
+                                   list_sum(list_transform(segs,
+                                            x -> len(x))) > 0
+                              THEN list_sum(list_transform(
+                                       list_distinct(segs),
+                                       d -> (len(list_filter(segs,
+                                                 x -> x = d)) - 1) * len(d)))
+                                   / CAST(list_sum(list_transform(segs,
+                                          x -> len(x))) AS DOUBLE)
+                              ELSE 0.0 END AS f
+                  FROM s)
+            SELECT source, round(avg(f), 6) AS avg_dup_char_fraction
             FROM f GROUP BY source
         """,
         "q_temperature_mix": _temperature_mix_sql(),

@@ -81,6 +81,7 @@ HEADLINE = [
     "q_web_blocklist",           # broadcast domain blocklist anti-join
     "q_stream_interval_join",    # interval join, batch shape
     "q_fp_store_dedup",          # bucketed incremental fingerprint store
+    "q_dup_line_chars",          # Gopher char-weighted repetition rule
 ]
 
 

@@ -466,14 +466,42 @@ def duplicate_line_fraction(col: Column, sep: str = "\\.") -> Column:
     normalized with the fingerprint canonicalization so trivial
     punctuation/case differences still count as repeats.
     """
-    segs = F.filter(
+    segs = _norm_segments(col, sep)
+    n = F.size(segs)
+    dups = n - F.size(F.array_distinct(segs))
+    return F.when(n > 1, dups / n).otherwise(F.lit(0.0))
+
+
+def _norm_segments(col: Column, sep: str) -> Column:
+    return F.filter(
         F.transform(F.split(col, sep),
                     lambda s: F.trim(F.regexp_replace(F.lower(s),
                                                       "[^a-z0-9]+", " "))),
         lambda s: s != F.lit(""))
-    n = F.size(segs)
-    dups = n - F.size(F.array_distinct(segs))
-    return F.when(n > 1, dups / n).otherwise(F.lit(0.0))
+
+
+def duplicate_line_char_fraction(col: Column, sep: str = "\\.") -> Column:
+    """CHAR-weighted duplicate-segment fraction — Gopher's actual
+    repetition rule is "fraction of CHARACTERS inside duplicate lines"
+    (Rae et al. 2021 §A1.1), which :func:`duplicate_line_fraction`'s
+    count-weighted variant under-reports when the repeats are the LONG
+    segments: Σ_d (count_d − 1)·len(d) / Σ chars over segments. 0.0 for
+    ≤1 segment. Same normalization, same map-only contract — one
+    O(distinct × n) pass via higher-order functions, nothing leaves the
+    row."""
+    return let_bound(
+        _norm_segments(col, sep),
+        lambda segs: let_bound(
+            F.aggregate(segs, F.lit(0),
+                        lambda a, s: a + F.length(s)).cast("double"),
+            lambda tot: F.when(
+                (F.size(segs) > 1) & (tot > 0),
+                F.aggregate(
+                    F.array_distinct(segs), F.lit(0),
+                    lambda a, d: a + (F.size(F.filter(segs,
+                                                      lambda x: x == d)) - 1)
+                    * F.length(d)) / tot)
+            .otherwise(F.lit(0.0))))
 
 
 def corpus_stats(df, text_col: str = "text", id_col: str = "doc_id"):

@@ -501,3 +501,26 @@ def test_remove_duplicate_lines_metachar_delimiter(spark):
     out2 = remove_duplicate_lines(df2, "text", "doc_id", scope="doc",
                                   delimiter=". ")
     assert out2.collect()[0]["text"] == "x. y. z"
+
+
+def test_duplicate_line_char_fraction(spark):
+    from scalding_spark.functions.text import (duplicate_line_char_fraction,
+                                               duplicate_line_fraction)
+    rows = [
+        (0, "aaa. bb. aaa. c"),          # dup seg len 3 of 9 chars
+        (1, "unique. lines. only"),      # no repeats
+        (2, ""),                         # empty
+        (3, "looooooooong. x. looooooooong"),  # long dup dominates chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.cf, r.nf) for r in df.select(
+        "doc_id",
+        duplicate_line_char_fraction(F.col("text")).alias("cf"),
+        duplicate_line_fraction(F.col("text")).alias("nf")).collect()}
+    assert got[0][0] == pytest.approx(3 / 9)
+    assert got[0][1] == pytest.approx(1 / 4)
+    assert got[1] == (0.0, 0.0)
+    assert got[2] == (0.0, 0.0)
+    # char weighting reports the long repeat as MORE severe than counting
+    assert got[3][0] > got[3][1]
+    assert got[3][0] == pytest.approx(12 / 25)
