@@ -702,3 +702,17 @@ def test_temperature_mix_validates(spark):
     df = _tm_corpus(spark)
     with pytest.raises(ValueError, match="alpha"):
         sampling.temperature_mix(df, "id", "dom", "toks", 100, alpha=-1)
+
+
+def test_temperature_mix_plan_is_scan_fused(spark):
+    """The RETURNED mix plan is a pure filter (md5-cutoff CASE fused into
+    the scan): zero exchanges, zero Python — the #domains sizes agg runs
+    as its own tiny job before the plan is built."""
+    from scalding_spark.functions.sampling import temperature_mix
+    df = spark.createDataFrame(
+        [(i, f"d{i % 4}", 10 + i) for i in range(100)],
+        "k long, dom string, sz long")
+    out = temperature_mix(df, "k", "dom", "sz", total=500, alpha=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
