@@ -56,3 +56,17 @@ def test_retired_probe_is_no_longer_risky(con):
             e.oracle_sql()["q_probe_hugeint"])).fetchall()
     assert all(t == "BIGINT" or c == "l_returnflag" for c, t, *_ in desc), \
         f"retired probe regressed to a fragile output type: {desc}"
+
+
+def test_documents_source_set_matches_mix_oracle_assumptions(con):
+    """q_temperature_mix's oracle unrolls the domain normalizer over the
+    literal src0..src19 set (sorted-order chained additions — the
+    bit-reproducibility contract); q_mix_proportions pins src0..src4. The
+    driver REGENERATES testdata between rounds — if the source universe
+    ever drifts, fail HERE loudly instead of going silently red in the
+    driver's correctness file."""
+    got = {r[0] for r in con.sql(
+        "SELECT DISTINCT source FROM documents").fetchall()}
+    assert got == {f"src{i}" for i in range(20)}, (
+        f"documents source set drifted: {sorted(got)} — regenerate "
+        f"_temperature_mix_sql's domain list")
