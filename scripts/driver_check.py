@@ -71,8 +71,12 @@ for name, fn in e.queries().items():
         continue
     if name not in oracles:
         if name in py_oracles:
-            # Python-reference golden (non-SQL-expressible query)
-            err = py_oracles[name](sf_dir, rows, cols)
+            # Python-reference golden (non-SQL-expressible query); a
+            # crashing checker is a FAIL for that query, not a dead gate
+            try:
+                err = py_oracles[name](sf_dir, rows, cols)
+            except Exception as ex:
+                err = f"checker crashed: {type(ex).__name__}: {ex}"
             if err:
                 fails.append(name)
                 print(f"FAIL {name} (py_oracle): {err}")
