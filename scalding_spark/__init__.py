@@ -34,14 +34,16 @@ from scalding_spark.job import Args, CascadeJob, Job, ScriptJob
 from scalding_spark.matrix import (ColVector, FiniteHint, Matrix, NoClue,
                                    RowVector, SizeHint, SparseHint,
                                    as_diagonal, pagerank)
-from scalding_spark.pipe import Pipe
-from scalding_spark.session import get_spark
+from scalding_spark.pipe import Pipe, clear_counters, counters
+from scalding_spark.session import (get_spark, materialize,
+                                    release_materialized)
 from scalding_spark.testing import JobTest
 from scalding_spark.typed import TypedPipe
 
 __all__ = [
     "Args", "CascadeJob", "ColVector", "FiniteHint", "Job", "JobTest", "Matrix",
     "NoClue", "Pipe", "RowVector", "ScriptJob", "SizeHint", "SparseHint",
-    "TypedPipe", "as_diagonal", "get_spark", "pagerank",
+    "TypedPipe", "as_diagonal", "clear_counters", "counters", "get_spark",
+    "materialize", "pagerank", "release_materialized",
 ]
 __version__ = "0.1.0"
