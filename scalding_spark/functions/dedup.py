@@ -180,10 +180,15 @@ class FingerprintStore:
         """Drop rows of ``new`` whose content fingerprint is in the store.
         The store side arrives bucket-partitioned (no exchange); only the
         batch shuffles."""
+        # collision-safe tag name (the batch may legitimately carry a
+        # column named fp_col — don't overwrite-and-drop the caller's data)
+        tag = "__fp_store_key"
+        if tag in new.columns:
+            raise ValueError(f"batch already has a {tag!r} column")
         fp_new = F.md5(normalize_for_fingerprint(F.col(text_col)))
-        tagged = new.withColumn(self.fp_col, fp_new)
-        return (tagged.join(self.fps(), on=self.fp_col, how="left_anti")
-                .drop(self.fp_col))
+        tagged = new.withColumn(tag, fp_new)
+        seen = self.fps().select(F.col(self.fp_col).alias(tag))
+        return tagged.join(seen, on=tag, how="left_anti").drop(tag)
 
 
 def remove_duplicate_lines(df: DataFrame, text_col: str, id_col: str,

@@ -76,11 +76,16 @@ def _parse_pnm(content: bytes):
         raise NotImplementedError(
             f"no codec for magic {content[:2]!r} (PIL absent; only binary "
             f"PPM/PGM decodable without it)")
-    # header: magic, width, height, maxval — whitespace/comment separated
+    # header: magic, width, height, maxval — whitespace/comment separated.
+    # Malformed/truncated input raises a DESCRIPTIVE ValueError (a corrupt
+    # file, not a missing codec — NotImplementedError is reserved for
+    # formats this environment cannot decode).
     toks, i = [], 2
     while len(toks) < 3:
         while i < len(content) and content[i:i + 1].isspace():
             i += 1
+        if i >= len(content):
+            raise ValueError("malformed PNM: truncated header")
         if content[i:i + 1] == b"#":
             while i < len(content) and content[i:i + 1] != b"\n":
                 i += 1
@@ -88,12 +93,21 @@ def _parse_pnm(content: bytes):
         j = i
         while j < len(content) and not content[j:j + 1].isspace():
             j += 1
-        toks.append(int(content[i:j]))
+        try:
+            toks.append(int(content[i:j]))
+        except ValueError:
+            raise ValueError(
+                f"malformed PNM: non-numeric header token {content[i:j]!r}")
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = toks
     ch = 1 if content.startswith(b"P5") else 3
     dt = np.uint8 if maxval < 256 else ">u2"
+    need = w * h * ch * (1 if maxval < 256 else 2)
+    if len(content) - i < need:
+        raise ValueError(
+            f"malformed PNM: pixel section truncated "
+            f"({len(content) - i} bytes, need {need})")
     px = np.frombuffer(content, dtype=dt, count=w * h * ch, offset=i)
     px = px.reshape(h, w, ch).astype("float64") / maxval
     return px.mean(axis=2), w, h
@@ -169,8 +183,10 @@ def decode_audio_real(content: bytes, n_windows: int = 4) -> list[float]:
 
 
 def default_image_decoder():
-    """The feature-detected default: real when any image codec path exists
-    (always true — PPM/PGM needs none), stub only if numpy were absent."""
+    """The feature-detected default: the real decoder — PIL formats when
+    PIL is installed, binary PPM/PGM always (numpy is a hard dependency of
+    this engine, so a real path always exists). The deterministic stub
+    stays available for SQL-reproducible pipelines."""
     return decode_image_real
 
 

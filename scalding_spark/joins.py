@@ -454,9 +454,9 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
       tables (counts only — the strings never re-shuffle), so leave it
       None unless key hygiene is unknown.
     - ``counter``: registers an Observation of that name on the candidate
-      stage (read with ``counters(name)`` after the action:
-      ``n_candidates`` = pre-distinct joined rows, ``n_verified`` — free,
-      no extra pass) for monitoring candidate blowup in production runs.
+      stage (read with ``counters(name)`` after the action: metric
+      ``n_candidates`` = pre-distinct joined rows — free, no extra pass)
+      for monitoring candidate blowup in production runs.
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance}")

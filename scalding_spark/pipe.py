@@ -127,20 +127,44 @@ def counters(name: str, timeout: float | None = None,
 
 
 def _blocking_get_bounded(obs, name: str, remaining: float, timeout) -> dict:
+    """One worker PER OBSERVATION, reused across calls: a polling loop
+    that retries counters(name, timeout=N) before the action completes
+    must not park a fresh thread on obs.get per attempt (unbounded
+    accumulation in a long-running driver). Worker exceptions propagate
+    instead of masquerading as timeouts."""
     import queue
     import threading
-    out: "queue.Queue" = queue.Queue(maxsize=1)
-    t = threading.Thread(target=lambda: out.put(dict(obs.get)), daemon=True)
-    t.start()
+    waiter = getattr(obs, "_scalding_waiter", None)
+    if waiter is None or (not waiter[1].is_alive() and waiter[0].empty()):
+        out: "queue.Queue" = queue.Queue(maxsize=1)
+
+        def work():
+            try:
+                out.put(("ok", dict(obs.get)))
+            except Exception as e:  # noqa: BLE001 — surfaced to the caller
+                out.put(("err", e))
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        waiter = (out, t)
+        try:
+            obs._scalding_waiter = waiter
+        except AttributeError:
+            pass  # slotted/frozen Observation: per-call worker fallback
     try:
         # small floor so a COMPLETED action's instant get can cross the
         # thread boundary even at timeout=0 (which here can't be a true
         # non-blocking probe)
-        return out.get(timeout=max(remaining, 0.2))
+        kind, value = waiter[0].get(timeout=max(remaining, 0.2))
     except queue.Empty:
         raise TimeoutError(
             f"observation {name!r} has no completed action after "
             f"{timeout}s — run an action over the observed frame first")
+    # put the result back for subsequent counters() calls on the same obs
+    waiter[0].put((kind, value))
+    if kind == "err":
+        raise value
+    return value
 
 
 def clear_counters(session=None) -> None:

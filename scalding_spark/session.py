@@ -56,14 +56,20 @@ def get_spark(
 
 MATERIALIZE_CONF = "spark.scalding_spark.materialize"
 
-# Session-scoped ledger of DataFrames persisted by materialize()'s `persist`
-# mode. Library operators cut lineage on INTERNAL subtrees the caller never
-# sees, so the caller cannot unpersist them — without this registry a
-# long-running job in persist mode (the mode's stated audience) accumulates
+# Session-scoped ledger of frames persisted by materialize()'s `persist`
+# mode and by library-internal persists (register_persisted). Operators cut
+# lineage on INTERNAL subtrees the caller never sees, so the caller cannot
+# unpersist them — without this registry a long-running job accumulates
 # cache entries forever, and Spark's cache manager keeps substituting the
-# stale InMemoryRelations into unrelated later plans. WeakKeyDictionary so a
-# stopped session's entries are garbage-collected (same pattern as
-# pipe._OBSERVATIONS).
+# stale InMemoryRelations into unrelated later plans.
+#
+# The ledger stores the JVM-side Dataset handles (df._jdf), NOT the Python
+# DataFrames: a Python DataFrame strongly references its SparkSession, so
+# holding it as a WeakKeyDictionary VALUE would pin its own KEY and make
+# every entry immortal (value→key cycle). With only the py4j handles held,
+# a dropped Python session's entry is collectable — though the JVM cache
+# itself is freed only by calling release_materialized(); GC never
+# unpersists for you.
 import weakref
 
 _MATERIALIZED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
@@ -76,7 +82,7 @@ def register_persisted(df) -> None:
     MinHash signatures, trap splits) — the caller never sees those
     handles, so without the ledger a long-running driver accumulates
     cache entries forever (the r04 leak class)."""
-    _MATERIALIZED.setdefault(df.sparkSession, []).append(df)
+    _MATERIALIZED.setdefault(df.sparkSession, []).append(df._jdf)
 
 
 def release_materialized(session=None) -> None:
@@ -85,13 +91,14 @@ def release_materialized(session=None) -> None:
     sessions' (default). Call between flows in a long-running driver, or
     in test teardown after running an operator under
     ``MATERIALIZE_CONF=persist``; the mirror of
-    :func:`scalding_spark.pipe.clear_counters`."""
+    :func:`scalding_spark.pipe.clear_counters`. This is THE release path:
+    JVM cache entries are never freed by Python garbage collection."""
     scopes = ([_MATERIALIZED.pop(session, [])] if session is not None
               else [_MATERIALIZED.pop(s, []) for s in list(_MATERIALIZED)])
     for frames in scopes:
-        for f in frames:
+        for jdf in frames:
             try:
-                f.unpersist()
+                jdf.unpersist(False)
             except Exception:
                 pass  # session already stopped
 
@@ -136,7 +143,7 @@ def materialize(df, eager: bool = False, iterative: bool = False):
             return df.localCheckpoint(eager=eager)
         from pyspark import StorageLevel
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        _MATERIALIZED.setdefault(df.sparkSession, []).append(out)
+        _MATERIALIZED.setdefault(df.sparkSession, []).append(out._jdf)
         if eager:
             out.count()
         return out

@@ -107,11 +107,6 @@ def measure(spark, fn):
 # operators + their candidate-volume probes
 # ---------------------------------------------------------------------------
 
-def _docs(spark, path):
-    return spark.read.parquet(path if "parquet" not in path
-                              else path)
-
-
 def _bucket_pairs(exploded, key_cols, cap=None):
     """Σ c·(c-1)/2 over buckets (post doc-frequency cap) — the candidate
     volume of an inverted-index/banding self-join."""

@@ -35,13 +35,33 @@ def test_release_materialized_unpersists_persist_mode_frames(spark):
     try:
         out = materialize(df, eager=True)
         assert out.storageLevel.useMemory, "persist mode did not cache"
-        assert any(out is f for f in _MATERIALIZED.get(spark, [])), \
+        assert any(f is out._jdf for f in _MATERIALIZED.get(spark, [])), \
             "persist-mode frame not recorded in the session ledger"
     finally:
         spark.conf.unset(MATERIALIZE_CONF)
         release_materialized(spark)
     assert not out.storageLevel.useMemory, "release_materialized left cache"
     assert not _MATERIALIZED.get(spark, []), "ledger not cleared"
+
+
+def test_ledger_holds_jvm_handles_not_python_frames(spark):
+    """The ledger must store df._jdf, not the DataFrame: a Python
+    DataFrame strongly references its SparkSession, so holding it as a
+    WeakKeyDictionary VALUE pins its own KEY — every entry (and the
+    stopped session) would live for process lifetime."""
+    from scalding_spark.session import register_persisted
+    df = spark.range(5).persist()
+    try:
+        register_persisted(df)
+        entry = _MATERIALIZED.get(spark, [])[-1]
+        assert entry is df._jdf, "ledger entry is not the JVM handle"
+        from pyspark.sql import DataFrame
+        assert not isinstance(entry, DataFrame), (
+            "ledger holds Python DataFrames — value→key cycle makes "
+            "WeakKeyDictionary entries immortal")
+    finally:
+        release_materialized(spark)
+    assert not df.storageLevel.useMemory
 
 
 def test_local_mode_registers_nothing(spark):
@@ -164,33 +184,22 @@ def test_counters_timeout_still_raises_when_no_handle_and_no_action(spark):
 
 # --- 5. internal-persist ledger coverage (the r04 leak class, swept) ---------
 
-def _cached_rdd_count(spark):
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _cache_manager_empty(spark) -> bool:
+    """DataFrame persists (the leak class) register in the CacheManager;
+    localCheckpoint RDD blocks do NOT (they are plain RDD persists cleaned
+    by ContextCleaner after GC) — so this is a DETERMINISTIC leak signal,
+    unlike counting getPersistentRDDs (GC-timing-dependent, was flaky)."""
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_pagerank_releases_its_internal_persists(spark):
-    """nodes/trans are CacheManager entries (live until unpersist — the
-    leak class); the per-iteration localCheckpoint RDDs are plain persists
-    that ContextCleaner frees once the JVM GCs their references. After a
-    GC nudge everything must be gone — before the r05 fix nodes/trans
-    survived any amount of GC."""
     from scalding_spark.matrix import pagerank
-    before = _cached_rdd_count(spark)
+    spark.catalog.clearCache()
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long")
-    out = pagerank(edges, iterations=3)
-    out.count()
-    del out
-    import gc
-    deadline = time.monotonic() + 30
-    while _cached_rdd_count(spark) > before and time.monotonic() < deadline:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.5)
-    # <=: the GC nudge may also clean GC-able leftovers of EARLIER tests
-    assert _cached_rdd_count(spark) <= before, (
-        "pagerank leaked cache entries that survive GC "
-        "(nodes/trans unpersist missing)")
+    pagerank(edges, iterations=3).count()
+    assert _cache_manager_empty(spark), (
+        "pagerank left CacheManager entries (nodes/trans unpersist missing)")
 
 
 def test_minhash_and_ngram_persists_are_released(spark):
@@ -198,43 +207,35 @@ def test_minhash_and_ngram_persists_are_released(spark):
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta epsilon zeta {i % 3}")
          for i in range(30)], "doc_id long, text string")
-    before = _cached_rdd_count(spark)
+    spark.catalog.clearCache()
     led_before = len(_MATERIALIZED.get(spark, []))
     dedup.minhash_lsh_pairs(docs, "text", "doc_id", 16, 8,
                             threshold=0.5).count()
     dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
                               threshold=0.5).count()
-    # ledger growth, not raw RDD count: ContextCleaner may concurrently
-    # free GC-able leftovers of earlier tests, moving the count both ways
     assert len(_MATERIALIZED.get(spark, [])) >= led_before + 2, (
         "expected the sig + shingle-index persists in the ledger")
-    still_cached = [f for f in _MATERIALIZED.get(spark, [])
-                    if f.storageLevel.useMemory or f.storageLevel.useDisk]
-    assert still_cached, "ledgered frames lost their storage level"
+    assert not _cache_manager_empty(spark), "expected live cache entries"
     release_materialized(spark)
-    assert _cached_rdd_count(spark) <= before, (
+    assert _cache_manager_empty(spark), (
         "release_materialized left internal library persists cached")
     assert not _MATERIALIZED.get(spark, []), "ledger not drained"
-    assert all(not f.storageLevel.useMemory and not f.storageLevel.useDisk
-               for f in still_cached), "release left frames cached"
 
 
 def test_kmeans_unpersists_even_when_iteration_throws(spark):
     from scalding_spark.functions import similarity
-    before = _cached_rdd_count(spark)
+    spark.catalog.clearCache()
     emb = spark.createDataFrame(
         [(i, [float(i), float(i % 3)]) for i in range(20)],
         "vec_id long, embedding array<double>")
     similarity.kmeans(emb, k=2, max_iter=2)
-    assert _cached_rdd_count(spark) == before
+    assert _cache_manager_empty(spark)
     # exception path: break the corpus so the first action inside fails
     bad = emb.withColumn(
-        "embedding",
-        (F.col("vec_id") / F.lit(0)).cast("array<double>")
-        if False else F.raise_error(F.lit("boom")).cast("array<double>"))
+        "embedding", F.raise_error(F.lit("boom")).cast("array<double>"))
     with pytest.raises(Exception):
         similarity.kmeans(bad, k=2, max_iter=2)
-    assert _cached_rdd_count(spark) == before, (
+    assert _cache_manager_empty(spark), (
         "kmeans leaked its corpus cache on the exception path")
 
 
@@ -261,14 +262,13 @@ def test_iterative_ops_identical_under_all_materialize_modes(spark, tmp_path):
     """The ADVICE r04 medium finding: iterative loops under persist mode
     must neither blow up their plans nor accumulate cache, and every mode
     must produce identical results."""
+    spark.catalog.clearCache()
     base_pr, base_cc = _pagerank_rows(spark), _cc_rows(spark)
-    before = _cached_rdd_count(spark)
     led_before = len(_MATERIALIZED.get(spark, []))
     spark.conf.set(MATERIALIZE_CONF, "persist")
     try:
         assert _pagerank_rows(spark) == base_pr
         assert _cc_rows(spark) == base_cc
-        # relative: EARLIER tests' library calls may have ledgered entries
         assert len(_MATERIALIZED.get(spark, [])) == led_before, (
             "iterative ops under persist mode must not grow the ledger")
         spark.sparkContext.setCheckpointDir(str(tmp_path / "rck"))
@@ -278,12 +278,32 @@ def test_iterative_ops_identical_under_all_materialize_modes(spark, tmp_path):
     finally:
         spark.conf.unset(MATERIALIZE_CONF)
         release_materialized(spark)
-    # CacheManager-held entries must not outlive the runs (checkpoint RDD
-    # blocks are GC-managed; see test_pagerank_releases_its_internal_persists)
-    import gc
-    deadline = time.monotonic() + 30
-    while _cached_rdd_count(spark) > before and time.monotonic() < deadline:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.5)
-    assert _cached_rdd_count(spark) <= before
+    assert _cache_manager_empty(spark), (
+        "iterative runs left CacheManager entries under alternate modes")
+
+
+def test_counters_degraded_path_reuses_one_worker_thread(spark):
+    """Polling counters(timeout=) repeatedly before the action completes
+    must reuse ONE parked worker per Observation, not accumulate threads."""
+    obs = _FakeObsNever()
+    _register_fake(spark, "r05_thread_reuse", obs)
+    for _ in range(3):
+        with pytest.raises(TimeoutError):
+            counters("r05_thread_reuse", timeout=0.05)
+    q, t = obs._scalding_waiter
+    assert t.is_alive() and q.empty()
+    n = sum(1 for th in threading.enumerate()
+            if th is t)
+    assert n == 1
+
+
+class _FakeObsRaises:
+    @property
+    def get(self):
+        raise RuntimeError("observation backend exploded")
+
+
+def test_counters_degraded_path_propagates_worker_exception(spark):
+    _register_fake(spark, "r05_worker_err", _FakeObsRaises())
+    with pytest.raises(RuntimeError, match="exploded"):
+        counters("r05_worker_err", timeout=2)

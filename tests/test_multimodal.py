@@ -170,3 +170,14 @@ def test_real_image_decode_png_with_pil(spark):
 def test_default_decoders_are_real():
     assert mm.default_image_decoder() is mm.decode_image_real
     assert mm.default_audio_decoder() is mm.decode_audio_real
+
+
+def test_parse_pnm_malformed_inputs_raise_descriptive_errors():
+    with pytest.raises(NotImplementedError, match="no codec"):
+        mm._parse_pnm(b"\x89PNGnot-a-pnm")
+    with pytest.raises(ValueError, match="truncated header"):
+        mm._parse_pnm(b"P5")
+    with pytest.raises(ValueError, match="non-numeric"):
+        mm._parse_pnm(b"P5\nxx 4\n255\n")
+    with pytest.raises(ValueError, match="pixel section truncated"):
+        mm._parse_pnm(b"P5\n4 4\n255\nAB")
