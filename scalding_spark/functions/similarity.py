@@ -257,8 +257,14 @@ def _assign_cells_bcast(src: DataFrame, cents: list[list[float]]) -> DataFrame:
     (id, v); returns (id, v, cell).
     """
     spark = src.sparkSession
+    # ONE-partition build side: plain createDataFrame parallelizes the
+    # single row across defaultParallelism partitions, so every iteration's
+    # broadcast build runs a 32-task job to ship one row (measured ~0.2 s
+    # of the ~0.5 s per-iteration floor at sf0.1). A 1-slice parallelize
+    # makes the build a single task; the broadcast payload is identical.
     cent_df = spark.createDataFrame(
-        [([[float(x) for x in c] for c in cents],)],
+        spark.sparkContext.parallelize(
+            [([[float(x) for x in c] for c in cents],)], 1),
         "cents: array<array<double>>")
     ds = F.transform(
         F.col("cents"),
