@@ -240,6 +240,17 @@ def _nearest_centroid_l2(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(scored)["cell"]
 
 
+def _one_row_df(spark, row: tuple, schema: str) -> DataFrame:
+    """One-row DataFrame on a SINGLE partition. Plain ``createDataFrame``
+    parallelizes even a single row across ``defaultParallelism`` slices, so
+    a broadcast build over it schedules one task per core to ship one row —
+    measured ~0.2 s of the ~0.5 s per-iteration floor of the k-means loop
+    at sf0.1 on local[32]. A 1-slice parallelize makes the build one task;
+    the broadcast payload is identical."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([row], 1), schema)
+
+
 def _assign_cells_bcast(src: DataFrame, cents: list[list[float]]) -> DataFrame:
     """Same argmin-by-squared-L2 as :func:`_nearest_centroid_l2` (ties →
     lowest cell index), but the centroids travel as DATA in a broadcast
@@ -256,15 +267,9 @@ def _assign_cells_bcast(src: DataFrame, cents: list[list[float]]) -> DataFrame:
     nested-loop join adds no corpus exchange. Expects ``src`` with columns
     (id, v); returns (id, v, cell).
     """
-    spark = src.sparkSession
-    # ONE-partition build side: plain createDataFrame parallelizes the
-    # single row across defaultParallelism partitions, so every iteration's
-    # broadcast build runs a 32-task job to ship one row (measured ~0.2 s
-    # of the ~0.5 s per-iteration floor at sf0.1). A 1-slice parallelize
-    # makes the build a single task; the broadcast payload is identical.
-    cent_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [([[float(x) for x in c] for c in cents],)], 1),
+    cent_df = _one_row_df(
+        src.sparkSession,
+        ([[float(x) for x in c] for c in cents],),
         "cents: array<array<double>>")
     ds = F.transform(
         F.col("cents"),

@@ -309,6 +309,18 @@ def test_kmeans_bcast_assignment_matches_literal(spark):
     assert lit == bc
 
 
+def test_kmeans_centroid_build_side_is_one_partition(spark):
+    """The per-iteration broadcast build must be a single task: plain
+    createDataFrame spreads even one row over defaultParallelism slices,
+    turning every Lloyd round's broadcast build into a task-per-core job
+    (measured ~0.2 s/iteration of pure scheduling at sf0.1 on local[32])."""
+    from scalding_spark.functions import similarity
+    one = similarity._one_row_df(spark, ([[0.0, 1.0]],),
+                                 "cents: array<array<double>>")
+    assert one.rdd.getNumPartitions() == 1
+    assert one.count() == 1
+
+
 def test_weighted_sample_is_map_only(spark):
     """Score-weighted membership must fuse into the scan: no exchange,
     no UDF — the filter is pure expressions over md5 + the model score."""
