@@ -461,7 +461,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         stats: dict | None = None) -> DataFrame:
     """Connected components over an undirected edge list → (node, component),
     where component = the minimum node id in the component.
 
@@ -479,6 +480,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     the already-shuffled aggregate. For web-scale graphs with long chains
     (diameter ≫ 10), use ``connected_components_star`` (O(log d) rounds);
     for dedup workloads label propagation wins on constant factors.
+    ``stats['iterations']`` reports rounds used (matching
+    ``connected_components_star`` / ``kmeans``).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
@@ -488,7 +491,9 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
            .select("node", F.col("node").alias("comp")),
         eager=True, iterative=True)
     null_old = F.lit(None).cast(labels.schema["comp"].dataType).alias("old")
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # One shuffle + one action per iteration: the neighbor-min agg also
         # carries each node's previous label (`old`, exactly one non-null
         # per node), so convergence detection reads the same aggregate
@@ -515,6 +520,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         if changed == 0:
             break
     sym.unpersist()
+    if stats is not None:
+        stats["iterations"] = rounds
     return labels.select("node", "comp")
 
 

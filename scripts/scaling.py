@@ -239,6 +239,89 @@ OPS = {"ngram": op_ngram, "minhash": op_minhash, "winnow": op_winnow,
        "spans": op_spans, "fuzzy": op_fuzzy, "bloom": op_bloom}
 
 
+# ---------------------------------------------------------------------------
+# iterative operators: shuffle-per-round / round-count scaling
+# ---------------------------------------------------------------------------
+
+def gen_embeddings(spark, n: int, dim: int = 64, seed: int = 7) -> str:
+    """Synthetic i.i.d. Gaussian embeddings with the driver generator's
+    shape (vec_id long, embedding array<float> of fixed dim)."""
+    path = os.path.join(SYN_DIR, f"emb{n}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim)).astype("float32")
+    rows = [(i, mat[i].tolist()) for i in range(n)]
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .repartition(32).write.mode("overwrite").parquet(path))
+    return path
+
+
+def op_kmeans(spark, n):
+    """Lloyd's k-means: the claim under test is that the per-round UPDATE
+    shuffle carries O(k·dim·partitions) bytes — independent of corpus
+    size — because the map side combines to ≤ k·dim rows per task."""
+    from scalding_spark.functions import similarity
+    emb = spark.read.parquet(gen_embeddings(spark, n))
+
+    def run():
+        stats = {}
+        assigned, _ = similarity.kmeans(emb, k=8, max_iter=10, seed=42,
+                                        stats=stats)
+        return {"rows": assigned.count(), "rounds": stats["iterations"]}
+
+    m = measure(spark, run)
+    m["shuffle_w_per_round"] = m["shuffle_w"] // max(1, m["rounds"])
+    return m
+
+
+def op_cc_label(spark, n):
+    """Label propagation on the dedup-shaped graph (n/5 five-node star
+    cliques, diameter 2): rounds must stay CONSTANT in n and shuffle bytes
+    ~linear (edges × rounds, fixed-width keys only)."""
+    from scalding_spark.functions import dedup
+    edges = (spark.range(n).where(F.col("id") % 5 != 0)
+             .select(F.col("id").alias("src"),
+                     (F.col("id") - F.col("id") % 5).alias("dst")))
+
+    def run():
+        stats = {}
+        labels = dedup.connected_components(edges, stats=stats)
+        return {"rows": labels.count(), "rounds": stats["iterations"]}
+
+    m = measure(spark, run)
+    m["shuffle_w_per_round"] = m["shuffle_w"] // max(1, m["rounds"])
+    return m
+
+
+def op_cc_star(spark, n):
+    """Large-star/small-star on a SINGLE n-long chain (diameter = n):
+    rounds must grow ~log n — the regime where label propagation would
+    need n rounds."""
+    from scalding_spark.functions import dedup
+    edges = (spark.range(n - 1)
+             .select(F.col("id").alias("src"),
+                     (F.col("id") + 1).alias("dst")))
+
+    def run():
+        stats = {}
+        labels = dedup.connected_components_star(edges, stats=stats)
+        return {"rows": labels.count(), "rounds": stats["iterations"]}
+
+    m = measure(spark, run)
+    m["shuffle_w_per_round"] = m["shuffle_w"] // max(1, m["rounds"])
+    return m
+
+
+# iterative ops build their own inputs from n (embeddings / edge lists)
+ITER_OPS = {
+    "kmeans": (op_kmeans, [2000, 20000, 60000]),
+    "cc_label": (op_cc_label, [5000, 50000, 150000]),
+    "cc_star": (op_cc_star, [5000, 50000, 150000]),
+}
+
+
 def main():
     only = set(sys.argv[1:])
     spark = get_spark(app_name="scaling", shuffle_partitions=32)
@@ -260,13 +343,21 @@ def main():
             m.update(op=opname, n_docs=n)
             results.setdefault(opname, []).append(m)
             print(json.dumps(m), flush=True)
+    for opname, (op, iter_scales) in ITER_OPS.items():
+        if only and opname not in only:
+            continue
+        for n in iter_scales:
+            m = op(spark, n)
+            m.update(op=opname, n_docs=n)
+            results.setdefault(opname, []).append(m)
+            print(json.dumps(m), flush=True)
     # exponent table: slope of log(metric) vs log(n) between last 2 scales
-    print("\n| op | metric | " + " | ".join(
-        str(n) for n, _ in scales) + " | exponent (tail) |")
-    print("|---" * (len(scales) + 3) + "|")
+    print("\n| op | metric | values (by n) | exponent (tail) |")
+    print("|---|---|---|---|")
     import math
     for opname, ms in results.items():
-        for metric in ("candidates", "shuffle_w", "secs", "rows"):
+        for metric in ("candidates", "shuffle_w", "shuffle_w_per_round",
+                       "rounds", "secs", "rows"):
             vals = [m.get(metric) for m in ms]
             if any(v is None for v in vals):
                 continue
