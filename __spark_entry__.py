@@ -101,6 +101,52 @@ def _XS(expr: str, scale: int = 4) -> str:
     return f"sum(CAST(round(({expr}) * {m}) AS BIGINT)) / {m}.0"
 
 
+def _exact_sum_r(col, scale: int = 4, dp: int = 2, divisor: int = 1):
+    """:func:`_exact_sum` followed by a HALF-UP (away-from-zero) round to
+    ``dp`` decimals carried out in INTEGER arithmetic (optionally after an
+    exact division by ``divisor``).
+
+    ``round(S / 10**scale, dp)`` on the double is NOT engine-portable when
+    the exact sum lands on a decimal half (e.g. a …x.865 revenue at dp=2):
+    Spark's ``round()`` HALF_UPs the double's shortest DECIMAL string
+    while DuckDB rounds the BINARY value sitting just below the half — the
+    10x gate caught q7/q9 flipping one output cent this way (SCALING.md).
+    Rounding the bigint sum directly makes the half case exact in both
+    engines: with q = divisor·10^(scale-dp), result = div(2|S|+q, 2q),
+    sign restored, over pure integers. The double division at the end maps
+    one integer to one double — identical everywhere. SQL mirror: _XSR.
+    """
+    q = divisor * 10 ** (scale - dp)
+    s = F.sum(F.round(col * (10 ** scale)).cast("bigint"))
+    a = 2 * F.abs(s) + q
+    # exact integer floor-div in doubles: a - pmod(a, 2q) is an exact
+    # multiple of 2q and the quotient is < 2^53, so the division is exact
+    k = (a - F.pmod(a, F.lit(2 * q))) / F.lit(float(2 * q))
+    return (F.when(s < 0, -k).otherwise(k)) / F.lit(float(10 ** dp))
+
+
+def _XSR(expr: str, scale: int = 4, dp: int = 2, divisor: int = 1) -> str:
+    """DuckDB mirror of :func:`_exact_sum_r` (// is integer division and
+    both operands are kept non-negative)."""
+    m, q = 10 ** scale, divisor * 10 ** (scale - dp)
+    s = f"sum(CAST(round(({expr}) * {m}) AS BIGINT))"
+    return (f"(CASE WHEN {s} < 0 THEN -((2*(-({s})) + {q}) // {2 * q}) "
+            f"ELSE ((2*({s}) + {q}) // {2 * q}) END) / {10 ** dp}.0")
+
+
+def _fx_avg_round(avg_col, n_col, td: int = 6):
+    """Integer-exact ``round(avg, td)`` for a fixed-point-backed average:
+    the LM scores are ``T / (10^td · n)`` with T an exact bigint term sum,
+    so T is recoverable from the double without error (T ≪ 2^53) and the
+    round reduces to round_half_up(T/n)/10^td over pure integers — immune
+    to the shortest-string-vs-binary round() divergence the 10x gate
+    caught on q_unigram_lm (SCALING.md)."""
+    t = F.round(avg_col * (10 ** td) * n_col).cast("bigint")
+    a = 2 * t + n_col
+    k = (a - F.pmod(a, 2 * n_col)) / (2 * n_col)
+    return k / F.lit(float(10 ** td))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -111,9 +157,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .group_by("l_returnflag", "l_linestatus")
-        .agg(_exact_sum(F.col("l_quantity")).alias("sum_qty"))
-        .agg(_exact_sum(F.col("l_extendedprice")).alias("sum_base_price"))
-        .agg(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"))
+        .agg(_exact_sum_r(F.col("l_quantity")).alias("sum_qty"))
+        .agg(_exact_sum_r(F.col("l_extendedprice")).alias("sum_base_price"))
+        .agg(_exact_sum_r(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"))
         .average("l_quantity", "avg_qty")
         .average("l_discount", "avg_disc")
         .size("count_order")
@@ -121,9 +167,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.map_to(
         F.col("l_returnflag"), F.col("l_linestatus"),
-        sum_qty=F.round("sum_qty", 2),
-        sum_base_price=F.round("sum_base_price", 2),
-        sum_disc_price=F.round("sum_disc_price", 2),
+        sum_qty=F.col("sum_qty"),
+        sum_base_price=F.col("sum_base_price"),
+        sum_disc_price=F.col("sum_disc_price"),
         avg_qty=F.round("avg_qty", 6),
         avg_disc=F.round("avg_disc", 6),
         count_order=F.col("count_order"),
@@ -219,12 +265,21 @@ def q_group_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sizeAveStdev (ReduceOperations.scala:192-195)."""
+    """sizeAveStdev (ReduceOperations.scala:192-195). The DISPLAYED mean is
+    re-derived from the exact 2-dp integer sum and rounded in integer space
+    (div(2a+n, 2n)): round(avg(double), 4) flips engines when the true
+    mean (a 2-dp sum over n rows) lands exactly on a 4-dp half — caught at
+    the 10x gate (SCALING.md). size/stdev still come from the library op."""
     li = _p(spark, sf_dir, "lineitem")
-    out = li.group_by("l_suppkey").size_ave_stdev("l_extendedprice").done()
+    out = (li.group_by("l_suppkey").size_ave_stdev("l_extendedprice")
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                .alias("__s1"))
+           .done())
+    a = 2 * F.col("__s1") * 100 + F.col("size")
+    k = (a - F.pmod(a, 2 * F.col("size"))) / (2 * F.col("size"))
     return out.map_to(
         F.col("l_suppkey"), F.col("size"),
-        mean=F.round("mean", 4), stdev=F.round("stdev", 4)).df
+        mean=k / F.lit(10000.0), stdev=F.round("stdev", 4)).df
 
 
 def q_mkstring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,7 +622,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (li.join(o, li.l_orderkey == o.o_orderkey)
          .join(c, o.o_custkey == c.c_custkey))
     agg = (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-           .agg(F.round(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+           .agg(_exact_sum_r(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .alias("revenue")))
     return (agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
             .select("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -593,7 +648,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(n, s.s_nationkey == n.n_nationkey)
          .join(r, n.n_regionkey == r.r_regionkey))
     return (j.groupBy("n_name")
-            .agg(F.round(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .agg(_exact_sum_r(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue")))
 
 
@@ -610,7 +665,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(c, o.o_custkey == c.c_custkey)
          .join(li, o.o_orderkey == li.l_orderkey))
     agg = (j.groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-           .agg(F.round(_exact_sum(F.col("l_quantity")), 2).alias("total_qty")))
+           .agg(_exact_sum_r(F.col("l_quantity")).alias("total_qty")))
     return (agg.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(20)
             .select("c_custkey", "o_orderkey",
                     F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -651,7 +706,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(c, o.o_custkey == c.c_custkey)
          .join(n, c.c_nationkey == n.n_nationkey))
     agg = (j.groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-           .agg(F.round(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+           .agg(_exact_sum_r(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .alias("revenue")))
     return (agg.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
             .select("c_custkey", "c_name", "n_name",
@@ -743,7 +798,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24))
-    return li.agg(F.round(_exact_sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+    return li.agg(_exact_sum_r(F.col("l_extendedprice") * F.col("l_discount"))
                   .alias("revenue"))
 
 
@@ -772,7 +827,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(pair)
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").alias("l_year"))
-            .agg(F.round(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .agg(_exact_sum_r(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue")))
 
 
@@ -827,7 +882,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(s, li.l_suppkey == s.s_suppkey)
             .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-            .agg(F.round(_exact_sum(amount, 6), 2).alias("sum_profit")))
+            .agg(_exact_sum_r(amount, 6, 2).alias("sum_profit")))
 
 
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,16 +906,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-           .agg(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .alias("total_revenue")))
+           .agg(_exact_sum(vol).alias("total_revenue"),
+                # display column rounded in integer space (engine-portable
+                # at exact decimal halves, _exact_sum_r) — the unrounded
+                # exact value still drives the max-equality compare
+                _exact_sum_r(vol).alias("__rev_r")))
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     s = _t(spark, sf_dir, "supplier")
     return (rev.crossJoin(F.broadcast(top))
             .where(F.col("total_revenue") == F.col("max_revenue"))
             .join(s, F.col("supplier_no") == s.s_suppkey)
             .select("s_suppkey", "s_name",
-                    F.round("total_revenue", 2).alias("total_revenue")))
+                    F.col("__rev_r").alias("total_revenue")))
 
 
 def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,7 +955,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")))
     return (narrow.join(thresh, narrow.l_partkey == thresh.t_partkey)
             .where(F.col("l_quantity") < F.col("qty_threshold"))
-            .agg(F.round(_exact_sum(F.col("l_extendedprice")) / 7.0, 2)
+            .agg(_exact_sum_r(F.col("l_extendedprice"), divisor=7)
                  .alias("avg_yearly")))
 
 
@@ -916,7 +975,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
            & F.col("l_quantity").between(20, 30)))
     return j.where(disj).agg(
-        F.round(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        _exact_sum_r(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .alias("revenue"))
 
 
@@ -1515,7 +1574,8 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                               term_decimals=6)
     return (out.orderBy(F.col("avg_neg_logp").desc(), "doc_id").limit(20)
             .select("doc_id", "n_toks",
-                    F.round("avg_neg_logp", 6).alias("avg_neg_logp")))
+                    _fx_avg_round(F.col("avg_neg_logp"), F.col("n_toks"))
+                    .alias("avg_neg_logp")))
 
 
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,7 +1586,8 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                              term_decimals=6)
     return (out.orderBy(F.col("avg_neg_logp").desc(), "doc_id").limit(20)
             .select("doc_id", "n_bigrams",
-                    F.round("avg_neg_logp", 6).alias("avg_neg_logp")))
+                    _fx_avg_round(F.col("avg_neg_logp"), F.col("n_bigrams"))
+                    .alias("avg_neg_logp")))
 
 
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2848,9 +2909,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(CAST(round((l_quantity) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_qty,
-                   round(sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_base_price,
-                   round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+                   ((2*sum(CAST(round((l_quantity) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS sum_qty,
+                   ((2*sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS sum_base_price,
+                   ((2*sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS sum_disc_price,
                    round(avg(l_quantity), 6) AS avg_qty,
                    round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
@@ -2900,7 +2961,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_group_stats": """
             SELECT l_suppkey, count(*) AS size,
-                   round(avg(l_extendedprice), 4) AS mean,
+                   ((2*sum(CAST(round(l_extendedprice * 100) AS BIGINT))*100
+                     + count(*)) // (2*count(*))) / 10000.0 AS mean,
                    round(stddev_pop(l_extendedprice), 4) AS stdev
             FROM lineitem GROUP BY l_suppkey
         """,
@@ -2982,7 +3044,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_groupall": """
             SELECT count(*) AS n, count(DISTINCT l_partkey) AS n_parts,
-                   round(sum(CAST(round((l_quantity) * 10000) AS BIGINT)) / 10000.0, 2) AS total_qty
+                   ((2*sum(CAST(round((l_quantity) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS total_qty
             FROM lineitem
         """,
         "q_fold_reduce": """
@@ -3089,7 +3151,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate::DATE AS o_orderdate, o_orderpriority,
-                   round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+                   ((2*sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -3097,11 +3159,11 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-03-15'
               AND l_shipdate > TIMESTAMP '1998-03-15'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
-            ORDER BY round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) DESC, l_orderkey
+            ORDER BY ((2*sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) + 100) // 200) / 100.0 DESC, l_orderkey
             LIMIT 10
         """,
         "q5_local_supplier_volume": """
-            SELECT n_name, round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+            SELECT n_name, ((2*sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -3120,7 +3182,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_custkey, o_orderkey, o_orderdate::DATE AS o_orderdate,
                    round(o_totalprice, 2) AS o_totalprice,
-                   round(sum(CAST(round((l_quantity) * 10000) AS BIGINT)) / 10000.0, 2) AS total_qty
+                   ((2*sum(CAST(round((l_quantity) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS total_qty
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
@@ -3176,7 +3238,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "q6_forecast_revenue": """
-            SELECT round(sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+            SELECT ((2*sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3186,7 +3248,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": """
             SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
                    year(l_shipdate) AS l_year,
-                   round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+                   ((2*sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -3218,8 +3280,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q9_product_profit": """
             SELECT n_name AS nation, year(o_orderdate) AS o_year,
-                   round(sum(CAST(round((l_extendedprice * (1 - l_discount)
-                                         - 0.5 * p_retailprice * l_quantity) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_profit
+                   (CASE WHEN sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                         - 0.5 * p_retailprice * l_quantity) * 1000000) AS BIGINT)) < 0
+                         THEN -((2*(-(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                         - 0.5 * p_retailprice * l_quantity) * 1000000) AS BIGINT)))) + 10000) // 20000)
+                         ELSE ((2*(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                         - 0.5 * p_retailprice * l_quantity) * 1000000) AS BIGINT))) + 10000) // 20000)
+                    END) / 100.0 AS sum_profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN orders ON l_orderkey = o_orderkey
@@ -3240,14 +3307,15 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": """
             WITH revenue AS (
                 SELECT l_suppkey AS supplier_no,
-                       sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS total_revenue
+                       sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS rev_i
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                   AND l_shipdate < TIMESTAMP '1996-04-01'
                 GROUP BY l_suppkey)
-            SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+            SELECT s_suppkey, s_name,
+                   ((2*rev_i + 100) // 200) / 100.0 AS total_revenue
             FROM revenue JOIN supplier ON supplier_no = s_suppkey
-            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            WHERE rev_i = (SELECT max(rev_i) FROM revenue)
         """,
         "q16_supplier_part_count": """
             WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
@@ -3269,12 +3337,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_partkey AS t_partkey,
                        0.2 * avg(l_quantity) AS qty_threshold
                 FROM narrow GROUP BY l_partkey)
-            SELECT round((sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0) / 7.0, 2) AS avg_yearly
+            SELECT ((2*sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 700) // 1400) / 100.0 AS avg_yearly
             FROM narrow JOIN thresh ON l_partkey = t_partkey
             WHERE l_quantity < qty_threshold
         """,
         "q19_disjunctive_revenue": """
-            SELECT round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+            SELECT ((2*sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
                    AND l_quantity BETWEEN 1 AND 11)
@@ -3340,7 +3408,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": """
             WITH agg AS (
                 SELECT c_custkey, c_name, n_name, c_acctbal,
-                       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+                       ((2*sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS revenue
                 FROM lineitem
                 JOIN orders ON l_orderkey = o_orderkey
                 JOIN customer ON o_custkey = c_custkey
@@ -4007,9 +4075,11 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT) AS fx
                        FROM dt JOIN model USING (tok)),
             per AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_toks,
+                           CAST(sum(occ * fx) AS BIGINT) AS ti,
                            sum(occ * fx) / (1000000.0 * sum(occ)) AS anl
                     FROM scored GROUP BY 1)
-            SELECT doc_id, n_toks, round(anl, 6) AS avg_neg_logp
+            SELECT doc_id, n_toks,
+                   ((2*ti + n_toks) // (2*n_toks)) / 1000000.0 AS avg_neg_logp
             FROM per ORDER BY anl DESC, doc_id LIMIT 20
         """,
         "q_bigram_lm": f"""
@@ -4028,9 +4098,11 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT) AS fx
                        FROM db JOIN pm USING (w1, w2) JOIN pf USING (w1)),
             per AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+                           CAST(sum(occ * fx) AS BIGINT) AS ti,
                            sum(occ * fx) / (1000000.0 * sum(occ)) AS anl
                     FROM scored GROUP BY 1)
-            SELECT doc_id, n_bigrams, round(anl, 6) AS avg_neg_logp
+            SELECT doc_id, n_bigrams,
+                   ((2*ti + n_bigrams) // (2*n_bigrams)) / 1000000.0 AS avg_neg_logp
             FROM per ORDER BY anl DESC, doc_id LIMIT 20
         """,
         "q_linear_quality": _linear_quality_sql(),

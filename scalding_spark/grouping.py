@@ -502,9 +502,25 @@ class SortedGroup:
         """Range-repartition on the sort order + partition id. Range
         partitioning assigns equal sort-key values to ONE partition, so
         rank/row_number ties never straddle a boundary and per-partition
-        results compose with plain row-count offsets."""
-        return (self._df.repartitionByRange(*self._order)
-                .withColumn("__pid", F.spark_partition_id()))
+        results compose with plain row-count offsets.
+
+        PERSISTED — the correctness of every consumer rests on the data
+        branch and the offsets branch seeing the SAME ``__pid`` universe.
+        As two separate plan subtrees they do NOT share the exchange
+        (column pruning makes the subtrees differ, so Catalyst plans no
+        ReusedExchange — the same pyspark 4.1 behavior ``_keyless_total``
+        documents), and two executions of ``repartitionByRange`` can
+        sample different bounds or be AQE-coalesced to different partition
+        counts. Observed at the 10x gate as the offsets branch coalescing
+        to FEWER pids than the data branch — the inner join then silently
+        dropped 7/8 of the corpus (SCALING.md). One persisted computation
+        = one frozen pid universe; released via ``release_materialized``.
+        """
+        from scalding_spark.session import register_persisted
+        d = (self._df.repartitionByRange(*self._order)
+             .withColumn("__pid", F.spark_partition_id()).persist())
+        register_persisted(d)
+        return d
 
     def _pid_w(self) -> Window:
         return Window.partitionBy("__pid").orderBy(*self._order)

@@ -409,9 +409,15 @@ class Pipe:
         computed on the tiny #partitions-row table and broadcast back.
         """
         from pyspark.sql import Window
+        from scalding_spark.session import register_persisted
         d = (self.df.repartitionByRange(*order) if partitions is None
              else self.df.repartitionByRange(partitions, *order))
-        d = d.withColumn("__pid", F.spark_partition_id())
+        # persisted: the window branch and the offsets branch must see the
+        # SAME __pid universe — as separate pruned subtrees the exchange is
+        # not reused and can re-sample bounds / AQE-coalesce differently
+        # (see SortedGroup._ranged, the 10x-gate partition-drop bug)
+        d = d.withColumn("__pid", F.spark_partition_id()).persist()
+        register_persisted(d)
         w = Window.partitionBy("__pid").orderBy(*order)
         local = d.withColumn("__lr", F.row_number().over(w))
         off_w = (Window.orderBy("__pid")
@@ -445,8 +451,11 @@ class Pipe:
         ``dense`` numbers distinct values consecutively."""
         order = [F.col(c).desc() if reverse else F.col(c) for c in cols]
         counts = self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+        from scalding_spark.session import register_persisted
+        # persisted: same frozen-__pid contract as rank_by / SortedGroup
         d = (counts.repartitionByRange(*order)
-             .withColumn("__pid", F.spark_partition_id()))
+             .withColumn("__pid", F.spark_partition_id()).persist())
+        register_persisted(d)
         w = Window.partitionBy("__pid").orderBy(*order)
         local = (d.withColumn("__cum", F.sum("__n").over(
                      w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -324,3 +324,33 @@ def test_keyed_rank_ops_delegate_to_native_windows(spark, ranked_df):
         ref = {r["id"]: r["x"] for r in
                df.withColumn("x", fn().over(w)).collect()}
         assert got == ref
+
+
+def test_pack_sequences_covers_every_doc_on_gappy_ids(spark):
+    """Regression for the 10x-gate partition-drop bug (SCALING.md): the
+    keyless scan's offsets branch and data branch executed the range
+    exchange independently; when AQE coalesced the pruned offsets branch
+    to fewer partitions than the data branch, the __pid inner join
+    silently dropped most of the corpus. The ranged frame is now persisted
+    (one frozen pid universe) — every doc must appear in exactly one
+    packed sequence, for a corpus whose ids have sf1-shaped million-scale
+    gaps, across shuffle layouts."""
+    from scalding_spark.functions import sampling
+    rows = [(i + block * 1_000_000, f"tok{i % 7} " * (3 + i % 9))
+            for block in range(5) for i in range(800)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "16"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            out = sampling.pack_sequences(docs, "text", "doc_id",
+                                          seq_tokens=64)
+            agg = out.agg(F.sum("n_docs").alias("d"),
+                          F.count(F.lit(1)).alias("s"),
+                          F.max("seq_id").alias("m")).collect()[0]
+            assert agg["d"] == len(rows), f"lost docs at {parts} partitions"
+            assert agg["s"] == agg["m"] + 1, "seq ids must be contiguous"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        from scalding_spark.session import release_materialized
+        release_materialized(spark)

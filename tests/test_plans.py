@@ -202,6 +202,12 @@ def _shuffle_exchange_schemas(df):
         if name == "AdaptiveSparkPlanExec":
             walk(node.initialPlan())
             return
+        if name == "InMemoryTableScanExec":
+            # keyless range ops persist their ranged frame (frozen-__pid
+            # contract, grouping.py _ranged) — the range exchange then
+            # lives inside the cached relation's plan; keep asserting it
+            walk(node.relation().cachedPlan())
+            return
         ch = node.children()
         for i in range(ch.size()):
             walk(ch.apply(i))
