@@ -137,6 +137,10 @@ def main() -> None:
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
+        # free library-internal persists between queries (ledger path) so a
+        # 60-query session doesn't accumulate input-sized cache entries
+        from scalding_spark.session import release_materialized
+        release_materialized(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -56,6 +56,8 @@ for t in TABLES:
 
 oracles = e.oracle_sql()
 py_oracles = e.py_oracle() if hasattr(e, "py_oracle") else {}
+from scalding_spark.session import release_materialized
+
 fails, rows_only = [], []
 for name, fn in e.queries().items():
     if only and name not in only:
@@ -65,6 +67,9 @@ for name, fn in e.queries().items():
         df = fn(spark, sf_dir)
         rows = [tuple(r) for r in df.collect()]
         cols = [f.name for f in df.schema]
+        # free library-internal persists (keyless ranged frames, MinHash
+        # signatures, ...) between queries — the ledgered release path
+        release_materialized(spark)
     except Exception as ex:
         fails.append(name)
         print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}")
