@@ -485,6 +485,48 @@ def golden_semantic_dedup(sf_dir: str):
     return sorted(counts.items()), ["label", "n_kept"]
 
 
+def golden_components(nodes, edges):
+    """Independent connected-components oracle: union-find with
+    path-halving + union-by-size over an undirected edge list, then each
+    root's label rewritten to the MIN node id of its component — the same
+    representative rule as ``connected_components`` /
+    ``connected_components_star``. O(E·α(E)), so it verifies the Spark
+    labelings at corpus sizes where the DuckDB recursive-CTE transitive
+    closure (the sf0.01 oracle) explodes. Nodes absent from ``edges``
+    label as themselves. Returns {node: component_min_id}."""
+    parent, size = {}, {}
+    endpoints = set()
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:       # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        endpoints.add(a)
+        endpoints.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if size.get(ra, 1) < size.get(rb, 1):
+            ra, rb = rb, ra
+        parent[rb] = ra
+        size[ra] = size.get(ra, 1) + size.get(rb, 1)
+    # min-label over EVERY component member (edge endpoints included even
+    # when the caller's node list is a subset), labels returned for the
+    # requested nodes only
+    members = set(nodes) | endpoints
+    comp_min = {}
+    for n in members:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in nodes}
+
+
 def compare_rows(rows, cols, golden_rows, golden_cols):
     """Same order-insensitive, column-name-sorted comparison as
     scripts/driver_check.norm; returns None on match, else an error."""
