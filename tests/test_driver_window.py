@@ -31,14 +31,24 @@ WINDOW = 50
 PENDING_NEXT_ROTATION: set = set()
 
 
-def _last_rounds() -> dict:
-    """query -> newest round with a driver row (absent = never checked)."""
-    last = {}
+def _last_rounds(exclude_newest: bool = False) -> dict:
+    """query -> newest round with a driver row (absent = never checked).
+
+    ``exclude_newest`` drops the single newest CORRECTNESS file — the
+    as-of-selection view: the driver writes round N's file AFTER the
+    round-N window was chosen, so rotation invariants about the CHOICE
+    must be judged against rounds < N."""
+    rounds = {}
     for fn in os.listdir(HERE):
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             r = int(fn[len("CORRECTNESS_r"):-len(".json")])
-            for k in json.load(open(os.path.join(HERE, fn))):
-                last[k] = max(last.get(k, 0), r)
+            rounds[r] = json.load(open(os.path.join(HERE, fn)))
+    if exclude_newest and rounds:
+        del rounds[max(rounds)]
+    last = {}
+    for r, data in rounds.items():
+        for k in data:
+            last[k] = max(last.get(k, 0), r)
     return last
 
 
@@ -59,26 +69,46 @@ def test_pending_set_matches_reality():
     assert not stale, f"ledgered-as-pending but already driver-checked: {stale}"
 
 
+def _rotation_violations(last, names, window):
+    """Queries strictly staler than the window's staleness tier that were
+    left OUTSIDE the window — empty iff the window is a true rotation."""
+    ages = sorted(last.get(n, -1) for n in names)
+    threshold = ages[min(WINDOW, len(names)) - 1]
+    return [n for n in names
+            if last.get(n, -1) < threshold and n not in window]
+
+
 def test_window_is_a_rotation_of_the_stalest():
     """Never-checked queries must ALL be in the window; beyond those, the
     window must be drawn from the stalest tiers — any query strictly
     staler than the window's staleness threshold that is left outside
-    breaks the rotation."""
+    breaks the rotation.
+
+    The invariant is about the window's SELECTION, so it may be judged
+    against either the full driver history or the as-of-selection view
+    (all rounds except the newest): between the driver writing round N's
+    file and the round-N+1 rotation, the just-verified window is by
+    construction no longer "the stalest" under the full view — only a
+    window that fails BOTH views (e.g. one that was never rotated at all;
+    the stale view then shows the un-rotated window as fresh within one
+    round) breaks the rotation."""
     names = list(e.queries())
     window = set(names[:WINDOW])
     last = _last_rounds()
     never = [n for n in names if n not in last]
     out = [n for n in never if n not in window]
     assert not out, f"never-driver-checked queries outside the window: {out}"
-    # the 50th-stalest last-round is the tier the window is drawn from;
-    # everything strictly staler must be inside
-    ages = sorted(last.get(n, -1) for n in names)
-    threshold = ages[min(WINDOW, len(names)) - 1]
-    must_be_in = [n for n in names
-                  if last.get(n, -1) < threshold and n not in window]
-    assert not must_be_in, (
-        f"queries staler than the window tier (last round < {threshold}) "
-        f"left outside the window: {must_be_in}")
+    full_view = _rotation_violations(last, names, window)
+    if not full_view:
+        return
+    as_of_selection = _rotation_violations(
+        _last_rounds(exclude_newest=True), names, window)
+    assert not as_of_selection, (
+        f"window is not a rotation under the full history "
+        f"({len(full_view)} staler queries outside, e.g. {full_view[:5]}) "
+        f"NOR as of its selection round ({len(as_of_selection)} outside, "
+        f"e.g. {as_of_selection[:5]}) — rotate the window to the stalest "
+        f"50 (see MEMORY/r06-window-rotation-queue)")
 
 
 def test_staleness_is_bounded():
