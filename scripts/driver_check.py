@@ -3,6 +3,10 @@ queries() entry side-by-side with its oracle_sql() on DuckDB at the given
 sf dir, comparing row count + order-insensitive value hash.
 
 Usage: python scripts/driver_check.py [sf_dir] [only_query ...]
+
+SPARK_GRAFT_GATE_CONF can carry extra session confs as "k=v,k=v" — used
+for configuration-axis campaigns (e.g. the full gate with AQE disabled:
+SPARK_GRAFT_GATE_CONF=spark.sql.adaptive.enabled=false).
 """
 import math
 import os
@@ -38,11 +42,14 @@ def norm(rows, cols):
     return sorted(tuple(nv(r[i]) for i in idx) for r in rows)
 
 
-spark = (SparkSession.builder.master("local[8]").appName("driver_check")
-         .config("spark.sql.shuffle.partitions", "16")
-         .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.driver.memory", "8g")
-         .getOrCreate())
+builder = (SparkSession.builder.master("local[8]").appName("driver_check")
+           .config("spark.sql.shuffle.partitions", "16")
+           .config("spark.sql.adaptive.enabled", "true")
+           .config("spark.driver.memory", "8g"))
+for kv in filter(None, os.environ.get("SPARK_GRAFT_GATE_CONF", "").split(",")):
+    k, _, v = kv.partition("=")
+    builder = builder.config(k.strip(), v.strip())
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 t0 = time.time()
