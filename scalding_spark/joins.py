@@ -412,7 +412,7 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
     resolution / near-key join, without the crossJoin.
 
     Plan (PassJoin-family segment filter, Li et al. EDBT 2011 "PassJoin",
-    simplified to a ±k position window):
+    with the multi-match-aware substring-selection window):
 
     - RIGHT side splits each string into k+1 contiguous segments:
       key = (len, segment_idx, segment_text). If ed(s, r) <= k, at most k
@@ -420,8 +420,20 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
       segment survives verbatim inside s, its start shifted by at most k.
     - LEFT side emits, for each plausible right length l in
       [len(s)-k, len(s)+k] and each segment slot, every substring of s
-      that could be that surviving segment (start within ±k of the
-      segment's home position): <= (2k+1)²·(k+1) short keys per row.
+      that could be that surviving segment. The start-shift window per
+      (length-difference Δ = len(s) - l, slot i) is the PROVABLE
+      first-untouched-segment bound rather than a blanket ±k: pick the
+      first edit-free segment i in an optimal alignment — every segment
+      before it absorbs >= 1 of the <= k edits (a >= i ops before, so
+      <= k - a after), the match shift δ is net insertions before
+      (|δ| <= a) and Δ - δ is net insertions after (|Δ-δ| <= k - a) —
+      giving max(i, |δ|) + |Δ - δ| <= k, and δ = 0 exactly for i = 0
+      (nothing precedes segment 0; an insertion on its left boundary
+      touches it). 6 keys/row for k=1 and 21 for k=2 where the naive
+      ±k window emits 18 and 75 — a ~3.5x cut in candidate-exchange
+      volume (validated exhaustively against brute-force edit distance
+      over all 2-letter strings to length 7, plus randomized longer
+      pairs; the suite's differential tests pin it end-to-end).
     - Both key tables carry ONLY (id, string) — payloads never ride the
       candidate exchange; they re-attach by id at the end.
     - equi-join on the key → distinct candidate id pairs → exact
@@ -488,12 +500,23 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
     r_ex = r_long.select(right_id, right_col, F.explode(r_keys).alias("__k")) \
                  .select(right_id, right_col, "__k.*")
 
+    def allowed_shifts(i: int, delta: int) -> list[int]:
+        """Sound start-shift window for segment slot ``i`` at length
+        difference ``delta`` = len(s) - l (see docstring derivation).
+        Recall-complete: if ed(s, r) <= k, the first edit-free segment's
+        verbatim match lands at shift δ with max(i,|δ|) + |Δ-δ| <= k
+        (δ = 0 when i = 0)."""
+        if i == 0:
+            return [0]
+        return [s_ for s_ in range(-k, k + 1)
+                if max(i, abs(s_)) + abs(delta - s_) <= k]
+
     cands = []
     for d in range(-k, k + 1):
-        l = ln + d
+        l = ln + d          # candidate right-side length (n - l = -d)
         for i in range(k + 1):
             start, li = seg_bounds(l, i)
-            for shift in range(-k, k + 1):
+            for shift in allowed_shifts(i, -d):
                 p = start + shift
                 cands.append(F.when(
                     (l > k) & (p >= 1) & (p + li - 1 <= ln),

@@ -127,6 +127,35 @@ def test_fuzzy_join_equals_bruteforce_random(spark):
         assert _fuzzy(spark, L, R, k) == _brute(spark, L, R, k), k
 
 
+def test_fuzzy_join_equals_bruteforce_edit_derived(spark):
+    """Adversarial recall stress for the multi-match-aware shift window:
+    every left string is built from some right string by <= 3 random
+    edits, so true matches are DENSE and any window too tight by one
+    position shows up as a missing pair vs brute force (longer strings
+    than the uniform-random test — segment shifts reach the window
+    edges)."""
+    import random
+    rnd = random.Random(41)
+    alpha = "abc"
+    R = [(1000 + i, "".join(rnd.choice(alpha)
+                            for _ in range(rnd.randint(4, 18))))
+         for i in range(50)]
+    L = []
+    for i in range(90):
+        s = list(rnd.choice(R)[1])
+        for _ in range(rnd.randint(0, 3)):
+            op = rnd.choice("ids")
+            if op == "i":
+                s.insert(rnd.randint(0, len(s)), rnd.choice(alpha))
+            elif op == "d" and s:
+                del s[rnd.randint(0, len(s) - 1)]
+            elif s:
+                s[rnd.randint(0, len(s) - 1)] = rnd.choice(alpha)
+        L.append((i, "".join(s)))
+    for k in (1, 2, 3):
+        assert _fuzzy(spark, L, R, k) == _brute(spark, L, R, k), k
+
+
 def test_fuzzy_join_candidate_circuit_breaker(spark):
     """A hot shared substring (every key shares the same text) blows the
     candidate join quadratic; max_candidates must fail LOUDLY before the
