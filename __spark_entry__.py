@@ -4112,9 +4112,14 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_against": f"""
             WITH n AS (SELECT doc_id, source, md5({_NORM_TEXT}) AS fp
                        FROM documents)
+            -- NOT EXISTS, not NOT IN: a NULL fingerprint (null-text doc)
+            -- must be KEPT — it duplicates nothing. NOT IN's three-valued
+            -- NULL semantics would silently drop it; anti-join (the Spark
+            -- side) keeps it.
             SELECT doc_id, source FROM n
             WHERE doc_id % 2 = 1
-              AND fp NOT IN (SELECT fp FROM n WHERE doc_id % 2 = 0)
+              AND NOT EXISTS (SELECT 1 FROM n AS s
+                              WHERE s.doc_id % 2 = 0 AND s.fp = n.fp)
         """,
         # winnowing: same md5 gram hashes, same window starts
         # (1..max(L-w+1, 1)), same rightmost-min rule (ORDER BY h, pos DESC)
@@ -4184,9 +4189,14 @@ def oracle_sql() -> dict[str, str]:
         "q_bloom_anti_join": f"""
             WITH n AS (SELECT doc_id, source, md5({_NORM_TEXT}) AS fp
                        FROM documents)
+            -- NOT EXISTS, not NOT IN: a NULL fingerprint (null-text doc)
+            -- must be KEPT — it duplicates nothing. NOT IN's three-valued
+            -- NULL semantics would silently drop it; anti-join (the Spark
+            -- side) keeps it.
             SELECT doc_id, source FROM n
             WHERE doc_id % 2 = 1
-              AND fp NOT IN (SELECT fp FROM n WHERE doc_id % 2 = 0)
+              AND NOT EXISTS (SELECT 1 FROM n AS s
+                              WHERE s.doc_id % 2 = 0 AND s.fp = n.fp)
         """,
         "q_pack_sequences": f"""
             WITH w AS (SELECT doc_id, text,
@@ -4200,7 +4210,10 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor((cum - w) / 512.0) AS BIGINT) AS seq_id
                   FROM c)
             SELECT seq_id,
-                   md5(string_agg(text, chr(10) ORDER BY doc_id)) AS fp,
+                   -- coalesce mirrors the operator: a null-text doc packs
+                   -- as an empty member (string_agg would SKIP the null)
+                   md5(string_agg(coalesce(text, ''), chr(10)
+                                  ORDER BY doc_id)) AS fp,
                    count(*) AS n_docs,
                    CAST(sum(w) AS BIGINT) AS n_tokens
             FROM s GROUP BY seq_id

@@ -149,7 +149,11 @@ def xxhash64(*values, seed: int = 42) -> int:
 # --------------------------------------------------------------------------
 
 def tokenize(text: str) -> list[str]:
-    """Mirror of text.tokenize: lowercase, split on [^a-z0-9]+, drop ''."""
+    """Mirror of text.tokenize: lowercase, split on [^a-z0-9]+, drop ''.
+    None → [] (Spark-side: tokenize(NULL) is a NULL array, and every
+    consumer — explode, size>0 filters — treats that as no-tokens)."""
+    if text is None:
+        return []
     return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
 
 
@@ -187,8 +191,11 @@ def norm(a) -> float:
     return math.sqrt(acc)
 
 
-def cosine(a, b) -> float:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a, b):
+    """Mirror of similarity.cosine: None (NULL) when either norm is 0 —
+    Spark-side try_divide parity, a zero vector has no direction."""
+    d = norm(a) * norm(b)
+    return dot(a, b) / d if d != 0 else None
 
 
 def round_half_up(x: float, digits: int = 6) -> float:
@@ -316,12 +323,18 @@ def golden_simhash_pairs(sf_dir: str):
 
 
 def _topk(scored: dict, k: int):
-    """Per-query top-k by (cosine desc, neighbor asc) — row_number cut."""
+    """Per-query top-k by (cosine desc, neighbor asc) — row_number cut.
+    None cosines (zero-norm vectors) sort LAST, mirroring Spark/DuckDB
+    DESC NULLS LAST — they enter the top-k only when fewer than k real
+    scores exist."""
     out = []
     for q in sorted(scored):
-        ranked = sorted(scored[q].items(), key=lambda kv: (-kv[1], kv[0]))
+        ranked = sorted(scored[q].items(),
+                        key=lambda kv: (kv[1] is None,
+                                        -(kv[1] or 0.0), kv[0]))
         for n_id, c in ranked[:k]:
-            out.append((q, n_id, round_half_up(c, 6)))
+            out.append((q, n_id,
+                        round_half_up(c, 6) if c is not None else None))
     return out
 
 
@@ -400,7 +413,7 @@ def golden_embedding_neardup(sf_dir: str):
                 a, b = ids[ai], ids[bi]
                 if (a, b) not in pairs:
                     c = cosine(vecs[a], vecs[b])
-                    if c >= 0.3:
+                    if c is not None and c >= 0.3:
                         pairs[(a, b)] = c
     rows = [(a, b, round_half_up(c, 6)) for (a, b), c in sorted(pairs.items())]
     return rows, ["id_a", "id_b", "cosine"]

@@ -237,7 +237,12 @@ def extract_image_features(df: DataFrame, content_col: str = "content",
 
     def run(batches):
         for pdf in batches:
-            pdf[out_col] = pdf[content_col].map(decode)
+            # NULL content (a missing blob) passes through as NULL features
+            # rather than reaching the decoder: one absent object among
+            # billions must not kill the job — the caller filters or
+            # inspects the nulls downstream.
+            pdf[out_col] = pdf[content_col].map(
+                lambda c: None if c is None else decode(c))
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
@@ -252,7 +257,8 @@ def resize_images(df: DataFrame, width: int, height: int,
 
     def run(batches):
         for pdf in batches:
-            pdf[content_col] = pdf[content_col].map(lambda b: resize(b, width, height))
+            pdf[content_col] = pdf[content_col].map(
+                lambda b: None if b is None else resize(b, width, height))
             if "width" in pdf.columns:
                 pdf["width"] = width
             if "height" in pdf.columns:
@@ -271,7 +277,8 @@ def extract_audio_features(df: DataFrame, content_col: str = "content",
 
     def run(batches):
         for pdf in batches:
-            pdf[out_col] = pdf[content_col].map(lambda b: decode(b, n_windows))
+            pdf[out_col] = pdf[content_col].map(
+                lambda b: None if b is None else decode(b, n_windows))
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
@@ -300,9 +307,11 @@ def decode_sampled_frames(df: DataFrame, every_ms: int = 1000,
     def run(batches):
         for pdf in batches:
             # explicit None check — `bytes and ...` would treat an EMPTY clip
-            # (b'', falsy) as None and drop the frame-ts suffix entirely
+            # (b'', falsy) as None and drop the frame-ts suffix entirely;
+            # a NULL clip yields NULL frame features (never reaches decode)
             pdf[out_col] = [
-                decode(None if c is None else bytes(c) + int(t).to_bytes(8, "big"))
+                None if c is None
+                else decode(bytes(c) + int(t).to_bytes(8, "big"))
                 for c, t in zip(pdf[content_col], pdf["frame_ts_ms"])]
             yield pdf
 

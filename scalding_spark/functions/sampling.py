@@ -143,8 +143,14 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str,
     Returns (seq_id, text, n_docs, n_tokens).
     """
     from scalding_spark.functions.text import tokenize
+    # null text packs as an EMPTY member (weight 1, an empty line in the
+    # joined sequence) — coalescing up front keeps the reassembly exact:
+    # array_join would silently SKIP a null element, so an all-null
+    # sequence would render "" while SQL string_agg renders NULL, and a
+    # mixed sequence would lose its separator slot.
     sized = df.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__text"),
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
         F.greatest(F.size(tokenize(F.col(text_col))), F.lit(1)).alias("__w"))
     packed = pack_into_shards(sized, "__w", seq_tokens, ["__id"],
                               out="seq_id")

@@ -35,7 +35,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL when either operand has zero norm (a zero vector has no
+    direction): try_divide, not `/` — under ANSI mode a plain division
+    raises DIVIDE_BY_ZERO, so ONE zero vector anywhere in a 100 TB corpus
+    would kill the whole job. NULL also matches DuckDB's x/0.0, and both
+    engines sort NULLS LAST under DESC, so zero-norm rows fall out of
+    top-k cuts identically on both sides."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,

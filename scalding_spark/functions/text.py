@@ -106,7 +106,9 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """Argmax language with deterministic tie-break (language name asc,
-    'und' when no evidence)."""
+    'und' when no evidence, NULL for NULL text — 'und' means "inspected,
+    no stopword evidence"; an absent document was never inspected, and
+    SQL expressions over NULL text yield NULL)."""
     scores = lang_scores(col)
     pairs = F.array(*[F.struct(s.alias("score"), F.lit(lang).alias("lang"))
                       for lang, s in sorted(scores.items())])
@@ -115,7 +117,8 @@ def lang_id(col: Column) -> Column:
         pairs,
         F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
         lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc))
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return F.when(col.isNull(), F.lit(None).cast("string")) \
+            .when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def normalize_for_fingerprint(col: Column) -> Column:
@@ -126,8 +129,16 @@ def normalize_for_fingerprint(col: Column) -> Column:
 
 def fingerprint64(col: Column) -> Column:
     """64-bit content fingerprint of the normalized text (xxhash64 — one
-    JVM-side hash, the engine's analog of a rolling-hash document id)."""
-    return F.xxhash64(normalize_for_fingerprint(col))
+    JVM-side hash, the engine's analog of a rolling-hash document id).
+
+    NULL in → NULL out: xxhash64 SKIPS null inputs and returns the bare
+    seed hash, so without the guard every null document would share one
+    constant fingerprint — silently deduplicating unrelated null rows and
+    inflating distinct counts vs any SQL engine (md5/count(distinct)
+    null-propagate there). Null fingerprints fall out of equi-joins and
+    count_distinct identically on both engines."""
+    return F.when(col.isNotNull(),
+                  F.xxhash64(normalize_for_fingerprint(col)))
 
 
 # PII patterns — RE2/Java-regex portable (no lookaround/backrefs) so the same

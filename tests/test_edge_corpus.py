@@ -1,0 +1,125 @@
+"""Null-text / zero-vector robustness semantics, surfaced by the edge-corpus
+oracle campaign (scripts/gen_edge.py → full driver gate on .scaling/edge).
+
+Every behavior here was a REAL failure on the edge corpus before r05:
+ANSI DIVIDE_BY_ZERO killing the ANN queries on one zero vector,
+xxhash64(NULL) fingerprinting all null docs identically, lang_id tagging
+absent text 'und', mapInPandas decoders raising on a missing blob, and
+pack_sequences diverging from SQL on all-null sequences.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark.functions import multimodal as mm
+from scalding_spark.functions import similarity, text as tx
+from scalding_spark.functions.sampling import pack_sequences
+from scalding_spark.functions.dedup import dedup_against
+
+
+def test_cosine_zero_norm_is_null_not_error(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 2.0])],
+        "id long, v array<double>")
+    out = (df.alias("a").crossJoin(df.alias("b"))
+           .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"),
+                   similarity.cosine(F.col("a.v"), F.col("b.v")).alias("c")))
+    rows = {(r.ia, r.ib): r.c for r in out.collect()}  # must not raise (ANSI)
+    assert rows[(1, 2)] is None and rows[(1, 1)] is None
+    assert rows[(2, 3)] == pytest.approx(0.0)
+    assert rows[(3, 3)] == pytest.approx(1.0)
+
+
+def test_cosine_topk_skips_zero_vector_neighbors(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+            (3, [0.5, 0.5]), (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk_bruteforce(
+        df, df.where("vec_id = 0"), k=3).collect()
+    # NULLS LAST: the zero vector only appears when real scores run out —
+    # with 4 non-self candidates and k=3 it must not appear at all
+    assert [r.neighbor_id for r in out] == [1, 3, 4]
+
+
+def test_fingerprint64_null_text_propagates(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same text"), (4, "same text")],
+        "id long, text string")
+    got = df.select("id", tx.fingerprint64(F.col("text")).alias("fp")).collect()
+    fps = {r.id: r.fp for r in got}
+    assert fps[1] is None and fps[2] is None  # no shared constant hash
+    assert fps[3] == fps[4] is not None
+    # count_distinct ignores NULLs — 2 null docs are not "one unique text"
+    assert df.agg(F.count_distinct(
+        tx.fingerprint64(F.col("text")))).first()[0] == 1
+
+
+def test_lang_id_null_vs_empty(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "123 456"), (4, "the of and to a in")],
+        "id long, text string")
+    got = {r.id: r.lang for r in
+           df.select("id", tx.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] is None          # absent text: never inspected
+    assert got[2] == "und"         # inspected, no evidence
+    assert got[3] == "und"
+    assert got[4] == "en"
+
+
+def test_multimodal_null_content_yields_null_features(spark):
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None), (3, b"")],
+        "media_id long, content binary")
+    feats = {r.media_id: r.features
+             for r in mm.extract_image_features(df).collect()}
+    assert feats[2] is None
+    assert len(feats[1]) == 8 and len(feats[3]) == 8  # b'' decodes fine
+    energies = {r.media_id: r.energies
+                for r in mm.extract_audio_features(df).collect()}
+    assert energies[2] is None and len(energies[1]) == 4
+    resized = {r.media_id: r.content
+               for r in mm.resize_images(df, 32, 32).collect()}
+    assert resized[2] is None and resized[1] is not None
+
+
+def test_frame_sample_null_clip(spark):
+    df = spark.createDataFrame(
+        [(1, b"clip", 2500), (2, None, 1500)],
+        "media_id long, content binary, duration_ms int")
+    out = mm.decode_sampled_frames(df, every_ms=1000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r.frame_features)
+    assert len(by_id[1]) == 3 and all(f is not None for f in by_id[1])
+    assert len(by_id[2]) == 2 and all(f is None for f in by_id[2])
+
+
+def test_pack_sequences_null_text_is_empty_member(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "gamma")],
+        "doc_id long, text string")
+    out = pack_sequences(df, "text", "doc_id", seq_tokens=100).collect()
+    assert len(out) == 1
+    # the null doc contributes an empty line between its neighbors —
+    # NOT silently skipped (array_join default) — and weighs 1 token
+    assert out[0].text == "alpha beta\n\ngamma"
+    assert out[0].n_docs == 3 and out[0].n_tokens == 4
+
+
+def test_dedup_against_keeps_null_text_docs(spark):
+    seen = spark.createDataFrame(
+        [(10, "known text"), (11, None)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(20, "known text"), (21, None), (22, "fresh")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  dedup_against(new, seen, "text").select("doc_id").collect())
+    # a null-text doc duplicates NOTHING — not even another null-text doc
+    assert kept == [21, 22]
+
+
+def test_py_reference_null_mirrors():
+    import py_reference as pr
+    assert pr.tokenize(None) == []
+    assert pr.cosine([0.0, 0.0], [1.0, 2.0]) is None
+    assert pr.cosine([1.0, 0.0], [1.0, 0.0]) == pytest.approx(1.0)

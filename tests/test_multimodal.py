@@ -81,12 +81,15 @@ def test_arrow_batching_respected(spark, media):
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
 
-def test_decode_none_content_raises(spark):
+def test_decode_none_content_passes_through_null(spark):
+    """NULL content (missing blob) yields NULL features instead of killing
+    the job — the edge-corpus contract (one absent object in a 100 TB
+    corpus must not fail the stage); decoders never see None."""
     df = spark.createDataFrame([Row(media_id=9, content=None, mime="image/png",
                                     width=1, height=1, duration_ms=None)],
                                mm.MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="NotImplementedError|no codec"):
-        mm.extract_image_features(df).collect()
+    rows = mm.extract_image_features(df).collect()
+    assert len(rows) == 1 and rows[0].features is None
 
 
 # -- real codec paths (feature-detected; r05 directive) ----------------------
