@@ -1870,15 +1870,18 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-granularity rollup: one pass produces
     (day, event_type), per-day, and grand-total aggregates via ROLLUP
-    (partial-agg friendly — Spark expands grouping sets map-side)."""
+    (partial-agg friendly — Spark expands grouping sets map-side).
+    Routed through rollup_by/grouping_flag so an EMPTY events slice still
+    reports the ANSI grand-total row (n=0) like every SQL engine."""
     ev = _t(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    return (ev.select(day, "event_type", "value")
-            .rollup("day", "event_type")
+    return (Pipe(ev.select(day, "event_type", "value"))
+            .rollup_by("day", "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(_exact_sum(F.col("value"), 2), 2).alias("total_value"),
-                 F.grouping("day").alias("g_day"),
-                 F.grouping("event_type").alias("g_type")))
+                 F.round(_exact_sum(F.col("value"), 2), 2).alias("total_value"))
+            .grouping_flag("day", "g_day")
+            .grouping_flag("event_type", "g_type")
+            .done().to_df())
 
 
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2119,9 +2122,13 @@ def _train_quality_sql(iters: int = 3, lr: float = 1.0) -> str:
         gsum = ",\n                   ".join(
             f"CAST(sum(CAST(round((p - y) * {k} * 1000000000.0) AS BIGINT)) AS BIGINT) AS g_{k}"
             for k in names)
+        # g.n = 0 (empty training slice) keeps the previous weights — the
+        # library breaks out of the loop with the zero-initialized model;
+        # without the CASE the NULL gradient sums would null every weight
         wup = ",\n                   ".join(
+            f"CASE WHEN g.n = 0 THEN w.w_{k} ELSE "
             f"w.w_{k} - {lr!r} * ((CAST(g.g_{k} AS DOUBLE) / 1000000000.0)"
-            f" / CAST(g.n AS DOUBLE)) AS w_{k}" for k in names)
+            f" / CAST(g.n AS DOUBLE)) END AS w_{k}" for k in names)
         ctes += [f"""p{i} AS (
             SELECT f.*, round(1.0 / (1.0 + exp(-({z}))), 6) AS p
             FROM f CROSS JOIN w{i - 1} w)""",
@@ -2131,8 +2138,9 @@ def _train_quality_sql(iters: int = 3, lr: float = 1.0) -> str:
                    count(*) AS n
             FROM p{i})""",
                  f"""w{i} AS (
-            SELECT w.wb - {lr!r} * ((CAST(g.gb AS DOUBLE) / 1000000000.0)
-                       / CAST(g.n AS DOUBLE)) AS wb,
+            SELECT CASE WHEN g.n = 0 THEN w.wb ELSE
+                       w.wb - {lr!r} * ((CAST(g.gb AS DOUBLE) / 1000000000.0)
+                       / CAST(g.n AS DOUBLE)) END AS wb,
                    {wup}
             FROM w{i - 1} w CROSS JOIN g{i} g)"""]
     finals = [f"SELECT '__bias__' AS feature, round(wb, 6) AS weight FROM w{iters}"]

@@ -427,6 +427,10 @@ def kmeans(emb, k: int = 8, max_iter: int = 10, seed: int = 42,
     aggregation can differ by an ulp (documented in kmeans's docstring) —
     assignments are compared, which are stable far beyond that."""
     cents = ivf_centroids(emb, k, seed)
+    if not cents:
+        # empty corpus — mirror of similarity.kmeans: no assignments,
+        # no centroids
+        return {}, []
 
     def assign(v):
         best_d, best_c = None, None

@@ -373,7 +373,11 @@ def corpus_divergence(df_a: DataFrame, df_b: DataFrame, text_col: str,
         kl_ab, kl_ba = F.sum(t_ab), F.sum(t_ba)
     return (w.agg(F.max("na").alias("n_toks_a"),
                   F.max("nb").alias("n_toks_b"),
-                  F.max("v").alias("vocab"),
+                  # empty corpora: w has no rows, but the vocabulary SIZE
+                  # is still a count — 0, not NULL (SQL count semantics;
+                  # token totals stay NULL like any sum over nothing)
+                  F.coalesce(F.max("v"), F.lit(0).cast("bigint"))
+                  .alias("vocab"),
                   kl_ab.alias("kl_ab"),
                   kl_ba.alias("kl_ba"))
             .withColumn("jsd_proxy",

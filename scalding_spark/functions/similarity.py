@@ -173,6 +173,14 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                               id_col=id_col, vec_col=vec_col, seed=seed)
     else:
         centroids = ivf_centroids(corpus, n_cells, id_col, vec_col, seed)
+    if not centroids:
+        # empty corpus: no cells exist to probe — an empty result, not an
+        # analysis error (F.array() of zero centroid structs types as VOID
+        # and the cell extraction would fail at plan build)
+        return (queries.select(F.col(id_col).alias("query_id"),
+                               F.col(id_col).alias("neighbor_id"),
+                               F.lit(None).cast("double").alias("cosine"))
+                .where(F.lit(False)))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         F.element_at(_nearest_cell(F.col(vec_col), centroids, 1), 1).alias("cell"))

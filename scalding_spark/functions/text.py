@@ -403,6 +403,10 @@ def train_logistic_quality(df, text_col: str, label_col,
                  F.count(F.lit(1)).alias("__n")]
         row = base.agg(*aggs).collect()[0]
         n_docs = row["__n"]
+        if n_docs == 0:
+            # empty training slice: keep the zero-initialized model (the
+            # gradient sums are NULL; there is nothing to descend on)
+            break
         n = float(n_docs)
         bias = bias - lr * ((row["__gb"] / gscale) / n)
         for k in names:

@@ -106,6 +106,12 @@ class GroupBuilder:
         self._mode = mode
         self._grouping_sets: list[list[Column]] | None = None
         self._aggs: list[Column] = []
+        # parallel to _aggs: the expression that evaluates this aggregate
+        # over EMPTY input in a plain global agg — used to synthesize the
+        # ANSI grand-total row rollup/cube owe on empty input (see done());
+        # grouping()/grouping_id() can't run outside grouping sets, so the
+        # builder methods below record literal fallbacks instead
+        self._agg_fallbacks: list[Column] = []
 
     # -- scheduling --------------------------------------------------------
 
@@ -113,6 +119,24 @@ class GroupBuilder:
         """Raw aggregation escape hatch (the reference's ``every``,
         GroupBuilder.scala:121-140)."""
         self._aggs.extend(exprs)
+        self._agg_fallbacks.extend(exprs)
+        return self
+
+    def grouping_flag(self, col, out: str) -> "GroupBuilder":
+        """ANSI GROUPING(col) — 1 when ``col`` is rolled up in the output
+        row. Use this (not a raw ``F.grouping`` in :meth:`agg`) so the
+        empty-input grand-total row can carry its literal value of 1."""
+        self._aggs.append(F.grouping(_c(col)).alias(out))
+        self._agg_fallbacks.append(
+            F.lit(1).cast("tinyint").alias(out))
+        return self
+
+    def grouping_id(self, out: str = "grouping_id") -> "GroupBuilder":
+        """ANSI GROUPING_ID() over the grouping keys (all bits set = the
+        grand total). Literal fallback: 2^n_keys - 1."""
+        self._aggs.append(F.grouping_id().alias(out))
+        self._agg_fallbacks.append(
+            F.lit((1 << len(self._keys)) - 1).cast("bigint").alias(out))
         return self
 
     def _plain_groupby_only(self, op: str) -> None:
@@ -133,9 +157,12 @@ class GroupBuilder:
                 "rollup/cube/grouping-sets grouping needs at least one "
                 "aggregation before done()")
         if self._grouping_sets is not None:
-            return Pipe(self._df.groupingSets(
+            out = self._df.groupingSets(
                 self._grouping_sets,
-                *[_c(k) for k in self._keys]).agg(*self._aggs))
+                *[_c(k) for k in self._keys]).agg(*self._aggs)
+            if any(len(s) == 0 for s in self._grouping_sets):
+                out = self._with_empty_grand_total(out)
+            return Pipe(out)
         if self._mode != "groupby":
             # multi-level aggregation in ONE pass: Catalyst's Expand emits
             # each row once per grouping set BEFORE the partial aggregate,
@@ -143,13 +170,50 @@ class GroupBuilder:
             # — one job where the reference chains N groupBys + a merge
             grouped = (self._df.rollup(*self._keys) if self._mode == "rollup"
                        else self._df.cube(*self._keys))
-            return Pipe(grouped.agg(*self._aggs))
+            return Pipe(self._with_empty_grand_total(grouped.agg(*self._aggs)))
         if not self._aggs:
             # identity GroupBy == distinct on keys
             return Pipe(self._df.select(*self._keys).distinct())
         if self._keys:
             return Pipe(self._df.groupBy(*self._keys).agg(*self._aggs))
         return Pipe(self._df.agg(*self._aggs))
+
+    def _with_empty_grand_total(self, out: DataFrame) -> DataFrame:
+        """ANSI repair for Spark's empty-input grouping sets: ``GROUP BY
+        ROLLUP/CUBE/GROUPING SETS`` including the ``()`` set owes ONE
+        grand-total row even over zero input rows (it contains a global
+        aggregation), but Spark's Expand+groupBy formulation yields zero
+        rows — an empty upstream partition silently drops the total every
+        SQL engine would report.
+
+        Synthesis is ~free at any scale: the grand-total VALUES come from
+        a global aggregate over ``limit(0)`` (Catalyst folds it to an
+        empty LocalRelation — no scan), gated by an is-input-empty probe
+        (``limit(1)``). The probe re-evaluates the input subtree, but
+        LocalLimit short-circuits after the first non-empty partition —
+        for scan-rooted inputs that's a one-row read, and when the
+        lineage contains an exchange both branches sit over the same
+        subtree in ONE physical plan, so the exchange is reusable. Worst
+        case: one partition of a map-only lineage re-runs once. Grouping
+        keys are NULL literals cast to the output schema. Aggregates that
+        embed raw
+        ``grouping()``/``grouping_id()`` can't evaluate outside grouping
+        sets (use :meth:`grouping_flag`/:meth:`grouping_id`, which record
+        literal fallbacks); for those we keep Spark's native behavior."""
+        from pyspark.errors import AnalysisException
+        try:
+            vals = self._df.limit(0).groupBy().agg(*self._agg_fallbacks)
+        except AnalysisException:
+            return out
+        vals = vals.toDF(*[f"__v{i}" for i in range(len(vals.columns))])
+        probe = self._df.select(F.lit(1).alias("__p")).limit(1)
+        gate = (probe.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") == 0))  # 1 row iff the input is empty
+        n_keys = len(self._keys)
+        sel = [F.lit(None).cast(f.dataType).alias(f.name) if i < n_keys
+               else F.col(f"__v{i - n_keys}").cast(f.dataType).alias(f.name)
+               for i, f in enumerate(out.schema.fields)]
+        return out.unionByName(gate.crossJoin(vals).select(*sel))
 
     # -- combinable aggregations (ReduceOperations.scala) ------------------
 

@@ -707,6 +707,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))).distinct().persist()
     n = n_nodes or nodes.count()
+    if n == 0:
+        # empty edge list (an empty upstream slice): no nodes, no ranks —
+        # return the empty (node, rank) frame instead of dying at
+        # expression-build time on 1/n
+        out = nodes.select(F.col("node"), F.lit(0.0).alias("rank"))
+        nodes.unpersist()
+        return out
     deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     trans = (e.join(deg, on="src")
              .select(F.col("dst").alias("row"), F.col("src").alias("col"),

@@ -123,3 +123,72 @@ def test_py_reference_null_mirrors():
     assert pr.tokenize(None) == []
     assert pr.cosine([0.0, 0.0], [1.0, 2.0]) is None
     assert pr.cosine([1.0, 0.0], [1.0, 0.0]) == pytest.approx(1.0)
+
+
+# -- empty-input axis (.scaling/empty): an empty upstream slice must not
+# -- crash, and grouping sets owe their ANSI grand-total row ---------------
+
+def test_rollup_empty_input_emits_ansi_grand_total(spark):
+    from scalding_spark.pipe import Pipe
+    empty = spark.createDataFrame([], "a string, b string, v double")
+    out = (Pipe(empty).rollup_by("a", "b")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+           .grouping_flag("a", "g_a").grouping_id("gid")
+           .done().to_df().collect())
+    assert [tuple(r) for r in out] == [(None, None, 0, None, 1, 3)]
+
+
+def test_cube_nonempty_unchanged_by_grand_total_repair(spark):
+    from scalding_spark.pipe import Pipe
+    df = spark.createDataFrame([("x", 1.0), ("y", 2.0)], "a string, v double")
+    out = (Pipe(df).cube_by("a")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+           .done().to_df().collect())
+    rows = sorted([tuple(r) for r in out], key=str)
+    expect = sorted([("x", 1, 1.0), ("y", 1, 2.0), (None, 2, 3.0)], key=str)
+    assert rows == expect  # exactly one grand total, not two
+
+
+def test_grouping_sets_without_total_set_stays_empty(spark):
+    from scalding_spark.pipe import Pipe
+    empty = spark.createDataFrame([], "a string, b string, v double")
+    out = (Pipe(empty).grouping_sets([["a"]], "a", "b")
+           .agg(F.count(F.lit(1)).alias("n")).done().to_df().collect())
+    assert out == []  # no () set requested -> no grand total owed
+    out2 = (Pipe(empty).grouping_sets([["a"], []], "a", "b")
+            .agg(F.count(F.lit(1)).alias("n")).done().to_df().collect())
+    assert [tuple(r) for r in out2] == [(None, None, 0)]
+
+
+def test_pagerank_empty_graph(spark):
+    from scalding_spark.matrix import pagerank
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(edges).collect() == []
+
+
+def test_cosine_topk_ivf_empty_corpus(spark):
+    corpus = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk_ivf(corpus, corpus, k=5)
+    assert out.collect() == []  # not an AnalysisException
+
+
+def test_kmeans_empty_corpus(spark):
+    corpus = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assigned, cents = similarity.kmeans(corpus, k=4)
+    assert assigned.collect() == [] and cents == []
+
+
+def test_train_logistic_quality_empty_keeps_zero_model(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    stats = {}
+    w, b = tx.train_logistic_quality(docs, "text", F.col("lang") == "en",
+                                     iters=3, stats=stats)
+    assert b == 0.0 and all(v == 0.0 for v in w.values())
+    assert stats["n_docs"] == 0 and stats["loss_path"] == []
+
+
+def test_corpus_divergence_empty_vocab_is_zero(spark):
+    from scalding_spark.functions import lm
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    row = lm.corpus_divergence(docs, docs, "text").first()
+    assert row.vocab == 0 and row.n_toks_a is None

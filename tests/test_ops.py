@@ -268,9 +268,15 @@ def test_rollup_is_single_expand_job(spark):
     df = spark.createDataFrame([("a", "x", 1)], "k1 string, k2 string, v long")
     q = Pipe(df).rollup_by("k1", "k2").sum("v", "s").done().to_df()
     p = q._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in p
+    assert p.count("Expand") == 1
     assert p.count("Exchange hashpartitioning") == 1
-    assert p.count("HashAggregate") == 2  # partial + final, one pass
+    # the rollup pass itself is partial + final over the grouping-id keys
+    agg_lines = [ln for ln in p.splitlines() if "HashAggregate" in ln]
+    assert sum("spark_grouping_id" in ln for ln in agg_lines) == 2
+    # the ANSI empty-grand-total branch must never touch the source: its
+    # value aggregate reads a folded-empty relation, its gate a 1-row limit
+    assert "LocalTableScan <empty>" in p
+    assert p.count("LocalLimit 1") == 1
 
 
 def test_grouping_sets_exact_levels(spark):
