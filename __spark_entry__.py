@@ -2795,9 +2795,15 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT doc_id, pos, w,
                          row_number() OVER (PARTITION BY doc_id, md5(w)
                                             ORDER BY pos) AS rk
-                  FROM e)
-            SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS dedup_text
-            FROM r WHERE rk = 1 GROUP BY doc_id
+                  FROM e),
+            rebuilt AS (SELECT doc_id,
+                               string_agg(w, ' ' ORDER BY pos) AS dedup_text
+                        FROM r WHERE rk = 1 GROUP BY doc_id)
+            -- 1:1 with the input ids (the operator's contract): a NULL-text
+            -- doc has no lines to explode, but still comes back ('' text)
+            SELECT d.doc_id, coalesce(rebuilt.dedup_text, '') AS dedup_text
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+            LEFT JOIN rebuilt USING (doc_id)
         """,
         "q_char_entropy": """
             WITH c AS (SELECT doc_id,
@@ -2809,7 +2815,8 @@ def oracle_sql() -> dict[str, str]:
                        [ (len(list_filter(chars, x -> x = ch)) / len(chars))
                          * log2(len(list_filter(chars, x -> x = ch))
                                 / len(chars))
-                         for ch in list_distinct(chars)]), 0.0), 6) AS entropy
+                         for ch in list_distinct(chars)]), 0.0), 6) + 0.0
+                       AS entropy  -- + 0.0: canonicalize IEEE -0.0
             FROM c
         """,
         "q_duplicate_line_fraction": """
@@ -4004,11 +4011,12 @@ def oracle_sql() -> dict[str, str]:
                           row_number() OVER (ORDER BY anl, doc_id) AS r,
                           count(*) OVER () AS n
                    FROM per),
+            -- exact integer cuts (r <= floor(n/3) <=> 3r <= n): float
+            -- fraction literals are DECIMAL in DuckDB but DOUBLE in Spark,
+            -- and floor(n * f) differs at representation boundaries
             lab AS (SELECT n_toks,
-                           CASE WHEN r <= floor(n * 0.3333333333333333)
-                                    THEN 'head'
-                                WHEN r <= floor(n * 0.6666666666666666)
-                                    THEN 'middle'
+                           CASE WHEN r * 3 <= n THEN 'head'
+                                WHEN r * 3 <= n * 2 THEN 'middle'
                                 ELSE 'tail' END AS bucket
                     FROM rk)
             SELECT bucket, count(*) AS n_docs,
@@ -4023,7 +4031,8 @@ def oracle_sql() -> dict[str, str]:
                         FROM documents)
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
-            FROM rk WHERE r <= ceil(n * 0.25)
+            -- exact integer ceil cut: r <= ceil(n/4) <=> (r-1)*4 < n
+            FROM rk WHERE (r - 1) * 4 < n
             GROUP BY source
         """,
         "q_fuzzy_join": """

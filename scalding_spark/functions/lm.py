@@ -311,9 +311,19 @@ def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
     ranked = materialize(ranked, eager=False)
     n = F.count(F.lit(1)).alias("__n")
     total = F.broadcast(ranked.agg(n))  # 1-row scalar ride-along
+    # EXACT integer cut test: rk <= floor(n·num/den)  ⟺  rk·den <= n·num.
+    # floor(n * float(f)) is engine-dependent for non-dyadic f — fuzz-axis
+    # finding: 207·float(1/3) rounds UP to exactly 69.0 in binary double
+    # (floor 69) while exact decimal arithmetic gives 68.9999... (floor
+    # 68); rational comparison is exact on every engine. Fraction(...)
+    # recovers the intended ratio (1/3, not the float's 2^-52 garble);
+    # den ≤ 1e6 keeps n·num inside bigint for corpora up to ~9e12 rows.
+    from fractions import Fraction
     bucket = None
     for f, lab in zip(fractions, labels):
-        cond = F.col("__rk") <= F.floor(F.col("__n") * F.lit(float(f)))
+        fr = Fraction(float(f)).limit_denominator(1_000_000)
+        cond = (F.col("__rk") * F.lit(fr.denominator)
+                <= F.col("__n") * F.lit(fr.numerator))
         bucket = F.when(cond, lab) if bucket is None else bucket.when(cond, lab)
     bucket = bucket.otherwise(labels[-1])
     return (ranked.join(total)

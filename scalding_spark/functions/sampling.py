@@ -274,7 +274,13 @@ def top_fraction(df: DataFrame, order_by: list, fraction: float,
     # broadcast build is a separate job, no ReusedExchange)
     ranked = materialize(ranked, eager=False)
     total = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
-    keep = F.col("__rk") <= F.ceil(F.col("__n") * F.lit(float(fraction)))
+    # EXACT integer cut: rk <= ceil(n·num/den)  ⟺  (rk-1)·den < n·num —
+    # ceil(n * float(f)) is engine-dependent for non-dyadic f (see
+    # lm.perplexity_buckets for the measured fuzz-axis case)
+    from fractions import Fraction
+    fr = Fraction(float(fraction)).limit_denominator(1_000_000)
+    keep = ((F.col("__rk") - 1) * F.lit(fr.denominator)
+            < F.col("__n") * F.lit(fr.numerator))
     return (ranked.join(total).where(keep)
             .drop("__rk", "__n"))
 

@@ -606,6 +606,9 @@ def char_entropy(col: Column) -> Column:
     Map-only expression: distinct chars (≤ alphabet size, not text length)
     drive one O(distinct × len) counting pass via higher-order functions —
     no explode, no shuffle, nothing leaves the row. Empty/null-safe: 0.0.
+    The trailing ``+ 0.0`` canonicalizes IEEE negative zero: a
+    single-distinct-char text sums to -(1·log2(1)) = -0.0, which stringifies
+    as '-0' and breaks cross-engine value comparison (fuzz-axis finding).
     """
     return let_bound(
         F.split(col, ""),
@@ -619,4 +622,4 @@ def char_entropy(col: Column) -> Column:
                         F.size(F.filter(chars, lambda x: x == c))
                         / F.size(chars).cast("double"),
                         lambda p: p * F.log2(p))),
-                F.lit(0.0))))
+                F.lit(0.0)) + F.lit(0.0)))

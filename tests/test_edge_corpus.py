@@ -192,3 +192,50 @@ def test_corpus_divergence_empty_vocab_is_zero(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     row = lm.corpus_divergence(docs, docs, "text").first()
     assert row.vocab == 0 and row.n_toks_a is None
+
+
+# -- fuzz-axis findings (scripts/gen_fuzz.py, seeds 101/104) ----------------
+
+def test_char_entropy_single_char_is_positive_zero(spark):
+    import math
+    df = spark.createDataFrame([(1, "xxxx"), (2, "ab")], "id long, t string")
+    got = {r.id: r.e for r in
+           df.select("id", tx.char_entropy(F.col("t")).alias("e")).collect()}
+    # -(1*log2(1)) must canonicalize to +0.0 — '-0' breaks value hashing
+    assert got[1] == 0.0 and math.copysign(1.0, got[1]) == 1.0
+    assert got[2] == pytest.approx(1.0)
+
+
+def test_perplexity_buckets_exact_thirds_at_boundary(spark):
+    """n=207, fractions (1/3, 2/3): exact math says head gets 69 docs.
+    floor(n * float(1/3)) sits ON a double-representation boundary here —
+    binary double rounds 207·0.3333333333333333 UP to exactly 69.0 while
+    exact decimal gives 68.9999999999999931 (the measured Spark-vs-DuckDB
+    split on fuzz seed 104). The rational cut (3·rk <= n) is exact."""
+    from scalding_spark.functions import lm
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 40} " * (1 + i % 7)) for i in range(207)],
+        "doc_id long, text string")
+    out = lm.perplexity_buckets(docs, "text", "doc_id",
+                                fractions=(1 / 3, 2 / 3))
+    counts = {r.bucket: r.n for r in
+              out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"head": 69, "middle": 69, "tail": 69}
+
+
+def test_top_fraction_exact_ceil_cut(spark):
+    from scalding_spark.functions.sampling import top_fraction
+    df = spark.createDataFrame([(i, i * 10) for i in range(6)],
+                               "doc_id long, score long")
+    kept = top_fraction(df, [F.col("score").desc()], 1 / 3, "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [4, 5]  # ceil(6/3)=2
+
+
+def test_remove_duplicate_lines_null_text_one_to_one(spark):
+    from scalding_spark.functions.dedup import remove_duplicate_lines
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, None)], "doc_id long, text string")
+    got = {r.doc_id: r.text for r in
+           remove_duplicate_lines(df, "text", "doc_id", scope="doc",
+                                  delimiter=" ").collect()}
+    assert got == {1: "a b", 2: ""}  # null doc still present, empty rewrite
