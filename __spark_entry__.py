@@ -3732,7 +3732,11 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY user_id
         """,
         "q_embedding_neardup_exact": """
-            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            -- NULL embeddings are excluded from similarity search (the
+            -- operator's _drop_null_vecs contract; DuckDB's
+            -- list_inner_product hard-errors on them anyway)
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+                       FROM embeddings WHERE embedding IS NOT NULL),
             pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                        list_inner_product(a.vec, b.vec)
@@ -3991,9 +3995,10 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) + 3 >= 8
         """,
         # same LM-score pipeline as q_unigram_lm, then the CCNet cut:
-        # rank by (score, doc_id), bucket by exact floor(n·f) counts — the
-        # fraction literals are the exact doubles the Spark side uses
-        # (repr(1/3), repr(2/3)), so floor() agrees bit-for-bit.
+        # rank by (score, doc_id), bucket membership by EXACT integer
+        # rational comparison (r·3 <= n·k) — float fraction literals are
+        # DECIMAL in DuckDB vs DOUBLE in Spark and floor(n·f) flips at
+        # representation boundaries (measured at n=207, fuzz seed 104).
         "q_ccnet_buckets": f"""
             WITH ex AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
             dt AS (SELECT doc_id, tok, count(*) AS occ FROM ex GROUP BY 1, 2),
@@ -4261,9 +4266,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "q_cosine_topk": """
+            -- embedding IS NOT NULL: the _drop_null_vecs contract
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                       FROM embeddings WHERE vec_id < 5),
-            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+                       FROM embeddings
+                       WHERE vec_id < 5 AND embedding IS NOT NULL),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE embedding IS NOT NULL),
             scored AS (
                 SELECT query_id, neighbor_id,
                        list_inner_product(qv, cv)

@@ -234,10 +234,14 @@ def _load(sf_dir: str, table: str, cols: str, tail: str = ""):
 
 
 def _embeddings(sf_dir: str):
-    """[(vec_id, [float32-exact doubles], label)] in vec_id order."""
+    """[(vec_id, [float32-exact doubles] | None, label)] in vec_id order.
+    NULL embeddings stay None: similarity goldens skip them (mirror of
+    similarity._drop_null_vecs) but semantic_dedup still counts the rows
+    as kept."""
     rows = _load(sf_dir, "embeddings", "vec_id, embedding, label",
                  "ORDER BY vec_id")
-    return [(int(i), [float(x) for x in v], int(lb)) for i, v, lb in rows]
+    return [(int(i), None if v is None else [float(x) for x in v], int(lb))
+            for i, v, lb in rows]
 
 
 def _documents(sf_dir: str):
@@ -342,6 +346,7 @@ def golden_cosine_topk_lsh(sf_dir: str):
     """Mirror of q_cosine_topk_lsh: queries vec_id<5, k=5, dim=64,
     n_planes=8, n_tables=4, seed=42."""
     emb = _embeddings(sf_dir)
+    emb = [r for r in emb if r[1] is not None]  # mirror _drop_null_vecs
     tables = [random_hyperplanes(64, 8, 42 + t * 1000) for t in range(4)]
     buckets = {}
     for i, v, _ in emb:
@@ -370,6 +375,7 @@ def ivf_centroids(emb, n_cells: int, seed: int = 42):
 def golden_cosine_topk_ivf(sf_dir: str):
     """Mirror of q_cosine_topk_ivf: k=5, n_cells=16, n_probe=4, seed=42."""
     emb = _embeddings(sf_dir)
+    emb = [r for r in emb if r[1] is not None]  # mirror _drop_null_vecs
     cents = ivf_centroids(emb, 16)
 
     def nearest(v, n_probe):
@@ -399,6 +405,7 @@ def golden_embedding_neardup(sf_dir: str):
     """Mirror of q_embedding_neardup: threshold=0.3, n_planes=10,
     n_tables=4, seed=42, dim=64."""
     emb = _embeddings(sf_dir)
+    emb = [r for r in emb if r[1] is not None]  # mirror _drop_null_vecs
     tables = [random_hyperplanes(64, 10, 42 + t * 1000) for t in range(4)]
     buckets = {}
     for i, v, _ in emb:
@@ -468,6 +475,7 @@ def kmeans(emb, k: int = 8, max_iter: int = 10, seed: int = 42,
 def golden_kmeans(sf_dir: str):
     """Mirror of q_kmeans: per-cell counts, k=8, max_iter=10, seed=42."""
     emb = _embeddings(sf_dir)
+    emb = [r for r in emb if r[1] is not None]  # mirror _drop_null_vecs
     assigned, _ = kmeans(emb)
     counts = {}
     for cell in assigned.values():
@@ -479,9 +487,12 @@ def golden_semantic_dedup(sf_dir: str):
     """Mirror of q_semantic_dedup: kept-per-label counts, threshold=0.99,
     k=8 (greedy smaller-id drop within k-means cells)."""
     emb = _embeddings(sf_dir)
-    assigned, _ = kmeans(emb)
+    emb_nn = [r for r in emb if r[1] is not None]  # mirror _drop_null_vecs
+    # kmeans/pairing run over non-null vectors only; NULL-vector rows have
+    # no assignment, are never losers, and still count as kept below
+    assigned, _ = kmeans(emb_nn)
     normed = {}
-    for i, v, _ in emb:
+    for i, v, _ in emb_nn:
         nrm = norm(v)
         normed[i] = ([float(x) / nrm for x in v] if nrm > 0
                      else [0.0] * len(v))

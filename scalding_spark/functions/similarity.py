@@ -44,6 +44,17 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
+def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """Rows with a NULL vector (a missing embedding) are EXCLUDED from
+    similarity search — they have no position in the space, can never
+    clear a threshold or fill a top-k slot, and DuckDB's
+    list_inner_product hard-errors on them (fuzz-axis finding). Same
+    contract as tokenless docs in minhash_signatures. Dedup-style
+    consumers (semantic_dedup) still KEEP such rows in their output:
+    a missing vector duplicates nothing."""
+    return df.where(F.col(vec_col).isNotNull())
+
+
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
@@ -51,7 +62,10 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Plan: broadcast the (small) query set → crossJoin streams the corpus once
     with zero shuffle → window top-k per query (the only exchange, keyed by
     query id). Self-matches excluded. Returns (query_id, neighbor_id, cosine).
+    NULL vectors on either side are excluded (:func:`_drop_null_vecs`).
     """
+    corpus = _drop_null_vecs(corpus, vec_col)
+    queries = _drop_null_vecs(queries, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (c.crossJoin(F.broadcast(q))
@@ -93,6 +107,8 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     landing in the same bucket → exact cosine on candidates → window top-k.
     The join key is 12 bytes; the corpus shuffles once on bucket ids (or not
     at all when the query side is broadcast, the common case)."""
+    corpus = _drop_null_vecs(corpus, vec_col)
+    queries = _drop_null_vecs(queries, vec_col)
     if dim is None:
         first = corpus.select(F.size(vec_col)).first()
         dim = first[0]
@@ -132,6 +148,7 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     seeded hash as centroids (a k-means init without the iterations — cell
     QUALITY only affects recall/speed, never correctness, since the verify
     step is exact). Driver-side list, tiny (n_cells × dim floats)."""
+    corpus = _drop_null_vecs(corpus, vec_col)
     rows = (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
             .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
             .orderBy("__h").limit(n_cells).collect())
@@ -168,6 +185,8 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the same n_probe and cap the worst cell's re-rank fan-in. Production
     trains once offline and reuses centroids; 0 keeps the zero-training
     hash-sample init."""
+    corpus = _drop_null_vecs(corpus, vec_col)
+    queries = _drop_null_vecs(queries, vec_col)
     if train_iters > 0:
         _, centroids = kmeans(corpus, k=n_cells, max_iter=train_iters,
                               id_col=id_col, vec_col=vec_col, seed=seed)
@@ -203,6 +222,7 @@ def embedding_near_dup_exact(df: DataFrame, threshold: float = 0.95,
     recall is measured against. O(n²) by construction: use it on modest
     corpora (recall evaluation, small dims); embedding_near_dup_pairs is the
     100 TB path. Returns (id_a, id_b, cosine), id_a < id_b."""
+    df = _drop_null_vecs(df, vec_col)
     l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = l.join(r, F.col("id_a") < F.col("id_b"))
@@ -218,6 +238,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     """Embedding-cosine near-duplicate pairs (dedup tier 5): LSH-bucketed
     self-join + exact cosine ≥ threshold. Same plan shape as cosine_topk_lsh
     with both sides the corpus. Returns (id_a, id_b, cosine), id_a < id_b."""
+    df = _drop_null_vecs(df, vec_col)
     if dim is None:
         dim = df.select(F.size(vec_col)).first()[0]
     tables = [random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)]
@@ -332,7 +353,10 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
     ``stats['iterations']`` reports rounds run.
     """
     cents = ivf_centroids(corpus, k, id_col=id_col, vec_col=vec_col, seed=seed)
-    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # null-vector rows have no position in the space: no assignment row
+    # (semantic_dedup's anti-join therefore always KEEPS them)
+    src = _drop_null_vecs(corpus, vec_col) \
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # iterative-read amortization: every round scans the corpus once for
     # the update agg (and once more for the final assignment) — persist so
     # 10 iterations cost one read, not ten; unpersisted before returning

@@ -99,9 +99,15 @@ for name, fn in e.queries().items():
         rows_only.append(name)
         print(f"rows-only {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
         continue
-    o = con.execute(oracles[name])
-    orows = o.fetchall()
-    ocols = [d[0] for d in o.description]
+    try:
+        o = con.execute(oracles[name])
+        orows = o.fetchall()
+        ocols = [d[0] for d in o.description]
+    except Exception as ex:
+        # a crashing oracle is a FAIL for that query, not a dead gate
+        fails.append(name)
+        print(f"FAIL {name}: oracle error {type(ex).__name__}: {ex}")
+        continue
     a, b = norm(rows, cols), norm(orows, ocols)
     if sorted(cols) != sorted(ocols):
         fails.append(name)

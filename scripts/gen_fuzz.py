@@ -66,9 +66,11 @@ def gen_embeddings(rnd, n, dim=64):
     rows, pool = [], []
     for i in range(n):
         r = rnd.random()
-        if r < 0.02:
+        if r < 0.01:
+            v = None                       # NULL vector (missing embedding)
+        elif r < 0.03:
             v = [0.0] * dim
-        elif r < 0.05 and pool:
+        elif r < 0.06 and pool:
             v = rnd.choice(pool)           # exact duplicate vector
         else:
             v = [round(rnd.gauss(0, 1), 6) for _ in range(dim)]
@@ -88,7 +90,8 @@ def gen_events(rnd, n):
         last_us = us
         rows.append((i, us, rnd.randrange(40),
                      rnd.choice(EVENT_TYPES),
-                     round(rnd.gauss(50, 80), 2),
+                     None if rnd.random() < 0.02
+                     else round(rnd.gauss(50, 80), 2),   # NULL values
                      '{"k": %d}' % rnd.randrange(100)))
     return rows
 

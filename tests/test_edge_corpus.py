@@ -239,3 +239,20 @@ def test_remove_duplicate_lines_null_text_one_to_one(spark):
            remove_duplicate_lines(df, "text", "doc_id", scope="doc",
                                   delimiter=" ").collect()}
     assert got == {1: "a b", 2: ""}  # null doc still present, empty rewrite
+
+
+def test_null_vectors_excluded_from_similarity_but_kept_by_dedup(spark):
+    """A NULL embedding (missing vector) has no position in the space:
+    similarity ops exclude the row (DuckDB's list_inner_product even
+    hard-errors on it), kmeans assigns it no cell — but semantic_dedup
+    still KEEPS the row (a missing vector duplicates nothing)."""
+    rows = [(0, [1.0, 0.0]), (1, None), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    topk = similarity.cosine_topk_bruteforce(df, df.where("vec_id = 0"), k=9)
+    assert sorted(r.neighbor_id for r in topk.collect()) == [2, 3]
+    pairs = similarity.embedding_near_dup_exact(df, threshold=0.9)
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(0, 2)]
+    assigned, _ = similarity.kmeans(df, k=2)
+    assert sorted(r.id for r in assigned.collect()) == [0, 2, 3]
+    kept = similarity.semantic_dedup(df, threshold=0.99, k=2)
+    assert 1 in {r.vec_id for r in kept.collect()}  # null row survives
