@@ -148,6 +148,14 @@ def materialize(df, eager: bool = False, iterative: bool = False):
             out.count()
         return out
     if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if not sc._jsc.sc().getCheckpointDir().isDefined():
+            # fail with the ACTUAL problem, not a raw Py4J stack 14 queries
+            # deep: reliable mode is checkpoint-based and needs a durable dir
+            raise ValueError(
+                f"{MATERIALIZE_CONF}=reliable requires a checkpoint "
+                "directory: call spark.sparkContext.setCheckpointDir(...) "
+                "(or set spark.checkpoint.dir) to an HDFS/S3 path first")
         return df.checkpoint(eager=eager)
     if mode != "local":
         raise ValueError(

@@ -256,3 +256,15 @@ def test_null_vectors_excluded_from_similarity_but_kept_by_dedup(spark):
     assert sorted(r.id for r in assigned.collect()) == [0, 2, 3]
     kept = similarity.semantic_dedup(df, threshold=0.99, k=2)
     assert 1 in {r.vec_id for r in kept.collect()}  # null row survives
+
+
+def test_reliable_materialize_without_checkpoint_dir_fails_clearly(spark):
+    from scalding_spark.session import materialize
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        pytest.skip("checkpoint dir configured in this session")
+    spark.conf.set("spark.scalding_spark.materialize", "reliable")
+    try:
+        with pytest.raises(ValueError, match="checkpoint directory"):
+            materialize(spark.range(3), eager=True)
+    finally:
+        spark.conf.set("spark.scalding_spark.materialize", "local")
