@@ -14,8 +14,11 @@ FK topology is what the join queries test; random regeneration would
 only break referential integrity, which is a different axis).
 
 Usage:
-    python scripts/gen_fuzz.py SEED [src_dir] [out_dir]
-    # default src /root/testdata/sf0.001, out .scaling/fuzz<SEED>
+    python scripts/gen_fuzz.py SEED [src_dir] [out_dir] [scale]
+    # default src /root/testdata/sf0.001, out .scaling/fuzz<SEED>,
+    # scale 1 (scale multiplies the random table sizes — use 10 to fuzz
+    # the sf0.1-like density regime where candidate-pair ops behave
+    # differently)
 Then:
     python scripts/driver_check.py .scaling/fuzz<SEED>
 """
@@ -101,6 +104,7 @@ def main():
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     out = (sys.argv[3] if len(sys.argv) > 3
            else os.path.join(HERE, ".scaling", f"fuzz{seed}"))
+    scale = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     os.makedirs(out, exist_ok=True)
     rnd = random.Random(seed)
     con = duckdb.connect()
@@ -110,18 +114,18 @@ def main():
     con.execute("create or replace table d(doc_id bigint, text varchar,"
                 " lang varchar, source varchar, n_chars bigint)")
     con.executemany("insert into d values (?,?,?,?,?)",
-                    gen_documents(rnd, rnd.randint(200, 800)))
+                    gen_documents(rnd, rnd.randint(200, 800) * scale))
     con.execute(f"copy d to '{out}/documents.parquet' (format parquet)")
     con.execute("create or replace table e(vec_id bigint,"
                 " embedding float[], label integer)")
     con.executemany("insert into e values (?,?,?)",
-                    gen_embeddings(rnd, rnd.randint(200, 800)))
+                    gen_embeddings(rnd, rnd.randint(200, 800) * scale))
     con.execute(f"copy e to '{out}/embeddings.parquet' (format parquet)")
     con.execute("create or replace table ev(event_id bigint, us bigint,"
                 " user_id bigint, event_type varchar, value double,"
                 " props varchar)")
     con.executemany("insert into ev values (?,?,?,?,?,?)",
-                    gen_events(rnd, rnd.randint(500, 2000)))
+                    gen_events(rnd, rnd.randint(500, 2000) * scale))
     con.execute(f"copy (select event_id, make_timestamp(us) as ts, user_id,"
                 f" event_type, value, props from ev)"
                 f" to '{out}/events.parquet' (format parquet)")
