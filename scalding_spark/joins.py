@@ -291,6 +291,14 @@ def as_of_join(left, right, on: list[str], left_ts: str, right_ts: str,
     would be unselectable downstream.
     """
     ldf, rdf = _df(left), _df(right)
+    # SQL join semantics for NULL keys: NULL never equals NULL, so a
+    # null-keyed right row can match nothing — drop it BEFORE the union
+    # (the window's partitionBy would otherwise group null keys together
+    # and fabricate matches between unknown-key rows; fuzz-axis finding
+    # vs DuckDB's native ASOF JOIN). Null-keyed LEFT rows still come back
+    # (left-join contract) — their partition simply holds no right rows.
+    for k in on:
+        rdf = rdf.where(F.col(k).isNotNull())
     l_payload = [c for c in ldf.columns if c not in on + [left_ts]]
     r_payload = [c for c in rdf.columns if c not in on + [right_ts]]
     taken = set(on) | {left_ts} | set(l_payload)

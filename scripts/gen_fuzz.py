@@ -91,10 +91,11 @@ def gen_events(rnd, n):
         else:
             us = base + rnd.randrange(30 * 24 * 3600 * 1_000_000)
         last_us = us
-        rows.append((i, us, rnd.randrange(40),
-                     rnd.choice(EVENT_TYPES),
+        rows.append((i, us,
+                     None if rnd.random() < 0.02 else rnd.randrange(40),
+                     None if rnd.random() < 0.02 else rnd.choice(EVENT_TYPES),
                      None if rnd.random() < 0.02
-                     else round(rnd.gauss(50, 80), 2),   # NULL values
+                     else round(rnd.gauss(50, 80), 2),   # NULL fields
                      '{"k": %d}' % rnd.randrange(100)))
     return rows
 

@@ -268,3 +268,20 @@ def test_reliable_materialize_without_checkpoint_dir_fails_clearly(spark):
             materialize(spark.range(3), eager=True)
     finally:
         spark.conf.set("spark.scalding_spark.materialize", "local")
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """SQL join semantics: NULL = NULL is not a match. A null-keyed left
+    row comes back unmatched (left-join contract); a null-keyed right row
+    matches nothing — the union+window formulation must not let the
+    partitionBy group null keys into fabricated matches (fuzz seed 402
+    vs DuckDB's native ASOF JOIN)."""
+    from scalding_spark.joins import as_of_join
+    left = spark.createDataFrame(
+        [(None, 10, "l0"), (1, 10, "l1")], "k int, ts int, lv string")
+    right = spark.createDataFrame(
+        [(None, 5, "r0"), (1, 5, "r1")], "k int, ts int, rv string")
+    out = {r.lv: r.rv for r in
+           as_of_join(left, right, on=["k"], left_ts="ts",
+                      right_ts="ts").df.collect()}
+    assert out == {"l0": None, "l1": "r1"}
