@@ -2440,73 +2440,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
-    # r05 window (VERDICT r04 next-round #3: rotate to the 50
-    # longest-unverified): the 9 r05-NEW operators (first driver rows),
-    # then 41 of the 49 queries whose newest driver row is r01 — three
-    # rounds stale, the oldest in the ledger. The 8 remaining r01-stale
-    # entries (q18_large_volume_customer q22_idle_customers q_dot q_toset
-    # q_mkstring q_head_last q_times_product q_maplist) plus the 39
-    # r02-stale entries are parked
-    # DIRECTLY below position 50 in staleness order: they are the r06
-    # window (46 entries + r06-new), after which every query's newest
+    # r06 window (VERDICT r05 next-round #1 — the enforced steady state):
+    # the 8 queries whose newest driver row is r01 (four rounds stale, the
+    # oldest in the ledger), then the 39 r02-stale, then 3 fillers drawn
+    # from the r04 tier — chosen because their OPERATORS changed after
+    # their last driver row: q_asof_join / q_range_join (r05 NULL-key
+    # join-semantics fix, commit 2c0db78) and q_cube_agg (r05 ANSI
+    # empty-input grand-total repair; also a +34% bench drifter VERDICT
+    # r05 #7 asks to re-measure). After this rotation every query's newest
     # driver row is ≤2 rounds old — the steady state
-    # tests/test_driver_window.py's rotation invariant enforces. The
-    # r03/r04-green block sits at the tail.
+    # tests/test_driver_window.py enforces.
+    # The three r03 diagnostic probes are RETIRED from the rotation
+    # (VERDICT r05 #5; diagnoses closed in r04/r05): they live in
+    # retired_probes() and stay parity-pinned by tests/test_probes.py, so
+    # their window slots go to real operators.
     return {
-        # -- r05-new: first driver rows (formerly tests-only operators) --
-        "q_dedup_lines": q_dedup_lines,
-        "q_char_entropy": q_char_entropy,
-        "q_duplicate_line_fraction": q_duplicate_line_fraction,
-        "q_temperature_mix": q_temperature_mix,
-        "q_web_domains": q_web_domains,
-        "q_web_blocklist": q_web_blocklist,
-        "q_stream_interval_join": q_stream_interval_join,
-        "q_fp_store_dedup": q_fp_store_dedup,
-        "q_dup_line_chars": q_dup_line_chars,
         # -- r01-stale block (newest driver row = CORRECTNESS_r01) --
-        "q1_pricing_summary": q1_pricing_summary,
-        "q_flatmap_wordcount": q_flatmap_wordcount,
-        "q_project_filter_map": q_project_filter_map,
-        "q_unpivot": q_unpivot,
-        "q_pack_unpack": q_pack_unpack,
-        "q_union_distinct": q_union_distinct,
-        "q_intersect_except": q_intersect_except,
-        "q_group_multi_agg": q_group_multi_agg,
-        "q_group_stats": q_group_stats,
-        "q_histogram": q_histogram,
-        "q_histogram_summary": q_histogram_summary,
-        "q_pivot": q_pivot,
-        "q_normalize": q_normalize,
-        "q_groupall": q_groupall,
-        "q_fold_reduce": q_fold_reduce,
-        "q_topk_per_group": q_topk_per_group,
-        "q_scan_cumsum": q_scan_cumsum,
-        "q_scan_running_max": q_scan_running_max,
-        "q_block_join": q_block_join,
-        "q_take_drop_while": q_take_drop_while,
-        "q_rank_lag": q_rank_lag,
-        "q_join_revenue_by_segment": q_join_revenue_by_segment,
-        "q_broadcast_join": q_broadcast_join,
-        "q_left_join_nulls": q_left_join_nulls,
-        "q_semi_anti": q_semi_anti,
-        "q_cross_tiny": q_cross_tiny,
-        "q_salted_skew_join": q_salted_skew_join,
-        "q_sampled_skew_join": q_sampled_skew_join,
-        "q_cogroup": q_cogroup,
-        "q_median_quartiles": q_median_quartiles,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q4_order_priority_exists": q4_order_priority_exists,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q11_important_parts": q11_important_parts,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_effect": q14_promo_effect,
-        # ---- position 50 ends here ----
-        # -- r06 window queue: the 8 remaining r01-stale ... --
         "q18_large_volume_customer": q18_large_volume_customer,
         "q22_idle_customers": q22_idle_customers,
         "q_mkstring": q_mkstring,
@@ -2515,7 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_toset": q_toset,
         "q_maplist": q_maplist,
         "q_dot": q_dot,
-        # -- ... then the 39 r02-stale: TPC-H tail --
+        # -- r02-stale: TPC-H tail --
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_part_count": q16_supplier_part_count,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -2558,10 +2507,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": q_session_window,
         "q_sessionize": q_sessionize,
         "q_cc_star": q_cc_star,
-        # -- driver-green in r04 (the r03/r04 window, freshest rows) --
-        "q_probe_hugeint": q_probe_hugeint,
-        "q_probe_event_micros": q_probe_event_micros,
-        "q_probe_q12_filter": q_probe_q12_filter,
+        # -- r04-tier fillers whose operators changed after their last row --
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_cube_agg": q_cube_agg,
+        # ---- position 50 ends here ----
+        # -- r07 window queue: the r04-green block (minus the fillers
+        #    above), then the r05-green block at the tail --
         "q_substring_spans": q_substring_spans,
         "q_unigram_lm": q_unigram_lm,
         "q_linear_quality": q_linear_quality,
@@ -2578,8 +2530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_flag": q12_priority_by_flag,
         "q_pii_redact": q_pii_redact,
         "q_top_word_fraction": q_top_word_fraction,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_cosine_topk_lsh": q_cosine_topk_lsh,
@@ -2599,7 +2549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collocations": q_collocations,
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_cut_spans": q_cut_spans,
-        "q_cube_agg": q_cube_agg,
         "q_ntile_ranks": q_ntile_ranks,
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_top_fraction": q_top_fraction,
@@ -2609,6 +2558,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
+        # -- r05-green block (freshest driver rows, tail of the rotation) --
+        "q_dedup_lines": q_dedup_lines,
+        "q_char_entropy": q_char_entropy,
+        "q_duplicate_line_fraction": q_duplicate_line_fraction,
+        "q_temperature_mix": q_temperature_mix,
+        "q_web_domains": q_web_domains,
+        "q_web_blocklist": q_web_blocklist,
+        "q_stream_interval_join": q_stream_interval_join,
+        "q_fp_store_dedup": q_fp_store_dedup,
+        "q_dup_line_chars": q_dup_line_chars,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q_flatmap_wordcount": q_flatmap_wordcount,
+        "q_project_filter_map": q_project_filter_map,
+        "q_unpivot": q_unpivot,
+        "q_pack_unpack": q_pack_unpack,
+        "q_union_distinct": q_union_distinct,
+        "q_intersect_except": q_intersect_except,
+        "q_group_multi_agg": q_group_multi_agg,
+        "q_group_stats": q_group_stats,
+        "q_histogram": q_histogram,
+        "q_histogram_summary": q_histogram_summary,
+        "q_pivot": q_pivot,
+        "q_normalize": q_normalize,
+        "q_groupall": q_groupall,
+        "q_fold_reduce": q_fold_reduce,
+        "q_topk_per_group": q_topk_per_group,
+        "q_scan_cumsum": q_scan_cumsum,
+        "q_scan_running_max": q_scan_running_max,
+        "q_block_join": q_block_join,
+        "q_take_drop_while": q_take_drop_while,
+        "q_rank_lag": q_rank_lag,
+        "q_join_revenue_by_segment": q_join_revenue_by_segment,
+        "q_broadcast_join": q_broadcast_join,
+        "q_left_join_nulls": q_left_join_nulls,
+        "q_semi_anti": q_semi_anti,
+        "q_cross_tiny": q_cross_tiny,
+        "q_salted_skew_join": q_salted_skew_join,
+        "q_sampled_skew_join": q_sampled_skew_join,
+        "q_cogroup": q_cogroup,
+        "q_median_quartiles": q_median_quartiles,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority_exists": q4_order_priority_exists,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_effect": q14_promo_effect,
+    }
+
+
+def retired_probes() -> dict[str, tuple]:
+    """The r03 driver-side diagnostic probes, retired from the rotation
+    (VERDICT r05 #5) now that their diagnoses are closed: the HUGEINT
+    client-conversion mechanism was confirmed in r03/r04 and every oracle
+    is portable-typed since r05 (tests/test_oracle_types.py), and the q12
+    filter decomposition closed two rounds ago. Each maps
+    name -> (query callable, DuckDB oracle SQL); tests/test_probes.py
+    keeps them parity-pinned so they never silently rot, without spending
+    driver-window slots on closed diagnostics."""
+    return {
+        "q_probe_hugeint": (q_probe_hugeint, """
+            SELECT l_returnflag, CAST(sum(1) AS BIGINT) AS s
+            FROM lineitem GROUP BY l_returnflag
+        """),
+        "q_probe_event_micros": (q_probe_event_micros, """
+            SELECT event_type, count(*) AS n,
+                   min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+                   max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+            FROM events GROUP BY event_type
+        """),
+        "q_probe_q12_filter": (q_probe_q12_filter, """
+            SELECT
+                (SELECT count(*) FROM lineitem JOIN orders
+                    ON l_orderkey = o_orderkey
+                  WHERE l_returnflag IN ('A', 'R')
+                    AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+                    AND CAST(l_shipdate AS DATE) < DATE '1996-01-01') AS n_join,
+                (SELECT count(*) FROM lineitem
+                  WHERE l_returnflag IN ('A', 'R')) AS n_flag,
+                (SELECT count(*) FROM lineitem
+                  WHERE l_returnflag IN ('A', 'R')
+                    AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+                    AND CAST(l_shipdate AS DATE) < DATE '1996-01-01') AS n_date,
+                (SELECT count(*) FROM lineitem
+                  WHERE l_returnflag IN ('A', 'R')
+                    AND l_shipdate >= TIMESTAMP '1995-01-01'
+                    AND l_shipdate < TIMESTAMP '1996-01-01') AS n_ts
+        """),
     }
 
 
@@ -2780,12 +2821,8 @@ def py_oracle() -> dict[str, Callable]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        # r03 diagnostic probes; q_probe_hugeint's HUGEINT diagnosis
-        # completed in r03/r04 (mechanism confirmed) — BIGINT-cast since r05.
-        "q_probe_hugeint": """
-            SELECT l_returnflag, CAST(sum(1) AS BIGINT) AS s
-            FROM lineitem GROUP BY l_returnflag
-        """,
+        # (the r03 diagnostic probes moved to retired_probes() in r06 —
+        #  VERDICT r05 #5; parity-pinned by tests/test_probes.py)
         # -- r05: formerly tests-only operators (VERDICT r04 #5) --
         "q_dedup_lines": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts
@@ -2895,32 +2932,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(epoch_us(ts) - epoch_us(err_ts)) AS BIGINT)
                        AS total_gap_us
             FROM j GROUP BY user_id
-        """,
-        "q_probe_event_micros": """
-            SELECT event_type, count(*) AS n,
-                   min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
-                   max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
-            FROM events GROUP BY event_type
-        """,
-        # pure COUNT(*) decomposition of q12 (no SUM -> no HUGEINT);
-        # see q_probe_q12_filter's docstring for how to read red/green
-        "q_probe_q12_filter": """
-            SELECT
-                (SELECT count(*) FROM lineitem JOIN orders
-                    ON l_orderkey = o_orderkey
-                  WHERE l_returnflag IN ('A', 'R')
-                    AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
-                    AND CAST(l_shipdate AS DATE) < DATE '1996-01-01') AS n_join,
-                (SELECT count(*) FROM lineitem
-                  WHERE l_returnflag IN ('A', 'R')) AS n_flag,
-                (SELECT count(*) FROM lineitem
-                  WHERE l_returnflag IN ('A', 'R')
-                    AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
-                    AND CAST(l_shipdate AS DATE) < DATE '1996-01-01') AS n_date,
-                (SELECT count(*) FROM lineitem
-                  WHERE l_returnflag IN ('A', 'R')
-                    AND l_shipdate >= TIMESTAMP '1995-01-01'
-                    AND l_shipdate < TIMESTAMP '1996-01-01') AS n_ts
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

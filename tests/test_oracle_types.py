@@ -51,11 +51,20 @@ def test_every_oracle_parses(con):
 
 
 def test_retired_probe_is_no_longer_risky(con):
-    desc = con.sql(
-        "DESCRIBE SELECT * FROM ({}) LIMIT 0".format(
-            e.oracle_sql()["q_probe_hugeint"])).fetchall()
+    sql = e.retired_probes()["q_probe_hugeint"][1]
+    desc = con.sql(f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0").fetchall()
     assert all(t == "BIGINT" or c == "l_returnflag" for c, t, *_ in desc), \
         f"retired probe regressed to a fragile output type: {desc}"
+
+
+def test_probes_are_out_of_the_rotation(con):
+    """r06 (VERDICT r05 #5): the closed diagnostics must not occupy
+    driver-window slots; they live in retired_probes() only."""
+    probes = set(e.retired_probes())
+    assert not probes & set(e.queries())
+    assert not probes & set(e.oracle_sql())
+    for _, sql in e.retired_probes().values():
+        con.sql(f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0")
 
 
 def test_documents_source_set_matches_mix_oracle_assumptions(con):
