@@ -486,40 +486,48 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
         .distinct().persist()
-    labels = materialize(
-        sym.select(F.col("a").alias("node")).distinct()
-           .select("node", F.col("node").alias("comp")),
-        eager=True, iterative=True)
-    null_old = F.lit(None).cast(labels.schema["comp"].dataType).alias("old")
     rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
-        # One shuffle + one action per iteration: the neighbor-min agg also
-        # carries each node's previous label (`old`, exactly one non-null
-        # per node), so convergence detection reads the same aggregate
-        # instead of paying a second join+count job. The lazy checkpoint
-        # materializes during the `changed` action.
-        nbr = (sym.join(labels, sym.b == labels.node)
-               .select(sym.a.alias("node"), F.col("comp"), null_old))
-        new_labels = materialize(
-            labels.select("node", "comp", F.col("comp").alias("old"))
-                  .union(nbr)
-                  .groupBy("node").agg(F.min("comp").alias("comp"),
-                                       F.min("old").alias("old")),
-            eager=False, iterative=True)
-        # full aggregate, NOT limit(1): a short-circuiting action would
-        # materialize only some partitions of the lazy checkpoint, and the
-        # unmaterialized rest would re-run its whole lineage next iteration
-        # coalesce: sum over ZERO rows is NULL (empty edge list — a normal
-        # outcome of dedup), which must read as converged, not never-done
-        changed = new_labels.agg(
-            F.coalesce(F.sum(F.when(F.col("comp") < F.col("old"), 1).otherwise(0)),
-                       F.lit(0))
-        ).collect()[0][0]
-        labels = new_labels.select("node", "comp")
-        if changed == 0:
-            break
-    sym.unpersist()
+    try:
+        # inside the try: this EAGER materialize is the first action over
+        # the persisted sym — a failure here must still unpersist it
+        labels = materialize(
+            sym.select(F.col("a").alias("node")).distinct()
+               .select("node", F.col("node").alias("comp")),
+            eager=True, iterative=True)
+        null_old = F.lit(None).cast(labels.schema["comp"].dataType).alias("old")
+        for _ in range(max_iter):
+            rounds += 1
+            # One shuffle + one action per iteration: the neighbor-min agg
+            # also carries each node's previous label (`old`, exactly one
+            # non-null per node), so convergence detection reads the same
+            # aggregate instead of paying a second join+count job. The lazy
+            # checkpoint materializes during the `changed` action.
+            nbr = (sym.join(labels, sym.b == labels.node)
+                   .select(sym.a.alias("node"), F.col("comp"), null_old))
+            new_labels = materialize(
+                labels.select("node", "comp", F.col("comp").alias("old"))
+                      .union(nbr)
+                      .groupBy("node").agg(F.min("comp").alias("comp"),
+                                           F.min("old").alias("old")),
+                eager=False, iterative=True)
+            # full aggregate, NOT limit(1): a short-circuiting action would
+            # materialize only some partitions of the lazy checkpoint, and
+            # the unmaterialized rest would re-run its whole lineage next
+            # iteration. coalesce: sum over ZERO rows is NULL (empty edge
+            # list — a normal outcome of dedup), which must read as
+            # converged, not never-done
+            changed = new_labels.agg(
+                F.coalesce(F.sum(F.when(F.col("comp") < F.col("old"), 1)
+                                  .otherwise(0)),
+                           F.lit(0))
+            ).collect()[0][0]
+            labels = new_labels.select("node", "comp")
+            if changed == 0:
+                break
+    finally:
+        # unpersist on the error path too — a mid-loop failure (OOM, task
+        # abort) must not leak sym in the executor block cache
+        sym.unpersist()
     if stats is not None:
         stats["iterations"] = rounds
     return labels.select("node", "comp")

@@ -101,6 +101,12 @@ def _parse_pnm(content: bytes):
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = toks
+    if w < 1 or h < 1:
+        raise ValueError(f"malformed PNM: non-positive dimensions {w}x{h}")
+    if not 1 <= maxval <= 65535:
+        # maxval=0 would silently divide to inf/nan; >65535 is outside the
+        # PNM spec's 2-byte sample range
+        raise ValueError(f"malformed PNM: maxval {maxval} outside [1, 65535]")
     ch = 1 if content.startswith(b"P5") else 3
     dt = np.uint8 if maxval < 256 else ">u2"
     need = w * h * ch * (1 if maxval < 256 else 2)

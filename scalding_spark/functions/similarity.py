@@ -111,6 +111,14 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
     queries = _drop_null_vecs(queries, vec_col)
     if dim is None:
         first = corpus.select(F.size(vec_col)).first()
+        if first is None:
+            # empty / all-NULL-vector corpus: no hyperplanes can be sized —
+            # an empty result, not a crash (mirrors cosine_topk_ivf's
+            # empty-centroids path)
+            return (queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(id_col).alias("neighbor_id"),
+                                   F.lit(None).cast("double").alias("cosine"))
+                    .where(F.lit(False)))
         dim = first[0]
     tables = [random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)]
 
@@ -240,7 +248,14 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     with both sides the corpus. Returns (id_a, id_b, cosine), id_a < id_b."""
     df = _drop_null_vecs(df, vec_col)
     if dim is None:
-        dim = df.select(F.size(vec_col)).first()[0]
+        first = df.select(F.size(vec_col)).first()
+        if first is None:
+            # empty / all-NULL-vector corpus (see cosine_topk_lsh)
+            return (df.select(F.col(id_col).alias("id_a"),
+                              F.col(id_col).alias("id_b"),
+                              F.lit(None).cast("double").alias("cosine"))
+                    .where(F.lit(False)))
+        dim = first[0]
     tables = [random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)]
     buckets = F.array(*[
         F.struct(F.lit(t).alias("t"), lsh_bucket(F.col(vec_col), tables[t]).alias("b"))

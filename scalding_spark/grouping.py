@@ -188,15 +188,16 @@ class GroupBuilder:
 
         Synthesis is ~free at any scale: the grand-total VALUES come from
         a global aggregate over ``limit(0)`` (Catalyst folds it to an
-        empty LocalRelation — no scan), gated by an is-input-empty probe
-        (``limit(1)``). The probe re-evaluates the input subtree, but
-        LocalLimit short-circuits after the first non-empty partition —
-        for scan-rooted inputs that's a one-row read, and when the
-        lineage contains an exchange both branches sit over the same
-        subtree in ONE physical plan, so the exchange is reusable. Worst
-        case: one partition of a map-only lineage re-runs once. Grouping
-        keys are NULL literals cast to the output schema. Aggregates that
-        embed raw
+        empty LocalRelation — no scan), gated by an is-empty probe on
+        ``out`` ITSELF — the aggregated frame, not the raw input. A
+        rollup/cube/()-set aggregate over non-empty input always emits
+        rows, so ``out`` empty ⟺ input empty; probing ``out`` means both
+        union branches sit over the SAME canonical aggregate subtree in
+        one physical plan, so its exchange is reused (one computation —
+        no second evaluation of a possibly-nondeterministic input, and no
+        extra scan job; the probe costs one final-agg over the already-
+        shuffled partials). Grouping keys are NULL literals cast to the
+        output schema. Aggregates that embed raw
         ``grouping()``/``grouping_id()`` can't evaluate outside grouping
         sets (use :meth:`grouping_flag`/:meth:`grouping_id`, which record
         literal fallbacks); for those we keep Spark's native behavior."""
@@ -206,9 +207,9 @@ class GroupBuilder:
         except AnalysisException:
             return out
         vals = vals.toDF(*[f"__v{i}" for i in range(len(vals.columns))])
-        probe = self._df.select(F.lit(1).alias("__p")).limit(1)
+        probe = out.select(F.lit(1).alias("__p")).limit(1)
         gate = (probe.groupBy().agg(F.count(F.lit(1)).alias("__n"))
-                .where(F.col("__n") == 0))  # 1 row iff the input is empty
+                .where(F.col("__n") == 0))  # 1 row iff out (⟺ input) is empty
         n_keys = len(self._keys)
         sel = [F.lit(None).cast(f.dataType).alias(f.name) if i < n_keys
                else F.col(f"__v{i - n_keys}").cast(f.dataType).alias(f.name)

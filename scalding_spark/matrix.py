@@ -720,19 +720,23 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                      (F.col("w") / F.col("deg")).alias("val"))).persist()
     ranks = nodes.select(F.col("node").alias("row"), F.lit(1.0 / n).alias("val"))
     m = Matrix(trans)
-    for _ in range(iterations):
-        contrib = m.propagate(ranks)
-        new_ranks = (nodes.join(contrib, nodes.node == contrib.row, "left")
-                     .select(F.col("node").alias("row"),
-                             (F.lit((1 - alpha) / n)
-                              + F.lit(alpha) * F.coalesce(F.col("val"), F.lit(0.0))).alias("val")))
-        # Eager localCheckpoint: materializes AND truncates lineage — without
-        # it the logical plan doubles per iteration (exponential analysis
-        # cost; driver OOM building plan strings past ~20 iterations).
-        ranks = materialize(new_ranks, eager=True, iterative=True)
-    # the final ranks are EAGERLY materialized with lineage cut, so the
-    # returned plan no longer references nodes/trans — release their cache
-    # here instead of leaking it for the session's lifetime
-    nodes.unpersist()
-    trans.unpersist()
+    try:
+        for _ in range(iterations):
+            contrib = m.propagate(ranks)
+            new_ranks = (nodes.join(contrib, nodes.node == contrib.row, "left")
+                         .select(F.col("node").alias("row"),
+                                 (F.lit((1 - alpha) / n)
+                                  + F.lit(alpha) * F.coalesce(F.col("val"), F.lit(0.0))).alias("val")))
+            # Eager localCheckpoint: materializes AND truncates lineage —
+            # without it the logical plan doubles per iteration (exponential
+            # analysis cost; driver OOM building plan strings past ~20
+            # iterations).
+            ranks = materialize(new_ranks, eager=True, iterative=True)
+    finally:
+        # the final ranks are EAGERLY materialized with lineage cut, so the
+        # returned plan no longer references nodes/trans — release their
+        # cache here (error path included) instead of leaking it for the
+        # session's lifetime
+        nodes.unpersist()
+        trans.unpersist()
     return ranks.select(F.col("row").alias("node"), F.col("val").alias("rank"))

@@ -56,6 +56,16 @@ def get_spark(
 
 MATERIALIZE_CONF = "spark.scalding_spark.materialize"
 
+# How materialize(iterative=True) truncates lineage under persist mode:
+#   auto (default) — reliable checkpoint iff a checkpoint dir is set AND
+#     spark.cleaner.referenceTracking.cleanCheckpoints was enabled at
+#     startup (Spark deletes per-round checkpoint files only with the
+#     cleaner on; without it a long PageRank/CC run grows the dir without
+#     bound), else localCheckpoint;
+#   local — always localCheckpoint (executor loss restarts the loop);
+#   reliable — always the checkpoint dir (caller owns cleanup).
+ITERATIVE_CUT_CONF = "spark.scalding_spark.materialize.iterative"
+
 # Session-scoped ledger of frames persisted by materialize()'s `persist`
 # mode and by library-internal persists (register_persisted). Operators cut
 # lineage on INTERNAL subtrees the caller never sees, so the caller cannot
@@ -130,15 +140,37 @@ def materialize(df, eager: bool = False, iterative: bool = False):
     logical plan doubles per round without it (exponential analysis cost,
     driver OOM past ~20 rounds) — and would persist a new frame every round.
     persist() cannot truncate a plan, so under persist mode an iterative cut
-    falls back to a truncating strategy: the reliable checkpoint when a
-    checkpoint dir is configured, else localCheckpoint (documented caveat:
-    executor loss is then unrecoverable for that loop).
+    falls back to a truncating strategy governed by ``ITERATIVE_CUT_CONF``:
+    ``auto`` (default) uses the reliable checkpoint only when a checkpoint
+    dir is configured AND ``spark.cleaner.referenceTracking.
+    cleanCheckpoints`` was enabled at startup (Spark only deletes per-round
+    checkpoint files with the cleaner on — without it a long iterative run
+    grows the dir unboundedly), else localCheckpoint (documented caveat:
+    executor loss is then unrecoverable for that loop); ``local`` /
+    ``reliable`` force either strategy.
     """
     mode = df.sparkSession.conf.get(MATERIALIZE_CONF, "local")
     if mode == "persist":
         if iterative:
+            # Route to the reliable checkpoint dir only when the per-round
+            # files will actually be cleaned up — otherwise a long
+            # PageRank/CC run grows the checkpoint dir without bound (one
+            # write per round, deleted by nothing). See ITERATIVE_CUT_CONF.
             sc = df.sparkSession.sparkContext
-            if sc._jsc.sc().getCheckpointDir().isDefined():
+            cut = df.sparkSession.conf.get(ITERATIVE_CUT_CONF, "auto")
+            if cut not in ("auto", "local", "reliable"):
+                raise ValueError(
+                    f"{ITERATIVE_CUT_CONF} must be auto/local/reliable, "
+                    f"got {cut!r}")
+            has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+            if cut == "reliable" and not has_dir:
+                raise ValueError(
+                    f"{ITERATIVE_CUT_CONF}=reliable requires a checkpoint "
+                    "directory: call spark.sparkContext.setCheckpointDir")
+            clean = str(sc.getConf().get(
+                "spark.cleaner.referenceTracking.cleanCheckpoints",
+                "false")).lower() == "true"
+            if has_dir and (cut == "reliable" or (cut == "auto" and clean)):
                 return df.checkpoint(eager=eager)
             return df.localCheckpoint(eager=eager)
         from pyspark import StorageLevel

@@ -1,0 +1,208 @@
+"""Round-6 regression pins for the r05 ADVICE findings.
+
+1. cosine_topk_lsh / embedding_near_dup_pairs on an empty or
+   all-NULL-vector corpus return the empty typed frame instead of crashing
+   on first()[0] (mirrors cosine_topk_ivf's empty-centroids path).
+2. connected_components / pagerank unpersist their internal caches on the
+   exception path too (try/finally, the kmeans treatment from r05).
+3. _parse_pnm rejects maxval outside [1, 65535] (maxval=0 silently yielded
+   inf/nan features via numpy divide-by-zero) and non-positive dimensions.
+4. materialize(iterative=True) under persist mode routes to the reliable
+   checkpoint dir ONLY when spark.cleaner.referenceTracking.cleanCheckpoints
+   is on — otherwise each loop round would write a checkpoint file nothing
+   ever deletes; localCheckpoint is the default.
+5. the rollup/cube empty-input grand-total gate probes the AGGREGATED
+   output (out empty ⟺ input empty) so both union branches share one
+   canonical aggregate subtree — no second evaluation of the raw input.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark.session import (ITERATIVE_CUT_CONF, MATERIALIZE_CONF,
+                                    materialize)
+
+
+def _cache_manager_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# --- 1. empty/all-NULL-vector corpora in the LSH similarity family ----------
+
+def _empty_emb(spark, all_null: bool = False):
+    if all_null:
+        return spark.createDataFrame(
+            [(1, None), (2, None)], "vec_id long, embedding array<double>")
+    return spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+
+@pytest.mark.parametrize("all_null", [False, True])
+def test_cosine_topk_lsh_empty_corpus(spark, all_null):
+    from scalding_spark.functions.similarity import cosine_topk_lsh
+    corpus = _empty_emb(spark, all_null)
+    queries = spark.createDataFrame(
+        [(100, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    out = cosine_topk_lsh(corpus, queries, k=3)
+    assert out.columns == ["query_id", "neighbor_id", "cosine"]
+    assert out.count() == 0
+
+
+@pytest.mark.parametrize("all_null", [False, True])
+def test_embedding_near_dup_pairs_empty_corpus(spark, all_null):
+    from scalding_spark.functions.similarity import embedding_near_dup_pairs
+    out = embedding_near_dup_pairs(_empty_emb(spark, all_null))
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+
+
+def test_cosine_topk_lsh_explicit_dim_empty_corpus_still_works(spark):
+    from scalding_spark.functions.similarity import cosine_topk_lsh
+    corpus = _empty_emb(spark)
+    queries = spark.createDataFrame(
+        [(100, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    assert cosine_topk_lsh(corpus, queries, k=3, dim=2).count() == 0
+
+
+# --- 2. iterative ops unpersist on the exception path ------------------------
+
+def test_connected_components_unpersists_when_iteration_throws(spark):
+    from scalding_spark.functions.dedup import connected_components
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    connected_components(edges)
+    assert _cache_manager_empty(spark)
+    bad = edges.withColumn(
+        "dst", F.raise_error(F.lit("boom")).cast("long"))
+    with pytest.raises(Exception):
+        connected_components(bad)
+    assert _cache_manager_empty(spark), (
+        "connected_components leaked its sym cache on the exception path")
+
+
+def test_pagerank_unpersists_when_iteration_throws(spark):
+    from scalding_spark.matrix import pagerank
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    pagerank(edges, iterations=2)
+    assert _cache_manager_empty(spark)
+    # n_nodes skips the count() action, so the first action that touches
+    # the poisoned edge list happens INSIDE the iteration loop
+    bad = edges.withColumn("dst", F.raise_error(F.lit("boom")).cast("long"))
+    with pytest.raises(Exception):
+        pagerank(bad, iterations=2, n_nodes=2)
+    assert _cache_manager_empty(spark), (
+        "pagerank leaked nodes/trans caches on the exception path")
+
+
+# --- 3. PNM header validation ------------------------------------------------
+
+def _pnm(maxval: int, w: int = 2, h: int = 1) -> bytes:
+    return (f"P5 {w} {h} {maxval}\n".encode()
+            + bytes(w * h * (1 if 0 <= maxval < 256 else 2)))
+
+
+def test_parse_pnm_rejects_zero_maxval():
+    from scalding_spark.functions.multimodal import _parse_pnm
+    with pytest.raises(ValueError, match="maxval"):
+        _parse_pnm(_pnm(0))
+
+
+def test_parse_pnm_rejects_oversized_maxval():
+    from scalding_spark.functions.multimodal import _parse_pnm
+    with pytest.raises(ValueError, match="maxval"):
+        _parse_pnm(_pnm(70000))
+
+
+def test_parse_pnm_rejects_nonpositive_dims():
+    from scalding_spark.functions.multimodal import _parse_pnm
+    with pytest.raises(ValueError, match="dimensions"):
+        _parse_pnm(b"P5 0 1 255\n")
+
+
+def test_parse_pnm_accepts_boundary_maxvals():
+    from scalding_spark.functions.multimodal import _parse_pnm
+    px, w, h = _parse_pnm(_pnm(1))
+    assert (w, h) == (2, 1)
+    px, w, h = _parse_pnm(b"P5 1 1 65535\n\x00\x01")
+    assert (w, h) == (1, 1)
+
+
+# --- 4. iterative cuts under persist mode vs the checkpoint dir --------------
+
+def _ckpt_files(root: str) -> int:
+    return sum(len(files) for _, _, files in os.walk(root))
+
+
+def test_iterative_persist_mode_avoids_unbounded_checkpoint_dir(
+        spark, tmp_path):
+    """Without cleanCheckpoints at startup, per-round reliable checkpoints
+    are never deleted — the auto cut must route to localCheckpoint even
+    when a checkpoint dir is configured."""
+    ckpt = str(tmp_path / "ckpt_nogrow")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set(MATERIALIZE_CONF, "persist")
+    try:
+        out = materialize(spark.range(10), eager=True, iterative=True)
+        assert sorted(r.id for r in out.collect()) == list(range(10))
+        assert _ckpt_files(ckpt) == 0, (
+            "iterative persist-mode cut wrote reliable checkpoint files "
+            "that nothing deletes (cleanCheckpoints is off)")
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+
+
+def test_iterative_persist_mode_reliable_opt_in(spark, tmp_path):
+    """spark.scalding_spark.materialize.iterative=reliable forces the
+    checkpoint-dir cut (caller owns cleanup) — runtime-settable, unlike
+    the core cleaner conf Spark locks after startup."""
+    ckpt = str(tmp_path / "ckpt_opt_in")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set(MATERIALIZE_CONF, "persist")
+    spark.conf.set(ITERATIVE_CUT_CONF, "reliable")
+    try:
+        out = materialize(spark.range(10), eager=True, iterative=True)
+        assert sorted(r.id for r in out.collect()) == list(range(10))
+        assert _ckpt_files(ckpt) > 0, "expected a reliable checkpoint write"
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+        spark.conf.unset(ITERATIVE_CUT_CONF)
+
+
+def test_iterative_cut_conf_rejects_bad_values(spark):
+    spark.conf.set(MATERIALIZE_CONF, "persist")
+    spark.conf.set(ITERATIVE_CUT_CONF, "bogus")
+    try:
+        with pytest.raises(ValueError, match="auto/local/reliable"):
+            materialize(spark.range(3), eager=False, iterative=True)
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+        spark.conf.unset(ITERATIVE_CUT_CONF)
+
+
+# --- 5. grand-total gate probes the aggregate, not the raw input -------------
+
+def test_rollup_grand_total_gate_probes_the_aggregate_not_the_input(spark):
+    """The union's probe branch must sit over the aggregated output (out
+    empty ⟺ input empty), not re-evaluate the raw input — pinned by
+    counting scans of the input relation in the analyzed plan: the
+    limit(0) values branch constant-folds away, so only the main
+    aggregate's scan and the probe's scan-under-the-SAME-aggregate
+    remain (both canonically identical → exchange-reusable), never a
+    third bare re-scan of the input."""
+    from scalding_spark.pipe import Pipe
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v"))
+    out = (Pipe(df).rollup_by("g").sum("v").done()).df
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # after optimization the limit(0) values branch folds away entirely;
+    # the surviving scans are the main aggregate's and the probe's copy of
+    # the SAME aggregate (canonically identical → exchange-reusable) — the
+    # old raw-input probe left a third bare scan here
+    assert optimized.count("Range (0, 100") <= 2
+    rows = {tuple(r) for r in out.collect()}
+    assert (None, 4950) in rows and len(rows) == 4
+    empty = (Pipe(df.where(F.lit(False))).rollup_by("g").sum("v").done()).df
+    erows = [tuple(r) for r in empty.collect()]
+    assert erows == [(None, None)]
