@@ -253,7 +253,7 @@ def _documents(sf_dir: str):
 # goldens: each returns (rows, cols) to hash-compare against the Spark run
 # --------------------------------------------------------------------------
 
-def golden_minhash_lsh_pairs(sf_dir: str):
+def golden_minhash_lsh_pairs_scalar(sf_dir: str):
     """Mirror of q_minhash_lsh_pairs: num_hashes=32, bands=16, shingle_n=3,
     threshold=0.3."""
     num_hashes, bands, threshold = 32, 16, 0.3
@@ -287,7 +287,7 @@ def golden_minhash_lsh_pairs(sf_dir: str):
     return out, ["id_a", "id_b", "jaccard"]
 
 
-def golden_simhash_pairs(sf_dir: str):
+def golden_simhash_pairs_scalar(sf_dir: str):
     """Mirror of q_simhash_pairs: max_hamming=3 (4 chunks × 16-bit)."""
     max_hamming = 3
     chunks = max_hamming + 1
@@ -342,7 +342,7 @@ def _topk(scored: dict, k: int):
     return out
 
 
-def golden_cosine_topk_lsh(sf_dir: str):
+def golden_cosine_topk_lsh_scalar(sf_dir: str):
     """Mirror of q_cosine_topk_lsh: queries vec_id<5, k=5, dim=64,
     n_planes=8, n_tables=4, seed=42."""
     emb = _embeddings(sf_dir)
@@ -372,7 +372,7 @@ def ivf_centroids(emb, n_cells: int, seed: int = 42):
     return [list(r[1]) for r in ranked[:n_cells]]
 
 
-def golden_cosine_topk_ivf(sf_dir: str):
+def golden_cosine_topk_ivf_scalar(sf_dir: str):
     """Mirror of q_cosine_topk_ivf: k=5, n_cells=16, n_probe=4, seed=42."""
     emb = _embeddings(sf_dir)
     emb = [r for r in emb if r[1] is not None]  # mirror _drop_null_vecs
@@ -401,7 +401,7 @@ def golden_cosine_topk_ivf(sf_dir: str):
     return _topk(scored, 5), ["query_id", "neighbor_id", "cosine"]
 
 
-def golden_embedding_neardup(sf_dir: str):
+def golden_embedding_neardup_scalar(sf_dir: str):
     """Mirror of q_embedding_neardup: threshold=0.3, n_planes=10,
     n_tables=4, seed=42, dim=64."""
     emb = _embeddings(sf_dir)
@@ -426,7 +426,7 @@ def golden_embedding_neardup(sf_dir: str):
     return rows, ["id_a", "id_b", "cosine"]
 
 
-def kmeans(emb, k: int = 8, max_iter: int = 10, seed: int = 42,
+def kmeans_scalar(emb, k: int = 8, max_iter: int = 10, seed: int = 42,
            tol: float = 1e-4):
     """Mirror of similarity.kmeans: seeded-hash init, argmin squared-L2
     assignment (ties → lowest cell), per-(cell,dim) mean update, L∞ < tol
@@ -472,25 +472,25 @@ def kmeans(emb, k: int = 8, max_iter: int = 10, seed: int = 42,
     return {i: assign(v) for i, v, _ in emb}, cents
 
 
-def golden_kmeans(sf_dir: str):
+def golden_kmeans_scalar(sf_dir: str):
     """Mirror of q_kmeans: per-cell counts, k=8, max_iter=10, seed=42."""
     emb = _embeddings(sf_dir)
     emb = [r for r in emb if r[1] is not None]  # mirror _drop_null_vecs
-    assigned, _ = kmeans(emb)
+    assigned, _ = kmeans_scalar(emb)
     counts = {}
     for cell in assigned.values():
         counts[cell] = counts.get(cell, 0) + 1
     return sorted(counts.items()), ["cell", "n_vecs"]
 
 
-def golden_semantic_dedup(sf_dir: str):
+def golden_semantic_dedup_scalar(sf_dir: str):
     """Mirror of q_semantic_dedup: kept-per-label counts, threshold=0.99,
     k=8 (greedy smaller-id drop within k-means cells)."""
     emb = _embeddings(sf_dir)
     emb_nn = [r for r in emb if r[1] is not None]  # mirror _drop_null_vecs
     # kmeans/pairing run over non-null vectors only; NULL-vector rows have
     # no assignment, are never losers, and still count as kept below
-    assigned, _ = kmeans(emb_nn)
+    assigned, _ = kmeans_scalar(emb_nn)
     normed = {}
     for i, v, _ in emb_nn:
         nrm = norm(v)
@@ -506,6 +506,408 @@ def golden_semantic_dedup(sf_dir: str):
             for bi in range(ai + 1, len(ids)):
                 if dot(normed[ids[bi]], normed[ids[ai]]) >= 0.99:
                     losers.add(ids[bi])
+    counts = {}
+    for i, _v, label in emb:
+        if i not in losers:
+            counts[label] = counts.get(label, 0) + 1
+    return sorted(counts.items()), ["label", "n_kept"]
+
+
+# --------------------------------------------------------------------------
+# vectorized goldens (r06, VERDICT r05 next-round #2)
+#
+# The scalar goldens above are the SPECIFICATION — deliberately transparent,
+# and quadratic/per-element Python, which priced them out of the sf1 gate.
+# The functions below are numpy re-implementations that stay BIT-IDENTICAL:
+#   * xxh64's long/int paths are pure uint64 arithmetic (wrapping multiply,
+#     rotl, xor) — vectorized directly; string hashing stays scalar but is
+#     memoized per distinct token/shingle (linear, not the bottleneck).
+#   * every float reduction uses np.add.accumulate (cumsum), which is
+#     DEFINED as the sequential left-to-right fold r[i] = r[i-1] + a[i] —
+#     the same IEEE-double addition order as the scalar mirrors and
+#     Spark's F.aggregate, so sums agree to the last bit (pairwise/SIMD
+#     summation like np.dot/np.sum would NOT).
+#   * elementwise products/divisions are single IEEE ops — order-free.
+# tests/test_py_reference.py pins vector == scalar on the gate corpus and
+# on adversarial float magnitudes where pairwise summation diverges.
+# --------------------------------------------------------------------------
+
+import numpy as np
+
+_NP1, _NP2, _NP3 = np.uint64(_P1), np.uint64(_P2), np.uint64(_P3)
+_NP4, _NP5 = np.uint64(_P4), np.uint64(_P5)
+
+
+def _rotl_v(x, r: int):
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _fmix_v(h):
+    h = h ^ (h >> np.uint64(33))
+    h = h * _NP2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _NP3
+    return h ^ (h >> np.uint64(32))
+
+
+def xxh64_long_v(values, seed):
+    """Vector mirror of _xxh64_long: values uint64 array; seed a python int
+    or a uint64 array (Spark's column-fold chains hashes as seeds)."""
+    v = np.asarray(values, dtype=np.uint64)
+    s = (seed if isinstance(seed, np.ndarray)
+         else np.uint64(seed & _M))
+    h = s + (_NP5 + np.uint64(8))
+    h = h ^ (_rotl_v(v * _NP2, 31) * _NP1)
+    h = _rotl_v(h, 27) * _NP1 + _NP4
+    return _fmix_v(h)
+
+
+def xxh64_int_v(value: int, seeds):
+    """Vector mirror of _xxh64_int: one 4-byte value hashed under an ARRAY
+    of seeds (the per-row running fold)."""
+    # fold v*P1 in exact Python ints: numpy warns on SCALAR uint64 overflow
+    # (array ops wrap silently) and the wrap here is intentional
+    vp1 = np.uint64(((value & 0xFFFFFFFF) * _P1) & _M)
+    h = np.asarray(seeds, dtype=np.uint64) + (_NP5 + np.uint64(4))
+    h = h ^ vp1
+    h = _rotl_v(h, 23) * _NP2 + _NP3
+    return _fmix_v(h)
+
+
+def dot_lr(A, B):
+    """Left-to-right dot along the last axis: np.add.accumulate is the
+    sequential prefix fold, so [..., -1] is exactly the scalar dot()."""
+    return np.add.accumulate(A * B, axis=-1)[..., -1]
+
+
+def _norms_lr(E):
+    return np.sqrt(np.add.accumulate(E * E, axis=-1)[..., -1])
+
+
+def _hash_strings(strings, memo):
+    """xxhash64 (seed 42) per string, memoized — duplicate-dense corpora
+    hash each distinct token once."""
+    out = []
+    for s in strings:
+        h = memo.get(s)
+        if h is None:
+            h = memo[s] = _xxh64_bytes(s.encode("utf-8"), 42)
+        out.append(h)
+    return out
+
+
+def golden_minhash_lsh_pairs(sf_dir: str):
+    """Vectorized mirror of q_minhash_lsh_pairs (spec:
+    golden_minhash_lsh_pairs_scalar): num_hashes=32, bands=16, shingle_n=3,
+    threshold=0.3."""
+    num_hashes, bands, threshold = 32, 16, 0.3
+    r = num_hashes // bands
+    docs = [(i, shingles(t)) for i, t in _documents(sf_dir)]
+    docs = [(i, s) for i, s in docs if s]
+    if not docs:
+        return [], ["id_a", "id_b", "jaccard"]
+    memo, flat, starts = {}, [], []
+    for _i, shs in docs:
+        starts.append(len(flat))
+        flat.extend(_hash_strings(shs, memo))
+    h0 = np.array(flat, dtype=np.uint64)
+    starts = np.array(starts, dtype=np.intp)
+    # xxhash64(h, ("i32", s)) = _xxh64_int(s, _xxh64_long(h, 42)): the long
+    # stage is seed-independent of s — hoist it out of the 32-seed loop
+    h1 = xxh64_long_v(h0, 42)
+    sigs = np.empty((len(docs), num_hashes), dtype=np.int64)
+    for s in range(num_hashes):
+        sigs[:, s] = np.minimum.reduceat(
+            xxh64_int_v(s, h1).view(np.int64), starts)
+    usig = sigs.view(np.uint64)
+    buckets = {}
+    for b in range(bands):
+        h = np.full(len(docs), 42, dtype=np.uint64)
+        for j in range(b * r, (b + 1) * r):
+            h = xxh64_long_v(usig[:, j], h)
+        keys = xxh64_int_v(b, h).view(np.int64)
+        for d in range(len(docs)):
+            buckets.setdefault(int(keys[d]), []).append(docs[d][0])
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                cands.add((ids[ai], ids[bi]))
+    sets = {i: set(s) for i, s in docs}
+    out = []
+    for a, b in sorted(cands):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a]) + len(sets[b]) - inter
+        j = inter / uni if uni > 0 else 0.0
+        if j >= threshold:
+            out.append((a, b, round_half_up(j, 6)))
+    return out, ["id_a", "id_b", "jaccard"]
+
+
+def golden_simhash_pairs(sf_dir: str):
+    """Vectorized mirror of q_simhash_pairs (spec:
+    golden_simhash_pairs_scalar): max_hamming=3 (4 chunks x 16-bit)."""
+    max_hamming = 3
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    memo, flat, starts, ids = {}, [], [], []
+    for i, t in _documents(sf_dir):
+        toks = tokenize(t)
+        if not toks:
+            continue
+        ids.append(i)
+        starts.append(len(flat))
+        flat.extend(_hash_strings(toks, memo))
+    if not ids:
+        return [], ["id_a", "id_b", "hamming"]
+    h = np.array(flat, dtype=np.uint64)
+    starts_a = np.array(starts, dtype=np.intp)
+    lens = np.diff(np.append(starts_a, len(flat)))
+    sims_a = np.zeros(len(ids), dtype=np.uint64)
+    one = np.uint64(1)
+    for b in range(63):
+        ones = np.add.reduceat((h >> np.uint64(b)) & one, starts_a)
+        # bit_sums = ones - (lens - ones) > 0  ⟺  2*ones > lens
+        sims_a |= (one << np.uint64(b)) * (2 * ones > lens).astype(np.uint64)
+    sims = {ids[d]: int(sims_a[d]) for d in range(len(ids))}
+    chunk_map = {}
+    for i, sim in sims.items():
+        for c in range(chunks):
+            key = (c, (sim >> (c * width)) & ((1 << width) - 1))
+            chunk_map.setdefault(key, []).append(i)
+    cands = set()
+    for ids_ in chunk_map.values():
+        ids_ = sorted(ids_)
+        for ai in range(len(ids_)):
+            for bi in range(ai + 1, len(ids_)):
+                cands.add((ids_[ai], ids_[bi]))
+    out = []
+    for a, b in sorted(cands):
+        ham = bin(sims[a] ^ sims[b]).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return out, ["id_a", "id_b", "hamming"]
+
+
+def _embeddings_np(sf_dir: str):
+    """(full rows, non-null rows, ids array, E matrix) — ids ascending, so
+    row order == vec_id order everywhere below."""
+    emb = _embeddings(sf_dir)
+    nn = [r for r in emb if r[1] is not None]
+    ids = np.array([i for i, _, _ in nn], dtype=np.int64)
+    E = np.array([v for _, v, _ in nn], dtype=np.float64) \
+        if nn else np.zeros((0, 0))
+    return emb, nn, ids, E
+
+
+def _lsh_buckets_v(E, planes, chunk: int = 8192):
+    """Bucket id per row for one table of hyperplanes (sign-LSH),
+    left-to-right plane dots like the scalar lsh_bucket."""
+    P = np.asarray(planes, dtype=np.float64)
+    out = np.empty(len(E), dtype=np.int64)
+    weights = (np.int64(1) << np.arange(len(P), dtype=np.int64))
+    for s in range(0, len(E), chunk):
+        d = dot_lr(E[s:s + chunk, None, :], P[None, :, :])
+        out[s:s + chunk] = ((d > 0).astype(np.int64) * weights).sum(axis=1)
+    return out
+
+
+def golden_cosine_topk_lsh(sf_dir: str):
+    """Vectorized mirror of q_cosine_topk_lsh (spec:
+    golden_cosine_topk_lsh_scalar)."""
+    _emb, nn, ids, E = _embeddings_np(sf_dir)
+    cols = ["query_id", "neighbor_id", "cosine"]
+    if not nn:
+        return [], cols
+    tables = [random_hyperplanes(64, 8, 42 + t * 1000) for t in range(4)]
+    norms = _norms_lr(E)
+    buckets = {}
+    for t, planes in enumerate(tables):
+        bk = _lsh_buckets_v(E, planes)
+        for row in range(len(E)):
+            buckets.setdefault((t, int(bk[row])), []).append(row)
+    scored = {}
+    for rows_ in buckets.values():
+        qrows = [r for r in rows_ if ids[r] < 5]
+        if not qrows:
+            continue
+        arr = np.array(rows_, dtype=np.intp)
+        for q in qrows:
+            dts = dot_lr(E[arr], E[q])
+            dn = norms[q] * norms[arr]
+            qs = scored.setdefault(int(ids[q]), {})
+            for j, nrow in enumerate(arr):
+                if nrow == q:
+                    continue
+                qs[int(ids[nrow])] = (float(dts[j] / dn[j])
+                                      if dn[j] != 0 else None)
+    return _topk(scored, 5), cols
+
+
+def golden_cosine_topk_ivf(sf_dir: str):
+    """Vectorized mirror of q_cosine_topk_ivf (spec:
+    golden_cosine_topk_ivf_scalar): k=5, n_cells=16, n_probe=4."""
+    _emb, nn, ids, E = _embeddings_np(sf_dir)
+    cols = ["query_id", "neighbor_id", "cosine"]
+    if not nn:
+        return [], cols
+    cents = np.asarray(ivf_centroids(nn, 16), dtype=np.float64)
+    norms = _norms_lr(E)
+    # centroid dots for every row (the expensive part), then the scalar
+    # spec's exact tie rule — desc by (score, cell), higher cell wins ties
+    cd = dot_lr(E[:, None, :], cents[None, :, :])
+
+    def nearest(row, n_probe):
+        ranked = sorted(((float(cd[row, c]), c) for c in range(len(cents))),
+                        reverse=True)
+        return [c for _, c in ranked[:n_probe]]
+
+    cells = {}
+    for row in range(len(E)):
+        cells.setdefault(nearest(row, 1)[0], []).append(row)
+    scored = {}
+    for row in range(len(E)):
+        q = int(ids[row])
+        if q >= 5:
+            continue
+        qs = scored.setdefault(q, {})
+        for cell in nearest(row, 4):
+            members = cells.get(cell, [])
+            if not members:
+                continue
+            arr = np.array(members, dtype=np.intp)
+            dts = dot_lr(E[arr], E[row])
+            dn = norms[row] * norms[arr]
+            for j, nrow in enumerate(arr):
+                if nrow == row:
+                    continue
+                qs[int(ids[nrow])] = (float(dts[j] / dn[j])
+                                      if dn[j] != 0 else None)
+    return _topk(scored, 5), cols
+
+
+def golden_embedding_neardup(sf_dir: str):
+    """Vectorized mirror of q_embedding_neardup (spec:
+    golden_embedding_neardup_scalar): threshold=0.3, n_planes=10,
+    n_tables=4."""
+    _emb, nn, ids, E = _embeddings_np(sf_dir)
+    cols = ["id_a", "id_b", "cosine"]
+    if not nn:
+        return [], cols
+    tables = [random_hyperplanes(64, 10, 42 + t * 1000) for t in range(4)]
+    norms = _norms_lr(E)
+    buckets = {}
+    for t, planes in enumerate(tables):
+        bk = _lsh_buckets_v(E, planes)
+        for row in range(len(E)):
+            buckets.setdefault((t, int(bk[row])), []).append(row)
+    cand = set()
+    for rows_ in buckets.values():
+        if len(rows_) < 2:
+            continue
+        rows_ = sorted(rows_)          # ids ascending with row ⇒ id_a < id_b
+        for ai in range(len(rows_)):
+            a = rows_[ai]
+            for b in rows_[ai + 1:]:
+                cand.add((a, b))
+    if not cand:
+        return [], cols
+    pairs = np.array(sorted(cand), dtype=np.intp)
+    out = []
+    for s in range(0, len(pairs), 65536):
+        a, b = pairs[s:s + 65536, 0], pairs[s:s + 65536, 1]
+        dts = dot_lr(E[a], E[b])
+        dn = norms[a] * norms[b]
+        ok = (dn != 0) & (np.where(dn != 0, dts / np.where(dn != 0, dn, 1.0),
+                                   0.0) >= 0.3)
+        for j in np.nonzero(ok)[0]:
+            out.append((int(ids[a[j]]), int(ids[b[j]]),
+                        round_half_up(float(dts[j] / dn[j]), 6)))
+    return out, cols
+
+
+def _assign_v(E, C, chunk: int = 4096):
+    """argmin squared-L2 (left-to-right over dims; first minimum = lowest
+    cell, same strict-< tie rule as the scalar assign)."""
+    out = np.empty(len(E), dtype=np.int64)
+    for s in range(0, len(E), chunk):
+        d = E[s:s + chunk, None, :] - C[None, :, :]
+        out[s:s + chunk] = np.argmin(
+            np.add.accumulate(d * d, axis=-1)[..., -1], axis=1)
+    return out
+
+
+def kmeans(emb, k: int = 8, max_iter: int = 10, seed: int = 42,
+           tol: float = 1e-4):
+    """Vectorized mirror of kmeans_scalar (the spec): same init, same
+    assignment ties, same per-(cell,dim) mean arithmetic — np.add.at
+    applies additions in row order, the scalar loop's exact fold order."""
+    cents = ivf_centroids(emb, k, seed)
+    if not cents:
+        return {}, []
+    E = np.array([v for _, v, _ in emb], dtype=np.float64)
+    C = np.array(cents, dtype=np.float64)
+    for _ in range(max_iter):
+        cells = _assign_v(E, C)
+        sums = np.zeros_like(C)
+        np.add.at(sums, cells, E)
+        counts = np.bincount(cells, minlength=k)
+        new_C = C.copy()
+        nz = counts > 0
+        new_C[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.max(np.abs(C - new_C)))
+        C = new_C
+        if shift < tol:
+            break
+    final = _assign_v(E, C)
+    return ({emb[r][0]: int(final[r]) for r in range(len(emb))},
+            [list(map(float, c)) for c in C])
+
+
+def golden_kmeans(sf_dir: str):
+    """Vectorized mirror of q_kmeans (spec: golden_kmeans_scalar)."""
+    _emb, nn, _ids, _E = _embeddings_np(sf_dir)
+    assigned, _ = kmeans(nn)
+    counts = {}
+    for cell in assigned.values():
+        counts[cell] = counts.get(cell, 0) + 1
+    return sorted(counts.items()), ["cell", "n_vecs"]
+
+
+def golden_semantic_dedup(sf_dir: str):
+    """Vectorized mirror of q_semantic_dedup (spec:
+    golden_semantic_dedup_scalar): threshold=0.99, k=8."""
+    emb, nn, ids, E = _embeddings_np(sf_dir)
+    assigned, _ = kmeans(nn)
+    if nn:
+        norms = _norms_lr(E)
+        normed = np.zeros_like(E)
+        pos = norms > 0
+        normed[pos] = E[pos] / norms[pos, None]
+    losers = set()
+    cells = {}
+    for row in range(len(ids)):
+        cells.setdefault(assigned[int(ids[row])], []).append(row)
+    for rows_ in cells.values():
+        rows_ = sorted(rows_)          # id order within the cell
+        m = len(rows_)
+        if m < 2:
+            continue
+        M = normed[rows_]
+        dim = M.shape[1]
+        # b is a loser iff ANY a before it in the cell has dot >= 0.99
+        # (the scalar spec checks every a<b, removed or not); block the
+        # b-axis so the (nb, na, dim) cumsum intermediate stays ~256 MB
+        blk = max(1, (1 << 25) // max(1, m * dim))
+        for s in range(1, m, blk):
+            bidx = np.arange(s, min(s + blk, m))
+            A = M[:bidx[-1]]
+            dts = dot_lr(M[bidx][:, None, :], A[None, :, :])
+            amask = np.arange(len(A))[None, :] < bidx[:, None]
+            hit = ((dts >= 0.99) & amask).any(axis=1)
+            for j in np.nonzero(hit)[0]:
+                losers.add(int(ids[rows_[bidx[j]]]))
     counts = {}
     for i, _v, label in emb:
         if i not in losers:

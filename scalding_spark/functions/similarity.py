@@ -418,9 +418,11 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
     return out, cents
 
 
-def semantic_dedup(df: DataFrame, threshold: float = 0.95, k: int = 8,
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   k: int | None = None,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    max_iter: int = 10, seed: int = 42,
+                   target_cell_size: int = 1500,
                    stats: dict | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, then within each
@@ -444,8 +446,24 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95, k: int = 8,
     boundary pairs that land in different cells are missed by design
     (SemDeDup's documented recall trade).
 
-    ``stats``: forwarded to :func:`kmeans` (reports ``iterations``).
+    ``k=None`` (the default) derives k = ceil(n / target_cell_size) from
+    one column-pruned count of the non-null vectors, so the within-cell
+    quadratic stays ~target_cell_size² per cell AS THE CORPUS GROWS —
+    without the lever, a pinned k makes total work n²/k (the measured 19×
+    at 10× data in SCALING.md); with it, work is n·target_cell_size.
+    Average cell size is bounded by construction; worst-case cells track
+    the data's cluster structure (SemDeDup's own contract). Pass an
+    explicit ``k`` to reproduce the paper's fixed-k setup (the bench and
+    parity queries pin it).
+
+    ``stats``: forwarded to :func:`kmeans` (reports ``iterations``);
+    also records the ``k`` used (``stats['k']``).
     """
+    if k is None:
+        n = df.where(F.col(vec_col).isNotNull()).count()
+        k = max(1, -(-n // int(target_cell_size)))
+    if stats is not None:
+        stats["k"] = k
     assigned, _ = kmeans(df, k=k, max_iter=max_iter, id_col=id_col,
                          vec_col=vec_col, seed=seed, stats=stats)
     # pre-normalize ONCE per row (cosine inside the pair join would

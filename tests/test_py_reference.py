@@ -149,3 +149,61 @@ def test_winnow_matches_independent_python_mirror(spark):
         got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
     for i, t in rows:
         assert got.get(i, set()) == py_winnow(t), (i, t)
+
+
+# --- r06: vectorized goldens vs the scalar spec (VERDICT r05 #2) -----------
+
+def test_vector_hash_primitives_match_scalar():
+    import numpy as np
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 2**64, size=1000, dtype=np.uint64)
+    seeds = rng.integers(0, 2**64, size=1000, dtype=np.uint64)
+    vl = pr.xxh64_long_v(vals, 42)
+    vi = pr.xxh64_int_v(13, seeds)
+    vc = pr.xxh64_long_v(vals, seeds)          # array-seed chain
+    for j in range(1000):
+        assert int(vl[j]) == pr._xxh64_long(int(vals[j]), 42)
+        assert int(vi[j]) == pr._xxh64_int(13, int(seeds[j]))
+        assert int(vc[j]) == pr._xxh64_long(int(vals[j]), int(seeds[j]))
+
+
+def test_dot_lr_is_sequential_left_to_right():
+    """np.add.accumulate must reproduce the scalar left-to-right fold even
+    where pairwise/SIMD summation (np.dot, np.sum) rounds differently —
+    adversarial magnitudes make the difference visible."""
+    import numpy as np
+    a = np.array([[1e16, 1.0, -1e16, 1.0, 3.0, -3.0, 1e-8, 7.0]] * 4)
+    b = np.array([[1.0, 1.0, 1.0, 1e-16, 1e8, 1e8, 1.0, 1e-3]] * 4)
+    got = pr.dot_lr(a, b)
+    for row in range(4):
+        assert float(got[row]) == pr.dot(list(a[row]), list(b[row]))
+    # and a construction where pairwise summation disagrees: sequential
+    # absorbs the lone 1.0 into 1e16 then recovers the final 1.0, while
+    # pairwise ((1e16+1)+(-1e16+1)) rounds -1e16+1 back to -1e16 → 0.0
+    x = np.array([1e16, 1.0, -1e16, 1.0])
+    y = np.ones(4)
+    assert pr.dot_lr(x, y) == pr.dot(list(x), list(y)) == 1.0
+    # 512 repeats push np.sum into its pairwise tree — the sequential fold
+    # keeps the exact cancellation pattern, pairwise does not
+    big = np.tile(x, 512)
+    assert pr.dot_lr(big, np.ones(len(big))) == pr.dot(
+        list(big), [1.0] * len(big))
+
+
+@pytest.mark.parametrize("name", [
+    "minhash_lsh_pairs", "simhash_pairs", "cosine_topk_lsh",
+    "cosine_topk_ivf", "embedding_neardup", "kmeans", "semantic_dedup"])
+def test_vector_golden_equals_scalar_spec(sf_dir, name):
+    vec = getattr(pr, f"golden_{name}")(sf_dir)
+    sca = getattr(pr, f"golden_{name}_scalar")(sf_dir)
+    assert vec == sca, f"golden_{name}: vectorized result diverged from spec"
+
+
+def test_vector_kmeans_equals_scalar_kmeans_full_state(sf_dir):
+    """Assignments AND centroids bit-equal — np.add.at accumulates in row
+    order, the scalar loop's fold order."""
+    emb = [r for r in pr._embeddings(sf_dir) if r[1] is not None]
+    av, cv = pr.kmeans(emb)
+    asc, cs = pr.kmeans_scalar(emb)
+    assert av == asc
+    assert cv == cs

@@ -1,0 +1,96 @@
+"""Scaling-exponent regression pins (VERDICT r05 next-round #3).
+
+SCALING.md's measured exponents become asserted invariants: a future plan
+regression that re-quadratifies a candidate generator (a dropped
+doc-frequency cap, a lost segment filter, a broken map-side combine) fails
+a test here instead of surfacing rounds later as a bench cliff.
+
+These re-derive the 15k→50k tail of the SCALING.md curves on the same
+synthetic corpora (cached under .scaling/, regenerated on first run), so
+the suite costs minutes of Spark time. They are SKIPPED by default and
+run with::
+
+    SPARK_GRAFT_SCALING=1 python -m pytest tests/test_scaling.py -q
+
+(the per-round ritual; results recorded in SCALING.md).
+
+Bounds are the measured r05 exponents plus slack: winnow candidates grew
+at 1.26 (bound 1.4), fuzzy at 1.08 at constant key density (bound 1.2),
+bloom suspects at 1.03 (bound 1.15), and kmeans' per-round update shuffle
+is partition-count-bound (independent of n).
+"""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+pytestmark = [
+    pytest.mark.scaling,
+    pytest.mark.skipif(os.environ.get("SPARK_GRAFT_SCALING") != "1",
+                       reason="scaling suite: set SPARK_GRAFT_SCALING=1"),
+]
+
+N_SMALL, N_BIG = 15000, 50000
+
+
+def _exponent(c_small: float, c_big: float) -> float:
+    return math.log(max(c_big, 1.0) / max(c_small, 1.0)) \
+        / math.log(N_BIG / N_SMALL)
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    import scaling
+    return {n: scaling.gen_documents(spark, n) for n in (N_SMALL, N_BIG)}
+
+
+def test_winnow_candidate_exponent(spark, corpora):
+    import scaling
+    c = {n: scaling.op_winnow(spark, corpora[n])["candidates"]
+         for n in (N_SMALL, N_BIG)}
+    exp = _exponent(c[N_SMALL], c[N_BIG])
+    assert exp <= 1.4, (
+        f"winnow candidates re-quadratified: {c} → exponent {exp:.2f} "
+        f"(measured 1.26 in r05; did the fp-frequency cap regress?)")
+
+
+def test_fuzzy_candidate_exponent(spark, corpora):
+    import scaling
+    c = {n: scaling.op_fuzzy(spark, corpora[n])["candidates"]
+         for n in (N_SMALL, N_BIG)}
+    exp = _exponent(c[N_SMALL], c[N_BIG])
+    assert exp <= 1.2, (
+        f"fuzzy-join candidates superlinear at constant key density: {c} "
+        f"→ exponent {exp:.2f} (measured 1.08 in r05; did the segment "
+        f"selection window widen?)")
+
+
+def test_bloom_suspect_exponent(spark, corpora):
+    import scaling
+    m = {n: scaling.op_bloom(spark, corpora[n]) for n in (N_SMALL, N_BIG)}
+    exp = _exponent(m[N_SMALL]["candidates"], m[N_BIG]["candidates"])
+    assert exp <= 1.15, (
+        f"bloom suspects superlinear: {m} → exponent {exp:.2f} "
+        f"(measured 1.03 in r05; is the filter still applied map-side?)")
+    # and suspects must stay a small fraction of the input rows — the
+    # whole point of the bloom prefilter
+    for n in (N_SMALL, N_BIG):
+        assert m[n]["candidates"] < 0.2 * m[n]["rows_in"]
+
+
+def test_kmeans_update_shuffle_independent_of_n(spark):
+    """The per-round update shuffle carries O(k·dim·partitions) bytes —
+    map-side combine caps each task at k·dim rows — so 10× the corpus
+    must NOT move 10× the bytes per round."""
+    import scaling
+    m = {n: scaling.op_kmeans(spark, n) for n in (2000, 20000)}
+    small = max(m[2000]["shuffle_w_per_round"], 1)
+    big = m[20000]["shuffle_w_per_round"]
+    assert big <= 4 * small + 65536, (
+        f"kmeans per-round update shuffle grew with n: {m} — did the "
+        f"partial aggregate (map-side combine) drop out of the plan?")
