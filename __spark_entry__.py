@@ -1505,6 +1505,21 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("label"))
 
 
+def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the r06 auto-k lever (VERDICT r05 #4):
+    ``semantic_dedup(k=None)`` derives k = ceil(n_vectors /
+    target_cell_size), so the within-cell quadratic stays n·target as the
+    corpus grows instead of the pinned-k n²/k law. target_cell_size=150
+    exercises a multi-cell derivation at every gate scale (sf0.01: 500
+    vecs → k=4; sf1: 20k → k=134). Value-verified by the vectorized
+    py-golden (same derivation mirrored)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = similarity.semantic_dedup(emb, threshold=0.99,
+                                     target_cell_size=150)
+    return (kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy("label"))
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval (retrieval.bm25_rank) for a fixed 4-term
     query, fixed-point term accumulation so the score sum and the top-k cut
@@ -2455,6 +2470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # retired_probes() and stay parity-pinned by tests/test_probes.py, so
     # their window slots go to real operators.
     return {
+        # -- r06-new: first driver row (the auto-k SemDeDup lever) --
+        "q_semantic_dedup_auto": q_semantic_dedup_auto,
         # -- r01-stale block (newest driver row = CORRECTNESS_r01) --
         "q18_large_volume_customer": q18_large_volume_customer,
         "q22_idle_customers": q22_idle_customers,
@@ -2510,10 +2527,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r04-tier fillers whose operators changed after their last row --
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
-        "q_cube_agg": q_cube_agg,
         # ---- position 50 ends here ----
         # -- r07 window queue: the r04-green block (minus the fillers
-        #    above), then the r05-green block at the tail --
+        #    above), then the r05-green block at the tail. q_cube_agg
+        #    leads the queue: it was displaced from slot 50 by the
+        #    r06-new q_semantic_dedup_auto (never-checked entries must
+        #    sit in the window) --
+        "q_cube_agg": q_cube_agg,
         "q_substring_spans": q_substring_spans,
         "q_unigram_lm": q_unigram_lm,
         "q_linear_quality": q_linear_quality,
@@ -2815,6 +2835,8 @@ def py_oracle() -> dict[str, Callable]:
         "q_embedding_neardup": pr.golden_checker(pr.golden_embedding_neardup),
         "q_kmeans": pr.golden_checker(pr.golden_kmeans),
         "q_semantic_dedup": pr.golden_checker(pr.golden_semantic_dedup),
+        "q_semantic_dedup_auto": pr.golden_checker(
+            pr.golden_semantic_dedup_auto),
         "q_hll_distinct": pr.check_hll_distinct,
     }
 

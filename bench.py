@@ -82,6 +82,8 @@ HEADLINE = [
     "q_stream_interval_join",    # interval join, batch shape
     "q_fp_store_dedup",          # bucketed incremental fingerprint store
     "q_dup_line_chars",          # Gopher char-weighted repetition rule
+    # -- added r06 --
+    "q_semantic_dedup_auto",     # SemDeDup auto-k (cells track corpus size)
 ]
 
 

@@ -875,11 +875,11 @@ def golden_kmeans(sf_dir: str):
     return sorted(counts.items()), ["cell", "n_vecs"]
 
 
-def golden_semantic_dedup(sf_dir: str):
+def golden_semantic_dedup(sf_dir: str, k: int = 8):
     """Vectorized mirror of q_semantic_dedup (spec:
     golden_semantic_dedup_scalar): threshold=0.99, k=8."""
     emb, nn, ids, E = _embeddings_np(sf_dir)
-    assigned, _ = kmeans(nn)
+    assigned, _ = kmeans(nn, k=k)
     if nn:
         norms = _norms_lr(E)
         normed = np.zeros_like(E)
@@ -913,6 +913,14 @@ def golden_semantic_dedup(sf_dir: str):
         if i not in losers:
             counts[label] = counts.get(label, 0) + 1
     return sorted(counts.items()), ["label", "n_kept"]
+
+
+def golden_semantic_dedup_auto(sf_dir: str):
+    """Mirror of q_semantic_dedup_auto: the k=None derivation —
+    k = ceil(n_nonnull_vectors / 150) — then the same pipeline as
+    golden_semantic_dedup."""
+    n = sum(1 for r in _embeddings(sf_dir) if r[1] is not None)
+    return golden_semantic_dedup(sf_dir, k=max(1, -(-n // 150)))
 
 
 def golden_components(nodes, edges):

@@ -423,6 +423,7 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    max_iter: int = 10, seed: int = 42,
                    target_cell_size: int = 1500,
+                   centroids: list[list[float]] | None = None,
                    stats: dict | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, then within each
@@ -450,22 +451,45 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     one column-pruned count of the non-null vectors, so the within-cell
     quadratic stays ~target_cell_size² per cell AS THE CORPUS GROWS —
     without the lever, a pinned k makes total work n²/k (the measured 19×
-    at 10× data in SCALING.md); with it, work is n·target_cell_size.
-    Average cell size is bounded by construction; worst-case cells track
-    the data's cluster structure (SemDeDup's own contract). Pass an
-    explicit ``k`` to reproduce the paper's fixed-k setup (the bench and
-    parity queries pin it).
+    at 10× data in SCALING.md); with it, the PAIR stage is
+    n·target_cell_size. The counterweight is assignment: Lloyd's argmin
+    costs n·k·dim per iteration = n²·dim/target, so target_cell_size
+    balances the two stages — pairs dominate below
+    n ≈ target²/max_iter (≈225k vectors at the 1500 default), assignment
+    above; past that, RAISE target (cost is ~linear in 1/target on one
+    side and linear in target on the other, total minimized at
+    t ≈ sqrt(max_iter·n)), or train the quantizer on a sample offline
+    (the production pattern — SemDeDup's published runs use a faiss
+    quantizer, not in-loop Lloyd). Average cell size is bounded by
+    construction; worst-case cells track the data's cluster structure
+    (SemDeDup's own contract). Pass an explicit ``k`` to reproduce the
+    paper's fixed-k setup (the bench and parity queries pin it).
+
+    ``centroids``: a pre-trained quantizer (e.g. :func:`kmeans` run once
+    offline, or on a sample). Skips Lloyd's entirely — assignment against
+    FIXED centroids is one map-only broadcast pass over the corpus, which
+    removes the n²·dim/target in-loop training term and is the published
+    SemDeDup deployment shape. Overrides ``k``/``target_cell_size``.
 
     ``stats``: forwarded to :func:`kmeans` (reports ``iterations``);
     also records the ``k`` used (``stats['k']``).
     """
-    if k is None:
-        n = df.where(F.col(vec_col).isNotNull()).count()
-        k = max(1, -(-n // int(target_cell_size)))
-    if stats is not None:
-        stats["k"] = k
-    assigned, _ = kmeans(df, k=k, max_iter=max_iter, id_col=id_col,
-                         vec_col=vec_col, seed=seed, stats=stats)
+    if centroids is not None:
+        src = _drop_null_vecs(df, vec_col).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        assigned = _assign_cells_bcast(
+            src, [list(map(float, c)) for c in centroids]).select("id", "cell")
+        if stats is not None:
+            stats["k"] = len(centroids)
+            stats["iterations"] = 0
+    else:
+        if k is None:
+            n = df.where(F.col(vec_col).isNotNull()).count()
+            k = max(1, -(-n // int(target_cell_size)))
+        if stats is not None:
+            stats["k"] = k
+        assigned, _ = kmeans(df, k=k, max_iter=max_iter, id_col=id_col,
+                             vec_col=vec_col, seed=seed, stats=stats)
     # pre-normalize ONCE per row (cosine inside the pair join would
     # recompute BOTH norms per PAIR — 3x the quadratic-stage flops); a
     # zero vector normalizes to zeros, so its dot with anything is 0 and

@@ -254,3 +254,22 @@ def test_semantic_dedup_explicit_k_unchanged(spark):
     stats = {}
     semantic_dedup(df, threshold=1.1, k=8, stats=stats).count()
     assert stats["k"] == 8
+
+
+def test_semantic_dedup_precomputed_centroids_match_in_loop_training(spark):
+    """centroids= (the offline-quantizer production shape) must reproduce
+    the in-loop result when handed the centroids kmeans itself produced,
+    and must not run any Lloyd iterations."""
+    from scalding_spark.functions.similarity import kmeans, semantic_dedup
+    df = spark.createDataFrame(
+        [(i, [float(i % 13), float((i * 3) % 7), 1.0]) for i in range(120)],
+        "vec_id long, embedding array<double>")
+    _, cents = kmeans(df, k=4, max_iter=10, seed=42)
+    stats = {}
+    kept_fixed = semantic_dedup(df, threshold=0.999, centroids=cents,
+                                stats=stats)
+    kept_loop = semantic_dedup(df, threshold=0.999, k=4, max_iter=10,
+                               seed=42)
+    assert stats["iterations"] == 0 and stats["k"] == 4
+    assert (sorted(r.vec_id for r in kept_fixed.collect())
+            == sorted(r.vec_id for r in kept_loop.collect()))
