@@ -2368,6 +2368,71 @@ _WEB_DOMAIN_SQL = """
 """
 
 
+def _fake_messy_url_col() -> Column:
+    """URL synthesis for the canonicalization query: five shapes exercising
+    every rule — fragments, uppercase scheme/host, explicit default ports,
+    tracking-param stripping with order-preserving survivors, emptied
+    query strings, bare-root paths, and unparseable values."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    return (F.when(d % 5 == 0,
+                   F.concat(F.lit("HTTP://WWW.Example.COM:80/Path/p"), ds,
+                            F.lit("?utm_source=x&id="), ds,
+                            F.lit("&utm_campaign=y#sec"), ds))
+            .when(d % 5 == 1,
+                  F.concat(F.lit("https://news.example.org:443/a"),
+                           F.lit("?gclid=z&x="), ds, F.lit("&y=2")))
+            .when(d % 5 == 2,
+                  F.concat(F.lit("https://Shop"), (d % 7).cast("string"),
+                           F.lit(".example.co.uk/")))
+            .when(d % 5 == 3,
+                  F.concat(F.lit("http://site"), (d % 11).cast("string"),
+                           F.lit(".example.net:8080/q?fbclid="), ds,
+                           F.lit("&ref=tw")))
+            .otherwise(F.concat(F.lit("plain text "), ds)))
+
+
+_FAKE_MESSY_URL_SQL = """
+    CASE
+        WHEN doc_id % 5 = 0 THEN 'HTTP://WWW.Example.COM:80/Path/p' || doc_id::VARCHAR
+             || '?utm_source=x&id=' || doc_id::VARCHAR || '&utm_campaign=y#sec' || doc_id::VARCHAR
+        WHEN doc_id % 5 = 1 THEN 'https://news.example.org:443/a?gclid=z&x=' || doc_id::VARCHAR || '&y=2'
+        WHEN doc_id % 5 = 2 THEN 'https://Shop' || (doc_id % 7)::VARCHAR || '.example.co.uk/'
+        WHEN doc_id % 5 = 3 THEN 'http://site' || (doc_id % 11)::VARCHAR
+             || '.example.net:8080/q?fbclid=' || doc_id::VARCHAR || '&ref=tw'
+        ELSE 'plain text ' || doc_id::VARCHAR
+    END
+"""
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """web.canonicalize_url (web.py): fragment/tracking-param/default-port/
+    case normalization producing the URL-dedup key. Map-only; the oracle
+    mirrors every rule verbatim in RE2-portable SQL. NULL canonical =
+    unparseable (kept as NULL output, the host_of contract)."""
+    from scalding_spark.functions import web
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.where(F.col("doc_id") < 400) \
+        .select("doc_id", _fake_messy_url_col().alias("url"))
+    return u.select("doc_id",
+                    web.canonicalize_url(F.col("url")).alias("canonical"))
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.semantic_decontaminate: drop corpus embeddings with
+    cosine ≥ 0.8 to ANY benchmark embedding (every 37th vector) — the
+    embedding analog of q_decontaminate's n-gram guard. Benchmark members
+    drop themselves (self-cosine 1); i.i.d. Gaussian cross-cosines sit
+    far below 0.8, so survivors = non-benchmark rows minus near-dups.
+    Map-only broadcast-exists plan: the corpus never shuffles.
+    Py-golden (numpy mirror, same normalize/dot fold order)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 37 == 0)
+    kept = similarity.semantic_decontaminate(emb, bench, threshold=0.8)
+    return (kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy("label"))
+
+
 def q_web_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """web.host_of + web.registrable_domain (web.py): URL → normalized host
     → eTLD+1-style registrable domain, counted. Expression-only — the
@@ -2470,8 +2535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # retired_probes() and stay parity-pinned by tests/test_probes.py, so
     # their window slots go to real operators.
     return {
-        # -- r06-new: first driver row (the auto-k SemDeDup lever) --
+        # -- r06-new: first driver rows --
         "q_semantic_dedup_auto": q_semantic_dedup_auto,
+        "q_url_canonical": q_url_canonical,
+        "q_semantic_decontam": q_semantic_decontam,
         # -- r01-stale block (newest driver row = CORRECTNESS_r01) --
         "q18_large_volume_customer": q18_large_volume_customer,
         "q22_idle_customers": q22_idle_customers,
@@ -2524,15 +2591,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": q_session_window,
         "q_sessionize": q_sessionize,
         "q_cc_star": q_cc_star,
-        # -- r04-tier fillers whose operators changed after their last row --
+        # ---- position 50 ends here ----
+        # -- r07 window queue: q_asof_join / q_range_join / q_cube_agg
+        #    lead it (r05 operator fixes landed after their last driver
+        #    rows; they were displaced from slots 48-50 by the three
+        #    r06-new queries — never-checked entries must sit in the
+        #    window), then the rest of the r04-green block, then the
+        #    r05-green block at the tail --
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
-        # ---- position 50 ends here ----
-        # -- r07 window queue: the r04-green block (minus the fillers
-        #    above), then the r05-green block at the tail. q_cube_agg
-        #    leads the queue: it was displaced from slot 50 by the
-        #    r06-new q_semantic_dedup_auto (never-checked entries must
-        #    sit in the window) --
         "q_cube_agg": q_cube_agg,
         "q_substring_spans": q_substring_spans,
         "q_unigram_lm": q_unigram_lm,
@@ -2837,6 +2904,8 @@ def py_oracle() -> dict[str, Callable]:
         "q_semantic_dedup": pr.golden_checker(pr.golden_semantic_dedup),
         "q_semantic_dedup_auto": pr.golden_checker(
             pr.golden_semantic_dedup_auto),
+        "q_semantic_decontam": pr.golden_checker(
+            pr.golden_semantic_decontam),
         "q_hll_distinct": pr.check_hll_distinct,
     }
 
@@ -2919,6 +2988,42 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY source
         """,
         "q_temperature_mix": _temperature_mix_sql(),
+        # canonicalize_url mirror: every rule verbatim (RE2-portable; \\1
+        # backrefs; regexp_extract returns '' on no match on both engines)
+        "q_url_canonical": f"""
+            WITH u AS (SELECT doc_id, {_FAKE_MESSY_URL_SQL} AS url
+                       FROM documents WHERE doc_id < 400),
+            c0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS uu
+                   FROM u),
+            c1 AS (SELECT doc_id,
+                          regexp_extract(uu, '^([^?]*)', 1) AS base,
+                          regexp_extract(uu, '^[^?]*\\?(.*)$', 1) AS query
+                   FROM c0),
+            c2 AS (SELECT *,
+                          regexp_extract(base,
+                              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1) AS auth,
+                          regexp_extract(base,
+                              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(.*)$', 1) AS path
+                   FROM c1),
+            c3 AS (SELECT *,
+                          regexp_replace(regexp_replace(lower(auth),
+                              '^(http://[^/:]+):80$', '\\1'),
+                              '^(https://[^/:]+):443$', '\\1') AS a,
+                          CASE WHEN path = '/' THEN '' ELSE path END AS p,
+                          -- coalesce: DuckDB's array_to_string over an
+                          -- EMPTY list is NULL (Spark's array_join is '')
+                          coalesce(array_to_string(
+                              list_filter(string_split(query, '&'),
+                              x -> x <> '' AND NOT regexp_matches(x,
+                                  '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|spm|ref|ref_src)=')),
+                              '&'), '') AS q
+                   FROM c2)
+            SELECT doc_id,
+                   CASE WHEN auth <> '' THEN a || p ||
+                        CASE WHEN q = '' THEN '' ELSE '?' || q END
+                   END AS canonical
+            FROM c3
+        """,
         "q_web_domains": f"""
             WITH u AS (SELECT doc_id, {_FAKE_URL_SQL} AS url FROM documents),
             {_WEB_DOMAIN_SQL}

@@ -84,6 +84,8 @@ HEADLINE = [
     "q_dup_line_chars",          # Gopher char-weighted repetition rule
     # -- added r06 --
     "q_semantic_dedup_auto",     # SemDeDup auto-k (cells track corpus size)
+    "q_url_canonical",           # URL canonicalization (map-only dedup key)
+    "q_semantic_decontam",       # embedding decontamination (broadcast-exists)
 ]
 
 

@@ -923,6 +923,34 @@ def golden_semantic_dedup_auto(sf_dir: str):
     return golden_semantic_dedup(sf_dir, k=max(1, -(-n // 150)))
 
 
+def golden_semantic_decontam(sf_dir: str):
+    """Mirror of q_semantic_decontam (similarity.semantic_decontaminate):
+    benchmark = vec_id % 37 == 0 (zero-norm/NULL bench vectors dropped),
+    corpus rows dropped iff ANY normalized-dot ≥ 0.8; NULL/zero corpus
+    vectors always kept. Same normalize-then-left-to-right-dot fold as
+    the Spark expressions (np.add.accumulate)."""
+    emb, nn, ids, E = _embeddings_np(sf_dir)
+    dropped = set()
+    if nn:
+        norms = _norms_lr(E)
+        normed = np.zeros_like(E)
+        pos = norms > 0
+        normed[pos] = E[pos] / norms[pos, None]
+        B = normed[(ids % 37 == 0) & pos]
+        if len(B):
+            dim = E.shape[1]
+            blk = max(1, (1 << 24) // max(1, len(B) * dim))
+            for s in range(0, len(ids), blk):
+                dts = dot_lr(normed[s:s + blk][:, None, :], B[None, :, :])
+                for j in np.nonzero((dts >= 0.8).any(axis=1))[0]:
+                    dropped.add(int(ids[s + j]))
+    counts = {}
+    for i, _v, label in emb:
+        if i not in dropped:
+            counts[label] = counts.get(label, 0) + 1
+    return sorted(counts.items()), ["label", "n_kept"]
+
+
 def golden_components(nodes, edges):
     """Independent connected-components oracle: union-find with
     path-halving + union-by-size over an undirected edge list, then each

@@ -520,3 +520,61 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                      >= F.lit(float(threshold)))
               .select(F.col("l.id").alias(id_col)).distinct())
     return df.join(losers, id_col, "left_anti")
+
+
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           bench_vec_col: str | None = None,
+                           stats: dict | None = None) -> DataFrame:
+    """Semantic benchmark decontamination: drop corpus rows whose embedding
+    has cosine ≥ ``threshold`` to ANY benchmark embedding — the embedding
+    analog of dedup.decontaminate's n-gram overlap (paraphrased eval
+    leakage that shares no 8-gram still lands nearby in embedding space).
+
+    Plan, 100 TB-first: eval suites are small (thousands to ~1e5 vectors),
+    so the benchmark side is pre-NORMALIZED and collected into ONE
+    broadcast row — the same broadcast-data shape as kmeans assignment.
+    The corpus then evaluates ``F.exists(bench_vecs, dot ≥ t)`` map-only
+    in the scan stage: no corpus shuffle, no explode, no join exchange at
+    all; the output is a filter over the original frame. (For benchmark
+    sides too big to broadcast, cluster them first and decontaminate per
+    centroid-bucket — the semantic_dedup(centroids=...) shape.)
+
+    Contracts shared with the rest of the similarity family: NULL corpus
+    vectors are KEPT (no position in space → cannot be vetted → caller's
+    policy, same as semantic_dedup); zero vectors normalize to zeros, dot
+    0, kept for any threshold > 0; NULL/zero benchmark vectors are
+    dropped from the broadcast (they match nothing).
+
+    ``stats['n_benchmark']`` reports the broadcast row count.
+    """
+    bcol = bench_vec_col or vec_col
+    rows = (_drop_null_vecs(benchmark, bcol)
+            .select(F.col(bcol).alias("v")).collect())
+    bnorm = []
+    for r in rows:
+        v = [float(x) for x in r.v]
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        if nrm > 0:
+            bnorm.append([x / nrm for x in v])
+    if stats is not None:
+        stats["n_benchmark"] = len(bnorm)
+    if not bnorm:
+        return corpus
+    spark = corpus.sparkSession
+    bdf = _one_row_df(spark, (bnorm,), "bvecs: array<array<double>>")
+    v = F.col(vec_col)
+    nrm = _norm(v)
+    vecn = F.when(nrm > 0, F.transform(
+        v, lambda x: x.cast("double") / nrm)).otherwise(
+        F.transform(v, lambda x: F.lit(0.0)))
+    hit = F.exists(F.col("bvecs"),
+                   lambda b: _dot(vecn, b) >= F.lit(float(threshold)))
+    return (corpus.crossJoin(F.broadcast(bdf))
+            .where(~F.coalesce(hit, F.lit(False)))
+            .drop("bvecs"))

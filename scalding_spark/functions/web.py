@@ -78,3 +78,49 @@ def filter_blocklist(df: DataFrame, url_col: str, blocklist: DataFrame,
     if not keep_unparseable:
         kept = kept.where(F.col("__dom").isNotNull())
     return kept.drop("__dom")
+
+
+# Query-string parameters that identify a click, not a resource: the
+# standard strip set for URL dedup keys (utm_* campaign tags, ad-click
+# ids, social share tokens). Anchored key=-prefix match, RE2-portable.
+_TRACKING_PARAM_RE = (r"^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|"
+                      r"igshid|spm|ref|ref_src)=")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL for dedup/fetch keys. Rules (each a single
+    engine-portable expression; the oracle mirrors them verbatim):
+
+    - drop the ``#fragment``;
+    - lowercase the ``scheme://authority`` (path/query case preserved —
+      paths are case-sensitive on most origins);
+    - strip explicit default ports (``http://h:80`` → ``http://h``,
+      ``https://h:443`` → ``https://h``);
+    - drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
+      ...) while PRESERVING the order of the remaining ones (reordering
+      would conflate ``?a=1&b=2`` pages whose servers care about order);
+    - drop an emptied query string entirely;
+    - normalize a bare root path: ``http://h/`` → ``http://h``.
+
+    NULL when the value has no ``scheme://authority`` shape (same
+    unparseable contract as :func:`host_of`). 100 TB shape: map-only —
+    canonicalization happens in the scan stage, and the canonical string
+    is the natural key for exact URL dedup (hash-groupBy) upstream of
+    any text processing.
+    """
+    u = F.regexp_replace(url, "#.*$", "")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
+    auth = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    path = F.regexp_extract(base, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(.*)$", 1)
+    a = F.lower(auth)
+    a = F.regexp_replace(a, r"^(http://[^/:]+):80$", "$1")
+    a = F.regexp_replace(a, r"^(https://[^/:]+):443$", "$1")
+    p = F.when(path == "/", F.lit("")).otherwise(path)
+    keep = F.filter(F.split(query, "&"),
+                    lambda kv: (kv != "") & ~kv.rlike(_TRACKING_PARAM_RE))
+    q = F.array_join(keep, "&")
+    full = F.concat(a, p,
+                    F.when(q == "", F.lit(""))
+                     .otherwise(F.concat(F.lit("?"), q)))
+    return F.when(auth != "", full)
