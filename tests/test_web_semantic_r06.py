@@ -1,7 +1,6 @@
 """Unit pins for the two r06 operators: web.canonicalize_url and
 similarity.semantic_decontaminate."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from scalding_spark.functions import web
