@@ -2433,6 +2433,36 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("label"))
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling.leakage_safe_split (sampling.py): train/val/test assigned
+    by DEDUP-CLUSTER key — here exact-dup clusters (min doc_id per
+    md5(text) fingerprint) — so duplicate documents can never straddle
+    train and test. Labels stay corpus-sized in this audit (every doc has
+    a row), so the join is a plain hash join; production restricts labels
+    to multi-doc clusters and broadcasts (broadcast_labels=True). Output
+    is self-checking: per split, doc and cluster counts plus the number
+    of clusters also present in another split (n_straddling — the
+    leakage guarantee says 0 everywhere)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    labels = docs.select("doc_id",
+                         F.min("doc_id").over(w).alias("cluster_id"))
+    out = sampling_fns.leakage_safe_split(docs.select("doc_id"), "doc_id",
+                                          labels)
+    per = (out.join(labels, "doc_id")
+           .groupBy("split", "cluster_id")
+           .agg(F.count(F.lit(1)).alias("n")))
+    nsplits = per.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_splits"))
+    return (per.join(nsplits, "cluster_id")
+            .groupBy("split")
+            .agg(F.sum("n").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+                 .alias("n_straddling"))
+            .orderBy("split"))
+
+
 def q_web_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """web.host_of + web.registrable_domain (web.py): URL → normalized host
     → eTLD+1-style registrable domain, counted. Expression-only — the
@@ -2536,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their window slots go to real operators.
     return {
         # -- r06-new: first driver rows --
+        "q_leakage_safe_split": q_leakage_safe_split,
         "q_semantic_dedup_auto": q_semantic_dedup_auto,
         "q_url_canonical": q_url_canonical,
         "q_semantic_decontam": q_semantic_decontam,
@@ -2590,9 +2621,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_rollup": q_events_rollup,
         "q_session_window": q_session_window,
         "q_sessionize": q_sessionize,
+        # ---- position 50 ends here (q_leakage_safe_split's late-r06
+        #      insertion at the top displaced q_cc_star to position 51 —
+        #      it leads the r07 queue below) ----
         "q_cc_star": q_cc_star,
-        # ---- position 50 ends here ----
-        # -- r07 window queue: q_asof_join / q_range_join / q_cube_agg
+        # -- r07 window queue: q_cc_star above (displaced, r02-stale, must
+        #    be in the r07 window), then q_asof_join / q_range_join / q_cube_agg
         #    lead it (r05 operator fixes landed after their last driver
         #    rows; they were displaced from slots 48-50 by the three
         #    r06-new queries — never-checked entries must sit in the
@@ -2990,6 +3024,28 @@ def oracle_sql() -> dict[str, str]:
         "q_temperature_mix": _temperature_mix_sql(),
         # canonicalize_url mirror: every rule verbatim (RE2-portable; \\1
         # backrefs; regexp_extract returns '' on no match on both engines)
+        "q_leakage_safe_split": """
+            WITH lab AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+                FROM documents),
+            s AS (
+                SELECT doc_id, cluster_id,
+                       CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT
+                                 < 3865470566 THEN 'train'
+                            WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT
+                                 < 4080218931 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM lab),
+            g AS (SELECT split, cluster_id, count(*) AS n FROM s GROUP BY 1, 2),
+            ns AS (SELECT cluster_id, count(*) AS n_splits FROM g GROUP BY 1)
+            SELECT split, sum(n)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_clusters,
+                   sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_straddling
+            FROM g JOIN ns USING (cluster_id)
+            GROUP BY split ORDER BY split
+        """,
         "q_url_canonical": f"""
             WITH u AS (SELECT doc_id, {_FAKE_MESSY_URL_SQL} AS url
                        FROM documents WHERE doc_id < 400),

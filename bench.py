@@ -85,6 +85,7 @@ HEADLINE = [
     # -- added r06 --
     "q_semantic_dedup_auto",     # SemDeDup auto-k (cells track corpus size)
     "q_url_canonical",           # URL canonicalization (map-only dedup key)
+    "q_leakage_safe_split",      # dedup-cluster-keyed train/val/test split
     "q_semantic_decontam",       # embedding decontamination (broadcast-exists)
 ]
 

@@ -80,6 +80,44 @@ def train_val_test_split(df: DataFrame, key_col: str,
     return df.withColumn("split", split_column(key_col, weights, salt))
 
 
+def leakage_safe_split(df: DataFrame, key_col: str, labels: DataFrame,
+                       cluster_col: str = "cluster_id",
+                       weights: dict[str, float] | None = None,
+                       salt: str = "",
+                       broadcast_labels: bool = False) -> DataFrame:
+    """Train/val/test split keyed on the DEDUP CLUSTER, not the document:
+    every member of a near-dup cluster hashes the same key, so duplicates
+    can never straddle train and test — the eval-leakage failure mode that
+    per-document splitting guarantees whenever the corpus has near-dups
+    (Lee et al. 2022 measure exactly this contamination channel).
+
+    ``labels`` is a ``(key_col, cluster_col)`` frame with at most one row
+    per key — e.g. ``dedup.dedup_clusters`` output, or a min-id-per-
+    fingerprint window for exact duplicates. Keys absent from it are
+    singletons and split by their own key, which coalesces to the same
+    hash ``dedup_clusters``' own-id fallback convention would produce.
+
+    100 TB shape: the split label itself stays a pure md5-range Column
+    expression (same contract as :func:`split_column`); the only data
+    movement is the left join against ``labels``. Restricted to multi-doc
+    clusters the labels side is the corpus' duplicate fraction — pass
+    ``broadcast_labels=True`` when that fits in memory, otherwise it is
+    one hash join on ``key_col``.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    lab = labels.select(key_col, cluster_col)
+    if broadcast_labels:
+        lab = F.broadcast(lab)
+    joined = df.join(lab, on=key_col, how="left")
+    effective = F.coalesce(F.col(cluster_col).cast("string"),
+                           F.col(key_col).cast("string"))
+    return (joined.withColumn("split", split_column(effective, weights, salt))
+            .drop(cluster_col))
+
+
 def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                       fractions: dict[str, float], default: float = 0.0,
                       salt: str = "") -> DataFrame:

@@ -716,3 +716,70 @@ def test_temperature_mix_plan_is_scan_fused(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+# -- leakage_safe_split: dedup-cluster-keyed train/val/test ------------------
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """300 docs in 100 size-3 clusters (cluster id = smallest member)."""
+    docs = spark.range(300).select(F.col("id").alias("doc_id"))
+    labels = docs.select("doc_id",
+                         (F.col("doc_id") - F.col("doc_id") % 3)
+                         .alias("cluster_id"))
+    return docs, labels
+
+
+def test_leakage_split_never_straddles(clustered):
+    docs, labels = clustered
+    out = sampling.leakage_safe_split(docs, "doc_id", labels)
+    per_cluster = (out.join(labels, "doc_id")
+                   .groupBy("cluster_id")
+                   .agg(F.countDistinct("split").alias("ns")).collect())
+    assert all(r["ns"] == 1 for r in per_cluster)
+    # non-vacuous: per-DOCUMENT splitting straddles at least one cluster
+    naive = sampling.train_val_test_split(docs, "doc_id")
+    straddled = (naive.join(labels, "doc_id")
+                 .groupBy("cluster_id")
+                 .agg(F.countDistinct("split").alias("ns"))
+                 .where(F.col("ns") > 1).count())
+    assert straddled > 0
+
+
+def test_leakage_split_singletons_match_own_key_split(clustered):
+    docs, labels = clustered
+    # labels only for clusters 0..29 (docs 0..89); the rest are singletons
+    partial = labels.where(F.col("cluster_id") < 90)
+    out = sampling.leakage_safe_split(docs, "doc_id", partial)
+    own = sampling.train_val_test_split(docs, "doc_id")
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    want = {r["doc_id"]: r["split"] for r in own.collect()}
+    assert all(got[i] == want[i] for i in range(90, 300))
+    # and a self-labeled row (cluster_id == own id) is the same as absent
+    self_lab = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    as_self = {r["doc_id"]: r["split"] for r in
+               sampling.leakage_safe_split(docs, "doc_id", self_lab)
+               .collect()}
+    assert as_self == want
+
+
+def test_leakage_split_disjoint_cover_and_weights(clustered):
+    docs, labels = clustered
+    out = sampling.leakage_safe_split(docs, "doc_id", labels,
+                                      weights={"a": 0.5, "b": 0.5})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 300
+    assert set(counts) <= {"a", "b"}
+    with pytest.raises(ValueError):
+        sampling.leakage_safe_split(docs, "doc_id", labels,
+                                    weights={"a": 0.5, "b": 0.6})
+
+
+def test_leakage_split_broadcasts_labels_on_request(clustered):
+    docs, labels = clustered
+    out = sampling.leakage_safe_split(docs, "doc_id", labels,
+                                      broadcast_labels=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan
