@@ -188,15 +188,20 @@ class GroupBuilder:
 
         Synthesis is ~free at any scale: the grand-total VALUES come from
         a global aggregate over ``limit(0)`` (Catalyst folds it to an
-        empty LocalRelation — no scan), gated by an is-empty probe on
-        ``out`` ITSELF — the aggregated frame, not the raw input. A
-        rollup/cube/()-set aggregate over non-empty input always emits
-        rows, so ``out`` empty ⟺ input empty; probing ``out`` means both
-        union branches sit over the SAME canonical aggregate subtree in
-        one physical plan, so its exchange is reused (one computation —
-        no second evaluation of a possibly-nondeterministic input, and no
-        extra scan job; the probe costs one final-agg over the already-
-        shuffled partials). Grouping keys are NULL literals cast to the
+        empty LocalRelation — no scan), gated by an is-input-empty probe
+        (``limit(1)``) whose LocalLimit short-circuits after the first
+        non-empty partition — a one-row read for scan-rooted inputs.
+
+        Measured dead end (don't retry): probing ``out`` itself so both
+        union branches share the aggregate subtree does NOT share
+        anything — Catalyst's existence pruning rewrites the agg-under-
+        limit probe back into a limit-1 scan of the INPUT (with a
+        vestigial Expand), so the executed plan is byte-for-byte the
+        same extra probe stage, zero ReusedExchange, and a noisier plan.
+        The accepted contract is therefore: one cheap bounded probe job
+        per rollup/cube/()-set query, and for an input whose EMPTINESS
+        is itself nondeterministic (pathological) the branches could in
+        principle disagree. Grouping keys are NULL literals cast to the
         output schema. Aggregates that embed raw
         ``grouping()``/``grouping_id()`` can't evaluate outside grouping
         sets (use :meth:`grouping_flag`/:meth:`grouping_id`, which record
@@ -207,7 +212,7 @@ class GroupBuilder:
         except AnalysisException:
             return out
         vals = vals.toDF(*[f"__v{i}" for i in range(len(vals.columns))])
-        probe = out.select(F.lit(1).alias("__p")).limit(1)
+        probe = self._df.select(F.lit(1).alias("__p")).limit(1)
         gate = (probe.groupBy().agg(F.count(F.lit(1)).alias("__n"))
                 .where(F.col("__n") == 0))  # 1 row iff out (⟺ input) is empty
         n_keys = len(self._keys)
