@@ -2463,6 +2463,31 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("split"))
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.corpus_diff (dedup.py): snapshot audit of a simulated corpus
+    refresh — every 11th doc dropped (removed), ' v2' appended to every
+    7th survivor (changed), every 13th re-added under a shifted id
+    (added), the rest unchanged. Fingerprint-only full-outer join: the
+    text never crosses the exchange. Output: per-status counts plus
+    min/max affected key (shape + spot-check)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    survivors = docs.where(F.col("doc_id") % 11 != 3)
+    edited = survivors.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat_ws(" ", F.col("text"), F.lit("v2")))
+        .otherwise(F.col("text")))
+    added = (docs.where(F.col("doc_id") % 13 == 1)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    new = edited.unionByName(added)
+    d = dedup.corpus_diff(docs, new, "doc_id")
+    return (d.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("min_key"),
+                 F.max("doc_id").alias("max_key"))
+            .orderBy("status"))
+
+
 def q_web_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """web.host_of + web.registrable_domain (web.py): URL → normalized host
     → eTLD+1-style registrable domain, counted. Expression-only — the
@@ -2566,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their window slots go to real operators.
     return {
         # -- r06-new: first driver rows --
+        "q_corpus_diff": q_corpus_diff,
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_semantic_dedup_auto": q_semantic_dedup_auto,
         "q_url_canonical": q_url_canonical,
@@ -3024,6 +3050,31 @@ def oracle_sql() -> dict[str, str]:
         "q_temperature_mix": _temperature_mix_sql(),
         # canonicalize_url mirror: every rule verbatim (RE2-portable; \\1
         # backrefs; regexp_extract returns '' on no match on both engines)
+        "q_corpus_diff": f"""
+            WITH o AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp, true AS pres
+                       FROM documents),
+            surv AS (SELECT doc_id,
+                            CASE WHEN doc_id % 7 = 0
+                                 THEN concat_ws(' ', text, 'v2')
+                                 ELSE text END AS text
+                     FROM documents WHERE doc_id % 11 <> 3),
+            newt AS (SELECT doc_id, text FROM surv
+                     UNION ALL
+                     SELECT doc_id + 1000000 AS doc_id, text
+                     FROM documents WHERE doc_id % 13 = 1),
+            n AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp, true AS pres
+                  FROM newt),
+            j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                         CASE WHEN o.pres IS NULL THEN 'added'
+                              WHEN n.pres IS NULL THEN 'removed'
+                              WHEN o.fp IS NOT DISTINCT FROM n.fp
+                                   THEN 'unchanged'
+                              ELSE 'changed' END AS status
+                  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+            SELECT status, count(*) AS n, min(doc_id) AS min_key,
+                   max(doc_id) AS max_key
+            FROM j GROUP BY status ORDER BY status
+        """,
         "q_leakage_safe_split": """
             WITH lab AS (
                 SELECT doc_id,

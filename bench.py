@@ -86,6 +86,7 @@ HEADLINE = [
     "q_semantic_dedup_auto",     # SemDeDup auto-k (cells track corpus size)
     "q_url_canonical",           # URL canonicalization (map-only dedup key)
     "q_leakage_safe_split",      # dedup-cluster-keyed train/val/test split
+    "q_corpus_diff",             # snapshot added/removed/changed audit
     "q_semantic_decontam",       # embedding decontamination (broadcast-exists)
 ]
 

@@ -110,6 +110,36 @@ def dedup_against_fingerprints(new: DataFrame, seen_fps: DataFrame,
     return tagged.join(seen, on="__fp", how="left_anti").drop("__fp")
 
 
+def corpus_diff(old: DataFrame, new: DataFrame, key_col: str,
+                text_col: str = "text") -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: one ``(key, status)`` row for
+    every key in either snapshot — ``added`` (new only), ``removed``
+    (old only), ``changed`` (same key, different content fingerprint),
+    ``unchanged`` — the audit step of an incremental corpus refresh
+    (what did this crawl/version actually change?). Each side must carry
+    at most one row per key (it is a snapshot key).
+
+    Content compares by the 32-byte md5 of the normalized text, never
+    the text itself, so the full-outer join exchanges ``(key, fp)``
+    pairs, not documents; two NULL-text rows compare equal
+    (``eqNullSafe``), and presence is tracked by a marker column so a
+    NULL fingerprint is never mistaken for an absent row. 100 TB shape:
+    one hash join on ``key_col`` — with both snapshots stored
+    key-bucketed (``sources/bucketed.py``) the exchange disappears."""
+    fp = F.md5(normalize_for_fingerprint(F.col(text_col)))
+    o = old.select(F.col(key_col), fp.alias("__fp_old"),
+                   F.lit(True).alias("__in_old"))
+    n = new.select(F.col(key_col), fp.alias("__fp_new"),
+                   F.lit(True).alias("__in_new"))
+    status = (F.when(F.col("__in_old").isNull(), "added")
+              .when(F.col("__in_new").isNull(), "removed")
+              .when(F.col("__fp_old").eqNullSafe(F.col("__fp_new")),
+                    "unchanged")
+              .otherwise("changed"))
+    return (o.join(n, on=key_col, how="full_outer")
+            .select(key_col, status.alias("status")))
+
+
 class FingerprintStore:
     """Bucketed fingerprint store for a continuously growing corpus — the
     100 TB shape of :func:`dedup_against_fingerprints`.

@@ -1,0 +1,57 @@
+"""dedup.corpus_diff: snapshot-to-snapshot added/removed/changed audit."""
+
+from pyspark.sql import functions as F
+
+from scalding_spark.functions import dedup
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _diff(spark, old_rows, new_rows):
+    got = dedup.corpus_diff(_mk(spark, old_rows), _mk(spark, new_rows),
+                            "doc_id").collect()
+    return {r["doc_id"]: r["status"] for r in got}
+
+
+def test_all_four_statuses(spark):
+    old = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    new = [(2, "b"), (3, "c CHANGED"), (5, "e")]
+    assert _diff(spark, old, new) == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "removed",
+        5: "added"}
+
+
+def test_null_text_semantics(spark):
+    # NULL → NULL compares equal (eqNullSafe); NULL → text and
+    # text → NULL are content changes; a NULL fingerprint is never
+    # mistaken for a missing row.
+    old = [(1, None), (2, None), (3, "x")]
+    new = [(1, None), (2, "now"), (3, None), (4, None)]
+    assert _diff(spark, old, new) == {
+        1: "unchanged", 2: "changed", 3: "changed", 4: "added"}
+
+
+def test_compares_normalized_fingerprints_not_raw_text(spark):
+    # case/punctuation/whitespace-only edits are NOT changes — the same
+    # normalize_for_fingerprint contract as exact_dedup/dedup_against.
+    old = [(1, "Hello, World!"), (2, "a b")]
+    new = [(1, "hello world"), (2, "a  B..")]
+    assert _diff(spark, old, new) == {1: "unchanged", 2: "unchanged"}
+
+
+def test_empty_sides(spark):
+    old = [(1, "a")]
+    assert _diff(spark, old, []) == {1: "removed"}
+    assert _diff(spark, [], old) == {1: "added"}
+    assert _diff(spark, [], []) == {}
+
+
+def test_plan_is_jvm_only_and_schema_is_key_status(spark):
+    old = _mk(spark, [(i, f"t{i}") for i in range(10)])
+    new = _mk(spark, [(i, f"t{i}") for i in range(5, 15)])
+    out = dedup.corpus_diff(old, new, "doc_id")
+    assert out.columns == ["doc_id", "status"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
