@@ -181,25 +181,21 @@ def test_iterative_cut_conf_rejects_bad_values(spark):
         spark.conf.unset(ITERATIVE_CUT_CONF)
 
 
-# --- 5. grand-total gate probes the aggregate, not the raw input -------------
+# --- 5. grand-total gate: one bounded probe, no third scan -------------------
 
-def test_rollup_grand_total_gate_probes_the_aggregate_not_the_input(spark):
-    """The union's probe branch must sit over the aggregated output (out
-    empty ⟺ input empty), not re-evaluate the raw input — pinned by
-    counting scans of the input relation in the analyzed plan: the
-    limit(0) values branch constant-folds away, so only the main
-    aggregate's scan and the probe's scan-under-the-SAME-aggregate
-    remain (both canonically identical → exchange-reusable), never a
-    third bare re-scan of the input."""
+def test_rollup_grand_total_gate_costs_one_bounded_probe(spark):
+    """The accepted repair contract (see _with_empty_grand_total's
+    measured dead end: probing the aggregated frame shares NOTHING —
+    Catalyst's existence pruning rewrites it back into a limit-1 input
+    scan): the union adds exactly ONE limit-bounded probe of the input
+    and the limit(0) values branch constant-folds away, so the optimized
+    plan scans the input at most twice (main aggregate + probe), never a
+    third time."""
     from scalding_spark.pipe import Pipe
     df = spark.range(100).select(
         (F.col("id") % 3).alias("g"), F.col("id").alias("v"))
     out = (Pipe(df).rollup_by("g").sum("v").done()).df
     optimized = out._jdf.queryExecution().optimizedPlan().toString()
-    # after optimization the limit(0) values branch folds away entirely;
-    # the surviving scans are the main aggregate's and the probe's copy of
-    # the SAME aggregate (canonically identical → exchange-reusable) — the
-    # old raw-input probe left a third bare scan here
     assert optimized.count("Range (0, 100") <= 2
     rows = {tuple(r) for r in out.collect()}
     assert (None, 4950) in rows and len(rows) == 4
