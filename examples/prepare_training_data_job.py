@@ -4,6 +4,9 @@ engine's operators, from raw corpus to reproducible train/val/test splits.
   raw docs
    → URL blocklist           (optional: registrable-domain broadcast
                               anti-join — web.filter_blocklist)
+   → URL-exact dedup         (optional: canonicalize_url as the dedup key —
+                              click-id/fragment/case variants of one
+                              resource collapse before any text work)
    → PII redaction           (pure-codegen regex cascade, no UDF)
    → quality + language gate (heuristic band + logistic model score, both
                               column expressions fused into the scan)
@@ -22,8 +25,14 @@ engine's operators, from raw corpus to reproducible train/val/test splits.
                               across runs, clusters, partitionings)
    → token-budget mixing     (optional: equal-share domain mix within a
                               char budget — mix_to_proportions)
-   → train/val/test split    (disjoint md5 ranges, auditable contract)
+   → train/val/test split    (disjoint md5 ranges, auditable contract;
+                              with --keep-near-dups the split key is the
+                              dedup CLUSTER — sampling.leakage_safe_split —
+                              so retained duplicates never straddle splits)
    → partitioned write       (split=... directories)
+   → snapshot diff           (optional: corpus_diff vs --prev-corpus —
+                              the added/removed/changed audit of a
+                              recurring refresh)
    → sequence packing        (optional: whole-doc concat into fixed-token
                               training sequences — pack_sequences)
 
@@ -56,6 +65,23 @@ class PrepareTrainingDataJob(Job):
             docs = web.filter_blocklist(
                 docs, self.args.getOrElse("url-col", "url"),
                 self.spark.read.parquet(bl_path))
+
+        # 0b. URL-exact dedup (optional, needs a url column): canonical
+        # URL as the dedup key — fragment/tracking-param/case variants of
+        # one resource collapse to the lowest doc_id BEFORE any text
+        # processing pays for them; unparseable URLs (NULL canonical) are
+        # all kept — no URL evidence is not duplication evidence
+        if self.args.boolean("canonicalize-urls"):
+            from pyspark.sql import Window
+            from scalding_spark.functions import web
+            url_col = self.args.getOrElse("url-col", "url")
+            curl = web.canonicalize_url(F.col(url_col))
+            wu = Window.partitionBy("__curl")
+            docs = (docs.withColumn("__curl", curl)
+                    .withColumn("__umin", F.min("doc_id").over(wu))
+                    .where(F.col("__curl").isNull()
+                           | (F.col("doc_id") == F.col("__umin")))
+                    .drop("__curl", "__umin"))
 
         # 1. redact PII in place (email/IP/phone — shared regex constants)
         docs = docs.withColumn("text", tx.pii_redact(F.col("text")))
@@ -115,13 +141,21 @@ class PrepareTrainingDataJob(Job):
             docs = lm.importance_resample(docs, target, "text", "doc_id",
                                           k=k).drop("log_weight")
 
-        # 4. near-dup clustering: keep one canonical doc per component
+        # 4. near-dup clustering: keep one canonical doc per component —
+        # or, with --keep-near-dups, keep the natural duplicate
+        # distribution (some training recipes want it) and carry the
+        # cluster labels forward so step 8 can split by CLUSTER instead
+        # of by document (duplicates must never straddle train/test)
         thr = float(self.args.getOrElse("jaccard", "0.5"))
         pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                           n=3, threshold=thr)
         clustered = dedup.dedup_clusters(docs, pairs, "doc_id")
-        kept = clustered.where(F.col("doc_id") == F.col("cluster_id")) \
-            .drop("cluster_id")
+        keep_dups = self.args.boolean("keep-near-dups")
+        if keep_dups:
+            kept = clustered
+        else:
+            kept = clustered.where(F.col("doc_id") == F.col("cluster_id")) \
+                .drop("cluster_id")
 
         # 5. span-level audit: verbatim shared passages among the survivors
         # (evidence table for a later passage-cut pass, not a filter here)
@@ -161,8 +195,24 @@ class PrepareTrainingDataJob(Job):
                 {s: 1.0 / len(sources) for s in sources},
                 total=int(mix_budget), salt="mix")
 
-        # 8. reproducible splits + partitioned write
-        out = sampling.train_val_test_split(kept, "doc_id")
+        # 8. reproducible splits + partitioned write. With retained
+        # near-dups the split key is the dedup cluster (restricted to
+        # multi-doc clusters — the duplicate fraction — and broadcast,
+        # the documented production shape), so no cluster straddles
+        # train/test; without them every survivor is its own cluster and
+        # the plain per-doc split is already leakage-safe.
+        if keep_dups:
+            labels = kept.select("doc_id", "cluster_id")
+            multi = (labels.groupBy("cluster_id")
+                     .agg(F.count(F.lit(1)).alias("__n"))
+                     .where(F.col("__n") > 1).select("cluster_id"))
+            labels = labels.join(multi, "cluster_id") \
+                .select("doc_id", "cluster_id")
+            out = sampling.leakage_safe_split(
+                kept.drop("cluster_id"), "doc_id", labels,
+                broadcast_labels=True)
+        else:
+            out = sampling.train_val_test_split(kept, "doc_id")
         out.write.mode("overwrite").partitionBy("split") \
             .parquet(self.args("output"))
 
@@ -175,6 +225,19 @@ class PrepareTrainingDataJob(Job):
                 seq_tokens=int(pack))
             seqs.write.mode("overwrite").parquet(
                 self.args("output").rstrip("/") + "_train_sequences")
+
+        # 9b. snapshot diff (optional): added/removed/changed/unchanged
+        # per doc vs the previous run's corpus — the audit artifact a
+        # recurring refresh publishes next to the data. Reads the corpus
+        # just written (free checkpoint) so the diff never recomputes the
+        # pipeline.
+        prev = self.args.getOrElse("prev-corpus", "")
+        if prev:
+            cur = self.spark.read.parquet(self.args("output"))
+            dedup.corpus_diff(self.spark.read.parquet(prev), cur,
+                              "doc_id") \
+                .write.mode("overwrite").parquet(
+                    self.args("output").rstrip("/") + "_diff")
 
         # 10. drift report (optional): one-row unigram-KL summary of how
         # far the kept corpus drifted from the raw input — the monitoring

@@ -115,6 +115,87 @@ def test_prepare_training_data_job_dsir_stage(spark, tmp_path):
     assert 0 < got.count() <= 30
 
 
+def _dup_corpus(spark, tmp_path):
+    """50 docs: 40 distinct + exact copies of the first 10 (known
+    near-dup clusters at any Jaccard threshold)."""
+    rows = []
+    for i in range(40):
+        t = f"document body number {i} sharing many common filler tokens"
+        rows.append((i, t, "en", "srcA", len(t)))
+    for i in range(10):
+        t = f"document body number {i} sharing many common filler tokens"
+        rows.append((100 + i, t, "en", "srcB", len(t)))
+    src = str(tmp_path / "dup_src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(src)
+    return src
+
+
+def test_prepare_training_data_job_keep_dups_splits_by_cluster(
+        spark, tmp_path):
+    """--keep-near-dups retains the duplicate distribution and switches
+    the split key to the dedup cluster: every near-dup pair lands in ONE
+    split, and a --prev-corpus rerun publishes an all-unchanged diff."""
+    import pyspark.sql.functions as F
+    from examples.prepare_training_data_job import PrepareTrainingDataJob
+    from scalding_spark.functions import dedup
+    src = _dup_corpus(spark, tmp_path)
+    out1 = str(tmp_path / "run1")
+    base = ["--input", src, "--min-quality", "0.0",
+            "--min-model-score", "0.0", "--jaccard", "0.5",
+            "--keep-near-dups"]
+    PrepareTrainingDataJob(Args(base + ["--output", out1]), spark).run()
+    got = spark.read.parquet(out1)
+    assert got.count() == 50  # duplicates retained, not canonicalized
+    pairs = dedup.ngram_jaccard_pairs(got, "text", "doc_id",
+                                      n=3, threshold=0.5)
+    cl = dedup.dedup_clusters(got.select("doc_id", "text"), pairs,
+                              "doc_id")
+    per = (got.select("doc_id", "split").join(cl, "doc_id")
+           .groupBy("cluster_id")
+           .agg(F.countDistinct("split").alias("ns"),
+                F.count(F.lit(1)).alias("n")))
+    assert per.where("ns > 1").count() == 0          # never straddles
+    assert per.where("n > 1").count() >= 10          # dups really exist
+    out2 = str(tmp_path / "run2")
+    PrepareTrainingDataJob(
+        Args(base + ["--output", out2, "--prev-corpus", out1]),
+        spark).run()
+    statuses = {r["status"] for r in
+                spark.read.parquet(out2 + "_diff").collect()}
+    assert statuses == {"unchanged"}  # same input, same deterministic run
+
+
+def test_prepare_training_data_job_url_dedup(spark, tmp_path):
+    """--canonicalize-urls collapses click-variant URLs to one doc before
+    text processing; unparseable/NULL URLs are all kept."""
+    from examples.prepare_training_data_job import PrepareTrainingDataJob
+    rows = [
+        (1, "alpha article about spark partitions and shuffles",
+         "https://Example.com/page?utm_source=x&id=1"),
+        (2, "beta article describing catalyst optimizer rules",
+         "HTTPS://example.com:443/page?id=1#frag"),   # same canonical as 1
+        (3, "gamma piece on broadcast joins and skew salting",
+         "https://other.example.org/a"),
+        (4, "delta notes covering watermarking in streams", None),
+        (5, "epsilon text listing parquet row group sizing", "not a url"),
+    ]
+    src = str(tmp_path / "url_src")
+    spark.createDataFrame(
+        [(i, t, "en", "srcA", len(t), u) for i, t, u in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, url string").write.parquet(src)
+    out = str(tmp_path / "url_out")
+    PrepareTrainingDataJob(
+        Args(["--input", src, "--output", out, "--min-quality", "0.0",
+              "--min-model-score", "0.0", "--jaccard", "0.5",
+              "--canonicalize-urls"]), spark).run()
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {1, 3, 4, 5}  # 2 collapsed into 1; NULLs all kept
+
+
 # --- JobTest harness (round 2: reference JobTest.scala:38-150 parity) ------
 
 def _jobtest_imports():
