@@ -2488,6 +2488,23 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("status"))
 
 
+def q_neardup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.neardup_against (dedup.py): batch NEAR-dup gate against a
+    signature-only corpus store — even doc_ids are stored (MinHash
+    signatures only, the text never re-enters), odd doc_ids arrive as
+    the batch; survivors have estimated Jaccard < 0.5 to every stored
+    doc. The batch band table broadcasts over a map-only store scan.
+    Py-golden mirrors signatures, (band, hash) buckets, and the
+    slot-agreement estimator bit-exactly; token-less docs pass."""
+    docs = _t(spark, sf_dir, "documents")
+    store = dedup.minhash_signatures(
+        docs.where(F.col("doc_id") % 2 == 0), "text", "doc_id", 32, 3)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    kept = dedup.neardup_against(batch, store, "text", "doc_id",
+                                 num_hashes=32, bands=16, threshold=0.5)
+    return kept.select("doc_id")
+
+
 def q_web_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """web.host_of + web.registrable_domain (web.py): URL → normalized host
     → eTLD+1-style registrable domain, counted. Expression-only — the
@@ -2591,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their window slots go to real operators.
     return {
         # -- r06-new: first driver rows --
+        "q_neardup_against": q_neardup_against,
         "q_corpus_diff": q_corpus_diff,
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_semantic_dedup_auto": q_semantic_dedup_auto,
@@ -2956,6 +2974,7 @@ def py_oracle() -> dict[str, Callable]:
     import py_reference as pr
     return {
         "q_minhash_lsh_pairs": pr.golden_checker(pr.golden_minhash_lsh_pairs),
+        "q_neardup_against": pr.golden_checker(pr.golden_neardup_against),
         "q_simhash_pairs": pr.golden_checker(pr.golden_simhash_pairs),
         "q_cosine_topk_lsh": pr.golden_checker(pr.golden_cosine_topk_lsh),
         "q_cosine_topk_ivf": pr.golden_checker(pr.golden_cosine_topk_ivf),

@@ -87,6 +87,7 @@ HEADLINE = [
     "q_url_canonical",           # URL canonicalization (map-only dedup key)
     "q_leakage_safe_split",      # dedup-cluster-keyed train/val/test split
     "q_corpus_diff",             # snapshot added/removed/changed audit
+    "q_neardup_against",         # batch near-dup gate vs signature store
     "q_semantic_decontam",       # embedding decontamination (broadcast-exists)
 ]
 

@@ -287,6 +287,44 @@ def golden_minhash_lsh_pairs_scalar(sf_dir: str):
     return out, ["id_a", "id_b", "jaccard"]
 
 
+def golden_neardup_against_scalar(sf_dir: str):
+    """Mirror of q_neardup_against: store = even doc_ids' MinHash
+    signatures (num_hashes=32, bands=16, shingle_n=3), batch = odd
+    doc_ids; a batch doc is dropped when its slot-agreement estimate vs
+    ANY (band, hash)-bucketed store candidate reaches 0.5. Token-less
+    batch docs carry no signature and pass."""
+    num_hashes, bands, threshold = 32, 16, 0.5
+    r = num_hashes // bands
+    all_docs = _documents(sf_dir)
+    docs = [(i, shingles(t)) for i, t in all_docs]
+    docs = [(i, s) for i, s in docs if s]
+    sigs = {}
+    for i, shs in docs:
+        h0 = [xxhash64(s) for s in shs]
+        sigs[i] = [min(xxhash64(h, ("i32", s)) for h in h0)
+                   for s in range(num_hashes)]
+    buckets = {}
+    for i, sig in sigs.items():
+        if i % 2 == 0:
+            for b in range(bands):
+                key = (b, xxhash64(sig[b * r:(b + 1) * r], ("i32", b)))
+                buckets.setdefault(key, []).append(i)
+    dropped = set()
+    for i, sig in sigs.items():
+        if i % 2 == 1:
+            cands = set()
+            for b in range(bands):
+                key = (b, xxhash64(sig[b * r:(b + 1) * r], ("i32", b)))
+                cands.update(buckets.get(key, ()))
+            for sid in cands:
+                agree = sum(a == c for a, c in zip(sig, sigs[sid]))
+                if agree / num_hashes >= threshold:
+                    dropped.add(i)
+                    break
+    kept = sorted(i for i, _t in all_docs if i % 2 == 1 and i not in dropped)
+    return [(i,) for i in kept], ["doc_id"]
+
+
 def golden_simhash_pairs_scalar(sf_dir: str):
     """Mirror of q_simhash_pairs: max_hamming=3 (4 chunks × 16-bit)."""
     max_hamming = 3
@@ -643,6 +681,55 @@ def golden_minhash_lsh_pairs(sf_dir: str):
         if j >= threshold:
             out.append((a, b, round_half_up(j, 6)))
     return out, ["id_a", "id_b", "jaccard"]
+
+
+def golden_neardup_against(sf_dir: str):
+    """Vectorized mirror of q_neardup_against (spec:
+    golden_neardup_against_scalar): store = even doc_ids' signatures,
+    batch = odd; drop on estimator >= 0.5 vs any banded candidate."""
+    num_hashes, bands, threshold = 32, 16, 0.5
+    r = num_hashes // bands
+    all_docs = _documents(sf_dir)
+    batch_all = [i for i, _t in all_docs if i % 2 == 1]
+    docs = [(i, shingles(t)) for i, t in all_docs]
+    docs = [(i, s) for i, s in docs if s]
+    if not docs:
+        return [(i,) for i in sorted(batch_all)], ["doc_id"]
+    memo, flat, starts = {}, [], []
+    for _i, shs in docs:
+        starts.append(len(flat))
+        flat.extend(_hash_strings(shs, memo))
+    h0 = np.array(flat, dtype=np.uint64)
+    starts = np.array(starts, dtype=np.intp)
+    h1 = xxh64_long_v(h0, 42)
+    sigs = np.empty((len(docs), num_hashes), dtype=np.int64)
+    for s in range(num_hashes):
+        sigs[:, s] = np.minimum.reduceat(
+            xxh64_int_v(s, h1).view(np.int64), starts)
+    usig = sigs.view(np.uint64)
+    ids = np.array([i for i, _s in docs], dtype=np.int64)
+    keys = np.empty((len(docs), bands), dtype=np.int64)
+    for b in range(bands):
+        h = np.full(len(docs), 42, dtype=np.uint64)
+        for j in range(b * r, (b + 1) * r):
+            h = xxh64_long_v(usig[:, j], h)
+        keys[:, b] = xxh64_int_v(b, h).view(np.int64)
+    even = ids % 2 == 0
+    buckets = {}
+    for d in np.nonzero(even)[0]:
+        for b in range(bands):
+            buckets.setdefault((b, int(keys[d, b])), []).append(d)
+    dropped = set()
+    for d in np.nonzero(~even)[0]:
+        cand = set()
+        for b in range(bands):
+            cand.update(buckets.get((b, int(keys[d, b])), ()))
+        for sd in cand:
+            if int((sigs[d] == sigs[sd]).sum()) / num_hashes >= threshold:
+                dropped.add(int(ids[d]))
+                break
+    kept = sorted(i for i in batch_all if i not in dropped)
+    return [(i,) for i in kept], ["doc_id"]
 
 
 def golden_simhash_pairs(sf_dir: str):

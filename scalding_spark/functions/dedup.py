@@ -440,6 +440,52 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def neardup_against(new: DataFrame, store_sigs: DataFrame, text_col: str,
+                    id_col: str, num_hashes: int = 64, bands: int = 16,
+                    shingle_n: int = 3, threshold: float = 0.7,
+                    sig_id_col: str = "id",
+                    sig_col: str = "sig") -> DataFrame:
+    """Batch analog of the streaming store probe
+    (:func:`scalding_spark.streaming.stream_ingest_neardup` step 3) —
+    and the NEAR-dup upgrade of :func:`dedup_against_fingerprints`: drop
+    rows of ``new`` whose MinHash-estimated Jaccard to ANY stored
+    signature reaches ``threshold``. ``store_sigs`` is an ``(id, sig)``
+    frame — :func:`minhash_signatures` over the retained corpus, or the
+    streaming signature store read back; signatures and band hashes use
+    the same seeds as :func:`minhash_lsh_pairs` and the streaming probe,
+    so all three bucket identically and a corpus can move between the
+    batch and streaming paths without re-signing.
+
+    100 TB shape: ONE signature pass over the batch (the dominant
+    per-doc CPU); the batch band table BROADCASTS over a map-only scan
+    of the store — the corpus-sized store never shuffles, increment cost
+    is O(|batch| + one store scan); the estimator verify touches only
+    candidate signatures (stderr ≈ 1/sqrt(num_hashes)). Token-less/NULL
+    docs carry no shingles and always pass — no evidence is not
+    duplication evidence."""
+    bh = minhash_band_hashes(num_hashes, bands)
+    sigs = minhash_signatures(new, text_col, id_col, num_hashes, shingle_n)
+    bbands = sigs.select(F.col("id").alias("__bid"),
+                         F.posexplode(bh).alias("__band", "__h"))
+    bsigs = sigs.select(F.col("id").alias("__bid"),
+                        F.col("sig").alias("__bsig"))
+    store = store_sigs.select(F.col(sig_id_col).alias("__sid"),
+                              F.col(sig_col).alias("__ssig"))
+    store_bands = store.select(
+        "__sid",
+        F.posexplode(minhash_band_hashes(num_hashes, bands, "__ssig"))
+        .alias("__band", "__h"))
+    cands = (store_bands.join(F.broadcast(bbands), ["__band", "__h"])
+             .select("__bid", "__sid").distinct())
+    dups = (store.join(F.broadcast(cands), "__sid")
+            .join(F.broadcast(bsigs), "__bid")
+            .where(signature_jaccard(F.col("__bsig"), F.col("__ssig"),
+                                     num_hashes)
+                   >= F.lit(float(threshold)))
+            .select(F.col("__bid").alias(id_col)).distinct())
+    return new.join(dups, id_col, "left_anti")
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document: sign-sum of token-hash bits.
 

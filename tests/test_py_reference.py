@@ -192,7 +192,8 @@ def test_dot_lr_is_sequential_left_to_right():
 
 @pytest.mark.parametrize("name", [
     "minhash_lsh_pairs", "simhash_pairs", "cosine_topk_lsh",
-    "cosine_topk_ivf", "embedding_neardup", "kmeans", "semantic_dedup"])
+    "cosine_topk_ivf", "embedding_neardup", "kmeans", "semantic_dedup",
+    "neardup_against"])
 def test_vector_golden_equals_scalar_spec(sf_dir, name):
     vec = getattr(pr, f"golden_{name}")(sf_dir)
     sca = getattr(pr, f"golden_{name}_scalar")(sf_dir)
