@@ -10,11 +10,15 @@ host-language lambda (SURVEY.md §2.8). This engine's scalar layer IS
                   stats, context-window chunking.
 - ``dedup``       exact + MinHash-LSH + SimHash + n-gram-Jaccard dedup,
                   span-level shared-passage detection, connected-components
-                  near-dup clustering (label-prop + large/small-star).
+                  near-dup clustering (label-prop + large/small-star),
+                  batch near-dup gate vs a signature-only store
+                  (neardup_against), snapshot diff audit (corpus_diff).
 - ``similarity``  embedding cosine top-k (brute force + LSH + IVF ANN),
-                  exact/LSH near-dup, distributed k-means.
+                  exact/LSH near-dup, distributed k-means, SemDeDup
+                  semantic dedup, semantic benchmark decontamination.
 - ``sampling``    deterministic md5-range sampling: reproducible samples,
-                  train/val/test splits, per-stratum fractions, per-key caps,
+                  train/val/test splits (incl. dedup-cluster-keyed
+                  leakage_safe_split), per-stratum fractions, per-key caps,
                   budgeted shard packing (doubles as training-sequence
                   packing over chunk token counts).
 - ``lm``          self-trained unigram/bigram LM document scoring
@@ -25,8 +29,9 @@ host-language lambda (SURVEY.md §2.8). This engine's scalar layer IS
                   bloom-prefiltered semi/anti/inner joins (the 100 TB
                   shuffle reducer for incremental dedup and key lookups).
 
-- ``web``         URL host / registrable-domain extraction and broadcast
-                  blocklist filtering (web-corpus curation).
+- ``web``         URL host / registrable-domain extraction, canonical
+                  URL dedup keys, and broadcast blocklist filtering
+                  (web-corpus curation).
 
 r03 additions inside existing modules: text.gopher_signals/gopher_pass
 (integer-band quality gate), text.ngrams/top_ngram_fraction (repetition),
