@@ -55,3 +55,39 @@ def test_plan_is_jvm_only_and_schema_is_key_status(spark):
     assert out.columns == ["doc_id", "status"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
+
+
+# -- property: statuses match a pure-Python mirror on random snapshots --------
+
+from hypothesis import given, settings, strategies as st
+import re as _re
+
+_TEXTS = st.one_of(st.none(), st.sampled_from(
+    ["alpha beta", "ALPHA, beta!", "gamma", "gamma delta", "", "  ", "x"]))
+_SNAP = st.dictionaries(st.integers(0, 12), _TEXTS, max_size=10)
+
+
+def _norm(t):
+    return _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip() if t is not None \
+        else None
+
+
+def _py_diff(old, new):
+    out = {}
+    for k in old.keys() | new.keys():
+        if k not in old:
+            out[k] = "added"
+        elif k not in new:
+            out[k] = "removed"
+        elif _norm(old[k]) == _norm(new[k]):
+            out[k] = "unchanged"
+        else:
+            out[k] = "changed"
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(old=_SNAP, new=_SNAP)
+def test_diff_matches_python_mirror(spark, old, new):
+    got = _diff(spark, list(old.items()), list(new.items()))
+    assert got == _py_diff(old, new), (old, new)
