@@ -939,7 +939,11 @@ def kmeans(emb, k: int = 8, max_iter: int = 10, seed: int = 42,
         cells = _assign_v(E, C)
         sums = np.zeros_like(C)
         np.add.at(sums, cells, E)
-        counts = np.bincount(cells, minlength=k)
+        # minlength=len(C), NOT k: with fewer vectors than k the init
+        # yields len(C) < k centroids and a k-long mask would not index C
+        # (single-row axis find; the scalar spec's range(k) loop tolerates
+        # the same shape because counts beyond len(C) stay 0)
+        counts = np.bincount(cells, minlength=len(C))
         new_C = C.copy()
         nz = counts > 0
         new_C[nz] = sums[nz] / counts[nz, None]

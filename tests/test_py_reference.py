@@ -208,3 +208,17 @@ def test_vector_kmeans_equals_scalar_kmeans_full_state(sf_dir):
     asc, cs = pr.kmeans_scalar(emb)
     assert av == asc
     assert cv == cs
+
+
+def test_vector_kmeans_handles_fewer_vectors_than_k():
+    """Single-row axis find: with n < k the init yields len(C) < k
+    centroids; the vectorized update's count mask must size to len(C)
+    (the scalar spec's range(k) loop tolerates it implicitly)."""
+    one = [(7, [1.0, 2.0, 3.0], "x")]
+    va, vc = pr.kmeans(one)
+    sa, sc = pr.kmeans_scalar(one)
+    assert va == sa == {7: 0}
+    assert [list(map(float, c)) for c in sc] == vc
+    three = [(1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "b"),
+             (3, [5.0, 5.0], "c")]
+    assert pr.kmeans(three)[0] == pr.kmeans_scalar(three)[0]
