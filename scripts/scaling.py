@@ -235,8 +235,40 @@ def op_bloom(spark, path):
     return m
 
 
+def op_neardup_against(spark, path):
+    """Batch near-dup gate vs a signature store (even doc_ids stored,
+    odd arrive): candidate volume = Σ over (band, hash) buckets of
+    c_batch·c_store — the CROSS count, since the probe is a batch-vs-
+    store join, not a self-join."""
+    from scalding_spark.functions import dedup
+    docs = spark.read.parquet(path)
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    store = dedup.minhash_signatures(even, "text", "doc_id", 32, 3)
+
+    def run():
+        out = dedup.neardup_against(odd, store, "text", "doc_id",
+                                    num_hashes=32, bands=16, threshold=0.5)
+        return {"rows": out.count()}
+
+    m = measure(spark, run)
+    bh = dedup.minhash_band_hashes(32, 16)
+    bsig = dedup.minhash_signatures(odd, "text", "doc_id", 32, 3)
+    bb = (bsig.select(F.posexplode(bh).alias("band", "h"))
+          .groupBy("band", "h").agg(F.count(F.lit(1)).alias("cb")))
+    sb = (store.select(F.posexplode(bh).alias("band", "h"))
+          .groupBy("band", "h").agg(F.count(F.lit(1)).alias("cs")))
+    m["candidates"] = int(bb.join(sb, ["band", "h"])
+                          .agg(F.coalesce(F.sum(F.col("cb") * F.col("cs")),
+                                          F.lit(0)))
+                          .collect()[0][0])
+    m["rows_in"] = odd.count()
+    return m
+
+
 OPS = {"ngram": op_ngram, "minhash": op_minhash, "winnow": op_winnow,
-       "spans": op_spans, "fuzzy": op_fuzzy, "bloom": op_bloom}
+       "spans": op_spans, "fuzzy": op_fuzzy, "bloom": op_bloom,
+       "neardup_against": op_neardup_against}
 
 
 # ---------------------------------------------------------------------------
