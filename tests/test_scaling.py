@@ -94,3 +94,22 @@ def test_kmeans_update_shuffle_independent_of_n(spark):
     assert big <= 4 * small + 65536, (
         f"kmeans per-round update shuffle grew with n: {m} — did the "
         f"partial aggregate (map-side combine) drop out of the plan?")
+
+
+def test_neardup_against_output_tracks_batch(spark, corpora):
+    """The store probe's OUTPUT is batch-sized (exponent ~1.0) and the
+    structural guarantee holds: kept rows never exceed the batch, and
+    the probe never inflates output via the (band, hash) join (distinct
+    on ids before the anti join). Candidate volume itself is data-shape
+    driven (see SCALING.md — the raw-store harness is clique-dense), so
+    the pin is on output, not candidates."""
+    import scaling
+    m = {n: scaling.op_neardup_against(spark, corpora[n])
+         for n in (N_SMALL, N_BIG)}
+    exp = _exponent(m[N_SMALL]["rows"], m[N_BIG]["rows"])
+    assert exp <= 1.05, (
+        f"neardup_against kept rows superlinear: {m} → exponent {exp:.2f} "
+        f"(measured 1.00 in r06; did the distinct before the anti join "
+        f"drop?)")
+    for n in (N_SMALL, N_BIG):
+        assert m[n]["rows"] <= m[n]["rows_in"]
