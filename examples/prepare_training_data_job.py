@@ -14,6 +14,9 @@ engine's operators, from raw corpus to reproducible train/val/test splits.
                               tail the linear model can't see)
    → CCNet bucket gate       (optional: head/middle/tail perplexity
                               terciles, keep a relative slice)
+   → decontamination         (optional: drop docs sharing an 8-gram with
+                              a benchmark parquet — broadcast shingles,
+                              corpus text never shuffles)
    → near-dup CLUSTERING     (n-gram Jaccard pairs → connected components;
                               keeps the canonical doc per cluster, unlike
                               pairwise loser-dropping which over-deletes
@@ -130,6 +133,15 @@ class PrepareTrainingDataJob(Job):
             docs = docs.join(
                 bucketed.where(~F.col("bucket").isin(*keep))
                 .select("doc_id"), "doc_id", "left_anti")
+
+        # 3b'. benchmark decontamination (optional): drop docs sharing any
+        # 8-gram with an eval-set document — the guard against benchmark
+        # leakage into training data. Benchmark shingles broadcast; the
+        # corpus text never shuffles for this gate.
+        bench_path = self.args.getOrElse("benchmark", "")
+        if bench_path:
+            bench = self.spark.read.parquet(bench_path)
+            docs = dedup.decontaminate(docs, bench, "text", "doc_id")
 
         # 3b. DSIR selection (optional): keep the --dsir-k docs most like a
         # target corpus (hashed-ngram importance resampling — the

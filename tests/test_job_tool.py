@@ -167,6 +167,26 @@ def test_prepare_training_data_job_keep_dups_splits_by_cluster(
     assert statuses == {"unchanged"}  # same input, same deterministic run
 
 
+def test_prepare_training_data_job_decontaminates(spark, tmp_path):
+    """--benchmark drops the corpus doc that verbatim-contains an
+    eval-set passage; everything else flows through."""
+    from examples.prepare_training_data_job import PrepareTrainingDataJob
+    src = _dup_corpus(spark, tmp_path)
+    leak = "document body number 7 sharing many common filler tokens"
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame([(0, leak)], "q long, text string") \
+        .write.parquet(bench)
+    out = str(tmp_path / "decontam_out")
+    PrepareTrainingDataJob(
+        Args(["--input", src, "--output", out, "--min-quality", "0.0",
+              "--min-model-score", "0.0", "--jaccard", "0.5",
+              "--benchmark", bench]), spark).run()
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(out).select("doc_id").collect()}
+    assert 7 not in kept and 107 not in kept  # the leak and its exact dup
+    assert 8 in kept or 108 in kept           # unrelated docs survive
+
+
 def test_prepare_training_data_job_url_dedup(spark, tmp_path):
     """--canonicalize-urls collapses click-variant URLs to one doc before
     text processing; unparseable/NULL URLs are all kept."""
