@@ -108,14 +108,18 @@ def leakage_safe_split(df: DataFrame, key_col: str, labels: DataFrame,
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    lab = labels.select(key_col, cluster_col)
+    # reserved internal alias: df may legitimately carry its own column
+    # named cluster_col (e.g. dedup_clusters output fed straight in) —
+    # joining unaliased would make the coalesce reference ambiguous
+    lab = labels.select(F.col(key_col),
+                        F.col(cluster_col).alias("__lss_cluster"))
     if broadcast_labels:
         lab = F.broadcast(lab)
     joined = df.join(lab, on=key_col, how="left")
-    effective = F.coalesce(F.col(cluster_col).cast("string"),
+    effective = F.coalesce(F.col("__lss_cluster").cast("string"),
                            F.col(key_col).cast("string"))
     return (joined.withColumn("split", split_column(effective, weights, salt))
-            .drop(cluster_col))
+            .drop("__lss_cluster"))
 
 
 def stratified_sample(df: DataFrame, key_col: str, strata_col: str,

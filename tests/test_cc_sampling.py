@@ -783,3 +783,18 @@ def test_leakage_split_broadcasts_labels_on_request(clustered):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_leakage_split_tolerates_cluster_col_on_input(spark):
+    """dedup_clusters output (which already carries cluster_id) can be fed
+    straight in as BOTH df and labels without an ambiguous-column error,
+    and the input's own cluster_id column passes through untouched."""
+    docs = spark.range(60).select(F.col("id").alias("doc_id"))
+    labels = docs.select("doc_id",
+                         (F.col("doc_id") - F.col("doc_id") % 3)
+                         .alias("cluster_id"))
+    out = sampling.leakage_safe_split(labels, "doc_id", labels)
+    assert set(out.columns) == {"doc_id", "cluster_id", "split"}
+    per = (out.groupBy("cluster_id")
+           .agg(F.countDistinct("split").alias("ns")).collect())
+    assert all(r["ns"] == 1 for r in per)
