@@ -187,13 +187,20 @@ class PrepareTrainingDataJob(Job):
             kept = dedup.cut_spans(kept, spans, "text", "doc_id") \
                 .drop("n_cut_tokens")
 
-        # 6. per-source stratified downsample (defaults: keep everything)
+        # 6. per-source stratified downsample (defaults: keep everything).
+        # salt= is MANDATORY hygiene here: md5-range stages keyed on the
+        # same column with the same salt share one hash, so their
+        # memberships CORRELATE — a 0.9 downsample under the default salt
+        # keeps exactly the hash range the later 90/5/5 split labels
+        # 'train' and val/test come out EMPTY (caught by the all-options
+        # composition run; tests/test_cc_sampling.py pins the hazard)
         frac = float(self.args.getOrElse("keep-fraction", "1.0"))
         if frac < 1.0:
             sources = [r["source"] for r in
                        kept.select("source").distinct().collect()]
             kept = sampling.stratified_sample(
-                kept, "doc_id", "source", {s: frac for s in sources})
+                kept, "doc_id", "source", {s: frac for s in sources},
+                salt="downsample")
 
         # 7. token-budget domain mixing (optional): resample sources toward
         # equal shares of a char budget — reproducible md5 cutoffs derived

@@ -13,6 +13,15 @@ stable key column, so:
 - everything is a pure Column expression: whole-stage codegen, no RNG
   state, no UDFs, pushdown-friendly.
 
+Salt hygiene: within-stage determinism is the feature, but ACROSS
+pipeline stages it means two operators keyed on the same column with the
+same salt share ONE hash and their memberships correlate perfectly — a
+0.9 `deterministic_sample`/`stratified_sample` under the default salt
+keeps exactly the range a later default-salt 90/5/5 `split_column`
+labels 'train', leaving val/test empty. Give every sampling STAGE of a
+pipeline its own ``salt=``; only reuse a salt when subset composition
+between two fractions is exactly what you want.
+
 The reference's seeded `sample(p, seed)` / `shard(n, seed)`
 (RichPipe.scala:488-489,199-229) give per-run reproducibility only if the
 input split layout is identical; hash-based sampling is the stronger

@@ -798,3 +798,23 @@ def test_leakage_split_tolerates_cluster_col_on_input(spark):
     per = (out.groupBy("cluster_id")
            .agg(F.countDistinct("split").alias("ns")).collect())
     assert all(r["ns"] == 1 for r in per)
+
+
+def test_same_salt_stages_correlate_distinct_salts_compose(spark):
+    """Salt hygiene (caught by the r06 all-options composition run): a
+    0.9 sample under the DEFAULT salt keeps exactly the hash range the
+    default-salt 90/5/5 split labels 'train' — val/test come out empty.
+    Distinct per-stage salts restore the expected split mix."""
+    docs = spark.range(3000).select(F.col("id").alias("k"))
+    correlated = sampling.train_val_test_split(
+        sampling.deterministic_sample(docs, "k", 0.9), "k")
+    got = {r["split"] for r in correlated.select("split").distinct().collect()}
+    assert got == {"train"}  # the documented hazard, pinned
+    hygienic = sampling.train_val_test_split(
+        sampling.deterministic_sample(docs, "k", 0.9, salt="downsample"),
+        "k")
+    mix = {r["split"]: r["n"] for r in
+           hygienic.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(mix) == {"train", "val", "test"}
+    n = sum(mix.values())
+    assert 0.85 < mix["train"] / n < 0.95
