@@ -216,6 +216,50 @@ def test_prepare_training_data_job_url_dedup(spark, tmp_path):
     assert kept == {1, 3, 4, 5}  # 2 collapsed into 1; NULLs all kept
 
 
+def test_prepare_training_data_job_all_options_compose(spark, tmp_path):
+    """Every optional stage enabled at once — the composition surface no
+    single-option test exercises (this run caught the cross-stage salt
+    correlation that emptied val/test). Asserts all three splits appear
+    and every sidecar lands."""
+    from examples.prepare_training_data_job import PrepareTrainingDataJob
+    # 600 distinct docs + 60 exact dups: enough surviving split KEYS that
+    # "all rows in one split" is statistically impossible (0.9^~500)
+    rows = []
+    for i in range(600):
+        t = (f"record {i} holds words w{i % 7} w{i % 11} w{i % 13} "
+             f"plus shared filler tokens for the corpus")
+        rows.append((i, t, "en", f"src{i % 3}", len(t)))
+    for i in range(60):
+        t = (f"record {i} holds words w{i % 7} w{i % 11} w{i % 13} "
+             f"plus shared filler tokens for the corpus")
+        rows.append((1000 + i, t, "en", "srcB", len(t)))
+    src = str(tmp_path / "ao_src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(src)
+    bench = str(tmp_path / "ao_bench")
+    spark.createDataFrame(
+        [(0, rows[3][1])], "q long, text string").write.parquet(bench)
+    out = str(tmp_path / "ao_out")
+    PrepareTrainingDataJob(
+        Args(["--input", src, "--output", out, "--min-quality", "0.0",
+              "--min-model-score", "0.0", "--max-neg-logp", "99",
+              "--ccnet-keep", "head,middle,tail", "--benchmark", bench,
+              "--jaccard", "0.6", "--keep-near-dups",
+              "--keep-fraction", "0.9", "--mix-budget-chars", "40000",
+              "--pack-tokens", "64", "--drift-report"]), spark).run()
+    got = spark.read.parquet(out)
+    n = got.count()
+    assert 0 < n < 660  # gates and sampling really cut
+    kept_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert 3 not in kept_ids and 1003 not in kept_ids  # decontaminated
+    splits = {r["split"] for r in got.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}, splits  # salt hygiene
+    assert spark.read.parquet(out + "_train_sequences").count() > 0
+    assert spark.read.parquet(out + "_drift").count() == 1
+    spark.read.parquet(out + "_shared_spans")  # exists (may be empty)
+
+
 # --- JobTest harness (round 2: reference JobTest.scala:38-150 parity) ------
 
 def _jobtest_imports():
