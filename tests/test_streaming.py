@@ -280,3 +280,25 @@ def test_signature_jaccard_estimator(spark):
             signature_jaccard(F.col("sa"), F.col("sb"), 64).alias("j")
         ).collect()[0]["j"]
         assert lo <= est <= hi, (other, est)
+
+
+def test_batch_probe_reads_the_streaming_store(spark, tmp_path):
+    """The docstring claim, verified: a corpus signed by the STREAMING
+    path is probe-able by the BATCH dedup.neardup_against without
+    re-signing — identical seeds and (band, hash) buckets (streaming
+    defaults: 64 hashes / 16 bands)."""
+    from scalding_spark.functions import dedup
+    paths = tuple(str(tmp_path / p) for p in ("s3", "c3", "st3", "ck3"))
+    other = ("completely different content about distributed query engines "
+             "aggregating partitioned columnar data with adaptive shuffles "
+             "and broadcast hash joins across many executor nodes tonight")
+    _run_neardup(spark, [(0, BASE), (3, other)], paths)
+    store = spark.read.parquet(paths[2])  # (id, sig, __batch)
+    novel = ("fresh unseen narrative describing orchard keepers grafting "
+             "rare apple cultivars onto hardy rootstock under autumn skies")
+    batch = spark.createDataFrame(
+        [(100, BASE.replace("lazy", "sleepy")), (101, novel)],
+        "doc_id long, text string")
+    kept = dedup.neardup_against(batch, store, "text", "doc_id",
+                                 num_hashes=64, bands=16, threshold=0.7)
+    assert {r.doc_id for r in kept.collect()} == {101}
