@@ -302,3 +302,23 @@ def test_batch_probe_reads_the_streaming_store(spark, tmp_path):
     kept = dedup.neardup_against(batch, store, "text", "doc_id",
                                  num_hashes=64, bands=16, threshold=0.7)
     assert {r.doc_id for r in kept.collect()} == {101}
+
+
+def test_semantic_decontaminate_is_stream_compatible(spark, tmp_path):
+    """similarity.semantic_decontaminate is a pure broadcast filter (the
+    benchmark collapses to literals at plan-build), so it applies to a
+    STREAMING frame unchanged — batch ≡ stream on the same rows."""
+    from scalding_spark.functions import similarity
+    src = str(tmp_path / "emb_src")
+    rows = [(1, [1.0, 0.0]), (2, [0.99, 0.1]), (3, [0.0, 1.0]), (4, None)]
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    bench = spark.createDataFrame([(100, [1.0, 0.0])], schema)
+    stream = streaming.stream_from_parquet_dir(spark, src, schema)
+    out = similarity.semantic_decontaminate(stream, bench, threshold=0.9)
+    assert out.isStreaming
+    got = {r["vec_id"] for r in
+           streaming.run_available_now(out, timeout_s=120).collect()}
+    batch = {r["vec_id"] for r in similarity.semantic_decontaminate(
+        spark.read.parquet(src), bench, threshold=0.9).collect()}
+    assert got == batch == {3, 4}  # near-dups dropped; NULL vec kept
