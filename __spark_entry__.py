@@ -2505,6 +2505,20 @@ def q_neardup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.contamination_report (dedup.py): per-benchmark-item leak
+    audit — same benchmark construction as q_decontaminate (every 97th
+    doc, 8-grams), reporting for each benchmark item how many corpus
+    docs share an n-gram and how many distinct grams overlap. Self-hits
+    expected (the benchmark is drawn from the corpus); clean items stay
+    as zero rows. Corpus text never shuffles (broadcast bench grams)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = (docs.where(F.col("doc_id") % 97 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    return dedup.contamination_report(
+        docs, bench, "text", "doc_id", "bench_id", n=8).orderBy("bench_id")
+
+
 def q_web_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """web.host_of + web.registrable_domain (web.py): URL → normalized host
     → eTLD+1-style registrable domain, counted. Expression-only — the
@@ -2608,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their window slots go to real operators.
     return {
         # -- r06-new: first driver rows --
+        "q_contamination_report": q_contamination_report,
         "q_neardup_against": q_neardup_against,
         "q_corpus_diff": q_corpus_diff,
         "q_leakage_safe_split": q_leakage_safe_split,
@@ -2665,12 +2680,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_rollup": q_events_rollup,
         "q_session_window": q_session_window,
         "q_sessionize": q_sessionize,
-        # ---- position 50 ends here (q_leakage_safe_split's late-r06
-        #      insertion at the top displaced q_cc_star to position 51 —
-        #      it leads the r07 queue below) ----
+        # ---- position 50 ends here (the four late-r06 insertions at the
+        #      top — q_contamination_report, q_neardup_against,
+        #      q_corpus_diff, q_leakage_safe_split — displaced
+        #      q_events_rollup, q_session_window, q_sessionize, and
+        #      q_cc_star to positions 51-54; they MUST lead the r07
+        #      window, still r02-stale) ----
         "q_cc_star": q_cc_star,
-        # -- r07 window queue: q_cc_star above (displaced, r02-stale, must
-        #    be in the r07 window), then q_asof_join / q_range_join / q_cube_agg
+        # -- r07 window queue: the four displaced r02-stale entries above
+        #    and around this comment lead it, then q_asof_join /
+        #    q_range_join / q_cube_agg
         #    lead it (r05 operator fixes landed after their last driver
         #    rows; they were displaced from slots 48-50 by the three
         #    r06-new queries — never-checked entries must sit in the
@@ -3069,6 +3088,31 @@ def oracle_sql() -> dict[str, str]:
         "q_temperature_mix": _temperature_mix_sql(),
         # canonicalize_url mirror: every rule verbatim (RE2-portable; \\1
         # backrefs; regexp_extract returns '' on no match on both engines)
+        "q_contamination_report": f"""
+            WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 8 THEN list_distinct(
+                           [array_to_string(toks[i:i+7], ' ')
+                            for i in range(1, len(toks) - 6)])
+                       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                       ELSE [] END AS shs
+                  FROM d),
+            e AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+            bsh AS (SELECT DISTINCT doc_id AS bench_id, sh FROM e
+                    WHERE doc_id % 97 = 0),
+            hits AS (SELECT bench_id,
+                            count(DISTINCT e.doc_id) AS n_corpus_docs,
+                            count(DISTINCT bsh.sh) AS n_shared_ngrams
+                     FROM bsh JOIN e ON e.sh = bsh.sh
+                     GROUP BY bench_id)
+            SELECT b.bench_id,
+                   coalesce(n_corpus_docs, 0)::BIGINT AS n_corpus_docs,
+                   coalesce(n_shared_ngrams, 0)::BIGINT AS n_shared_ngrams
+            FROM (SELECT DISTINCT doc_id AS bench_id FROM documents
+                  WHERE doc_id % 97 = 0) b
+            LEFT JOIN hits ON b.bench_id = hits.bench_id
+            ORDER BY b.bench_id
+        """,
         "q_corpus_diff": f"""
             WITH o AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp, true AS pres
                        FROM documents),

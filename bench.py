@@ -88,6 +88,7 @@ HEADLINE = [
     "q_leakage_safe_split",      # dedup-cluster-keyed train/val/test split
     "q_corpus_diff",             # snapshot added/removed/changed audit
     "q_neardup_against",         # batch near-dup gate vs signature store
+    "q_contamination_report",    # per-benchmark-item leak audit
     "q_semantic_decontam",       # embedding decontamination (broadcast-exists)
 ]
 

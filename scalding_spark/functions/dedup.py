@@ -642,6 +642,42 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
                        corpus[id_col] == hits["__id"], "left_anti")
 
 
+def contamination_report(corpus: DataFrame, benchmark: DataFrame,
+                         text_col: str, id_col: str,
+                         bench_id_col: str, n: int = 8,
+                         benchmark_text_col: str | None = None) -> DataFrame:
+    """Audit complement of :func:`decontaminate`: instead of dropping
+    contaminated corpus rows, report PER BENCHMARK ITEM how widely it
+    leaked — ``(bench_id, n_corpus_docs`` sharing ≥1 n-gram,
+    ``n_shared_ngrams`` distinct overlapping grams). Items with zero
+    hits stay in the report: "not leaked" is a positive signal an eval
+    owner needs, not an absent row.
+
+    Same 100 TB plan shape as :func:`decontaminate`: the benchmark's
+    ``(id, shingle)`` pairs broadcast; the corpus explodes its shingles
+    map-side and inner-joins the broadcast — the corpus text never
+    shuffles, and everything that aggregates afterwards is
+    benchmark-sized."""
+    bcol = benchmark_text_col or text_col
+    bsh = (benchmark
+           .select(F.col(bench_id_col).alias("bench_id"),
+                   F.explode(shingles(F.col(bcol), n)).alias("sh"))
+           .distinct())
+    csh = corpus.select(F.col(id_col).alias("__cid"),
+                        F.explode(shingles(F.col(text_col), n)).alias("sh"))
+    hits = (csh.join(F.broadcast(bsh), "sh")
+            .groupBy("bench_id")
+            .agg(F.countDistinct("__cid").alias("n_corpus_docs"),
+                 F.countDistinct("sh").alias("n_shared_ngrams")))
+    base = benchmark.select(F.col(bench_id_col).alias("bench_id")).distinct()
+    return (base.join(hits, "bench_id", "left")
+            .select("bench_id",
+                    F.coalesce("n_corpus_docs", F.lit(0))
+                    .alias("n_corpus_docs"),
+                    F.coalesce("n_shared_ngrams", F.lit(0))
+                    .alias("n_shared_ngrams")))
+
+
 def connected_components_star(edges: DataFrame, src: str = "src",
                               dst: str = "dst", max_iter: int = 30,
                               stats: dict | None = None) -> DataFrame:

@@ -91,3 +91,36 @@ def _py_diff(old, new):
 def test_diff_matches_python_mirror(spark, old, new):
     got = _diff(spark, list(old.items()), list(new.items()))
     assert got == _py_diff(old, new), (old, new)
+
+
+# -- contamination_report: the audit complement of decontaminate --------------
+
+def test_contamination_report_counts_and_zero_rows(spark):
+    from pyspark.sql import functions as F
+    corpus = _mk(spark, [
+        (1, "alpha beta gamma delta"),          # shares 'alpha beta gamma' path? n=2 below
+        (2, "alpha beta something else"),
+        (3, "totally unrelated words here"),
+        (4, None),
+    ])
+    bench = spark.createDataFrame(
+        [(100, "alpha beta"), (200, "never seen phrase"), (300, None)],
+        "bench_id long, text string")
+    got = {r["bench_id"]: (r["n_corpus_docs"], r["n_shared_ngrams"])
+           for r in dedup.contamination_report(
+               corpus, bench, "text", "doc_id", "bench_id", n=2).collect()}
+    # 'alpha beta' (one 2-gram) appears in docs 1 and 2
+    assert got[100] == (2, 1)
+    # clean and NULL-text benchmark items are PRESENT with zeros
+    assert got[200] == (0, 0) and got[300] == (0, 0)
+
+
+def test_contamination_report_plan_broadcasts_bench(spark):
+    corpus = _mk(spark, [(i, f"w{i} x{i} y{i}") for i in range(20)])
+    bench = spark.createDataFrame([(1, "w3 x3 y3")],
+                                  "bench_id long, text string")
+    out = dedup.contamination_report(corpus, bench, "text", "doc_id",
+                                     "bench_id", n=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
