@@ -12,7 +12,8 @@ host-language lambda (SURVEY.md §2.8). This engine's scalar layer IS
                   span-level shared-passage detection, connected-components
                   near-dup clustering (label-prop + large/small-star),
                   batch near-dup gate vs a signature-only store
-                  (neardup_against), snapshot diff audit (corpus_diff).
+                  (neardup_against), snapshot diff audit (corpus_diff),
+                  per-benchmark-item contamination_report.
 - ``similarity``  embedding cosine top-k (brute force + LSH + IVF ANN),
                   exact/LSH near-dup, distributed k-means, SemDeDup
                   semantic dedup, semantic benchmark decontamination.
