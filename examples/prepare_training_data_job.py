@@ -16,7 +16,8 @@ engine's operators, from raw corpus to reproducible train/val/test splits.
                               terciles, keep a relative slice)
    → decontamination         (optional: drop docs sharing an 8-gram with
                               a benchmark parquet — broadcast shingles,
-                              corpus text never shuffles)
+                              corpus text never shuffles; also publishes
+                              a per-benchmark-item leak-report sidecar)
    → near-dup CLUSTERING     (n-gram Jaccard pairs → connected components;
                               keeps the canonical doc per cluster, unlike
                               pairwise loser-dropping which over-deletes
@@ -141,6 +142,15 @@ class PrepareTrainingDataJob(Job):
         bench_path = self.args.getOrElse("benchmark", "")
         if bench_path:
             bench = self.spark.read.parquet(bench_path)
+            # leak report FIRST (against the pre-drop corpus — after the
+            # drop every count would read zero), published as a sidecar:
+            # the eval owner's per-item evidence for what was burned
+            bid = self.args.getOrElse("benchmark-id-col", bench.columns[0])
+            dedup.contamination_report(
+                docs, bench.withColumnRenamed(bid, "bench_id"),
+                "text", "doc_id", "bench_id") \
+                .write.mode("overwrite").parquet(
+                    self.args("output").rstrip("/") + "_contamination")
             docs = dedup.decontaminate(docs, bench, "text", "doc_id")
 
         # 3b. DSIR selection (optional): keep the --dsir-k docs most like a

@@ -185,6 +185,11 @@ def test_prepare_training_data_job_decontaminates(spark, tmp_path):
             spark.read.parquet(out).select("doc_id").collect()}
     assert 7 not in kept and 107 not in kept  # the leak and its exact dup
     assert 8 in kept or 108 in kept           # unrelated docs survive
+    # and the per-item leak report sidecar: the benchmark item matched
+    # the leaking doc AND its exact duplicate (pre-drop counts)
+    rep = {r["bench_id"]: r["n_corpus_docs"] for r in
+           spark.read.parquet(out + "_contamination").collect()}
+    assert rep[0] >= 2
 
 
 def test_prepare_training_data_job_url_dedup(spark, tmp_path):
