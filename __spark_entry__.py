@@ -2606,95 +2606,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
-    # r06 window (VERDICT r05 next-round #1 — the enforced steady state):
-    # the 8 queries whose newest driver row is r01 (four rounds stale, the
-    # oldest in the ledger), then the 39 r02-stale, then 3 fillers drawn
-    # from the r04 tier — chosen because their OPERATORS changed after
-    # their last driver row: q_asof_join / q_range_join (r05 NULL-key
-    # join-semantics fix, commit 2c0db78) and q_cube_agg (r05 ANSI
-    # empty-input grand-total repair; also a +34% bench drifter VERDICT
-    # r05 #7 asks to re-measure). After this rotation every query's newest
-    # driver row is ≤2 rounds old — the steady state
-    # tests/test_driver_window.py enforces.
-    # The three r03 diagnostic probes are RETIRED from the rotation
-    # (VERDICT r05 #5; diagnoses closed in r04/r05): they live in
-    # retired_probes() and stay parity-pinned by tests/test_probes.py, so
-    # their window slots go to real operators.
+    # r07 window (VERDICT r06 next-round #1): the 4 r02-stale queries the
+    # late-r06 insertions displaced out of the r06 window
+    # (q_events_rollup / q_session_window / q_sessionize / q_cc_star —
+    # the staleness bound depends on them going first), then the first 46
+    # of the 47-query r04-stale block in queue order (q_asof_join through
+    # q_winnow_fingerprints). q_winnow_overlap is the one r04-stale entry
+    # that does not fit; it sits at position 51 and MUST lead the r08
+    # window. r07-new queries inserted at the top during the round each
+    # displace one more r04-stale entry below position 50 — every such
+    # displacement is ledgered in the comment at the displacement point
+    # so the header never overstates what the driver verified
+    # (ADVICE r06 #1).
     return {
-        # -- r06-new: first driver rows --
-        "q_contamination_report": q_contamination_report,
-        "q_neardup_against": q_neardup_against,
-        "q_corpus_diff": q_corpus_diff,
-        "q_leakage_safe_split": q_leakage_safe_split,
-        "q_semantic_dedup_auto": q_semantic_dedup_auto,
-        "q_url_canonical": q_url_canonical,
-        "q_semantic_decontam": q_semantic_decontam,
-        # -- r01-stale block (newest driver row = CORRECTNESS_r01) --
-        "q18_large_volume_customer": q18_large_volume_customer,
-        "q22_idle_customers": q22_idle_customers,
-        "q_mkstring": q_mkstring,
-        "q_times_product": q_times_product,
-        "q_head_last": q_head_last,
-        "q_toset": q_toset,
-        "q_maplist": q_maplist,
-        "q_dot": q_dot,
-        # -- r02-stale: TPC-H tail --
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_count": q16_supplier_part_count,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        # -- r02-stale: matrix library --
-        "q_matmul": q_matmul,
-        "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
-        "q_matrix_elementwise": q_matrix_elementwise,
-        "q_matrix_reductions": q_matrix_reductions,
-        "q_matrix_col_normalize": q_matrix_col_normalize,
-        "q_matrix_filter_ops": q_matrix_filter_ops,
-        "q_matrix_zip": q_matrix_zip,
-        "q_matrix_map_rows": q_matrix_map_rows,
-        "q_vector_matrix_product": q_vector_matrix_product,
-        "q_diag_inverse_trace": q_diag_inverse_trace,
-        "q_combinations": q_combinations,
-        "q_subset_sum": q_subset_sum,
-        "q_pagerank": q_pagerank,
-        # -- r02-stale: dedup / sampling / similarity / text --
-        "q_exact_dedup": q_exact_dedup,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_deterministic_sample": q_deterministic_sample,
-        "q_train_split": q_train_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_text_quality": q_text_quality,
-        "q_lang_id": q_lang_id,
-        "q_fingerprint": q_fingerprint,
-        "q_vocabulary": q_vocabulary,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_multimodal_features": q_multimodal_features,
-        "q_cosine_topk": q_cosine_topk,
-        "q_embedding_neardup_exact": q_embedding_neardup_exact,
-        # -- r02-stale: streaming / graph --
-        "q_events_daily": q_events_daily,
+        # -- r07 window: the 4 r02-stale entries displaced from the r06
+        #    window (oldest driver rows in the ledger) --
         "q_events_rollup": q_events_rollup,
         "q_session_window": q_session_window,
         "q_sessionize": q_sessionize,
-        # ---- position 50 ends here (the four late-r06 insertions at the
-        #      top — q_contamination_report, q_neardup_against,
-        #      q_corpus_diff, q_leakage_safe_split — displaced
-        #      q_events_rollup, q_session_window, q_sessionize, and
-        #      q_cc_star to positions 51-54; they MUST lead the r07
-        #      window, still r02-stale) ----
         "q_cc_star": q_cc_star,
-        # -- r07 window queue: the four displaced r02-stale entries above
-        #    and around this comment lead it, then q_asof_join /
-        #    q_range_join / q_cube_agg
-        #    lead it (r05 operator fixes landed after their last driver
-        #    rows; they were displaced from slots 48-50 by the three
-        #    r06-new queries — never-checked entries must sit in the
-        #    window), then the rest of the r04-green block, then the
-        #    r05-green block at the tail --
+        # -- r07 window: r04-stale block, queue order (q_asof_join /
+        #    q_range_join / q_cube_agg first: their operators changed in
+        #    r05 after their last driver rows; q_cube_agg is also the
+        #    VERDICT r05 #7 bench re-measure that missed the r06 window) --
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_cube_agg": q_cube_agg,
@@ -2728,7 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_bigram_fraction": q_top_bigram_fraction,
         "q_gopher_quality": q_gopher_quality,
         "q_bm25_search": q_bm25_search,
-        "q_semantic_dedup": q_semantic_dedup,  # rows-only (iterative float)
+        "q_semantic_dedup": q_semantic_dedup,
         "q_corpus_stats": q_corpus_stats,
         "q_collocations": q_collocations,
         "q_dedup_keep_best": q_dedup_keep_best,
@@ -2741,8 +2675,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_anti_join": q_bloom_anti_join,
         "q_dsir_weights": q_dsir_weights,
         "q_winnow_fingerprints": q_winnow_fingerprints,
+        # ---- position 50 ends here ----
+        # -- r08 queue head: the one r04-stale entry the 50-slot window
+        #    could not fit (plus any entries later displaced from the
+        #    window by r07-new insertions above) --
         "q_winnow_overlap": q_winnow_overlap,
-        # -- r05-green block (freshest driver rows, tail of the rotation) --
+        # -- r05-green block (driver rows from CORRECTNESS_r05) --
         "q_dedup_lines": q_dedup_lines,
         "q_char_entropy": q_char_entropy,
         "q_duplicate_line_fraction": q_duplicate_line_fraction,
@@ -2793,6 +2731,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_effect": q14_promo_effect,
+        # -- r06-green block (freshest driver rows, tail of the rotation) --
+        "q_contamination_report": q_contamination_report,
+        "q_neardup_against": q_neardup_against,
+        "q_corpus_diff": q_corpus_diff,
+        "q_leakage_safe_split": q_leakage_safe_split,
+        "q_semantic_dedup_auto": q_semantic_dedup_auto,
+        "q_url_canonical": q_url_canonical,
+        "q_semantic_decontam": q_semantic_decontam,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "q22_idle_customers": q22_idle_customers,
+        "q_mkstring": q_mkstring,
+        "q_times_product": q_times_product,
+        "q_head_last": q_head_last,
+        "q_toset": q_toset,
+        "q_maplist": q_maplist,
+        "q_dot": q_dot,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q_matmul": q_matmul,
+        "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
+        "q_matrix_elementwise": q_matrix_elementwise,
+        "q_matrix_reductions": q_matrix_reductions,
+        "q_matrix_col_normalize": q_matrix_col_normalize,
+        "q_matrix_filter_ops": q_matrix_filter_ops,
+        "q_matrix_zip": q_matrix_zip,
+        "q_matrix_map_rows": q_matrix_map_rows,
+        "q_vector_matrix_product": q_vector_matrix_product,
+        "q_diag_inverse_trace": q_diag_inverse_trace,
+        "q_combinations": q_combinations,
+        "q_subset_sum": q_subset_sum,
+        "q_pagerank": q_pagerank,
+        "q_exact_dedup": q_exact_dedup,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_deterministic_sample": q_deterministic_sample,
+        "q_train_split": q_train_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_vocabulary": q_vocabulary,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_multimodal_features": q_multimodal_features,
+        "q_cosine_topk": q_cosine_topk,
+        "q_embedding_neardup_exact": q_embedding_neardup_exact,
+        "q_events_daily": q_events_daily,
     }
 
 
