@@ -3174,7 +3174,7 @@ def oracle_sql() -> dict[str, str]:
                           coalesce(array_to_string(
                               list_filter(string_split(query, '&'),
                               x -> x <> '' AND NOT regexp_matches(x,
-                                  '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|spm|ref|ref_src)=')),
+                                  '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|spm|ref_src)=')),
                               '&'), '') AS q
                    FROM c2)
             SELECT doc_id,

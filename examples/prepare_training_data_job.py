@@ -76,13 +76,20 @@ class PrepareTrainingDataJob(Job):
         # processing pays for them; unparseable URLs (NULL canonical) are
         # all kept — no URL evidence is not duplication evidence
         if self.args.boolean("canonicalize-urls"):
-            from pyspark.sql import Window
             from scalding_spark.functions import web
             url_col = self.args.getOrElse("url-col", "url")
             curl = web.canonicalize_url(F.col(url_col))
-            wu = Window.partitionBy("__curl")
-            docs = (docs.withColumn("__curl", curl)
-                    .withColumn("__umin", F.min("doc_id").over(wu))
+            # min-doc_id per canonical via groupBy + join, NOT a window
+            # over the whole frame: unparseable URLs (NULL canonical) are
+            # unconditionally kept and never need the min, but a window
+            # partitioned on __curl would funnel ALL of them into one
+            # task — a web-scale hot spot (ADVICE r06). The aggregate is
+            # map-side combined; NULL canonicals never reach it.
+            tagged = docs.withColumn("__curl", curl)
+            umin = (tagged.where(F.col("__curl").isNotNull())
+                    .groupBy("__curl")
+                    .agg(F.min("doc_id").alias("__umin")))
+            docs = (tagged.join(umin, "__curl", "left")
                     .where(F.col("__curl").isNull()
                            | (F.col("doc_id") == F.col("__umin")))
                     .drop("__curl", "__umin"))
@@ -141,7 +148,14 @@ class PrepareTrainingDataJob(Job):
         # corpus text never shuffles for this gate.
         bench_path = self.args.getOrElse("benchmark", "")
         if bench_path:
+            from scalding_spark.session import materialize
             bench = self.spark.read.parquet(bench_path)
+            # The sidecar write is a SEPARATE action from the main flow,
+            # so materialize the gated corpus first — otherwise every
+            # upstream gate (blocklist, URL dedup, PII, quality/LM/CCNet)
+            # executes twice, once per action (ADVICE r06). Same
+            # share-one-computation contract as step 9b's read-back.
+            docs = materialize(docs)
             # leak report FIRST (against the pre-drop corpus — after the
             # drop every count would read zero), published as a sidecar:
             # the eval owner's per-item evidence for what was burned

@@ -81,13 +81,19 @@ def filter_blocklist(df: DataFrame, url_col: str, blocklist: DataFrame,
 
 
 # Query-string parameters that identify a click, not a resource: the
-# standard strip set for URL dedup keys (utm_* campaign tags, ad-click
-# ids, social share tokens). Anchored key=-prefix match, RE2-portable.
-_TRACKING_PARAM_RE = (r"^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|"
-                      r"igshid|spm|ref|ref_src)=")
+# default strip set for URL dedup keys (utm_* campaign tags, ad-click
+# ids, social share tokens). Each entry is an RE2-portable key pattern
+# matched against the full ``key=`` prefix. Bare ``ref`` is deliberately
+# NOT in the set (ADVICE r06): on common origins it selects a resource
+# (GitHub ``?ref=<branch>``, API pagination refs), so stripping it would
+# silently collapse distinct resources under URL-exact dedup; the
+# Twitter-specific ``ref_src`` share token stays.
+DEFAULT_TRACKING_PARAMS = ("utm_[a-zA-Z0-9_]*", "gclid", "fbclid",
+                           "msclkid", "mc_eid", "igshid", "spm", "ref_src")
 
 
-def canonicalize_url(url: Column) -> Column:
+def canonicalize_url(url: Column,
+                     strip_params: tuple = DEFAULT_TRACKING_PARAMS) -> Column:
     """Canonical URL for dedup/fetch keys. Rules (each a single
     engine-portable expression; the oracle mirrors them verbatim):
 
@@ -96,9 +102,10 @@ def canonicalize_url(url: Column) -> Column:
       paths are case-sensitive on most origins);
     - strip explicit default ports (``http://h:80`` → ``http://h``,
       ``https://h:443`` → ``https://h``);
-    - drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
-      ...) while PRESERVING the order of the remaining ones (reordering
-      would conflate ``?a=1&b=2`` pages whose servers care about order);
+    - drop tracking query parameters (``strip_params``, default
+      :data:`DEFAULT_TRACKING_PARAMS`; tune per corpus) while PRESERVING
+      the order of the remaining ones (reordering would conflate
+      ``?a=1&b=2`` pages whose servers care about order);
     - drop an emptied query string entirely;
     - normalize a bare root path: ``http://h/`` → ``http://h``.
 
@@ -108,6 +115,7 @@ def canonicalize_url(url: Column) -> Column:
     is the natural key for exact URL dedup (hash-groupBy) upstream of
     any text processing.
     """
+    tracking_re = "^(" + "|".join(strip_params) + ")=" if strip_params else None
     u = F.regexp_replace(url, "#.*$", "")
     base = F.regexp_extract(u, r"^([^?]*)", 1)
     query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
@@ -118,7 +126,8 @@ def canonicalize_url(url: Column) -> Column:
     a = F.regexp_replace(a, r"^(https://[^/:]+):443$", "$1")
     p = F.when(path == "/", F.lit("")).otherwise(path)
     keep = F.filter(F.split(query, "&"),
-                    lambda kv: (kv != "") & ~kv.rlike(_TRACKING_PARAM_RE))
+                    lambda kv: ((kv != "") & ~kv.rlike(tracking_re))
+                    if tracking_re else (kv != ""))
     q = F.array_join(keep, "&")
     full = F.concat(a, p,
                     F.when(q == "", F.lit(""))

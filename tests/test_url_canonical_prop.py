@@ -22,7 +22,7 @@ from scalding_spark.functions import web
 # case-sensitive. Used ONLY to compute the expected survivors from the
 # generated segment list.
 _TRACKING = re.compile(
-    r"^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|spm|ref|ref_src)=")
+    r"^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|spm|ref_src)=")
 
 _SCHEMES = ["http", "https", "HTTP", "hTtPs", "ftp", "ws+s", "x-proto"]
 _HOSTS = ["example.com", "WWW.Example.COM", "a.b", "Ex-ample.ORG", "127.0.0.1",

@@ -22,13 +22,16 @@ def test_canonicalize_url_rules(spark):
         # bare root path dropped
         "https://Shop.example.co.uk/",
         # all params tracking → query dropped entirely
-        "http://site.example.net:8080/q?fbclid=1&ref=tw",
+        "http://site.example.net:8080/q?fbclid=1&ref_src=tw",
         # non-default port kept; path case preserved
         "https://h.example.com:8443/CaseSensitive/Path",
         # no scheme → NULL
         "plain text",
         # empty query string ('?' alone) dropped
         "http://a.example.com/x?",
+        # bare ref is a RESOURCE selector (GitHub branches), not a
+        # tracking param: preserved by default (ADVICE r06)
+        "https://code.example.com/repo/tree?ref=main&fbclid=z",
     ])
     assert got == [
         "http://www.example.com/Path?id=7",
@@ -38,7 +41,26 @@ def test_canonicalize_url_rules(spark):
         "https://h.example.com:8443/CaseSensitive/Path",
         None,
         "http://a.example.com/x",
+        "https://code.example.com/repo/tree?ref=main",
     ]
+
+
+def test_canonicalize_url_custom_strip_set(spark):
+    """strip_params is tunable per corpus: a caller who KNOWS ref is a
+    click id on their origin can add it back; an empty set strips
+    nothing (empty segments still drop)."""
+    urls = ["https://a.example.com/p?ref=x&id=1&utm_source=s"]
+    assert _canon_with(spark, urls, ("utm_[a-zA-Z0-9_]*", "ref")) == \
+        ["https://a.example.com/p?id=1"]
+    assert _canon_with(spark, urls, ()) == \
+        ["https://a.example.com/p?ref=x&id=1&utm_source=s"]
+
+
+def _canon_with(spark, urls, strip):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.c for r in
+            df.select(web.canonicalize_url(F.col("url"), strip_params=strip)
+                      .alias("c")).collect()]
 
 
 def test_canonicalize_url_null_and_order(spark):
