@@ -1166,6 +1166,24 @@ def q_diag_inverse_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inv.trace().select(F.round("trace", 10).alias("trace"))
 
 
+def q_matrix_scalar_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-derived scalar matrix ops (MatrixProduct.scala:145-165,
+    Matrix.scala:441-447; ScalarOps golden MatrixTest.scala:127-138):
+    ``(A * nnz(A)) / A.sum`` where BOTH scalars are computed 1-row frames,
+    never collected — the ``A / A.sum`` normalization journey VERDICT r06
+    flagged as the first thing a real user hits. The scalars ride
+    broadcast cross joins (the reference's crossWithTiny), so the COO
+    side stays map-only; the three aggregations over the shared COO
+    subtree collapse into one Exchange via ReuseExchange. Scalars are
+    exact (integer-valued quantities), so the double division is
+    bit-identical across engines."""
+    a = _supplier_part_matrix(spark, sf_dir)
+    nnz = a.binarize().total_sum()    # count of stored entries, exact
+    total = a.total_sum()             # grand total, exact integer-valued
+    out = (a * nnz) / total
+    return out.df.select("row", "col", F.round("val", 6).alias("val"))
+
+
 def q_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nCk table generation (Combinatorics.scala:92-116): 10 choose 3."""
     from scalding_spark import combinatorics
@@ -2606,19 +2624,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
-    # r07 window (VERDICT r06 next-round #1): the 4 r02-stale queries the
-    # late-r06 insertions displaced out of the r06 window
-    # (q_events_rollup / q_session_window / q_sessionize / q_cc_star —
-    # the staleness bound depends on them going first), then the first 46
-    # of the 47-query r04-stale block in queue order (q_asof_join through
-    # q_winnow_fingerprints). q_winnow_overlap is the one r04-stale entry
-    # that does not fit; it sits at position 51 and MUST lead the r08
-    # window. r07-new queries inserted at the top during the round each
-    # displace one more r04-stale entry below position 50 — every such
-    # displacement is ledgered in the comment at the displacement point
-    # so the header never overstates what the driver verified
-    # (ADVICE r06 #1).
+    # r07 window (VERDICT r06 next-round #1): the r07-new queries (first
+    # driver rows), then the 4 r02-stale queries the late-r06 insertions
+    # displaced out of the r06 window (q_events_rollup / q_session_window /
+    # q_sessionize / q_cc_star — the staleness bound depends on them going
+    # first), then the r04-stale block in queue order (q_asof_join
+    # onward), as many as fit. r04-stale entries that do NOT fit —
+    # q_winnow_fingerprints (displaced by the q_matrix_scalar_pipe
+    # insertion) and q_winnow_overlap (never fit) — sit directly below
+    # position 50, were NOT re-verified this round, and MUST lead the r08
+    # window. Every insertion/displacement is ledgered at the
+    # displacement point so the header never overstates what the driver
+    # verified (ADVICE r06 #1).
     return {
+        # -- r07-new: first driver rows. Each insertion here displaces one
+        #    r04-stale entry below position 50 (ledgered at the
+        #    displacement point). Currently 1 insertion ⇒
+        #    q_winnow_fingerprints displaced to the r08 queue head. --
+        "q_matrix_scalar_pipe": q_matrix_scalar_pipe,
         # -- r07 window: the 4 r02-stale entries displaced from the r06
         #    window (oldest driver rows in the ledger) --
         "q_events_rollup": q_events_rollup,
@@ -2674,11 +2697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_join": q_fuzzy_join,
         "q_bloom_anti_join": q_bloom_anti_join,
         "q_dsir_weights": q_dsir_weights,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
         # ---- position 50 ends here ----
-        # -- r08 queue head: the one r04-stale entry the 50-slot window
-        #    could not fit (plus any entries later displaced from the
-        #    window by r07-new insertions above) --
+        # -- r08 queue head: the r04-stale entries the window could not
+        #    fit — q_winnow_overlap never fit; q_winnow_fingerprints was
+        #    displaced from position 50 by the q_matrix_scalar_pipe
+        #    insertion and was NOT re-verified this round --
+        "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
         # -- r05-green block (driver rows from CORRECTNESS_r05) --
         "q_dedup_lines": q_dedup_lines,
@@ -3764,6 +3788,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.row AS row, y.row AS col, round(sum(x.val * y.val), 2) AS val
             FROM a x JOIN a y ON x.col = y.col
             GROUP BY 1, 2 HAVING sum(x.val * y.val) != 0
+        """,
+        "q_matrix_scalar_pipe": """
+            -- (A * nnz(A)) / sum(A): both scalars computed, cross-joined
+            -- (the broadcast-crossWithTiny shape); zero-pruned like
+            -- map_values. Scalars are exact integer-valued doubles, so
+            -- the division is bit-identical across engines.
+            WITH a AS (SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val
+                       FROM lineitem GROUP BY 1, 2),
+            s AS (SELECT sum(val) AS total, count(*)::DOUBLE AS nnz
+                  FROM a WHERE val != 0)
+            SELECT row, col, round((val * nnz) / total, 6) AS val
+            FROM a, s
+            WHERE val != 0 AND (val * nnz) / total != 0
         """,
         "q_matrix_rownorm_topk": """
             WITH a AS (SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val

@@ -501,6 +501,63 @@ class Matrix:
         """scalar·matrix (MatrixProduct.scala:110-284)."""
         return self.map_values(lambda v: v * s)
 
+    def scale_by(self, scalar: DataFrame, divide: bool = False) -> "Matrix":
+        """Pipe-derived scalar product/division (MatrixProduct.scala:145-165
+        scalarPipeRight/LeftProduct; Matrix.scala:441-447 ``/``): the
+        scalar is a COMPUTED one-row frame — ``trace()``, ``total_sum()``,
+        a ``dot()`` — not a Python literal, so ``A / A.total_sum()``
+        composes lazily without collecting anything to the driver.
+
+        The reference's ``nonZerosWith`` is a crossWithTiny of the 1-row
+        scalar pipe; here that is an explicit broadcast cross join, so the
+        matrix side stays map-only (no shuffle at any scale). Contract:
+        ``scalar`` has exactly one column and (like the reference's
+        ``Scalar``) at most one row — aggregates without groupBy satisfy
+        this by construction. A NULL or absent scalar (e.g. total_sum of
+        an empty matrix) yields the empty matrix, matching zero-pruned
+        map_values semantics.
+        """
+        if len(scalar.columns) != 1:
+            raise ValueError(
+                f"scalar frame must have exactly one column, got "
+                f"{scalar.columns} — select the scalar out first")
+        sc = F.broadcast(
+            scalar.select(F.col(scalar.columns[0]).cast("double").alias("__s")))
+        combined = (F.col("val") / F.col("__s")) if divide \
+            else (F.col("val") * F.col("__s"))
+        out = (self.df.crossJoin(sc).withColumn("val", combined)
+               .drop("__s").where(F.col("val") != 0))
+        return Matrix(out, hint=self.hint)
+
+    def __mul__(self, other):
+        """``A * x`` dispatch (Matrix.scala:432-434): Matrix → matmul,
+        number → literal scale, 1-row DataFrame → pipe-scalar product."""
+        if isinstance(other, Matrix):
+            return self.matmul(other)
+        if isinstance(other, (int, float)):
+            return self.scale(float(other))
+        if isinstance(other, DataFrame):
+            return self.scale_by(other)
+        return NotImplemented
+
+    def __rmul__(self, other):
+        # scalar products commute (scalarPipeLeftProduct)
+        if isinstance(other, (int, float, DataFrame)):
+            return self.__mul__(other)
+        return NotImplemented
+
+    def __truediv__(self, other):
+        """``A / x`` (Matrix.scala:436-447): literal divisor is checked
+        non-zero up front (field.assertNotZero parity); a pipe-derived
+        divisor divides lazily (NULL/zero scalar → empty matrix)."""
+        if isinstance(other, (int, float)):
+            if other == 0:
+                raise ZeroDivisionError("matrix / literal zero")
+            return self.map_values(lambda v: v / F.lit(float(other)))
+        if isinstance(other, DataFrame):
+            return self.scale_by(other, divide=True)
+        return NotImplemented
+
     # -- products (MatrixProduct.scala:340-377) ----------------------------
 
     def matmul(self, other: "Matrix") -> "Matrix":
@@ -635,6 +692,19 @@ class ColVector:
         orderBy+limit as TakeOrderedAndProject (no single-reducer sort)."""
         return ColVector(self.df.orderBy(F.col("val").desc(), F.col("row")).limit(k))
 
+    def scale(self, s: float) -> "ColVector":
+        """literal scalar · col vector (MatrixProduct.scala:litScalarCol*)."""
+        return ColVector(self.df.withColumn("val", F.col("val") * F.lit(float(s)))
+                         .where(F.col("val") != 0))
+
+    def scale_by(self, scalar: DataFrame, divide: bool = False) -> "ColVector":
+        """Pipe-derived scalar · col vector (MatrixProduct.scala:
+        scalarColRight/LeftProduct) — same broadcast-cross-join shape as
+        :meth:`Matrix.scale_by`; e.g. ``v.scale_by(v.sum(), divide=True)``."""
+        out = Matrix(self.df.select("row", F.lit(0).alias("col"), "val")) \
+            .scale_by(scalar, divide=divide)
+        return ColVector(out.df.select("row", "val"))
+
     def diag(self) -> Matrix:
         """Lift to a diagonal matrix (Matrix.scala:930-940)."""
         return Matrix(self.df.select(F.col("row"), F.col("row").alias("col"), "val"))
@@ -683,6 +753,19 @@ class RowVector:
 
     def top_elems(self, k: int) -> "RowVector":
         return RowVector(self.df.orderBy(F.col("val").desc(), F.col("col")).limit(k))
+
+    def scale(self, s: float) -> "RowVector":
+        """literal scalar · row vector (MatrixProduct.scala:litScalarRow*)."""
+        return RowVector(self.df.withColumn("val", F.col("val") * F.lit(float(s)))
+                         .where(F.col("val") != 0))
+
+    def scale_by(self, scalar: DataFrame, divide: bool = False) -> "RowVector":
+        """Pipe-derived scalar · row vector (MatrixProduct.scala:
+        scalarRowRight/LeftProduct): e.g. normalize a dot product —
+        ``r.scale_by(r.dot(c), divide=True)``."""
+        out = Matrix(self.df.select(F.lit(0).alias("row"), "col", "val")) \
+            .scale_by(scalar, divide=divide)
+        return RowVector(out.df.select("col", "val"))
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",

@@ -155,3 +155,77 @@ def test_weighted_sum(spark):
 def test_gram_matches_matmul_transpose(m):
     assert as_dict(m.gram().df) == as_dict(m.matmul(m.transpose()).df)
     m.unpersist()
+
+
+# -- pipe-derived scalar products (ScalarOps golden, MatrixTest.scala:127-138,
+#    553-596: mat1 = {(1,1)->1,(2,2)->3,(1,2)->4}, trace = 4) ---------------
+
+SCALAR_COO = [(1, 1, 1.0), (2, 2, 3.0), (1, 2, 4.0)]
+
+
+@pytest.fixture(scope="module")
+def sm(spark):
+    return Matrix(spark.createDataFrame(SCALAR_COO, SCHEMA))
+
+
+def test_scalar_literal_products(sm):
+    exp3 = {(1, 1): 3.0, (2, 2): 9.0, (1, 2): 12.0}
+    assert as_dict((sm * 3.0).df) == exp3          # times3
+    assert as_dict((3.0 * sm).df) == exp3          # 3times
+    assert as_dict((sm / 3.0).df) == {             # div3
+        (1, 1): 1.0 / 3.0, (2, 2): 1.0, (1, 2): 4.0 / 3.0}
+
+
+def test_scalar_pipe_products(sm):
+    tr = sm.trace()  # 1-row frame, value 4.0 — never collected
+    exp = {(1, 1): 4.0, (2, 2): 12.0, (1, 2): 16.0}
+    assert as_dict((sm * tr).df) == exp            # timestrace
+    # tracetimes: scalar-left commutes; spelled scale_by because
+    # DataFrame.__mul__ raises before Python tries Matrix.__rmul__
+    assert as_dict(sm.scale_by(tr).df) == exp
+    assert as_dict((sm / tr).df) == {              # divtrace
+        (1, 1): 0.25, (2, 2): 0.75, (1, 2): 1.0}
+
+
+def test_scalar_pipe_total_sum_normalization(sm):
+    # the ADVICE-cited user journey: A / A.sum — entries sum to 1 after
+    out = (sm / sm.total_sum()).df
+    assert abs(sum(as_dict(out).values()) - 1.0) < 1e-12
+
+
+def test_scale_by_contract(spark, sm):
+    with pytest.raises(ValueError, match="one column"):
+        sm.scale_by(sm.df)  # 3 columns
+    with pytest.raises(ZeroDivisionError):
+        sm / 0
+    # NULL scalar (empty matrix's sum) -> empty result, not a crash
+    empty = Matrix(spark.createDataFrame([], SCHEMA))
+    assert (sm / empty.total_sum()).df.count() == 0
+
+
+def test_scale_by_plan_is_broadcast_map_only(sm):
+    """The matrix side must not shuffle: the only exchange is the 1-row
+    scalar's BroadcastExchange (the reference's crossWithTiny)."""
+    plan = (sm / sm.total_sum()).df._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_vector_scalar_products(spark):
+    row1 = RowVector(spark.createDataFrame(
+        [(1, 1.0), (2, 4.0)], "col long, val double"))
+    col1 = ColVector(spark.createDataFrame(
+        [(1, 1.0), (2, 4.0)], "row long, val double"))
+    # scalarRowRight / scalarColRight literal golden (x3)
+    assert {r.col: r.val for r in row1.scale(3.0).df.collect()} == \
+        {1: 3.0, 2: 12.0}
+    assert {r.row: r.val for r in col1.scale(3.0).df.collect()} == \
+        {1: 3.0, 2: 12.0}
+    # pipe scalar: divide by own sum -> normalized
+    s = col1.df.agg(F.sum("val").alias("s"))
+    got = {r.row: r.val for r in col1.scale_by(s, divide=True).df.collect()}
+    assert got == {1: 0.2, 2: 0.8}
+    got_r = {r.col: r.val for r in
+             row1.scale_by(s, divide=True).df.collect()}
+    assert got_r == {1: 0.2, 2: 0.8}

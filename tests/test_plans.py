@@ -442,3 +442,23 @@ def test_shared_count_tables_scan_corpus_once(spark):
     for i, (p, max_parquet, min_rdd) in enumerate(cases):
         assert p.count("Scan parquet") <= max_parquet, (i, p.count("Scan parquet"))
         assert p.count("Scan ExistingRDD") >= min_rdd, (i, p.count("Scan ExistingRDD"))
+
+
+def test_matrix_scalar_pipe_reuses_coo_exchange(spark):
+    """(A * nnz) / total: the two pipe scalars aggregate the SAME COO
+    subtree the scaled matrix reads. Compile-time planning leaves three
+    identical exchanges, but AQE's runtime stage cache must collapse them
+    — the final plan carries ReusedExchange for both scalar paths, so the
+    source is scanned and shuffled exactly once. Executed (not just
+    planned): AQE reuse only materializes at runtime."""
+    from scalding_spark.matrix import Matrix
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    coo = (li.groupBy(F.col("l_suppkey").alias("row"),
+                      F.col("l_partkey").alias("col"))
+           .agg(F.sum("l_quantity").alias("val")))
+    a = Matrix(coo)
+    out = (a * a.binarize().total_sum()) / a.total_sum()
+    out.df.collect()
+    p = plan(out.df)
+    assert "isFinalPlan=true" in p
+    assert p.count("ReusedExchange") >= 2, p
