@@ -527,7 +527,8 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            bench_vec_col: str | None = None,
-                           stats: dict | None = None) -> DataFrame:
+                           stats: dict | None = None,
+                           max_benchmark: int = 200_000) -> DataFrame:
     """Semantic benchmark decontamination: drop corpus rows whose embedding
     has cosine ≥ ``threshold`` to ANY benchmark embedding — the embedding
     analog of dedup.decontaminate's n-gram overlap (paraphrased eval
@@ -549,10 +550,27 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     dropped from the broadcast (they match nothing).
 
     ``stats['n_benchmark']`` reports the broadcast row count.
+
+    ``max_benchmark``: CIRCUIT BREAKER (the fuzzy_join max_candidates
+    contract). The benchmark's vectors are collected to the driver and
+    broadcast; a caller passing a million-row "benchmark" should get a
+    descriptive error, not a driver OOM. The count costs one action over
+    the (small) benchmark frame before the collect; raise the cap
+    deliberately if your driver/executors have the memory, or cluster
+    the benchmark and decontaminate per centroid-bucket instead.
     """
     bcol = bench_vec_col or vec_col
-    rows = (_drop_null_vecs(benchmark, bcol)
-            .select(F.col(bcol).alias("v")).collect())
+    bench_nonnull = _drop_null_vecs(benchmark, bcol)
+    n_bench = bench_nonnull.count()
+    if n_bench > max_benchmark:
+        raise ValueError(
+            f"semantic_decontaminate benchmark has {n_bench} vectors, over "
+            f"max_benchmark={max_benchmark} — the benchmark side is "
+            f"collected and broadcast, so this would risk driver/executor "
+            f"OOM; raise max_benchmark deliberately, or cluster the "
+            f"benchmark (semantic_dedup(centroids=...)) and decontaminate "
+            f"per centroid-bucket")
+    rows = bench_nonnull.select(F.col(bcol).alias("v")).collect()
     bnorm = []
     for r in rows:
         v = [float(x) for x in r.v]

@@ -91,3 +91,23 @@ def test_contamination_sidecar_materializes_first():
     assert "contamination_report" in after, (
         "the sidecar write must run on the materialized frame so the "
         "upstream gates execute once, not once per action")
+
+
+# --- 4. semantic_decontaminate benchmark-size circuit breaker ----------------
+
+def test_semantic_decontaminate_benchmark_cap(spark):
+    from scalding_spark.functions.similarity import semantic_decontaminate
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    import pytest
+    with pytest.raises(ValueError, match="max_benchmark"):
+        semantic_decontaminate(corpus, bench, max_benchmark=5)
+    # NULL-vector rows don't count against the cap (they never broadcast)
+    bench_nulls = spark.createDataFrame(
+        [(1, [0.0, 1.0])] + [(i, None) for i in range(2, 12)],
+        "vec_id long, embedding array<double>")
+    out = semantic_decontaminate(corpus, bench_nulls, max_benchmark=5)
+    assert out.count() == 1
