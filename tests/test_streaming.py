@@ -322,3 +322,91 @@ def test_semantic_decontaminate_is_stream_compatible(spark, tmp_path):
     batch = {r["vec_id"] for r in similarity.semantic_decontaminate(
         spark.read.parquet(src), bench, threshold=0.9).collect()}
     assert got == batch == {3, 4}  # near-dups dropped; NULL vec kept
+
+
+# --- stream_ingest_semantic ---------------------------------------------------
+
+EMB_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _run_semantic(spark, batch_rows, paths, threshold=0.9):
+    src, corpus, store, ckpt = paths
+    spark.createDataFrame(batch_rows, EMB_SCHEMA) \
+        .write.mode("append").parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, EMB_SCHEMA)
+    q = streaming.stream_ingest_semantic(
+        stream, corpus_path=corpus, store_path=store, checkpoint=ckpt,
+        vec_col="embedding", id_col="vec_id", threshold=threshold)
+    q.awaitTermination(120)
+
+
+def test_stream_ingest_semantic_within_and_cross_batch(spark, tmp_path):
+    paths = tuple(str(tmp_path / p) for p in
+                  ("ssrc", "scorpus", "sstore", "sckpt"))
+    # batch 1: base direction, a scaled exact dup, a near dup (cos≈0.995),
+    # an orthogonal doc, and a NULL vector (kept, never stored)
+    _run_semantic(spark, [
+        (0, [1.0, 0.0]), (1, [5.0, 0.0]), (2, [1.0, 0.1]),
+        (3, [0.0, 1.0]), (4, None)], paths)
+    corpus = spark.read.parquet(paths[1])
+    assert sorted(r.vec_id for r in corpus.collect()) == [0, 3, 4]
+    # batch 2: near-dup of the STORED base doc (only vectors remain),
+    # plus a genuinely novel direction
+    _run_semantic(spark, [(10, [2.0, 0.1]), (11, [-1.0, 1.0])], paths)
+    corpus = spark.read.parquet(paths[1])
+    assert sorted(r.vec_id for r in corpus.collect()) == [0, 3, 4, 11]
+    # store holds one NORMALIZED vector per kept non-NULL doc
+    store = spark.read.parquet(paths[2])
+    assert sorted(r.id for r in store.select("id").collect()) == [0, 3, 11]
+    nrm = {r.id: sum(x * x for x in r.vecn) for r in store.collect()}
+    assert all(abs(v - 1.0) < 1e-12 for v in nrm.values())
+
+
+def test_stream_ingest_semantic_equals_batch_path(spark, tmp_path):
+    """batch ≡ stream: the streaming tiers compose the BATCH operators'
+    semantics — within-batch greedy-by-id == semantic_dedup(k=1), store
+    probe == semantic_decontaminate(batch, stored docs)."""
+    from scalding_spark.functions import similarity
+    paths = tuple(str(tmp_path / p) for p in ("s2", "c2", "st2", "ck2"))
+    b1 = [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.05, 0.0]),
+          (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.98, 0.1])]
+    b2 = [(10, [0.99, 0.0, 0.05]), (11, [0.0, 0.0, 1.0]),
+          (12, [0.05, 0.05, 0.99])]
+    _run_semantic(spark, b1, paths, threshold=0.95)
+    _run_semantic(spark, b2, paths, threshold=0.95)
+    stream_kept = sorted(
+        r.vec_id for r in spark.read.parquet(paths[1]).collect())
+    # batch path: dedup within b1; then b2 deduped within, then
+    # decontaminated against b1's survivors
+    s1 = similarity.semantic_dedup(
+        spark.createDataFrame(b1, EMB_SCHEMA), threshold=0.95, k=1)
+    df2 = similarity.semantic_dedup(
+        spark.createDataFrame(b2, EMB_SCHEMA), threshold=0.95, k=1)
+    s2 = similarity.semantic_decontaminate(df2, s1, threshold=0.95)
+    batch_kept = sorted([r.vec_id for r in s1.collect()]
+                        + [r.vec_id for r in s2.collect()])
+    assert stream_kept == batch_kept
+
+
+def test_stream_ingest_semantic_distinct_all_kept(spark, tmp_path):
+    paths = tuple(str(tmp_path / p) for p in ("s3", "c3", "st3", "ck3"))
+    eye = [(i, [1.0 if j == i else 0.0 for j in range(6)]) for i in range(6)]
+    _run_semantic(spark, eye[:3], paths)
+    _run_semantic(spark, eye[3:], paths)
+    corpus = spark.read.parquet(paths[1])
+    assert sorted(r.vec_id for r in corpus.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_stream_ingest_semantic_batch_cap(spark, tmp_path):
+    import pyspark.errors
+    paths = tuple(str(tmp_path / p) for p in ("s4", "c4", "st4", "ck4"))
+    src, corpus, store, ckpt = paths
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    spark.createDataFrame(rows, EMB_SCHEMA).write.parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, EMB_SCHEMA)
+    q = streaming.stream_ingest_semantic(
+        stream, corpus_path=corpus, store_path=store, checkpoint=ckpt,
+        max_batch=5)
+    with pytest.raises(pyspark.errors.StreamingQueryException,
+                       match="max_batch"):
+        q.awaitTermination(120)
