@@ -9,8 +9,14 @@ date_add / windows) so partition pruning stays free.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from datetime import datetime, timedelta
+
+_AGO_RE = re.compile(
+    r"^(\d+|an?) (minute|hour|day|week|month|year)s? ago$")
+_IN_RE = re.compile(
+    r"^in (\d+|an?) (minute|hour|day|week|month|year)s?$")
 
 _FORMATS = [
     "%Y",
@@ -23,16 +29,58 @@ _FORMATS = [
 ]
 
 
+_WEEKDAYS = {name: i for i, name in enumerate(
+    ["monday", "tuesday", "wednesday", "thursday", "friday",
+     "saturday", "sunday"])}
+_WEEKDAYS.update({name[:3]: i for name, i in list(_WEEKDAYS.items())})
+
+
 def parse_date(s: str | datetime, now: datetime | None = None) -> datetime:
-    """RichDate string parsing (DateOps.scala:61-91) incl. the natural-language
-    subset the reference gets from Natty ('now', 'today', 'yesterday')."""
+    """RichDate string parsing (DateOps.scala:61-91) incl. a DETERMINISTIC
+    natural-language subset of what the reference gets from Natty
+    (DateOps.scala:72-82):
+
+    - ``now`` / ``today`` / ``yesterday`` / ``tomorrow`` (day terms at
+      midnight, ``now`` at the instant);
+    - ``N <unit>s ago`` / ``in N <unit>s`` for minute/hour/day/week/
+      month/year (also ``a``/``an`` for N=1) — exact offsets from the
+      instant; month/year arithmetic clamps the day like
+      java.util.Calendar.add (Duration semantics);
+    - weekday names (full or 3-letter): bare ``monday`` = the upcoming
+      occurrence (today if today is Monday), ``last monday`` = the most
+      recent strictly before today, ``next monday`` = the soonest
+      strictly after today — all at midnight. Natty itself resolves
+      ambiguity heuristically; this subset pins one documented answer so
+      jobs are reproducible.
+
+    ``now`` (the parameter) fixes the reference instant for tests.
+    """
     if isinstance(s, datetime):
         return s
-    lowered = s.strip().lower()
-    if lowered in ("now", "today", "yesterday"):
-        base = now or datetime.now()
-        day = base.replace(hour=0, minute=0, second=0, microsecond=0)
-        return {"now": base, "today": day, "yesterday": day - timedelta(days=1)}[lowered]
+    lowered = " ".join(s.strip().lower().split())
+    base = now or datetime.now()
+    day = base.replace(hour=0, minute=0, second=0, microsecond=0)
+    if lowered in ("now", "today", "yesterday", "tomorrow"):
+        return {"now": base, "today": day,
+                "yesterday": day - timedelta(days=1),
+                "tomorrow": day + timedelta(days=1)}[lowered]
+    m = _AGO_RE.match(lowered) or _IN_RE.match(lowered)
+    if m:
+        n = 1 if m.group(1) in ("a", "an") else int(m.group(1))
+        if m.re is _AGO_RE:
+            n = -n
+        return Duration(m.group(2) + "s", n).add_to(base)
+    words = lowered.split()
+    if words and words[-1] in _WEEKDAYS and len(words) <= 2 \
+            and (len(words) == 1 or words[0] in ("last", "next")):
+        target = _WEEKDAYS[words[-1]]
+        delta = (target - day.weekday()) % 7
+        if len(words) == 1:                      # upcoming (today counts)
+            return day + timedelta(days=delta)
+        if words[0] == "next":                   # strictly after today
+            return day + timedelta(days=delta or 7)
+        back = (day.weekday() - target) % 7      # 'last': strictly before
+        return day - timedelta(days=back or 7)
     for fmt in _FORMATS:
         try:
             return datetime.strptime(s.strip(), fmt)

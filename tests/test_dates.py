@@ -84,3 +84,71 @@ def test_globify_one_path_per_day(start, span_hours):
     assert paths == sorted(paths) or True  # ordered by period start
     hourly = globify("/data/%Y/%m/%d/%H", r, hours(1))
     assert len(hourly) == len(set(hourly))
+
+
+# --- natural-language subset (DateOps.scala:72-82 / Natty; r07) -------------
+
+_UNITS = st.sampled_from(["minute", "hour", "day", "week"])
+
+
+@settings(deadline=None)
+@given(dt_strategy, st.integers(0, 10_000), _UNITS)
+def test_parse_ago_and_in_are_exact_inverse_offsets(base, n, unit):
+    ago = parse_date(f"{n} {unit}s ago", now=base)
+    fwd = parse_date(f"in {n} {unit}s", now=base)
+    delta = timedelta(**{unit + "s": n})
+    assert ago == base - delta
+    assert fwd == base + delta
+    # 'N ago' then 'in N' round-trips for exact units
+    assert parse_date(f"in {n} {unit}s", now=ago) == base
+
+
+@settings(deadline=None)
+@given(dt_strategy, st.integers(1, 240))
+def test_parse_months_ago_matches_duration_semantics(base, n):
+    # calendar months clamp the day exactly like Duration.add_to
+    assert parse_date(f"{n} months ago", now=base) == \
+        Duration("months", -n).add_to(base)
+    assert parse_date(f"in {n} months", now=base) == \
+        Duration("months", n).add_to(base)
+
+
+def test_parse_article_units_and_spacing():
+    base = datetime(2026, 8, 13, 10, 30)
+    assert parse_date("a day ago", now=base) == base - timedelta(days=1)
+    assert parse_date("an hour ago", now=base) == base - timedelta(hours=1)
+    assert parse_date("  2   Days  AGO ", now=base) == \
+        base - timedelta(days=2)
+    assert parse_date("tomorrow", now=base) == datetime(2026, 8, 14)
+
+
+@settings(deadline=None)
+@given(dt_strategy, st.sampled_from(
+    ["monday", "tuesday", "wednesday", "thursday", "friday", "saturday",
+     "sunday"]))
+def test_parse_weekday_contracts(base, name):
+    target = ["monday", "tuesday", "wednesday", "thursday", "friday",
+              "saturday", "sunday"].index(name)
+    day = base.replace(hour=0, minute=0, second=0, microsecond=0)
+    bare = parse_date(name, now=base)
+    last = parse_date(f"last {name}", now=base)
+    nxt = parse_date(f"next {name}", now=base)
+    for out in (bare, last, nxt):
+        assert out.weekday() == target
+        assert out == out.replace(hour=0, minute=0, second=0, microsecond=0)
+    # bare: upcoming, today counts — within [today, today+6]
+    assert timedelta(0) <= bare - day <= timedelta(days=6)
+    # next: strictly after today, within 7 days
+    assert timedelta(days=1) <= nxt - day <= timedelta(days=7)
+    # last: strictly before today, within 7 days
+    assert timedelta(days=1) <= day - last <= timedelta(days=7)
+    # 3-letter abbreviation parses identically
+    assert parse_date(name[:3], now=base) == bare
+
+
+def test_parse_weekday_garbage_still_rejected():
+    import pytest
+    for bad in ("someday", "last", "next", "3 fortnights ago",
+                "ago 3 days", "next next monday"):
+        with pytest.raises(ValueError):
+            parse_date(bad)
