@@ -90,6 +90,8 @@ HEADLINE = [
     "q_neardup_against",         # batch near-dup gate vs signature store
     "q_contamination_report",    # per-benchmark-item leak audit
     "q_semantic_decontam",       # embedding decontamination (broadcast-exists)
+    # -- added r07 --
+    "q_matrix_scalar_pipe",      # pipe-scalar matrix product (AQE exchange reuse)
 ]
 
 

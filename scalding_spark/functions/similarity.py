@@ -386,10 +386,30 @@ def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
     cached = src.persist(StorageLevel.MEMORY_AND_DISK)
     n_rows = cached.count()  # materializes the cache (no extra lineage pass)
     parts = cached.rdd.getNumPartitions()
-    target = max(1, min(parts, (n_rows + 49_999) // 50_000))
-    # narrow coalesce OVER the cached relation: rounds read the same
-    # cached blocks through fewer tasks — no recompute, no shuffle
-    src = cached.coalesce(target) if target < parts else cached
+    # Task sizing by WORK, not rows: each round's per-row assignment cost
+    # is k·dim (argmin over all centroids), so the unit is row×centroid
+    # products — ~100k per task ≈ one short task at measured HOF
+    # throughput. The r05 row-count formula (50k rows/task) missed the k
+    # factor: at sf1 auto-k (20k rows × k=134, a single 10 MB input
+    # partition) it funneled 17 B fused ops through ONE task while 31
+    # cores idled — measured 259 s → 30 s for q_semantic_dedup_auto.
+    # Repartition UP only when a partition holds >100k products (>~0.5 s
+    # of compute — the shuffle of those same small rows is cheaper than
+    # the idle imbalance); at real scale the input's own partition count
+    # exceeds the formula and this stays a narrow coalesce or a no-op.
+    # Layout change shifts avg() partial-agg order by an ulp — inside the
+    # documented tolerance (assignments compared, not centroids).
+    k_eff = max(len(cents), 1)
+    target = max(1, min(src.sparkSession.sparkContext.defaultParallelism,
+                        (n_rows * k_eff + 99_999) // 100_000))
+    if target < parts:
+        # narrow coalesce OVER the cached relation: rounds read the same
+        # cached blocks through fewer tasks — no recompute, no shuffle
+        src = cached.coalesce(target)
+    elif target > parts:
+        src = cached.repartition(target)
+    else:
+        src = cached
     iters = 0
     try:
         for _ in range(max_iter):
@@ -591,8 +611,15 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     vecn = F.when(nrm > 0, F.transform(
         v, lambda x: x.cast("double") / nrm)).otherwise(
         F.transform(v, lambda x: F.lit(0.0)))
+    # materialize the normalized vector as a COLUMN before the exists:
+    # Catalyst does not common-subexpression across lambda boundaries, so
+    # an inline vecn re-runs the norm + divide + array alloc once per
+    # BENCHMARK element per row — measured 187 s → ~2 s at sf1
+    # (20k×64 corpus, 541-vector benchmark). Bit-identical results.
     hit = F.exists(F.col("bvecs"),
-                   lambda b: _dot(vecn, b) >= F.lit(float(threshold)))
-    return (corpus.crossJoin(F.broadcast(bdf))
+                   lambda b: _dot(F.col("__vecn"), b)
+                   >= F.lit(float(threshold)))
+    return (corpus.withColumn("__vecn", vecn)
+            .crossJoin(F.broadcast(bdf))
             .where(~F.coalesce(hit, F.lit(False)))
-            .drop("bvecs"))
+            .drop("bvecs", "__vecn"))

@@ -87,17 +87,21 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
         if barr:
             bdf = _one_row_df(
                 spark, (barr,), "barr: array<struct<i: long, v: array<double>>>")
-            # within-batch: greedy-by-id over the broadcast row, map-only
-            dot = lambda b, vn: F.aggregate(  # noqa: E731
-                F.zip_with(b["v"], vn, lambda x, y: x * y),
+            # within-batch: greedy-by-id over the broadcast row, map-only.
+            # The normalized vector is materialized as a COLUMN first —
+            # Catalyst does not CSE across lambda boundaries, so an inline
+            # normalize would re-run per broadcast element per row (the
+            # semantic_decontaminate lesson, measured 90× at sf1).
+            dot = lambda b: F.aggregate(  # noqa: E731
+                F.zip_with(b["v"], F.col("__vecn"), lambda x, y: x * y),
                 F.lit(0.0), lambda acc, x: acc + x)
-            vecn = _normalized(vec_col)
             hit = F.exists(
                 F.col("barr"),
-                lambda b: (b["i"] < F.col(id_col)) & (dot(b, vecn) >= thr))
-            batch = (batch.crossJoin(F.broadcast(bdf))
+                lambda b: (b["i"] < F.col(id_col)) & (dot(b) >= thr))
+            batch = (batch.withColumn("__vecn", _normalized(vec_col))
+                     .crossJoin(F.broadcast(bdf))
                      .where(~F.coalesce(hit, F.lit(False)))
-                     .drop("barr"))
+                     .drop("barr", "__vecn"))
             # vs the store: map-only scan emitting matched batch ids only
             from scalding_spark.streaming import _read_store
             store = _read_store(spark, store_path)
