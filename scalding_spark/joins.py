@@ -564,8 +564,14 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
     short = (ldf.where(ln <= 2 * k)
              .join(F.broadcast(rdf.where(rn <= k))))
 
+    # banded verify: the 3-arg levenshtein computes only the ±k diagonal
+    # band, O((k+1)·n) instead of O(n²) per pair, early-exiting to -1
+    # above the threshold — same kept rows and distances as the unbounded
+    # form filtered by <= k (for kept pairs the band contains the true
+    # distance), at a fraction of the per-candidate cost.
     verified = (main.unionByName(short)
                 .withColumn(out_distance,
-                            F.levenshtein(F.col(left_col), F.col(right_col)))
-                .where(F.col(out_distance) <= k))
+                            F.levenshtein(F.col(left_col), F.col(right_col),
+                                          k))
+                .where(F.col(out_distance) >= 0))
     return Pipe(verified)
