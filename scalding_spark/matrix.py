@@ -585,8 +585,15 @@ class Matrix:
 
     def persist(self) -> "Matrix":
         """Materialization barrier (forceToDisk parity, RichPipe.scala:428):
-        cache the COO so multiple consumers don't recompute its lineage."""
+        cache the COO so multiple consumers don't recompute its lineage.
+        Ledgered: ``session.release_materialized()`` frees it (a caller
+        who never calls :meth:`unpersist` would otherwise leak a cache
+        entry per matrix for the driver's lifetime — the r04 leak class).
+        Session-cache note: a persisted COO is plan-matched by Catalyst,
+        so any LATER identical plan silently reads this cache."""
+        from scalding_spark.session import register_persisted
         self.df.persist()
+        register_persisted(self.df)
         return self
 
     def unpersist(self) -> "Matrix":
@@ -599,8 +606,14 @@ class Matrix:
         Catalyst sees two distinct plans for the operands and would scan +
         aggregate the source twice (no exchange reuse across the rename).
         Persisting collapses that — measured 3.4s → 2.6s on the sf0.1
-        supplier×part gram; at 100 TB it halves the dominant scan."""
+        supplier×part gram; at 100 TB it halves the dominant scan. The
+        handle never reaches the caller, so it is LEDGERED
+        (session.register_persisted) — release_materialized() frees it;
+        without the ledger every gram() in a long-running driver leaks a
+        cache entry (the r04 leak class)."""
+        from scalding_spark.session import register_persisted
         self.df.persist()
+        register_persisted(self.df)
         return self.matmul(self.transpose())
 
     def propagate(self, vec: DataFrame) -> DataFrame:

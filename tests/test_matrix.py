@@ -229,3 +229,21 @@ def test_vector_scalar_products(spark):
     got_r = {r.col: r.val for r in
              row1.scale_by(s, divide=True).df.collect()}
     assert got_r == {1: 0.2, 2: 0.8}
+
+
+def test_matrix_persists_are_ledgered(spark):
+    """gram()/persist() handles never reach the caller — they must land in
+    the session ledger so release_materialized() can free them (the r04
+    leak class)."""
+    from scalding_spark.session import release_materialized
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    release_materialized(spark)  # start clean
+    was_empty = cm.isEmpty()
+    m = Matrix(spark.createDataFrame(COO, SCHEMA))
+    m.gram().df.count()
+    m2 = Matrix(spark.createDataFrame(COO, SCHEMA)).persist()
+    m2.df.count()
+    assert not cm.isEmpty()
+    release_materialized(spark)
+    if was_empty:  # other fixtures may hold their own caches
+        assert cm.isEmpty()

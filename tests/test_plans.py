@@ -450,11 +450,16 @@ def test_matrix_scalar_pipe_reuses_coo_exchange(spark):
     identical exchanges, but AQE's runtime stage cache must collapse them
     — the final plan carries ReusedExchange for both scalar paths, so the
     source is scanned and shuffled exactly once. Executed (not just
-    planned): AQE reuse only materializes at runtime."""
+    planned): AQE reuse only materializes at runtime. The quantity filter
+    keeps this COO plan distinct from q_matmul's (gram() leaves ITS COO
+    persisted in the session cache; an identical plan here would be
+    silently substituted with InMemoryTableScan and there would be no
+    exchanges left to reuse — the in-suite flake this pin replaces)."""
     from scalding_spark.matrix import Matrix
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
-    coo = (li.groupBy(F.col("l_suppkey").alias("row"),
-                      F.col("l_partkey").alias("col"))
+    coo = (li.where(F.col("l_quantity") > 2)
+           .groupBy(F.col("l_suppkey").alias("row"),
+                    F.col("l_partkey").alias("col"))
            .agg(F.sum("l_quantity").alias("val")))
     a = Matrix(coo)
     out = (a * a.binarize().total_sum()) / a.total_sum()
