@@ -2624,87 +2624,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
-    # r07 window (VERDICT r06 next-round #1): the r07-new queries (first
-    # driver rows), then the 4 r02-stale queries the late-r06 insertions
-    # displaced out of the r06 window (q_events_rollup / q_session_window /
-    # q_sessionize / q_cc_star — the staleness bound depends on them going
-    # first), then the r04-stale block in queue order (q_asof_join
-    # onward), as many as fit. r04-stale entries that do NOT fit —
-    # q_winnow_fingerprints (displaced by the q_matrix_scalar_pipe
-    # insertion) and q_winnow_overlap (never fit) — sit directly below
-    # position 50, were NOT re-verified this round, and MUST lead the r08
-    # window. Every insertion/displacement is ledgered at the
-    # displacement point so the header never overstates what the driver
-    # verified (ADVICE r06 #1).
+    # r08 window (VERDICT r07 next-round #1 + ADVICE r07 #1): the two
+    # r04-stale entries the r07 window could not fit (q_winnow_fingerprints
+    # — displaced from position 50 by the q_matrix_scalar_pipe insertion —
+    # and q_winnow_overlap, which never fit), then q_url_canonical (its
+    # operator's default changed in r07 — bare `ref` no longer stripped,
+    # strip set parameterized, web.py:52-92 — after its last driver row in
+    # r06; the changed-operator re-verification rule puts it at the queue
+    # head, ADVICE r07 #1), then the r05-green block in queue order
+    # (q_dedup_lines onward), as many as fit. The 3 r05-green entries the
+    # window cannot fit (q11_important_parts / q13_customer_distribution /
+    # q14_promo_effect) sit directly below position 50 and lead the r09
+    # window. Every insertion/displacement is ledgered at the displacement
+    # point so the header never overstates what the driver verified
+    # (ADVICE r06 #1).
     return {
-        # -- r07-new: first driver rows. Each insertion here displaces one
-        #    r04-stale entry below position 50 (ledgered at the
-        #    displacement point). Currently 1 insertion ⇒
-        #    q_winnow_fingerprints displaced to the r08 queue head. --
-        "q_matrix_scalar_pipe": q_matrix_scalar_pipe,
-        # -- r07 window: the 4 r02-stale entries displaced from the r06
-        #    window (oldest driver rows in the ledger) --
-        "q_events_rollup": q_events_rollup,
-        "q_session_window": q_session_window,
-        "q_sessionize": q_sessionize,
-        "q_cc_star": q_cc_star,
-        # -- r07 window: r04-stale block, queue order (q_asof_join /
-        #    q_range_join / q_cube_agg first: their operators changed in
-        #    r05 after their last driver rows; q_cube_agg is also the
-        #    VERDICT r05 #7 bench re-measure that missed the r06 window) --
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_cube_agg": q_cube_agg,
-        "q_substring_spans": q_substring_spans,
-        "q_unigram_lm": q_unigram_lm,
-        "q_linear_quality": q_linear_quality,
-        "q_global_rank_scan": q_global_rank_scan,
-        "q_bigram_lm": q_bigram_lm,
-        "q_kmeans": q_kmeans,
-        "q_map_stream": q_map_stream,
-        "q_chunk_documents": q_chunk_documents,
-        "q_topk_window": q_topk_window,
-        "q_rank_by_value": q_rank_by_value,
-        "q_decontaminate": q_decontaminate,
-        "q_pack_shards": q_pack_shards,
-        "q_domain_cap": q_domain_cap,
-        "q12_priority_by_flag": q12_priority_by_flag,
-        "q_pii_redact": q_pii_redact,
-        "q_top_word_fraction": q_top_word_fraction,
-        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_cosine_topk_lsh": q_cosine_topk_lsh,
-        "q_cosine_topk_ivf": q_cosine_topk_ivf,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_hll_distinct": q_hll_distinct,
-        "q_train_quality": q_train_quality,
-        "q_weighted_sample": q_weighted_sample,
-        "q_mix_proportions": q_mix_proportions,
-        "q_dedup_against": q_dedup_against,
-        "q_pack_sequences": q_pack_sequences,
-        "q_top_bigram_fraction": q_top_bigram_fraction,
-        "q_gopher_quality": q_gopher_quality,
-        "q_bm25_search": q_bm25_search,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_corpus_stats": q_corpus_stats,
-        "q_collocations": q_collocations,
-        "q_dedup_keep_best": q_dedup_keep_best,
-        "q_cut_spans": q_cut_spans,
-        "q_ntile_ranks": q_ntile_ranks,
-        "q_ccnet_buckets": q_ccnet_buckets,
-        "q_top_fraction": q_top_fraction,
-        "q_corpus_kl": q_corpus_kl,
-        "q_fuzzy_join": q_fuzzy_join,
-        "q_bloom_anti_join": q_bloom_anti_join,
-        "q_dsir_weights": q_dsir_weights,
-        # ---- position 50 ends here ----
-        # -- r08 queue head: the r04-stale entries the window could not
-        #    fit — q_winnow_overlap never fit; q_winnow_fingerprints was
-        #    displaced from position 50 by the q_matrix_scalar_pipe
-        #    insertion and was NOT re-verified this round --
+        # -- r08 window head: r04-stale pair carried over from r07 --
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
-        # -- r05-green block (driver rows from CORRECTNESS_r05) --
+        # -- r08 window: changed-operator re-verification (ADVICE r07 #1;
+        #    canonicalize_url semantics changed in r07 after the r06 row) --
+        "q_url_canonical": q_url_canonical,
+        # -- r08 window: r05-green block, queue order (first 47 of 50;
+        #    the 3 displaced by the entries above are ledgered below
+        #    position 50 and lead the r09 window) --
         "q_dedup_lines": q_dedup_lines,
         "q_char_entropy": q_char_entropy,
         "q_duplicate_line_fraction": q_duplicate_line_fraction,
@@ -2752,16 +2695,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
+        # ---- position 50 ends here ----
+        # -- r09 queue head: the 3 r05-green entries displaced below
+        #    position 50 by the r08 head (winnow pair + q_url_canonical);
+        #    NOT re-verified this round --
         "q11_important_parts": q11_important_parts,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_effect": q14_promo_effect,
-        # -- r06-green block (freshest driver rows, tail of the rotation) --
+        # -- r06-green block (q_url_canonical moved to the r08 window
+        #    head for changed-operator re-verification, ADVICE r07 #1) --
         "q_contamination_report": q_contamination_report,
         "q_neardup_against": q_neardup_against,
         "q_corpus_diff": q_corpus_diff,
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_semantic_dedup_auto": q_semantic_dedup_auto,
-        "q_url_canonical": q_url_canonical,
         "q_semantic_decontam": q_semantic_decontam,
         "q18_large_volume_customer": q18_large_volume_customer,
         "q22_idle_customers": q22_idle_customers,
@@ -2806,6 +2753,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_neardup_exact": q_embedding_neardup_exact,
         "q_events_daily": q_events_daily,
+        # -- r07-green block (freshest driver rows, tail of the rotation;
+        #    CORRECTNESS_r07 verified all 50 in this order) --
+        "q_matrix_scalar_pipe": q_matrix_scalar_pipe,
+        "q_events_rollup": q_events_rollup,
+        "q_session_window": q_session_window,
+        "q_sessionize": q_sessionize,
+        "q_cc_star": q_cc_star,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_cube_agg": q_cube_agg,
+        "q_substring_spans": q_substring_spans,
+        "q_unigram_lm": q_unigram_lm,
+        "q_linear_quality": q_linear_quality,
+        "q_global_rank_scan": q_global_rank_scan,
+        "q_bigram_lm": q_bigram_lm,
+        "q_kmeans": q_kmeans,
+        "q_map_stream": q_map_stream,
+        "q_chunk_documents": q_chunk_documents,
+        "q_topk_window": q_topk_window,
+        "q_rank_by_value": q_rank_by_value,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_shards": q_pack_shards,
+        "q_domain_cap": q_domain_cap,
+        "q12_priority_by_flag": q12_priority_by_flag,
+        "q_pii_redact": q_pii_redact,
+        "q_top_word_fraction": q_top_word_fraction,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_cosine_topk_lsh": q_cosine_topk_lsh,
+        "q_cosine_topk_ivf": q_cosine_topk_ivf,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_hll_distinct": q_hll_distinct,
+        "q_train_quality": q_train_quality,
+        "q_weighted_sample": q_weighted_sample,
+        "q_mix_proportions": q_mix_proportions,
+        "q_dedup_against": q_dedup_against,
+        "q_pack_sequences": q_pack_sequences,
+        "q_top_bigram_fraction": q_top_bigram_fraction,
+        "q_gopher_quality": q_gopher_quality,
+        "q_bm25_search": q_bm25_search,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_corpus_stats": q_corpus_stats,
+        "q_collocations": q_collocations,
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_cut_spans": q_cut_spans,
+        "q_ntile_ranks": q_ntile_ranks,
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_top_fraction": q_top_fraction,
+        "q_corpus_kl": q_corpus_kl,
+        "q_fuzzy_join": q_fuzzy_join,
+        "q_bloom_anti_join": q_bloom_anti_join,
+        "q_dsir_weights": q_dsir_weights,
     }
 
 
