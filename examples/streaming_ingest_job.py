@@ -56,15 +56,25 @@ class StreamingIngestJob(Job):
                 threshold=float(self.args.getOrElse("threshold", "0.7")),
                 **common)
         elif mode == "semantic":
+            sb = self.args.getOrElse("store-buckets", None)
             q = streaming.stream_ingest_semantic(
                 stream,
                 vec_col=self.args.getOrElse("vec-col", "embedding"),
                 id_col=self.args.getOrElse("id-col", "vec_id"),
                 threshold=float(self.args.getOrElse("threshold", "0.95")),
+                # bucket-partitioned store + multi-probe pruning: the
+                # scale lever once the store outgrows one scan per batch
+                store_buckets=None if sb is None else int(sb),
+                probe_hamming=int(self.args.getOrElse("probe-hamming", "1")),
                 **common)
         else:
             raise ValueError(
                 f"--mode must be exact|neardup|semantic, got {mode!r}")
         # availableNow (default): drain what's there and stop — the cron/
-        # airflow shape; --continuous leaves the query running.
-        q.awaitTermination(None if self.args.boolean("continuous") else 300)
+        # airflow shape. No timeout: awaitTermination() returns exactly
+        # when the backlog is drained; a timeout would let a large
+        # backlog exit "successfully" mid-drain and session teardown
+        # could then kill the query mid-epoch (ADVICE r07 #2).
+        # --continuous blocks here for the life of the query, which is
+        # the long-running-service shape.
+        q.awaitTermination()

@@ -17,6 +17,14 @@ _AGO_RE = re.compile(
     r"^(\d+|an?) (minute|hour|day|week|month|year)s? ago$")
 _IN_RE = re.compile(
     r"^in (\d+|an?) (minute|hour|day|week|month|year)s?$")
+# compound anchors (DateOps.scala:61-82 / Natty): "[the] [N] <unit>[s]
+# before|after|from <anchor>", the anchor parsed recursively — covers
+# "the day before yesterday", "2 weeks from tuesday", "a month after
+# next friday". An absent count means 1 ("day before yesterday").
+_COMPOUND_RE = re.compile(
+    r"^(?:the )?(?:(\d+|an?) )?"
+    r"(minute|hour|day|week|month|year)s? "
+    r"(before|after|from) (.+)$")
 
 _FORMATS = [
     "%Y",
@@ -51,7 +59,13 @@ def parse_date(s: str | datetime, now: datetime | None = None) -> datetime:
       recent strictly before today, ``next monday`` = the soonest
       strictly after today — all at midnight. Natty itself resolves
       ambiguity heuristically; this subset pins one documented answer so
-      jobs are reproducible.
+      jobs are reproducible;
+    - compound anchored phrases (r08): ``[the] [N] <unit>[s]
+      before|after|from <anchor>`` where the anchor is any phrase this
+      parser accepts, recursively — ``the day before yesterday``,
+      ``2 weeks from tuesday``, ``a month after next friday``, even
+      ``the day after the day before yesterday``. Absent N means 1;
+      ``from`` ≡ ``after``; month/year steps clamp like Duration.
 
     ``now`` (the parameter) fixes the reference instant for tests.
     """
@@ -70,6 +84,15 @@ def parse_date(s: str | datetime, now: datetime | None = None) -> datetime:
         if m.re is _AGO_RE:
             n = -n
         return Duration(m.group(2) + "s", n).add_to(base)
+    m = _COMPOUND_RE.match(lowered)
+    if m:
+        count, unit, rel, anchor_s = m.groups()
+        n = 1 if count in (None, "a", "an") else int(count)
+        if rel == "before":
+            n = -n
+        anchor = parse_date(anchor_s, now=base)  # recursive: anchors chain
+        # (now=base, not now=now: the whole phrase resolves at ONE instant)
+        return Duration(unit + "s", n).add_to(anchor)
     words = lowered.split()
     if words and words[-1] in _WEEKDAYS and len(words) <= 2 \
             and (len(words) == 1 or words[0] in ("last", "next")):

@@ -290,6 +290,21 @@ def _nearest_centroid_l2(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(scored)["cell"]
 
 
+def _fresh_name(base: str, df: DataFrame, *more_taken: str) -> str:
+    """``base`` if it is free on ``df`` (and not among ``more_taken``),
+    else the first free ``base_<i>`` — internal working columns must
+    never collide with a user frame that already happens to carry the
+    name (duplicate/ambiguous column errors, or a silently wrong filter
+    reading the user's column; ADVICE r07 #4)."""
+    taken = set(df.columns) | set(more_taken)
+    if base not in taken:
+        return base
+    i = 0
+    while f"{base}_{i}" in taken:
+        i += 1
+    return f"{base}_{i}"
+
+
 def _one_row_df(spark, row: tuple, schema: str) -> DataFrame:
     """One-row DataFrame on a SINGLE partition. Plain ``createDataFrame``
     parallelizes even a single row across ``defaultParallelism`` slices, so
@@ -605,7 +620,9 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     if not bnorm:
         return corpus
     spark = corpus.sparkSession
-    bdf = _one_row_df(spark, (bnorm,), "bvecs: array<array<double>>")
+    bv = _fresh_name("__bvecs", corpus)
+    vn = _fresh_name("__vecn", corpus, bv)
+    bdf = _one_row_df(spark, (bnorm,), f"{bv}: array<array<double>>")
     v = F.col(vec_col)
     nrm = _norm(v)
     vecn = F.when(nrm > 0, F.transform(
@@ -616,10 +633,10 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     # an inline vecn re-runs the norm + divide + array alloc once per
     # BENCHMARK element per row — measured 187 s → ~2 s at sf1
     # (20k×64 corpus, 541-vector benchmark). Bit-identical results.
-    hit = F.exists(F.col("bvecs"),
-                   lambda b: _dot(F.col("__vecn"), b)
+    hit = F.exists(F.col(bv),
+                   lambda b: _dot(F.col(vn), b)
                    >= F.lit(float(threshold)))
-    return (corpus.withColumn("__vecn", vecn)
+    return (corpus.withColumn(vn, vecn)
             .crossJoin(F.broadcast(bdf))
             .where(~F.coalesce(hit, F.lit(False)))
-            .drop("bvecs", "__vecn"))
+            .drop(bv, vn))

@@ -516,13 +516,29 @@ class Matrix:
         this by construction. A NULL or absent scalar (e.g. total_sum of
         an empty matrix) yields the empty matrix, matching zero-pruned
         map_values semantics.
+
+        The at-most-one-row contract is ENFORCED, not just documented
+        (ADVICE r07 #3): a multi-row "scalar" would silently cross-join
+        into N entries per (row, col) — a corrupt COO with duplicate
+        coordinates. The guard costs nothing at scale: ``limit(2)``
+        stops the scan at the second row and the single-row aggregate
+        raises via ``raise_error`` iff two rows were seen.
         """
         if len(scalar.columns) != 1:
             raise ValueError(
                 f"scalar frame must have exactly one column, got "
                 f"{scalar.columns} — select the scalar out first")
-        sc = F.broadcast(
-            scalar.select(F.col(scalar.columns[0]).cast("double").alias("__s")))
+        guarded = (scalar.select(
+                       F.col(scalar.columns[0]).cast("double").alias("__s"))
+                   .limit(2)
+                   .agg(F.min("__s").alias("__s"),
+                        F.count(F.lit(1)).alias("__n"))
+                   .select(F.when(F.col("__n") > 1, F.raise_error(F.lit(
+                       "scale_by: scalar frame has more than one row — "
+                       "aggregate it to a single row first (the reference's "
+                       "Scalar is one value by construction)")))
+                           .otherwise(F.col("__s")).alias("__s")))
+        sc = F.broadcast(guarded)
         combined = (F.col("val") / F.col("__s")) if divide \
             else (F.col("val") * F.col("__s"))
         out = (self.df.crossJoin(sc).withColumn("val", combined)

@@ -189,6 +189,19 @@ def _read_store(spark, store_path: str):
         raise
 
 
+def _reject_reserved_batch_col(stream_df: DataFrame) -> None:
+    """All three ingest tiers partition the corpus and store by a
+    ``__batch`` (checkpoint-id, epoch) column they add themselves; an
+    input frame already carrying one would be silently overwritten in
+    the corpus output (ADVICE r07 #4's collision class). Fail at builder
+    time, before the query starts."""
+    if "__batch" in stream_df.columns:
+        raise ValueError(
+            "input stream has a '__batch' column — that name is reserved "
+            "for the ingest tiers' epoch-partition column (the on-disk "
+            "idempotent-replay contract); rename it before ingesting")
+
+
 def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,
                         store_path: str, checkpoint: str, text_col: str,
                         id_col: str, use_bloom: bool = True,
@@ -223,6 +236,7 @@ def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,
                                                 exact_dedup)
     from scalding_spark.functions.text import normalize_for_fingerprint
     import hashlib
+    _reject_reserved_batch_col(stream_df)
     run_tag = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def ingest(batch: DataFrame, epoch_id: int) -> None:

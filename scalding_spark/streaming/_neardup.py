@@ -55,6 +55,8 @@ def stream_ingest_neardup(stream_df: DataFrame, corpus_path: str,
     # partition namespace: stable across restarts of THIS checkpoint (so a
     # replayed epoch overwrites itself), distinct for a fresh checkpoint
     # (so it cannot overwrite partitions an earlier run wrote)
+    from scalding_spark.streaming import _reject_reserved_batch_col
+    _reject_reserved_batch_col(stream_df)
     run_tag = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def ingest(batch: DataFrame, epoch_id: int) -> None:

@@ -14,6 +14,9 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
                            id_col: str = "vec_id",
                            threshold: float = 0.95,
                            max_batch: int = 20_000,
+                           store_buckets: int | None = None,
+                           probe_hamming: int = 1,
+                           seed: int = 42,
                            available_now: bool = True):
     """Streaming incremental SEMANTIC-dup ingestion — the embedding tier
     of the store-probe family (exact: :func:`stream_ingest_dedup`,
@@ -51,22 +54,60 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
     can never vet others); zero vectors are kept for any threshold > 0
     and not stored (they match nothing).
 
-    100 TB note: per-batch store cost is one map-only scan doing
-    |store| × |batch| × dim multiplies. When the store outgrows one scan
-    per micro-batch, partition it by a coarse IVF/hyperplane bucket of
-    the stored vector and pre-filter the probe to the batch's buckets —
-    the partition-pruning upgrade the neardup tier documents for its
-    band store.
+    100 TB note — the ``store_buckets`` lever (r08, the upgrade the r07
+    docstring promised): with ``store_buckets=None`` (default) the store
+    probe is one map-only scan doing |store| × |batch| × dim multiplies
+    — EXACT, fine until the store outgrows one scan per micro-batch.
+    With ``store_buckets=b`` the store is written partitioned by a
+    ``__bucket`` sign-LSH id (``b`` seeded Gaussian hyperplanes →
+    2**b buckets, :func:`similarity.random_hyperplanes` — the same
+    quantizer as cosine_topk_lsh) and each micro-batch pre-filters the
+    store scan to the union of its vectors' buckets expanded to Hamming
+    distance ≤ ``probe_hamming`` (multi-probe). The filter is a
+    PARTITION filter — the scan skips pruned directories entirely — so
+    per-batch cost drops to |store ∩ probed buckets| × |batch| × dim.
+    The bucketed probe is APPROXIMATE: a true duplicate pair whose sign
+    patterns differ in more than ``probe_hamming`` bits is missed (kept
+    docs are a superset of the exact tier's; nothing novel is ever
+    dropped). ``probe_hamming=store_buckets`` probes every bucket and
+    restores exactness (the parity test's configuration). A store
+    written under one layout cannot be reopened under the other — the
+    mismatch raises rather than silently degrading.
     """
     from scalding_spark.functions.similarity import (_drop_null_vecs,
-                                                     _one_row_df)
+                                                     _fresh_name,
+                                                     _one_row_df,
+                                                     lsh_bucket,
+                                                     random_hyperplanes)
     import hashlib
+    from scalding_spark.streaming import _reject_reserved_batch_col
+    _reject_reserved_batch_col(stream_df)
     run_tag = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
     thr = float(threshold)
+    if store_buckets is not None and not 1 <= store_buckets <= 16:
+        raise ValueError(
+            f"store_buckets={store_buckets}: want 1..16 hyperplanes "
+            f"(2..65536 store partitions)")
+    # hyperplanes depend only on (seed, dim) — derived from the first
+    # batch that carries vectors, deterministic across restarts
+    planes: list = []
+
+    def _planes_for(dim: int) -> list[list[float]]:
+        if not planes:
+            planes.append(random_hyperplanes(dim, store_buckets, seed))
+        elif len(planes[0][0]) != dim:
+            raise ValueError(
+                f"embedding dim changed mid-stream: store buckets were "
+                f"built for dim {len(planes[0][0])}, batch has {dim}")
+        return planes[0]
 
     def ingest(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.dropDuplicates([id_col])
+        # internal working columns must not collide with the user's
+        # frame (ADVICE r07 #4): derive free names per batch schema.
+        ba = _fresh_name("__barr", batch)
+        vn = _fresh_name("__vecn", batch, ba)
         valid = _drop_null_vecs(batch, vec_col)
         n = valid.count()
         if n > max_batch:
@@ -84,36 +125,56 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
             nrm = math.sqrt(sum(x * x for x in v))
             if nrm > 0:
                 barr.append((r.i, [x / nrm for x in v]))
+        if barr and store_buckets is not None:
+            _planes_for(len(barr[0][1]))  # size planes before any use
         if barr:
             bdf = _one_row_df(
-                spark, (barr,), "barr: array<struct<i: long, v: array<double>>>")
+                spark, (barr,),
+                f"{ba}: array<struct<i: long, v: array<double>>>")
             # within-batch: greedy-by-id over the broadcast row, map-only.
             # The normalized vector is materialized as a COLUMN first —
             # Catalyst does not CSE across lambda boundaries, so an inline
             # normalize would re-run per broadcast element per row (the
             # semantic_decontaminate lesson, measured 90× at sf1).
             dot = lambda b: F.aggregate(  # noqa: E731
-                F.zip_with(b["v"], F.col("__vecn"), lambda x, y: x * y),
+                F.zip_with(b["v"], F.col(vn), lambda x, y: x * y),
                 F.lit(0.0), lambda acc, x: acc + x)
             hit = F.exists(
-                F.col("barr"),
+                F.col(ba),
                 lambda b: (b["i"] < F.col(id_col)) & (dot(b) >= thr))
-            batch = (batch.withColumn("__vecn", _normalized(vec_col))
+            batch = (batch.withColumn(vn, _normalized(vec_col))
                      .crossJoin(F.broadcast(bdf))
                      .where(~F.coalesce(hit, F.lit(False)))
-                     .drop("barr", "__vecn"))
+                     .drop(ba, vn))
             # vs the store: map-only scan emitting matched batch ids only
             from scalding_spark.streaming import _read_store
             store = _read_store(spark, store_path)
             if store is not None:
+                has_buckets = "__bucket" in store.columns
+                if (store_buckets is not None) != has_buckets:
+                    raise ValueError(
+                        f"store layout mismatch at {store_path}: store "
+                        f"{'IS' if has_buckets else 'is NOT'} "
+                        f"bucket-partitioned but store_buckets="
+                        f"{store_buckets} — reopen with the layout the "
+                        f"store was written under (silently "
+                        f"{'ignoring' if has_buckets else 'fabricating'} "
+                        f"buckets would corrupt dedup)")
                 store = store.where(
                     F.col("__batch") != f"{run_tag}-{int(epoch_id)}")
+                if store_buckets is not None:
+                    # multi-probe partition pruning: only the batch's
+                    # buckets (± probe_hamming bit flips) are scanned
+                    pb = _probe_buckets(
+                        [v for _, v in barr],
+                        _planes_for(len(barr[0][1])), probe_hamming)
+                    store = store.where(F.col("__bucket").isin(pb))
                 sdot = lambda b: F.aggregate(  # noqa: E731
                     F.zip_with(b["v"], F.col("vecn"), lambda x, y: x * y),
                     F.lit(0.0), lambda acc, x: acc + x)
                 dup_ids = (store.crossJoin(F.broadcast(bdf))
                            .select(F.explode(F.filter(
-                               F.col("barr"),
+                               F.col(ba),
                                lambda b: sdot(b) >= thr)).alias("m"))
                            .select(F.col("m.i").alias(id_col)).distinct())
                 batch = batch.join(dup_ids, id_col, "left_anti")
@@ -124,11 +185,19 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
          .option("partitionOverwriteMode", "dynamic")
          .parquet(corpus_path))
         vecn = _normalized(vec_col)
-        (_drop_null_vecs(novel, vec_col)
-         .select(F.col(id_col).alias("id"), vecn.alias("vecn"))
-         .where(F.exists(F.col("vecn"), lambda x: x != 0))
-         .withColumn("__batch", tag)
-         .write.mode("overwrite").partitionBy("__batch")
+        wdf = (_drop_null_vecs(novel, vec_col)
+               .select(F.col(id_col).alias("id"), vecn.alias("vecn"))
+               .where(F.exists(F.col("vecn"), lambda x: x != 0))
+               .withColumn("__batch", tag))
+        part_cols = ["__batch"]
+        if store_buckets is not None:
+            # bucket on the NORMALIZED vector — same sign pattern as the
+            # raw vector (positive scaling), same id the probe computes
+            bexpr = (lsh_bucket(F.col("vecn"), planes[0]) if planes
+                     else F.lit(0).cast("bigint"))  # empty write only
+            wdf = wdf.withColumn("__bucket", bexpr)
+            part_cols.append("__bucket")
+        (wdf.write.mode("overwrite").partitionBy(*part_cols)
          .option("partitionOverwriteMode", "dynamic")
          .parquet(store_path))
 
@@ -137,6 +206,28 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def _probe_buckets(vecs, planes: list[list[float]],
+                   probe_hamming: int) -> list[int]:
+    """Sign-LSH bucket ids of ``vecs`` expanded to every bucket within
+    Hamming distance ``probe_hamming`` (multi-probe LSH), sorted. The
+    sign computation is vectorized (one |batch| × nbits × dim matmul on
+    the driver — the vectors were already collected for the broadcast
+    probe); bit semantics mirror :func:`similarity.lsh_bucket` exactly
+    (bit b set iff vec · plane_b > 0)."""
+    import numpy as np
+    from itertools import combinations
+    nbits = len(planes)
+    mat = np.asarray(vecs, dtype=float)
+    bits = (mat @ np.asarray(planes, dtype=float).T) > 0
+    base = {int(sum(1 << b for b in range(nbits) if row[b]))
+            for row in bits}
+    masks = [0]
+    for r in range(1, min(probe_hamming, nbits) + 1):
+        masks += [sum(1 << i for i in c)
+                  for c in combinations(range(nbits), r)]
+    return sorted({b ^ m for b in base for m in masks})
 
 
 def _normalized(vec_col: str):

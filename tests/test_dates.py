@@ -152,3 +152,49 @@ def test_parse_weekday_garbage_still_rejected():
                 "ago 3 days", "next next monday"):
         with pytest.raises(ValueError):
             parse_date(bad)
+
+
+# --- compound anchored phrases (DateOps.scala:61-82 / Natty; r08) -----------
+
+def test_parse_compound_goldens():
+    base = datetime(2026, 8, 13, 10, 30)   # a Thursday
+    assert parse_date("the day before yesterday", now=base) == \
+        datetime(2026, 8, 11)
+    assert parse_date("day before yesterday", now=base) == \
+        datetime(2026, 8, 11)
+    assert parse_date("the day after tomorrow", now=base) == \
+        datetime(2026, 8, 15)
+    # 2 weeks from tuesday: upcoming tuesday is 2026-08-18
+    assert parse_date("2 weeks from tuesday", now=base) == \
+        datetime(2026, 9, 1)
+    assert parse_date("a week from today", now=base) == datetime(2026, 8, 20)
+    assert parse_date("an hour from now", now=base) == \
+        base + timedelta(hours=1)
+    # chained anchors resolve recursively at ONE instant
+    assert parse_date("the day after the day before yesterday",
+                      now=base) == datetime(2026, 8, 12)
+    # month steps clamp like Duration (Aug 31 anchor -> Sep 30)
+    assert parse_date("a month from today",
+                      now=datetime(2026, 8, 31, 9)) == datetime(2026, 9, 30)
+
+
+@settings(deadline=None)
+@given(dt_strategy, st.integers(0, 10_000), _UNITS,
+       st.sampled_from(["today", "yesterday", "tomorrow", "now",
+                        "next friday", "last monday", "tuesday"]))
+def test_parse_compound_equals_duration_over_anchor(base, n, unit, anchor):
+    """'[N] <unit>s before|after|from <anchor>' ≡ Duration applied to the
+    independently-parsed anchor, for every anchor the parser accepts."""
+    a = parse_date(anchor, now=base)
+    delta = timedelta(**{unit + "s": n})
+    assert parse_date(f"{n} {unit}s after {anchor}", now=base) == a + delta
+    assert parse_date(f"{n} {unit}s from {anchor}", now=base) == a + delta
+    assert parse_date(f"{n} {unit}s before {anchor}", now=base) == a - delta
+
+
+def test_parse_compound_garbage_rejected():
+    import pytest
+    for bad in ("2 weeks from someday", "day before", "before yesterday",
+                "2 fortnights from today", "the day beside yesterday"):
+        with pytest.raises(ValueError):
+            parse_date(bad, now=datetime(2026, 8, 13))

@@ -410,3 +410,135 @@ def test_stream_ingest_semantic_batch_cap(spark, tmp_path):
     with pytest.raises(pyspark.errors.StreamingQueryException,
                        match="max_batch"):
         q.awaitTermination(120)
+
+
+# --- stream_ingest_semantic: bucketed store (r08) ----------------------------
+
+def _run_semantic_bucketed(spark, batch_rows, paths, threshold=0.9,
+                           store_buckets=3, probe_hamming=1):
+    src, corpus, store, ckpt = paths
+    spark.createDataFrame(batch_rows, EMB_SCHEMA) \
+        .write.mode("append").parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, EMB_SCHEMA)
+    q = streaming.stream_ingest_semantic(
+        stream, corpus_path=corpus, store_path=store, checkpoint=ckpt,
+        vec_col="embedding", id_col="vec_id", threshold=threshold,
+        store_buckets=store_buckets, probe_hamming=probe_hamming)
+    q.awaitTermination(120)
+
+
+def _gauss_rows(n, dim, seed, dup_every=3):
+    """Seeded corpus: every ``dup_every``-th row is a near-dup (tiny
+    perturbation) of the previous row, the rest i.i.d. Gaussian."""
+    import random as _r
+    rng = _r.Random(seed)
+    rows, prev = [], None
+    for i in range(n):
+        if prev is not None and i % dup_every == 0:
+            v = [x + rng.gauss(0, 0.01) for x in prev]
+        else:
+            v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+        prev = v
+    return rows
+
+
+def test_probe_buckets_hamming_expansion():
+    from scalding_spark.streaming._semantic import _probe_buckets
+    planes = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    # (+,+): all three dots positive -> bucket 0b111 = 7
+    assert _probe_buckets([[2.0, 3.0]], planes, 0) == [7]
+    got = _probe_buckets([[2.0, 3.0]], planes, 1)
+    assert got == sorted({7, 6, 5, 3})          # flip each bit once
+    # probing the full Hamming ball = every bucket
+    assert _probe_buckets([[2.0, 3.0]], planes, 3) == list(range(8))
+    assert _probe_buckets([[2.0, 3.0]], planes, 99) == list(range(8))
+
+
+def test_stream_ingest_semantic_bucketed_full_probe_equals_exact(spark,
+                                                                 tmp_path):
+    """probe_hamming = store_buckets probes every bucket — the bucketed
+    tier must then match the exact full-scan tier doc-for-doc."""
+    rows = _gauss_rows(40, 8, seed=7)
+    b1, b2 = rows[:25], rows[25:]
+    pe = tuple(str(tmp_path / p) for p in ("se", "ce", "ste", "cke"))
+    pb = tuple(str(tmp_path / p) for p in ("sb", "cb", "stb", "ckb"))
+    _run_semantic(spark, b1, pe, threshold=0.9)
+    _run_semantic(spark, b2, pe, threshold=0.9)
+    _run_semantic_bucketed(spark, b1, pb, threshold=0.9,
+                           store_buckets=3, probe_hamming=3)
+    _run_semantic_bucketed(spark, b2, pb, threshold=0.9,
+                           store_buckets=3, probe_hamming=3)
+    exact = sorted(r.vec_id for r in spark.read.parquet(pe[1]).collect())
+    bucketed = sorted(r.vec_id for r in spark.read.parquet(pb[1]).collect())
+    assert bucketed == exact
+    # the store really is laid out in __bucket partition directories
+    import os
+    batches = [d for d in os.listdir(pb[2]) if d.startswith("__batch=")]
+    assert batches
+    assert all(any(sub.startswith("__bucket=")
+                   for sub in os.listdir(os.path.join(pb[2], d)))
+               for d in batches)
+
+
+def test_stream_ingest_semantic_bucketed_containment(spark, tmp_path):
+    """Narrow probe (hamming 1): the bucketed tier may MISS cross-batch
+    dups (lower recall) but must never drop a doc the exact tier keeps —
+    kept_exact ⊆ kept_bucketed (the ANN-suite containment contract)."""
+    rows = _gauss_rows(60, 6, seed=11, dup_every=2)
+    b1, b2 = rows[:30], rows[30:]
+    pe = tuple(str(tmp_path / p) for p in ("xe", "yce", "yse", "yke"))
+    pb = tuple(str(tmp_path / p) for p in ("xb", "ycb", "ysb", "ykb"))
+    _run_semantic(spark, b1, pe, threshold=0.9)
+    _run_semantic(spark, b2, pe, threshold=0.9)
+    _run_semantic_bucketed(spark, b1, pb, threshold=0.9,
+                           store_buckets=4, probe_hamming=1)
+    _run_semantic_bucketed(spark, b2, pb, threshold=0.9,
+                           store_buckets=4, probe_hamming=1)
+    exact = {r.vec_id for r in spark.read.parquet(pe[1]).collect()}
+    bucketed = {r.vec_id for r in spark.read.parquet(pb[1]).collect()}
+    assert exact <= bucketed, (
+        f"bucketed tier dropped docs the exact tier kept: "
+        f"{sorted(exact - bucketed)}")
+
+
+def test_stream_ingest_semantic_bucketed_store_scan_prunes_partitions(
+        spark, tmp_path):
+    """The store probe's bucket filter is a PARTITION filter: the scan
+    plan prunes whole __bucket directories (the 100 TB lever — per-batch
+    cost |store ∩ probed buckets|, not |store|)."""
+    from scalding_spark.streaming._semantic import _probe_buckets
+    from scalding_spark.functions.similarity import random_hyperplanes
+    rows = _gauss_rows(64, 6, seed=3, dup_every=10**9)
+    paths = tuple(str(tmp_path / p) for p in ("zp", "zc", "zs", "zk"))
+    _run_semantic_bucketed(spark, rows, paths, threshold=0.95,
+                           store_buckets=3, probe_hamming=0)
+    store = spark.read.parquet(paths[2])
+    n_parts = store.select("__bucket").distinct().count()
+    assert n_parts > 2  # 64 Gaussian vectors spread over 8 buckets
+    planes = random_hyperplanes(6, 3, 42)
+    pbk = _probe_buckets([rows[0][1]], planes, 0)
+    pruned = store.where(F.col("__bucket").isin(pbk))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    # and it actually reads fewer rows than the full store
+    assert pruned.count() < store.count()
+
+
+def test_stream_ingest_semantic_layout_mismatch_raises(spark, tmp_path):
+    import pyspark.errors
+    rows = _gauss_rows(10, 4, seed=5)
+    paths = tuple(str(tmp_path / p) for p in ("mp", "mc", "ms", "mk"))
+    _run_semantic_bucketed(spark, rows[:5], paths, store_buckets=2)
+    # reopening the bucketed store WITHOUT buckets must refuse
+    src, corpus, store, _ = paths
+    spark.createDataFrame(rows[5:], EMB_SCHEMA) \
+        .write.mode("append").parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, EMB_SCHEMA)
+    q = streaming.stream_ingest_semantic(
+        stream, corpus_path=corpus, store_path=store,
+        checkpoint=str(tmp_path / "mk2"))
+    with pytest.raises(pyspark.errors.StreamingQueryException,
+                       match="layout mismatch"):
+        q.awaitTermination(120)
