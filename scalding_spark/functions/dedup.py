@@ -310,10 +310,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         # session.release_materialized() (callers never see this handle)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
-        # window count over sh, not groupBy+semi-join: one exchange on sh
-        # that the self-join below REUSES (both sides are the identical
-        # windowed subplan and arrive hash-partitioned by sh — Catalyst
-        # plans a ReusedExchange and no further shuffle for the join)
+        # window count over sh, not groupBy+anti-join. Measured reality
+        # (r08, sf0.1): each self-join side plans its OWN Exchange(sh) +
+        # Window over the persisted index — Catalyst does NOT emit the
+        # ReusedExchange this comment once hoped for — but the windowed
+        # output arrives hash-partitioned by sh, so the join itself adds
+        # no further shuffle (2 index exchanges total). The alternative
+        # (groupBy(sh) hot-set → broadcast left_anti per side) also pays
+        # 2 index exchanges PLUS the hot-set aggregation job and measured
+        # 2.5 s vs this path's 1.3 s steady-state at sf0.1 (SCALING.md
+        # r08) — the per-partition count window is cheaper than the
+        # anti-join it would replace.
         w = Window.partitionBy("sh")
         sh = (sh.withColumn("__df", F.count(F.lit(1)).over(w))
               .where(F.col("__df") <= max_doc_freq).drop("__df"))

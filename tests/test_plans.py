@@ -467,3 +467,25 @@ def test_matrix_scalar_pipe_reuses_coo_exchange(spark):
     p = plan(out.df)
     assert "isFinalPlan=true" in p
     assert p.count("ReusedExchange") >= 2, p
+
+def test_ngram_jaccard_index_cached_and_double_windowed_cap(spark):
+    """ngram_jaccard_pairs' candidate stage (r08 investigation, SCALING.md):
+    the exploded shingle index is PERSISTED — every consumer (both join
+    sides + the size agg) reads InMemoryTableScan, never re-tokenizing the
+    corpus — and the stop-shingle cap costs exactly one Exchange(sh) +
+    Window per join side; the self-join adds no further index shuffle.
+    Catalyst plans NO ReusedExchange across the two sides (measured, both
+    pre- and post-AQE), and the measured alternative (hot-set broadcast
+    anti-join) was 2x slower, so 2 sh-exchanges + 2 windows IS the pinned
+    shape: one more of either means the cap path re-quadratified or the
+    persist was dropped."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", max_doc_freq=1000)
+    p = plan(df)
+    sh_exchanges = [l for l in p.splitlines()
+                    if "Exchange hashpartitioning(sh" in l]
+    windows = [l for l in p.splitlines() if l.lstrip().startswith("+- Window")
+               or ":- Window" in l or "- Window [" in l]
+    assert len(sh_exchanges) == 2, p
+    assert len(windows) == 2, p
+    assert p.count("InMemoryTableScan") >= 3, p
