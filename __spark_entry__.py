@@ -2436,6 +2436,53 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                     web.canonicalize_url(F.col("url")).alias("canonical"))
 
 
+def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared eval fixture: a length-based English-ness 'classifier' over
+    documents — score = n_chars (integer, heavy tie classes by design:
+    exercises the average-rank correction), probability-scaled variant
+    (n_chars % 1000)/1000.0 (exact 3-decimal doubles — inside the
+    calibration module's <=9-dp cross-engine decimal contract), label =
+    (lang = 'en'). NULL scores/labels are dropped by the ops themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("n_chars").alias("score"),
+        ((F.col("n_chars") % 1000) / F.lit(1000.0)).alias("prob"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluation.roc_auc: exact tie-corrected ROC-AUC + KS of the doc
+    quality heuristic (score = n_chars predicting lang='en'). Rank sums
+    and KS numerators are exact BIGINTs with ONE double division each, so
+    the hash matches DuckDB bit-for-bit. Plan: one groupBy(score) shuffle
+    + the range-partition prefix-offset cumulative — no data-sized
+    single-task window (plan-asserted in tests/test_evaluation.py)."""
+    from scalding_spark.functions import evaluation
+    return evaluation.roc_auc(_eval_scored(spark, sf_dir), "score", "label")
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluation.calibration_bins: reliability-diagram table (10 bins of
+    [0,1)) for the probability-scaled score. mean_score accumulates as
+    exact DECIMAL(27,9) (one final double division) — layout- and
+    engine-stable; counts/frac_pos are integer ratios."""
+    from scalding_spark.functions import evaluation
+    return evaluation.calibration_bins(_eval_scored(spark, sf_dir),
+                                       "prob", "label", bins=10)
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluation.threshold_sweep: confusion matrix + precision/recall/
+    F1/accuracy at 5 cutoffs. The corpus aggregates per DISTINCT score
+    once; the literal threshold array re-aggregates the small per-score
+    table — corpus cost independent of threshold count. All counts exact;
+    every rate is one division (NULL on empty denominators)."""
+    from scalding_spark.functions import evaluation
+    return evaluation.threshold_sweep(_eval_scored(spark, sf_dir),
+                                      "prob", "label",
+                                      [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity.semantic_decontaminate: drop corpus embeddings with
     cosine ≥ 0.8 to ANY benchmark embedding (every 37th vector) — the
@@ -2631,9 +2678,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operator's default changed in r07 — bare `ref` no longer stripped,
     # strip set parameterized, web.py:52-92 — after its last driver row in
     # r06; the changed-operator re-verification rule puts it at the queue
-    # head, ADVICE r07 #1), then the r05-green block in queue order
-    # (q_dedup_lines onward), as many as fit. The 3 r05-green entries the
-    # window cannot fit (q11_important_parts / q13_customer_distribution /
+    # head, ADVICE r07 #1), then the three NEW r08 evaluation-module
+    # queries (never driver-checked — the rotation test requires
+    # never-checked entries inside the window), then the r05-green block
+    # in queue order (q_dedup_lines onward), as many as fit. The 6
+    # r05-green entries the window cannot fit (q8_market_share /
+    # q9_product_profit / q10_returned_items — displaced by the eval
+    # insertions — plus q11_important_parts / q13_customer_distribution /
     # q14_promo_effect) sit directly below position 50 and lead the r09
     # window. Every insertion/displacement is ledgered at the displacement
     # point so the header never overstates what the driver verified
@@ -2645,8 +2696,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r08 window: changed-operator re-verification (ADVICE r07 #1;
         #    canonicalize_url semantics changed in r07 after the r06 row) --
         "q_url_canonical": q_url_canonical,
-        # -- r08 window: r05-green block, queue order (first 47 of 50;
-        #    the 3 displaced by the entries above are ledgered below
+        # -- r08 window: NEW evaluation module (functions/evaluation.py),
+        #    first driver run --
+        "q_quality_auc": q_quality_auc,
+        "q_calibration_bins": q_calibration_bins,
+        "q_threshold_sweep": q_threshold_sweep,
+        # -- r08 window: r05-green block, queue order (first 44 of 50;
+        #    the 6 displaced by the entries above are ledgered below
         #    position 50 and lead the r09 window) --
         "q_dedup_lines": q_dedup_lines,
         "q_char_entropy": q_char_entropy,
@@ -2692,13 +2748,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
+        # ---- position 50 ends here ----
+        # -- r09 queue head: the 6 r05-green entries displaced below
+        #    position 50 by the r08 head (winnow pair + q_url_canonical +
+        #    the 3 new evaluation queries); NOT re-verified this round --
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
-        # ---- position 50 ends here ----
-        # -- r09 queue head: the 3 r05-green entries displaced below
-        #    position 50 by the r08 head (winnow pair + q_url_canonical);
-        #    NOT re-verified this round --
         "q11_important_parts": q11_important_parts,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_effect": q14_promo_effect,
@@ -3881,6 +3937,108 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT unnest([0, 1]) AS x4) d,
                  (SELECT unnest([0, 1]) AS x5) e
             WHERE abs(x1 * 3 + x2 * 5 + x3 * 7 + x4 * 11 + x5 * 13 - 18) <= 0.5
+        """,
+        # exact rank-statistic AUC/KS: every aggregate is an integer sum;
+        # the two divisions at the end are single IEEE ops, so the hash
+        # matches Spark bit-for-bit (evaluation.py's determinism contract)
+        "q_quality_auc": """
+            WITH t AS (
+                SELECT n_chars AS s,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            g AS (SELECT s, count(*) AS n, sum(y) AS np FROM t GROUP BY s),
+            c AS (
+                SELECT n, np,
+                       coalesce(sum(n) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS cb,
+                       sum(np) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cpt,
+                       sum(n) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cnt
+                FROM g),
+            tot AS (SELECT CAST(coalesce(sum(y), 0) AS BIGINT) AS np_all,
+                           count(*) AS n_all FROM t)
+            SELECT CAST(np_all AS BIGINT) AS n_pos,
+                   CAST(n_all - np_all AS BIGINT) AS n_neg,
+                   CASE WHEN np_all > 0 AND n_all - np_all > 0 THEN
+                       CAST(sum(np * (2 * cb + n + 1))
+                            - np_all * (np_all + 1) AS DOUBLE)
+                       / CAST(2 * np_all * (n_all - np_all) AS DOUBLE)
+                   END AS auc,
+                   CASE WHEN np_all > 0 AND n_all - np_all > 0 THEN
+                       CAST(max(abs(cpt * (n_all - np_all)
+                                    - (cnt - cpt) * np_all)) AS DOUBLE)
+                       / CAST(np_all * (n_all - np_all) AS DOUBLE)
+                   END AS ks
+            FROM c CROSS JOIN tot
+            GROUP BY np_all, n_all
+        """,
+        # mean_score via exact DECIMAL(27,9) accumulation (the module's
+        # fixed-point contract); bin arithmetic mirrors Spark's IEEE
+        # double floor(s*10) exactly
+        "q_calibration_bins": """
+            WITH t AS (
+                SELECT (n_chars % 1000) / 1000.0 AS s,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+            SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+                   count(*) AS n,
+                   CAST(sum(y) AS BIGINT) AS pos,
+                   CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS frac_pos,
+                   CAST(sum(CAST(s AS DECIMAL(27,9))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS mean_score
+            FROM t GROUP BY 1
+        """,
+        "q_threshold_sweep": """
+            WITH t AS (
+                SELECT (n_chars % 1000) / 1000.0 AS s,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            g AS (SELECT s, count(*) AS n, sum(y) AS np FROM t GROUP BY s),
+            x AS (SELECT th.threshold, g.s, g.n, g.np
+                  FROM g CROSS JOIN (
+                      SELECT unnest([CAST(0.1 AS DOUBLE),
+                                     CAST(0.25 AS DOUBLE),
+                                     CAST(0.5 AS DOUBLE),
+                                     CAST(0.75 AS DOUBLE),
+                                     CAST(0.9 AS DOUBLE)]) AS threshold
+                  ) th),
+            a AS (
+                SELECT threshold,
+                    CAST(coalesce(sum(CASE WHEN s >= threshold THEN np END),
+                                  0) AS BIGINT) AS tp,
+                    CAST(coalesce(sum(CASE WHEN s >= threshold
+                                           THEN n - np END), 0) AS BIGINT)
+                        AS fp,
+                    CAST(coalesce(sum(CASE WHEN s < threshold
+                                           THEN n - np END), 0) AS BIGINT)
+                        AS tn,
+                    CAST(coalesce(sum(CASE WHEN s < threshold THEN np END),
+                                  0) AS BIGINT) AS fn
+                FROM x GROUP BY threshold)
+            SELECT threshold, tp, fp, tn, fn,
+                   CASE WHEN tp + fp > 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                   END AS "precision",
+                   CASE WHEN tp + fn > 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                   END AS recall,
+                   CASE WHEN 2 * tp + fp + fn > 0 THEN
+                       CAST(2 * tp AS DOUBLE)
+                       / CAST(2 * tp + fp + fn AS DOUBLE)
+                   END AS f1,
+                   CASE WHEN tp + fp + tn + fn > 0 THEN
+                       CAST(tp + tn AS DOUBLE)
+                       / CAST(tp + fp + tn + fn AS DOUBLE)
+                   END AS accuracy
+            FROM a
         """,
         "q_exact_dedup": f"""
             SELECT doc_id, source FROM (

@@ -1,0 +1,202 @@
+"""Classifier evaluation at corpus scale — the audit half of the
+quality-model surface (text.py's ``train_logistic_quality`` /
+``linear_quality_score``): a pipeline that trains and applies quality
+filters over 100 TB needs to MEASURE them on held-out labels at the same
+scale it applies them, or the filter's quality is folklore.
+
+No reference analog (the reference ships no eval ops; this module is
+part of the LLM-pipeline extension surface, like dedup.py/sampling.py).
+
+Determinism contract (the same one train_logistic_quality pins): every
+metric is accumulated in EXACT integer / decimal arithmetic — rank sums
+as BIGINTs, score sums as DECIMAL(27,9) — with one IEEE division at the
+end, so results are bit-identical under any partition layout and across
+engines (the driver's value-hash gate compares against DuckDB).
+
+Scale shapes:
+
+- :func:`roc_auc` never globally sorts rows: it aggregates per DISTINCT
+  score (one shuffle), then runs the key-less range-partition
+  prefix-offset pattern (grouping.py's ``SortedGroup`` machinery — ties
+  co-locate by construction, per-partition windows run in parallel, and
+  only a #partitions-row offsets table crosses a single-task window);
+- :func:`calibration_bins` / :func:`confusion_at` /
+  :func:`threshold_sweep` are single partial-aggregated passes (bins /
+  thresholds are plan literals), map-side combined like any groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# exact decimal accumulator for score sums: 9 fractional digits (the
+# train_logistic_quality grad_decimals convention), 18 integral — sums of
+# 1e12 unit-scale scores stay exact
+_DEC = "decimal(27,9)"
+
+
+def _scored(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """(s, y) pairs with NULL scores/labels dropped: a row without a score
+    cannot be ranked, a row without a label cannot be judged — standard
+    eval practice, documented rather than silent (the row counts the
+    metrics return are counts of JUDGED rows)."""
+    y = F.col(label_col).cast("int")
+    return (df.where(F.col(score_col).isNotNull() & y.isNotNull())
+            .select(F.col(score_col).alias("s"), y.alias("y")))
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC and KS statistic → ONE row
+    ``(n_pos, n_neg, auc, ks)``.
+
+    AUC is the Mann-Whitney form with full tie correction: with average
+    rank r̄_i over ascending scores, AUC = (Σ_pos r̄ − n⁺(n⁺+1)/2) /
+    (n⁺·n⁻). KS = max_s |TPR(s) − FPR(s)| over score thresholds.
+
+    Exactness: per tie class (cum_before, n, n_pos) are BIGINTs, so
+    2·Σ_pos r̄ = Σ_class n_pos·(2·cum_before + n + 1) is an exact integer
+    sum, and the KS numerator |cum_pos·n⁻ − cum_neg·n⁺| is integer too;
+    each metric is ONE double division at the end. Either class empty →
+    AUC/KS are NULL (undefined, not 0 — an all-positive eval slice is an
+    upstream bug worth surfacing).
+
+    Scale: groupBy(score) is the only data-sized shuffle; the cumulative
+    counts run per range-partition in parallel with a broadcast
+    #partitions-row prefix-offset table (grouping.py's key-less pattern,
+    including its frozen-pid persist — the data and offsets branches must
+    see the same partition universe, SCALING.md's 10× lesson). Heavy tie
+    classes (quantized scores) are exactly the case this wins: one row
+    per DISTINCT score, never one partition per tie class.
+    """
+    from scalding_spark.session import register_persisted
+    t = _scored(df, score_col, label_col)
+    g = t.groupBy("s").agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("y").alias("np"))
+    d = (g.repartitionByRange(F.col("s").asc())
+         .withColumn("__pid", F.spark_partition_id()).persist())
+    register_persisted(d)
+    w = Window.partitionBy("__pid").orderBy("s")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    thru = w.rowsBetween(Window.unboundedPreceding, 0)
+    local = (d.withColumn("__lb", F.coalesce(F.sum("n").over(before), F.lit(0)))
+             .withColumn("__lpt", F.sum("np").over(thru))
+             .withColumn("__lnt", F.sum("n").over(thru)))
+    offw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (d.groupBy("__pid")
+            .agg(F.sum("n").alias("__tn"), F.sum("np").alias("__tp"))
+            .withColumn("__offn", F.coalesce(F.sum("__tn").over(offw), F.lit(0)))
+            .withColumn("__offp", F.coalesce(F.sum("__tp").over(offw), F.lit(0)))
+            .select("__pid", "__offn", "__offp"))
+    cls = (local.join(F.broadcast(offs), "__pid")
+           .select("n", "np",
+                   (F.col("__offn") + F.col("__lb")).alias("cb"),
+                   (F.col("__offp") + F.col("__lpt")).alias("cpt"),
+                   (F.col("__offn") + F.col("__lnt")).alias("cnt")))
+    tot = F.broadcast(t.agg(F.coalesce(F.sum("y"), F.lit(0)).alias("__npos"),
+                            F.count(F.lit(1)).alias("__nall")))
+    npos, nall = F.col("__npos"), F.col("__nall")
+    nneg = nall - npos
+    agg = (cls.crossJoin(tot)
+           .groupBy("__npos", "__nall")
+           .agg(F.sum(F.col("np") * (2 * F.col("cb") + F.col("n") + 1))
+                .alias("__s2"),
+                F.max(F.abs(F.col("cpt") * nneg
+                            - (F.col("cnt") - F.col("cpt")) * npos))
+                .alias("__ksn")))
+    defined = (npos > 0) & (nneg > 0)
+    one = (agg.select(
+        npos.alias("n_pos"), nneg.alias("n_neg"),
+        F.when(defined, (F.col("__s2") - npos * (npos + 1)).cast("double")
+               / (2 * npos * nneg).cast("double")).alias("auc"),
+        F.when(defined, F.col("__ksn").cast("double")
+               / (npos * nneg).cast("double")).alias("ks")))
+    # zero judged rows → the groupBy above yields NO row; the contract is
+    # always-one-row (callers read metrics positionally)
+    empty = tot.where(nall == 0).select(
+        npos.alias("n_pos"), (nall - npos).alias("n_neg"),
+        F.lit(None).cast("double").alias("auc"),
+        F.lit(None).cast("double").alias("ks"))
+    return one.unionByName(empty)
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col: str,
+                     bins: int = 10) -> DataFrame:
+    """Reliability-diagram table for a probability-scored classifier →
+    ``(bin, n, pos, frac_pos, mean_score)``, one row per OCCUPIED bin of
+    [0,1) split ``bins`` ways (scores of exactly 1.0 land in the top bin).
+
+    A calibrated filter has frac_pos ≈ mean_score per bin; systematic gaps
+    mean the score is a ranking, not a probability — which changes how a
+    mixing policy may use it (temperature_mix assumes calibrated weights).
+
+    mean_score accumulates as DECIMAL(27,9) (exact integer arithmetic
+    underneath — layout-independent, the train_logistic_quality
+    fixed-point convention) with one final double division; frac_pos is an
+    integer ratio. For cross-ENGINE bit-parity feed scores representable
+    in ≤9 decimal digits (the double→decimal cast is a tie-round at the
+    10th digit, and engines disagree on ties); within one engine any
+    score is deterministic. One partial-aggregated pass; bin count is a
+    literal.
+    """
+    if bins < 1:
+        raise ValueError(f"bins={bins}: want >= 1")
+    t = _scored(df, score_col, label_col)
+    b = F.least(F.floor(F.col("s") * bins).cast("int"), F.lit(bins - 1))
+    return (t.groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("y").alias("pos"),
+                 F.sum(F.col("s").cast(_DEC)).alias("__ssum"))
+            .select("bin", "n", "pos",
+                    (F.col("pos").cast("double") / F.col("n").cast("double"))
+                    .alias("frac_pos"),
+                    (F.col("__ssum").cast("double") / F.col("n").cast("double"))
+                    .alias("mean_score")))
+
+
+def confusion_at(df: DataFrame, score_col: str, label_col: str,
+                 threshold: float) -> DataFrame:
+    """Confusion matrix + derived rates at ONE decision threshold
+    (predict positive iff score ≥ threshold) → one row ``(threshold, tp,
+    fp, tn, fn, precision, recall, f1, accuracy)``. Rates with an empty
+    denominator are NULL. Exactly :func:`threshold_sweep` at a single
+    literal; one aggregated pass."""
+    return threshold_sweep(df, score_col, label_col, [threshold])
+
+
+def threshold_sweep(df: DataFrame, score_col: str, label_col: str,
+                    thresholds: list[float]) -> DataFrame:
+    """Operating-characteristic sweep: one confusion row PER candidate
+    threshold — how a filter cutoff is actually chosen (pick recall floor,
+    read off precision).
+
+    Plan: the corpus aggregates per DISTINCT score once (the roc_auc
+    shuffle); the per-score table then cross-joins the LITERAL threshold
+    array and re-aggregates — corpus cost is independent of len(thresholds),
+    the second pass is |distinct scores| × |thresholds| on two BIGINTs.
+    All counts exact; each rate is one final division."""
+    if not thresholds:
+        raise ValueError("thresholds: want at least one cutoff")
+    t = _scored(df, score_col, label_col)
+    g = t.groupBy("s").agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("y").alias("np"))
+    th = F.explode(F.array(*[F.lit(float(x)) for x in thresholds]))
+    pos_pred = F.col("s") >= F.col("threshold")
+    agg = (g.select("s", "n", "np", th.alias("threshold"))
+           .groupBy("threshold")
+           .agg(F.coalesce(F.sum(F.when(pos_pred, F.col("np"))), F.lit(0)).alias("tp"),
+                F.coalesce(F.sum(F.when(pos_pred, F.col("n") - F.col("np"))),
+                           F.lit(0)).alias("fp"),
+                F.coalesce(F.sum(F.when(~pos_pred, F.col("n") - F.col("np"))),
+                           F.lit(0)).alias("tn"),
+                F.coalesce(F.sum(F.when(~pos_pred, F.col("np"))), F.lit(0)).alias("fn")))
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+    tp, fp, tn, fn = (F.col(c) for c in ("tp", "fp", "tn", "fn"))
+    return agg.select(
+        "threshold", "tp", "fp", "tn", "fn",
+        ratio(tp, tp + fp).alias("precision"),
+        ratio(tp, tp + fn).alias("recall"),
+        ratio(2 * tp, 2 * tp + fp + fn).alias("f1"),
+        ratio(tp + tn, tp + fp + tn + fn).alias("accuracy"))

@@ -1,0 +1,159 @@
+"""Classifier-evaluation ops (functions/evaluation.py) vs pure-Python
+mirrors — exact AUC/KS with ties, calibration bins, threshold sweeps —
+plus the degenerate axes (empty input, one-class labels, NULLs)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark.functions import evaluation as ev
+
+
+def _py_auc_ks(pairs):
+    """Reference AUC (tie-corrected Mann-Whitney) + KS on (score, y)."""
+    pairs = [(s, y) for s, y in pairs if s is not None and y is not None]
+    npos = sum(y for _, y in pairs)
+    nneg = len(pairs) - npos
+    if npos == 0 or nneg == 0:
+        return npos, nneg, None, None
+    ss = sorted(pairs)
+    # average ranks over ties
+    i, rank_sum_pos = 0, 0.0
+    while i < len(ss):
+        j = i
+        while j < len(ss) and ss[j][0] == ss[i][0]:
+            j += 1
+        avg_rank = (i + 1 + j) / 2.0  # ranks i+1..j
+        rank_sum_pos += avg_rank * sum(y for _, y in ss[i:j])
+        i = j
+    auc = (rank_sum_pos - npos * (npos + 1) / 2.0) / (npos * nneg)
+    ks, cp, cn = 0.0, 0, 0
+    i = 0
+    while i < len(ss):
+        j = i
+        while j < len(ss) and ss[j][0] == ss[i][0]:
+            j += 1
+        cp += sum(y for _, y in ss[i:j])
+        cn += sum(1 - y for _, y in ss[i:j])
+        ks = max(ks, abs(cp / npos - cn / nneg))
+        i = j
+    return npos, nneg, auc, ks
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "s double, y int")
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_auc_perfect_and_reversed(spark):
+    pairs = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    r = _one(ev.roc_auc(_df(spark, pairs), "s", "y"))
+    assert (r.n_pos, r.n_neg, r.auc, r.ks) == (50, 50, 1.0, 1.0)
+    rev = [(-s, y) for s, y in pairs]
+    r = _one(ev.roc_auc(_df(spark, rev), "s", "y"))
+    assert (r.auc, r.ks) == (0.0, 1.0)
+
+
+def test_auc_all_ties_is_half(spark):
+    pairs = [(1.0, i % 2) for i in range(40)]
+    r = _one(ev.roc_auc(_df(spark, pairs), "s", "y"))
+    assert r.auc == 0.5 and r.ks == 0.0
+
+
+def test_auc_ks_match_python_mirror_with_heavy_ties(spark):
+    import random
+    rng = random.Random(7)
+    # quantized scores → many tie classes, correlated labels
+    pairs = [(round(rng.random(), 1),
+              1 if rng.random() < 0.3 + 0.4 * rng.random() else 0)
+             for _ in range(500)]
+    npos, nneg, auc, ks = _py_auc_ks(pairs)
+    r = _one(ev.roc_auc(_df(spark, pairs), "s", "y"))
+    assert (r.n_pos, r.n_neg) == (npos, nneg)
+    assert math.isclose(r.auc, auc, rel_tol=0, abs_tol=1e-12)
+    assert math.isclose(r.ks, ks, rel_tol=0, abs_tol=1e-12)
+
+
+def test_auc_partition_layout_invariant(spark):
+    import random
+    rng = random.Random(11)
+    pairs = [(round(rng.random(), 2), rng.randint(0, 1)) for _ in range(300)]
+    a = _one(ev.roc_auc(_df(spark, pairs).repartition(1), "s", "y"))
+    b = _one(ev.roc_auc(_df(spark, pairs).repartition(17), "s", "y"))
+    assert (a.auc, a.ks) == (b.auc, b.ks)  # bit-identical, not isclose
+
+
+def test_auc_single_class_and_empty_are_null_not_zero(spark):
+    r = _one(ev.roc_auc(_df(spark, [(1.0, 1), (2.0, 1)]), "s", "y"))
+    assert (r.n_pos, r.n_neg, r.auc, r.ks) == (2, 0, None, None)
+    r = _one(ev.roc_auc(_df(spark, []), "s", "y"))
+    assert (r.n_pos, r.n_neg, r.auc, r.ks) == (0, 0, None, None)
+
+
+def test_auc_null_scores_and_labels_are_dropped(spark):
+    pairs = [(1.0, 0), (2.0, 1), (None, 1), (3.0, None)]
+    r = _one(ev.roc_auc(_df(spark, pairs), "s", "y"))
+    assert (r.n_pos, r.n_neg, r.auc) == (1, 1, 1.0)
+
+
+def test_calibration_bins_counts_and_means(spark):
+    # bin 0: scores .0x, bin 9: .95 and 1.0 (top-bin inclusion)
+    pairs = [(0.05, 0), (0.05, 1), (0.95, 1), (1.0, 1)]
+    rows = {r.bin: r for r in
+            ev.calibration_bins(_df(spark, pairs), "s", "y").collect()}
+    assert set(rows) == {0, 9}
+    assert rows[0].n == 2 and rows[0].pos == 1 and rows[0].frac_pos == 0.5
+    assert rows[0].mean_score == 0.05
+    assert rows[9].n == 2 and rows[9].frac_pos == 1.0
+    assert math.isclose(rows[9].mean_score, 0.975, abs_tol=1e-12)
+
+
+def test_calibration_rejects_zero_bins(spark):
+    with pytest.raises(ValueError):
+        ev.calibration_bins(_df(spark, [(0.5, 1)]), "s", "y", bins=0)
+
+
+def test_confusion_at_threshold(spark):
+    pairs = [(0.9, 1), (0.8, 0), (0.4, 1), (0.1, 0)]
+    r = _one(ev.confusion_at(_df(spark, pairs), "s", "y", 0.5))
+    assert (r.tp, r.fp, r.tn, r.fn) == (1, 1, 1, 1)
+    assert r.precision == 0.5 and r.recall == 0.5
+    assert r.f1 == 0.5 and r.accuracy == 0.5
+
+
+def test_sweep_matches_per_threshold_confusion_and_null_rates(spark):
+    pairs = [(0.9, 1), (0.8, 0), (0.4, 1), (0.1, 0), (0.95, 1)]
+    df = _df(spark, pairs)
+    sweep = {r.threshold: r for r in
+             ev.threshold_sweep(df, "s", "y", [0.0, 0.5, 0.99]).collect()}
+    assert len(sweep) == 3
+    for t, row in sweep.items():
+        single = _one(ev.confusion_at(df, "s", "y", t))
+        assert (row.tp, row.fp, row.tn, row.fn) == \
+            (single.tp, single.fp, single.tn, single.fn)
+    # threshold above every score: no predicted positives → precision NULL
+    r = _one(ev.confusion_at(df, "s", "y", 2.0))
+    assert r.tp == 0 and r.precision is None and r.recall == 0.0
+    with pytest.raises(ValueError):
+        ev.threshold_sweep(df, "s", "y", [])
+
+
+def test_auc_has_no_data_sized_single_partition_window(spark):
+    """The cumulative ranks must run per range-partition; the only
+    single-task window is over the #partitions-row offsets table (the
+    grouping.py key-less contract)."""
+    pairs = [(float(i % 97), i % 2) for i in range(400)]
+    plan = ev.roc_auc(_df(spark, pairs), "s", "y") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # per-partition windows partition by __pid; the offsets window scans
+    # an aggregate of __pid only — no Window over an empty partition spec
+    # fed by the per-score table
+    for line in plan.splitlines():
+        if "Window" in line and "__pid" not in line:
+            raise AssertionError(f"data-sized global window in plan: {line}")
