@@ -32,15 +32,21 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
        construction; ``max_batch`` is the circuit breaker — same
        driver-OOM contract as semantic_decontaminate's max_benchmark);
     2. within-batch semantic dedup: a row is dropped when ANY smaller-id
-       batch vector has cosine ≥ ``threshold`` — evaluated map-only via
-       ``F.exists`` over the broadcast row, which is EXACT greedy-by-id
+       batch vector has cosine ≥ ``threshold`` — EXACT greedy-by-id
        (≡ ``similarity.semantic_dedup(k=1)``, no cell-boundary recall
-       loss at micro-batch sizes);
-    3. vs the store: a map-only scan of the store computes, per stored
-       vector, which batch vectors clear the threshold (the store is
-       never shuffled and never collected — only matched batch IDS cross
-       the exchange, ≡ ``similarity.semantic_decontaminate(batch,
-       stored)`` semantics);
+       loss at micro-batch sizes), computed driver-side as one blocked
+       numpy matmul over the collected vectors (r08 — replaced the
+       broadcast-row ``F.exists`` HOF, whose per-element lambda cost
+       made this tier throughput-flat; bit-identical results via the
+       ±1e-9 boundary-band exact-fold contract, see
+       :func:`_within_batch_hits`);
+    3. vs the store: ONE Arrow-batched map-only pass over the store
+       (``mapInPandas``: numpy matmul per store block — the dense
+       all-pairs dot is the shape where Arrow+BLAS beats codegen'd HOFs
+       10-100×, SCALING.md r08) computes which batch vectors some stored
+       vector vets; the store is never shuffled and never collected —
+       only matched batch IDS cross the exchange, ≡
+       ``similarity.semantic_decontaminate(batch, stored)`` semantics;
     4. novel docs land in ``corpus_path``, their normalized vectors in
        ``store_path``, both in a ``__batch`` partition keyed by
        (checkpoint-id, epoch) with dynamic-partition OVERWRITE — a
@@ -75,8 +81,6 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
     mismatch raises rather than silently degrading.
     """
     from scalding_spark.functions.similarity import (_drop_null_vecs,
-                                                     _fresh_name,
-                                                     _one_row_df,
                                                      lsh_bucket,
                                                      random_hyperplanes)
     import hashlib
@@ -104,10 +108,9 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
     def ingest(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.dropDuplicates([id_col])
-        # internal working columns must not collide with the user's
-        # frame (ADVICE r07 #4): derive free names per batch schema.
-        ba = _fresh_name("__barr", batch)
-        vn = _fresh_name("__vecn", batch, ba)
+        # (r08: the probes run driver-side/numpy now — NO internal
+        # columns are added to the user's frame, so the ADVICE r07 #4
+        # collision class is gone by construction, not by renaming)
         valid = _drop_null_vecs(batch, vec_col)
         n = valid.count()
         if n > max_batch:
@@ -128,24 +131,25 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
         if barr and store_buckets is not None:
             _planes_for(len(barr[0][1]))  # size planes before any use
         if barr:
-            bdf = _one_row_df(
-                spark, (barr,),
-                f"{ba}: array<struct<i: long, v: array<double>>>")
-            # within-batch: greedy-by-id over the broadcast row, map-only.
-            # The normalized vector is materialized as a COLUMN first —
-            # Catalyst does not CSE across lambda boundaries, so an inline
-            # normalize would re-run per broadcast element per row (the
-            # semantic_decontaminate lesson, measured 90× at sf1).
-            dot = lambda b: F.aggregate(  # noqa: E731
-                F.zip_with(b["v"], F.col(vn), lambda x, y: x * y),
-                F.lit(0.0), lambda acc, x: acc + x)
-            hit = F.exists(
-                F.col(ba),
-                lambda b: (b["i"] < F.col(id_col)) & (dot(b) >= thr))
-            batch = (batch.withColumn(vn, _normalized(vec_col))
-                     .crossJoin(F.broadcast(bdf))
-                     .where(~F.coalesce(hit, F.lit(False)))
-                     .drop(ba, vn))
+            # within-batch: greedy-by-id (drop i when ANY smaller-id batch
+            # vector clears the threshold — ≡ semantic_dedup(k=1)),
+            # computed DRIVER-SIDE: the normalized batch is already in
+            # hand (it was collected for the store probe), so the n²·dim
+            # all-pairs dot is one numpy matmul instead of the r07
+            # crossJoin(broadcast row) + per-element HOF — same ±1e-9
+            # boundary-band exact-fold contract as the store probe, and
+            # the python normalization above IS Spark's _normalized
+            # op-for-op (per-element double square, sequential left-fold
+            # add, IEEE sqrt/divide), so kept ids are bit-identical to
+            # the Column-expression form the parity tests compare against.
+            dropped = _within_batch_hits(barr, thr)
+            if dropped:
+                from pyspark.sql.types import StructField, StructType
+                ddf = spark.createDataFrame(
+                    [(i,) for i in dropped],
+                    StructType([StructField(
+                        id_col, valid.schema[id_col].dataType)]))
+                batch = batch.join(F.broadcast(ddf), id_col, "left_anti")
             # vs the store: map-only scan emitting matched batch ids only
             from scalding_spark.streaming import _read_store
             store = _read_store(spark, store_path)
@@ -169,14 +173,9 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
                         [v for _, v in barr],
                         _planes_for(len(barr[0][1])), probe_hamming)
                     store = store.where(F.col("__bucket").isin(pb))
-                sdot = lambda b: F.aggregate(  # noqa: E731
-                    F.zip_with(b["v"], F.col("vecn"), lambda x, y: x * y),
-                    F.lit(0.0), lambda acc, x: acc + x)
-                dup_ids = (store.crossJoin(F.broadcast(bdf))
-                           .select(F.explode(F.filter(
-                               F.col(ba),
-                               lambda b: sdot(b) >= thr)).alias("m"))
-                           .select(F.col("m.i").alias(id_col)).distinct())
+                dup_ids = _vectorized_store_probe(
+                    store, barr, thr, id_col,
+                    valid.schema[id_col].dataType)
                 batch = batch.join(dup_ids, id_col, "left_anti")
         novel = batch.localCheckpoint()
         tag = F.lit(f"{run_tag}-{int(epoch_id)}")
@@ -206,6 +205,104 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def _within_batch_hits(barr, thr: float) -> list:
+    """Ids of batch vectors vetted by a SMALLER-id batch vector at cosine
+    ≥ ``thr`` (the within-batch greedy-by-id rule), computed driver-side
+    over the already-collected normalized vectors.
+
+    Row-blocked numpy matmul (max_batch=20k would need a 3.2 GB full dot
+    matrix; 1024-row blocks cap it at ~160 MB) with the same exactness
+    contract as :func:`_vectorized_store_probe`: results clear of thr by
+    ±1e-9 decide directly, boundary pairs re-decided by the exact
+    sequential fold. Id comparison is python ``<`` — identical to
+    Spark's ordering for integral and string ids (UTF-8 byte order ==
+    code-point order)."""
+    import numpy as np
+    n = len(barr)
+    order = sorted(range(n), key=lambda k: barr[k][0])
+    mat = np.asarray([barr[k][1] for k in order], dtype=np.float64)
+    eps = 1e-9
+    hit = np.zeros(n, dtype=bool)
+    B = 1024
+    for j0 in range(0, n, B):
+        j1 = min(j0 + B, n)
+        dots = mat[j0:j1] @ mat.T  # (block of smaller-id side) × all
+        # strictly-upper mask: row j (sorted pos j0+r) vets col i only
+        # when j0+r < i
+        rows = np.arange(j0, j1)[:, None]
+        cols = np.arange(n)[None, :]
+        upper = rows < cols
+        hit |= ((dots >= thr + eps) & upper).any(axis=0)
+        for r, c in np.argwhere((dots >= thr - eps) & (dots < thr + eps)
+                                & upper):
+            if not hit[c]:
+                sv, bv = mat[j0 + r], mat[c]
+                acc = 0.0
+                for k in range(len(bv)):
+                    acc += float(sv[k]) * float(bv[k])
+                if acc >= thr:
+                    hit[c] = True
+    return [barr[order[i]][0] for i in range(n) if hit[i]]
+
+
+def _vectorized_store_probe(store, barr, thr: float, id_col: str,
+                            id_type):
+    """Matched-batch-ids store probe as ONE Arrow-batched map-only pass:
+    per store block, a numpy matmul (store_block × batchᵀ) marks every
+    batch vector some stored vector vets at cosine ≥ ``thr``.
+
+    This replaces the r07 HOF form (crossJoin(broadcast(batch row)) +
+    F.exists of a zip_with/aggregate dot) which measured ~40M
+    multiply-adds/s at sf1 — per-element lambda allocation made the
+    semantic tier the only throughput-FLAT ingest tier (SCALING.md r08:
+    22.3 s/micro-batch, |store|×|batch|×dim-bound). The dense all-pairs
+    dot is exactly the shape where Arrow+BLAS beats codegen'd HOFs by
+    10-100×; the plan keeps every scale property the HOF form had — the
+    store is scanned map-only (partition pruning still reaches the scan
+    below the mapInPandas), never shuffled, never collected; only
+    matched batch IDS cross the exchange.
+
+    EXACTNESS is preserved bit-for-bit vs the HOF form (the batch≡stream
+    parity tests compare kept-id sets against the Column-expression
+    batch operators): matmul results clear of ``thr`` by ±1e-9 decide
+    directly — float64 dot error for unit vectors at any practical dim
+    is ≤ ~1e-13 — and the rare pairs inside the ±1e-9 boundary band are
+    re-decided by the exact sequential fold Spark's aggregate() computes
+    (same per-element multiply, same left-to-right double adds).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    bids = [i for i, _ in barr]
+    bmat = np.asarray([v for _, v in barr], dtype=np.float64)
+    eps = 1e-9
+    schema = StructType([StructField(id_col, id_type)])
+
+    def probe(batches):
+        hit = np.zeros(len(bids), dtype=bool)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = pdf["vecn"].tolist()
+            smat = np.asarray(vecs, dtype=np.float64)
+            dots = smat @ bmat.T
+            hit |= (dots >= thr + eps).any(axis=0)
+            for r, c in np.argwhere((dots >= thr - eps)
+                                    & (dots < thr + eps)):
+                if not hit[c]:
+                    acc = 0.0
+                    sv, bv = vecs[r], bmat[c]
+                    for k in range(len(bv)):
+                        acc += float(sv[k]) * float(bv[k])
+                    if acc >= thr:
+                        hit[c] = True
+        matched = [bids[j] for j in np.flatnonzero(hit)]
+        yield pd.DataFrame({id_col: matched})
+
+    return store.select("vecn").mapInPandas(probe, schema).distinct()
 
 
 def _probe_buckets(vecs, planes: list[list[float]],

@@ -542,3 +542,90 @@ def test_stream_ingest_semantic_layout_mismatch_raises(spark, tmp_path):
     with pytest.raises(pyspark.errors.StreamingQueryException,
                        match="layout mismatch"):
         q.awaitTermination(120)
+
+# --- r08 vectorized probes: exactness contracts -------------------------------
+
+def _fold_dot(a, b):
+    """Spark's aggregate(zip_with(a, b, x*y), 0.0, acc+x): per-element
+    double multiply, sequential left-to-right double adds."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def test_within_batch_hits_matches_bruteforce_rule():
+    """_within_batch_hits == the literal greedy-by-id rule (drop i when
+    ANY smaller-id vector's exact-fold dot clears thr), on random unit
+    vectors across the block boundary (n > 1024 exercises the row
+    blocking)."""
+    import math
+    import random
+    from scalding_spark.streaming._semantic import _within_batch_hits
+    rng = random.Random(5)
+    barr = []
+    for i in range(1500):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        nrm = math.sqrt(sum(x * x for x in v))
+        barr.append((i, [x / nrm for x in v]))
+    rng.shuffle(barr)
+    thr = 0.9
+    expect = set()
+    by_id = sorted(barr)
+    for a in range(len(by_id)):
+        for b in range(a + 1, len(by_id)):
+            if _fold_dot(by_id[a][1], by_id[b][1]) >= thr:
+                expect.add(by_id[b][0])
+    assert set(_within_batch_hits(barr, thr)) == expect
+
+
+def test_within_batch_hits_boundary_band_is_exact():
+    """Pairs whose dot lands WITHIN the ±1e-9 numpy prefilter band must
+    be decided by the exact sequential fold — construct dots straddling
+    the threshold by <1e-9 and check each side."""
+    from scalding_spark.streaming._semantic import _within_batch_hits
+    thr = 0.75
+    base = [1.0, 0.0]
+    for delta, should_hit in [(1e-12, True), (-1e-12, False),
+                              (0.0, True)]:  # >= is inclusive
+        import math
+        d = thr + delta
+        other = [d, math.sqrt(max(0.0, 1 - d * d))]
+        exact = _fold_dot(base, other)
+        barr = [(1, base), (2, other)]
+        hits = _within_batch_hits(barr, thr)
+        assert (2 in hits) == (exact >= thr), (delta, exact)
+        assert 1 not in hits
+
+
+def test_vectorized_store_probe_matches_hof_form(spark):
+    """The mapInPandas store probe returns exactly the batch ids the r07
+    Column-expression HOF form returns, including near-threshold pairs."""
+    import math
+    import random
+    from pyspark.sql import functions as F
+    from scalding_spark.streaming._semantic import _vectorized_store_probe
+    rng = random.Random(11)
+
+    def unit(dim=6):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    stored = [unit() for _ in range(80)]
+    batch = []
+    for i in range(40):
+        if i % 3 == 0:
+            batch.append((i, stored[rng.randrange(80)]))  # exact dup
+        else:
+            batch.append((i, unit()))
+    thr = 0.8
+    store = spark.createDataFrame([(v,) for v in stored],
+                                  "vecn array<double>")
+    got = {r[0] for r in _vectorized_store_probe(
+        store, batch, thr, "vec_id",
+        spark.createDataFrame([(1,)], "vec_id long")
+        .schema["vec_id"].dataType).collect()}
+    expect = {i for i, bv in batch
+              if any(_fold_dot(bv, sv) >= thr for sv in stored)}
+    assert got == expect
