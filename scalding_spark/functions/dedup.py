@@ -562,7 +562,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     Convergence is detected with a changed-label count that piggybacks on
     the already-shuffled aggregate. For web-scale graphs with long chains
     (diameter ≫ 10), use ``connected_components_star`` (O(log d) rounds);
-    for dedup workloads label propagation wins on constant factors.
+    for dedup workloads label propagation wins on constant factors —
+    PROVIDED the pair threshold is tight. Measured crossover (r08,
+    SCALING.md): an EXPLORATORY-low Jaccard threshold (0.05 at sf1)
+    chains near-dup clusters to diameter 13, where this loop runs 13
+    rounds vs star's 5 and star is ~1.7× faster end-to-end; at
+    production thresholds (≥0.7) clusters stay clique-shaped and label
+    propagation converges in 2-3 rounds. Rounds scale with cluster
+    DIAMETER, not corpus size — at 100 TB the iteration count is the
+    same, each round just shuffles more edges.
     ``stats['iterations']`` reports rounds used (matching
     ``connected_components_star`` / ``kmeans``).
     """
