@@ -2471,6 +2471,23 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        "prob", "label", bins=10)
 
 
+def q_auc_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluation.roc_auc(by=['lang','source']): per-slice AUC/KS of
+    n_chars predicting the generator's near-dup marker (text contains
+    'dup') — the slice-audit form (a global AUC routinely hides a
+    coin-flip slice). ~100 slices at sf0.01, many one-class → NULL
+    metrics rows (the contract), multi-key null-safe slice join
+    exercised. Cumulative windows partition by slice; per-slice task
+    size is DISTINCT-score count, not row count."""
+    from scalding_spark.functions import evaluation
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", "source", F.col("n_chars").alias("score"),
+        F.col("text").contains("dup").cast("int").alias("label"))
+    return evaluation.roc_auc(scored, "score", "label",
+                              by=["lang", "source"])
+
+
 def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """evaluation.threshold_sweep: confusion matrix + precision/recall/
     F1/accuracy at 5 cutoffs. The corpus aggregates per DISTINCT score
@@ -2678,15 +2695,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operator's default changed in r07 — bare `ref` no longer stripped,
     # strip set parameterized, web.py:52-92 — after its last driver row in
     # r06; the changed-operator re-verification rule puts it at the queue
-    # head, ADVICE r07 #1), then the three NEW r08 evaluation-module
+    # head, ADVICE r07 #1), then the four NEW r08 evaluation-module
     # queries (never driver-checked — the rotation test requires
     # never-checked entries inside the window), then the r05-green block
-    # in queue order (q_dedup_lines onward), as many as fit. The 6
-    # r05-green entries the window cannot fit (q8_market_share /
-    # q9_product_profit / q10_returned_items — displaced by the eval
-    # insertions — plus q11_important_parts / q13_customer_distribution /
-    # q14_promo_effect) sit directly below position 50 and lead the r09
-    # window. Every insertion/displacement is ledgered at the displacement
+    # in queue order (q_dedup_lines onward), as many as fit. The 7
+    # r05-green entries the window cannot fit (q7_volume_shipping /
+    # q8_market_share / q9_product_profit / q10_returned_items —
+    # displaced by the eval insertions — plus q11_important_parts /
+    # q13_customer_distribution / q14_promo_effect) sit directly below
+    # position 50 and lead the r09 window. Every insertion/displacement is ledgered at the displacement
     # point so the header never overstates what the driver verified
     # (ADVICE r06 #1).
     return {
@@ -2701,8 +2718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_auc": q_quality_auc,
         "q_calibration_bins": q_calibration_bins,
         "q_threshold_sweep": q_threshold_sweep,
-        # -- r08 window: r05-green block, queue order (first 44 of 50;
-        #    the 6 displaced by the entries above are ledgered below
+        "q_auc_by_slice": q_auc_by_slice,
+        # -- r08 window: r05-green block, queue order (first 43 of 50;
+        #    the 7 displaced by the entries above are ledgered below
         #    position 50 and lead the r09 window) --
         "q_dedup_lines": q_dedup_lines,
         "q_char_entropy": q_char_entropy,
@@ -2747,11 +2765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority_exists": q4_order_priority_exists,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
         # ---- position 50 ends here ----
-        # -- r09 queue head: the 6 r05-green entries displaced below
+        # -- r09 queue head: the 7 r05-green entries displaced below
         #    position 50 by the r08 head (winnow pair + q_url_canonical +
-        #    the 3 new evaluation queries); NOT re-verified this round --
+        #    the 4 new evaluation queries); NOT re-verified this round --
+        "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
@@ -3976,6 +3994,59 @@ def oracle_sql() -> dict[str, str]:
                    END AS ks
             FROM c CROSS JOIN tot
             GROUP BY np_all, n_all
+            UNION ALL
+            -- zero judged rows: the operator's always-one-row contract
+            -- (n_pos=0, n_neg=0, NULL metrics) — the empty-axis campaign
+            -- caught the bare-GROUP-BY form returning 0 rows here
+            SELECT np_all AS n_pos, n_all - np_all AS n_neg,
+                   CAST(NULL AS DOUBLE) AS auc, CAST(NULL AS DOUBLE) AS ks
+            FROM tot WHERE n_all = 0
+        """,
+        # per-slice AUC/KS: same integer rank algebra per (lang, source)
+        # group; the two-branch CASE keeps NULL text → NULL label (Spark
+        # drops NULL labels; a bare ELSE 0 would keep them as negatives)
+        "q_auc_by_slice": """
+            WITH t AS (
+                SELECT lang, source, n_chars AS s,
+                       CASE WHEN text LIKE '%dup%' THEN 1
+                            WHEN text NOT LIKE '%dup%' THEN 0 END AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+            g AS (SELECT lang, source, s, count(*) AS n, sum(y) AS np
+                  FROM t GROUP BY 1, 2, 3),
+            c AS (
+                SELECT lang, source, n, np,
+                       coalesce(sum(n) OVER (PARTITION BY lang, source
+                           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cb,
+                       sum(np) OVER (PARTITION BY lang, source ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                           ROW) AS cpt,
+                       sum(n) OVER (PARTITION BY lang, source ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                           ROW) AS cnt
+                FROM g),
+            tot AS (SELECT lang, source,
+                           CAST(sum(y) AS BIGINT) AS np_all,
+                           count(*) AS n_all
+                    FROM t GROUP BY 1, 2)
+            SELECT c.lang, c.source,
+                   CAST(np_all AS BIGINT) AS n_pos,
+                   CAST(n_all - np_all AS BIGINT) AS n_neg,
+                   CASE WHEN np_all > 0 AND n_all - np_all > 0 THEN
+                       CAST(sum(np * (2 * cb + n + 1))
+                            - np_all * (np_all + 1) AS DOUBLE)
+                       / CAST(2 * np_all * (n_all - np_all) AS DOUBLE)
+                   END AS auc,
+                   CASE WHEN np_all > 0 AND n_all - np_all > 0 THEN
+                       CAST(max(abs(cpt * (n_all - np_all)
+                                    - (cnt - cpt) * np_all)) AS DOUBLE)
+                       / CAST(np_all * (n_all - np_all) AS DOUBLE)
+                   END AS ks
+            FROM c JOIN tot
+              ON c.lang IS NOT DISTINCT FROM tot.lang
+             AND c.source IS NOT DISTINCT FROM tot.source
+            GROUP BY c.lang, c.source, np_all, n_all
         """,
         # mean_score via exact DECIMAL(27,9) accumulation (the module's
         # fixed-point contract); bin arithmetic mirrors Spark's IEEE

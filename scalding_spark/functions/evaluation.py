@@ -35,19 +35,24 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _DEC = "decimal(27,9)"
 
 
-def _scored(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def _scored(df: DataFrame, score_col: str, label_col: str,
+            by: list[str] | None = None) -> DataFrame:
     """(s, y) pairs with NULL scores/labels dropped: a row without a score
     cannot be ranked, a row without a label cannot be judged — standard
     eval practice, documented rather than silent (the row counts the
     metrics return are counts of JUDGED rows)."""
     y = F.col(label_col).cast("int")
     return (df.where(F.col(score_col).isNotNull() & y.isNotNull())
-            .select(F.col(score_col).alias("s"), y.alias("y")))
+            .select(*(by or []), F.col(score_col).alias("s"), y.alias("y")))
 
 
-def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def roc_auc(df: DataFrame, score_col: str, label_col: str,
+            by: list[str] | None = None) -> DataFrame:
     """Exact ROC-AUC and KS statistic → ONE row
-    ``(n_pos, n_neg, auc, ks)``.
+    ``(n_pos, n_neg, auc, ks)``, or one row PER GROUP
+    ``(*by, n_pos, n_neg, auc, ks)`` when ``by`` names slice columns —
+    the form a quality filter is actually audited in (per language, per
+    source domain): a global 0.9 AUC routinely hides a coin-flip slice.
 
     AUC is the Mann-Whitney form with full tie correction: with average
     rank r̄_i over ascending scores, AUC = (Σ_pos r̄ − n⁺(n⁺+1)/2) /
@@ -67,7 +72,18 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     see the same partition universe, SCALING.md's 10× lesson). Heavy tie
     classes (quantized scores) are exactly the case this wins: one row
     per DISTINCT score, never one partition per tie class.
+
+    Grouped form (``by=[...]``): the cumulative windows partition by the
+    slice key instead of the range-partition machinery — per-slice rows
+    after the (by, score) aggregation are DISTINCT-score counts, so a
+    slice's window task is bounded by its score cardinality, not its row
+    count. NULL slice keys form their own group (a missing ``lang`` is a
+    slice worth auditing, not a row to drop); slices with one label
+    class report NULL auc/ks. Zero judged rows → zero result rows (there
+    is no slice universe to report over).
     """
+    if by:
+        return _roc_auc_by(df, score_col, label_col, list(by))
     from scalding_spark.session import register_persisted
     t = _scored(df, score_col, label_col)
     g = t.groupBy("s").agg(F.count(F.lit(1)).alias("n"),
@@ -117,6 +133,52 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.lit(None).cast("double").alias("auc"),
         F.lit(None).cast("double").alias("ks"))
     return one.unionByName(empty)
+
+
+def _roc_auc_by(df: DataFrame, score_col: str, label_col: str,
+                by: list[str]) -> DataFrame:
+    """Per-slice AUC/KS (see :func:`roc_auc`): same exact-integer rank
+    algebra, with the cumulative windows partitioned by the slice key
+    and the slice totals joined back on already-aligned partitioning
+    (the (by, s) aggregation, the by-window, and the totals aggregation
+    all hash on ``by`` prefixes)."""
+    t = _scored(df, score_col, label_col, by)
+    g = t.groupBy(*by, "s").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("y").alias("np"))
+    w = Window.partitionBy(*by).orderBy("s")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    thru = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = (g.withColumn("cb", F.coalesce(F.sum("n").over(before), F.lit(0)))
+         .withColumn("cpt", F.sum("np").over(thru))
+         .withColumn("cnt", F.sum("n").over(thru)))
+    tot = t.groupBy(*by).agg(F.sum("y").alias("__npos"),
+                             F.count(F.lit(1)).alias("__nall"))
+    # NULL-safe join keys: a NULL slice key is its own group (groupBy
+    # already treats it so); a plain equi-join would silently drop it
+    tot = tot.select(*[F.col(k).alias(f"__k{i}")
+                       for i, k in enumerate(by)], "__npos", "__nall")
+    cond = None
+    for i, k in enumerate(by):
+        e = c[k].eqNullSafe(F.col(f"__k{i}"))
+        cond = e if cond is None else cond & e
+    npos, nall = F.col("__npos"), F.col("__nall")
+    nneg = nall - npos
+    agg = (c.join(tot, cond)
+           .drop(*[f"__k{i}" for i in range(len(by))])
+           .groupBy(*by, "__npos", "__nall")
+           .agg(F.sum(F.col("np") * (2 * F.col("cb") + F.col("n") + 1))
+                .alias("__s2"),
+                F.max(F.abs(F.col("cpt") * nneg
+                            - (F.col("cnt") - F.col("cpt")) * npos))
+                .alias("__ksn")))
+    defined = (npos > 0) & (nneg > 0)
+    return agg.select(
+        *by,
+        npos.alias("n_pos"), nneg.alias("n_neg"),
+        F.when(defined, (F.col("__s2") - npos * (npos + 1)).cast("double")
+               / (2 * npos * nneg).cast("double")).alias("auc"),
+        F.when(defined, F.col("__ksn").cast("double")
+               / (npos * nneg).cast("double")).alias("ks"))
 
 
 def calibration_bins(df: DataFrame, score_col: str, label_col: str,

@@ -157,3 +157,51 @@ def test_auc_has_no_data_sized_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "__pid" not in line:
             raise AssertionError(f"data-sized global window in plan: {line}")
+
+
+def _gdf(spark, rows):
+    return spark.createDataFrame(rows, "grp string, s double, y int")
+
+
+def test_grouped_auc_matches_per_group_global(spark):
+    import random
+    rng = random.Random(3)
+    rows = [(f"g{i % 3}", round(rng.random(), 1), rng.randint(0, 1))
+            for i in range(300)]
+    got = {r.grp: r for r in
+           ev.roc_auc(_gdf(spark, rows), "s", "y", by=["grp"]).collect()}
+    assert set(got) == {"g0", "g1", "g2"}
+    for grp in got:
+        sub = [(s, y) for g, s, y in rows if g == grp]
+        npos, nneg, auc, ks = _py_auc_ks(sub)
+        r = got[grp]
+        assert (r.n_pos, r.n_neg) == (npos, nneg)
+        assert math.isclose(r.auc, auc, rel_tol=0, abs_tol=1e-12)
+        assert math.isclose(r.ks, ks, rel_tol=0, abs_tol=1e-12)
+
+
+def test_grouped_auc_null_slice_and_one_class_slice(spark):
+    rows = [("a", 1.0, 0), ("a", 2.0, 1),     # perfect slice
+            (None, 1.0, 1), (None, 2.0, 0),   # NULL key, reversed
+            ("b", 5.0, 1), ("b", 6.0, 1)]     # one-class slice
+    got = {r.grp: r for r in
+           ev.roc_auc(_gdf(spark, rows), "s", "y", by=["grp"]).collect()}
+    assert set(got) == {"a", None, "b"}
+    assert got["a"].auc == 1.0
+    assert got[None].auc == 0.0           # NULL slice kept, not dropped
+    assert got["b"].auc is None and got["b"].ks is None
+    assert (got["b"].n_pos, got["b"].n_neg) == (2, 0)
+
+
+def test_grouped_auc_layout_invariant(spark):
+    import random
+    rng = random.Random(13)
+    rows = [(f"g{i % 4}", round(rng.random(), 2), rng.randint(0, 1))
+            for i in range(400)]
+    a = sorted((r.grp, r.auc, r.ks) for r in
+               ev.roc_auc(_gdf(spark, rows).repartition(1),
+                          "s", "y", by=["grp"]).collect())
+    b = sorted((r.grp, r.auc, r.ks) for r in
+               ev.roc_auc(_gdf(spark, rows).repartition(23),
+                          "s", "y", by=["grp"]).collect())
+    assert a == b  # bit-identical
