@@ -92,6 +92,9 @@ HEADLINE = [
     "q_semantic_decontam",       # embedding decontamination (broadcast-exists)
     # -- added r07 --
     "q_matrix_scalar_pipe",      # pipe-scalar matrix product (AQE exchange reuse)
+    # -- added r08 (evaluation module) --
+    "q_quality_auc",             # exact AUC/KS (range-partition rank sums)
+    "q_auc_by_slice",            # per-slice AUC/KS (null-safe slice join)
 ]
 
 

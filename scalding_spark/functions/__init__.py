@@ -33,6 +33,10 @@ host-language lambda (SURVEY.md §2.8). This engine's scalar layer IS
 - ``web``         URL host / registrable-domain extraction, canonical
                   URL dedup keys, and broadcast blocklist filtering
                   (web-corpus curation).
+- ``evaluation``  classifier audit at corpus scale (r08): exact
+                  tie-corrected ROC-AUC + KS (global and per-slice),
+                  calibration bins, confusion/threshold sweeps — all
+                  exact-integer/decimal accumulation, one final division.
 
 r03 additions inside existing modules: text.gopher_signals/gopher_pass
 (integer-band quality gate), text.ngrams/top_ngram_fraction (repetition),
