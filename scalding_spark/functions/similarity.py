@@ -19,7 +19,6 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from scalding_spark.session import materialize
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -42,6 +41,48 @@ def cosine(a: Column, b: Column) -> Column:
     engines sort NULLS LAST under DESC, so zero-norm rows fall out of
     top-k cuts identically on both sides."""
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
+def _greedy_smaller_id_hits(barr, thr: float) -> list:
+    """Ids whose vector is vetted by a SMALLER-id vector in ``barr``
+    (list of (id, vector)) at exact-fold dot ≥ ``thr`` — the greedy-by-id
+    drop rule shared by semantic_dedup's within-cell pass and
+    stream_ingest_semantic's within-batch pass.
+
+    Blocked numpy matmul (1024-row blocks bound the dot matrix at
+    ~160 MB for even a 20k-vector group) with the two-phase exactness
+    contract: dots clear of ``thr`` by ±1e-9 decide directly (float64
+    matmul error ≲1e-13 on unit vectors), pairs inside the band are
+    re-decided by the exact sequential fold ``_dot`` computes
+    (per-element double multiply, left-to-right double adds) — so the
+    returned ids are bit-identical to the Column-expression form. Id
+    comparison is python ``<``: identical to Spark's ordering for
+    integral and string ids (UTF-8 byte order == code-point order).
+    Assumes fixed-dim vectors (the kmeans/SemDeDup contract)."""
+    import numpy as np
+    n = len(barr)
+    order = sorted(range(n), key=lambda k: barr[k][0])
+    mat = np.asarray([barr[k][1] for k in order], dtype=np.float64)
+    eps = 1e-9
+    hit = np.zeros(n, dtype=bool)
+    B = 1024
+    for j0 in range(0, n, B):
+        j1 = min(j0 + B, n)
+        dots = mat[j0:j1] @ mat.T  # (block of smaller-id side) × all
+        rows = np.arange(j0, j1)[:, None]
+        cols = np.arange(n)[None, :]
+        upper = rows < cols  # row j vets col i only when j < i (sorted)
+        hit |= ((dots >= thr + eps) & upper).any(axis=0)
+        for r, c in np.argwhere((dots >= thr - eps) & (dots < thr + eps)
+                                & upper):
+            if not hit[c]:
+                sv, bv = mat[j0 + r], mat[c]
+                acc = 0.0
+                for k in range(len(bv)):
+                    acc += float(sv[k]) * float(bv[k])
+                if acc >= thr:
+                    hit[c] = True
+    return [barr[order[i]][0] for i in range(n) if hit[i]]
 
 
 def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
@@ -318,34 +359,99 @@ def _one_row_df(spark, row: tuple, schema: str) -> DataFrame:
 
 def _assign_cells_bcast(src: DataFrame, cents: list[list[float]]) -> DataFrame:
     """Same argmin-by-squared-L2 as :func:`_nearest_centroid_l2` (ties →
-    lowest cell index), but the centroids travel as DATA in a broadcast
-    one-row crossJoin instead of plan literals. Two consequences:
+    lowest cell index, bit-for-bit — pinned by
+    test_kmeans_bcast_assignment_matches_literal), with the centroids
+    travelling as DATA in the task closure and the n·k·dim distance work
+    done as blocked numpy matmuls in ONE Arrow-batched ``mapInPandas``
+    pass (r08 — replaced the broadcast-one-row crossJoin + per-element
+    HOF fold, which ground at ~40M multiply-adds/s and made Lloyd's
+    ASSIGN the auto-k cost center at sf1; dense all-pairs distance is
+    the Arrow+BLAS shape, SCALING.md). Consequences the HOF form bought
+    survive or improve:
 
-    - the generated code is IDENTICAL across k-means iterations, so Spark's
-      codegen cache hits instead of a per-round Janino recompile (literal
-      centroids change the source text every iteration — measured ~1 s/iter
-      of pure compile on a 2 000-row corpus);
-    - k·dim no longer bounds codegen size, removing the literal variant's
-      documented ~10⁴ ceiling.
+    - no generated code at all, so the per-iteration Janino-recompile
+      hazard of literal centroids is moot and k·dim has no codegen
+      ceiling;
+    - still map-only for the corpus: MapInPandas adds no exchange
+      (plan-pinned), centroids cost k·dim·8 bytes per task closure.
 
-    Still map-only for the corpus: the broadcast side is one row, the
-    nested-loop join adds no corpus exchange. Expects ``src`` with columns
-    (id, v); returns (id, v, cell).
+    EXACTNESS: the expansion-form distances decide only when clear of
+    the minimum by an absolute ±1e-6 band (fold/expansion float64 error
+    is ≲1e-10 at embedding magnitudes); rows whose candidate set within
+    the band exceeds one — or contains non-finite distances — are
+    re-decided per centroid by the exact sequential fold the Column
+    expression computes (per-element double subtract/square,
+    left-to-right adds, Spark's NaN-is-greatest min and first-match
+    equality), so the assigned cell is bit-identical to the HOF/literal
+    forms. Expects ``src`` with columns (id, v); returns (id, v, cell).
+    NULL vectors (contract: dropped upstream by ``_drop_null_vecs``)
+    pass through with cell NULL.
     """
-    cent_df = _one_row_df(
-        src.sparkSession,
-        ([[float(x) for x in c] for c in cents],),
-        "cents: array<array<double>>")
-    ds = F.transform(
-        F.col("cents"),
-        lambda c: F.aggregate(
-            F.zip_with(F.col("v"), c,
-                       lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x))
-    return (src.crossJoin(F.broadcast(cent_df))
-            .withColumn("cell",
-                        (F.array_position(ds, F.array_min(ds)) - 1).cast("int"))
-            .drop("cents"))
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray([[float(x) for x in c] for c in cents],
+                   dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    cl = [[float(x) for x in c] for c in cents]
+    eps = 1e-6
+    out_schema = StructType(list(src.schema.fields)
+                            + [StructField("cell", IntegerType())])
+
+    def _exact_d(a, c):
+        acc = 0.0
+        for i in range(len(c)):
+            d = float(a[i]) - c[i]
+            acc += d * d
+        return acc
+
+    def _exact_cell(a):
+        ds = [_exact_d(a, c) for c in cl]
+        best = None
+        for d in ds:
+            if best is None or math.isnan(best) or \
+                    (not math.isnan(d) and d < best):
+                best = d
+        for i, d in enumerate(ds):
+            if d == best or (math.isnan(d) and math.isnan(best)):
+                return i
+        return None
+
+    def assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            n = len(pdf)
+            cells = [None] * n
+            vec_rows = pdf["v"].tolist()
+            B = 2048
+            for b0 in range(0, n, B):
+                b1 = min(b0 + B, n)
+                block = [v for v in vec_rows[b0:b1]]
+                ok = [i for i, v in enumerate(block) if v is not None]
+                if not ok:
+                    continue
+                X = np.asarray([np.asarray(block[i], dtype=np.float64)
+                                for i in ok])
+                D = ((X * X).sum(axis=1)[:, None] + c2[None, :]
+                     - 2.0 * (X @ C.T))
+                with np.errstate(invalid="ignore"):
+                    m = np.nanmin(D, axis=1)
+                    cand = D <= (m + 2 * eps)[:, None]
+                counts = cand.sum(axis=1)
+                firsts = cand.argmax(axis=1)
+                finite = np.isfinite(D).all(axis=1)
+                for j, i in enumerate(ok):
+                    if counts[j] == 1 and finite[j]:
+                        cells[b0 + i] = int(firsts[j])
+                    else:
+                        cells[b0 + i] = _exact_cell(X[j])
+            out = pdf.copy()
+            out["cell"] = pd.array(cells, dtype="Int32")
+            yield out
+
+    return src.mapInPandas(assign, out_schema)
 
 
 def kmeans(corpus: DataFrame, k: int = 8, max_iter: int = 10,
@@ -536,24 +642,29 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
         F.transform(v, lambda x: F.lit(0.0)))
     e = (df.select(F.col(id_col).alias("id"), vecn.alias("vec"))
          .join(assigned, "id"))
-    # the (id, vecn, cell) table feeds BOTH sides of the self-join and,
-    # via the loser set, the anti-join — without materialization each
-    # reference re-runs the whole k-means assignment lineage (broadcast
-    # argmin over the corpus, 3x). localCheckpoint computes it once and
-    # truncates the iterative lineage, the same discipline as PageRank/CC
-    # rounds; the stored blocks are n·(dim+2) values — input-sized.
-    # eager: a short-circuiting first action (show/limit) over a lazy cut
-    # would materialize only SOME partitions and later actions re-run the
-    # full k-means assignment lineage — the exact hazard this cut prevents
-    e = materialize(e, eager=True)
-    l, r = e.alias("l"), e.alias("r")
-    # score+threshold INSIDE the cell join; only loser ids cross the next
-    # exchange (the vectors stay inside the join's own co-partitioning)
-    losers = (l.join(r, (F.col("l.cell") == F.col("r.cell"))
-                     & (F.col("r.id") < F.col("l.id")))
-              .where(_dot(F.col("l.vec"), F.col("r.vec"))
-                     >= F.lit(float(threshold)))
-              .select(F.col("l.id").alias(id_col)).distinct())
+    # within-cell pass (r08 — replaced the cell self-join + per-pair HOF
+    # _dot, which ground at ~40M multiply-adds/s and made the pair stage
+    # the sf1 cost center at pinned k: Σ n_c²·dim fused-lambda ops): ONE
+    # exchange on cell ships (id, vecn) to applyInPandas, where the
+    # Σ n_c²·dim work runs as blocked numpy matmuls at BLAS speed with
+    # the same kept-set BIT-FOR-BIT (_greedy_smaller_id_hits' ±1e-9
+    # boundary band re-decides via the exact _dot fold — the py_reference
+    # goldens pin this). vs the old plan this also HALVES the exchanged
+    # bytes (one vector table crosses, not two join sides) and drops the
+    # eager localCheckpoint (e now has exactly one consumer, so the
+    # 3x-assignment-recompute hazard it guarded is gone). Loser ids are
+    # unique by construction (cells partition rows) — no distinct needed;
+    # only ids cross the post-pass exchange, never vectors.
+    from pyspark.sql.types import StructField, StructType
+    thr = float(threshold)
+    out_schema = StructType([StructField(id_col, e.schema["id"].dataType)])
+
+    def _cell_losers(pdf):
+        import pandas as pd
+        barr = list(zip(pdf["id"].tolist(), pdf["vec"].tolist()))
+        return pd.DataFrame({id_col: _greedy_smaller_id_hits(barr, thr)})
+
+    losers = e.groupBy("cell").applyInPandas(_cell_losers, out_schema)
     return df.join(losers, id_col, "left_anti")
 
 

@@ -210,41 +210,12 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
 def _within_batch_hits(barr, thr: float) -> list:
     """Ids of batch vectors vetted by a SMALLER-id batch vector at cosine
     ≥ ``thr`` (the within-batch greedy-by-id rule), computed driver-side
-    over the already-collected normalized vectors.
-
-    Row-blocked numpy matmul (max_batch=20k would need a 3.2 GB full dot
-    matrix; 1024-row blocks cap it at ~160 MB) with the same exactness
-    contract as :func:`_vectorized_store_probe`: results clear of thr by
-    ±1e-9 decide directly, boundary pairs re-decided by the exact
-    sequential fold. Id comparison is python ``<`` — identical to
-    Spark's ordering for integral and string ids (UTF-8 byte order ==
-    code-point order)."""
-    import numpy as np
-    n = len(barr)
-    order = sorted(range(n), key=lambda k: barr[k][0])
-    mat = np.asarray([barr[k][1] for k in order], dtype=np.float64)
-    eps = 1e-9
-    hit = np.zeros(n, dtype=bool)
-    B = 1024
-    for j0 in range(0, n, B):
-        j1 = min(j0 + B, n)
-        dots = mat[j0:j1] @ mat.T  # (block of smaller-id side) × all
-        # strictly-upper mask: row j (sorted pos j0+r) vets col i only
-        # when j0+r < i
-        rows = np.arange(j0, j1)[:, None]
-        cols = np.arange(n)[None, :]
-        upper = rows < cols
-        hit |= ((dots >= thr + eps) & upper).any(axis=0)
-        for r, c in np.argwhere((dots >= thr - eps) & (dots < thr + eps)
-                                & upper):
-            if not hit[c]:
-                sv, bv = mat[j0 + r], mat[c]
-                acc = 0.0
-                for k in range(len(bv)):
-                    acc += float(sv[k]) * float(bv[k])
-                if acc >= thr:
-                    hit[c] = True
-    return [barr[order[i]][0] for i in range(n) if hit[i]]
+    over the already-collected normalized vectors. Thin wrapper over the
+    shared kernel (r08: semantic_dedup's within-cell pass uses the same
+    blocked-matmul + ±1e-9 exact-fold contract —
+    :func:`scalding_spark.functions.similarity._greedy_smaller_id_hits`)."""
+    from scalding_spark.functions.similarity import _greedy_smaller_id_hits
+    return _greedy_smaller_id_hits(barr, thr)
 
 
 def _vectorized_store_probe(store, barr, thr: float, id_col: str,
