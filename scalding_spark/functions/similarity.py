@@ -392,6 +392,10 @@ def _assign_cells_bcast(src: DataFrame, cents: list[list[float]]) -> DataFrame:
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    if not cents:
+        # no centroids → no nearest cell (the HOF form's array_min over
+        # an empty array was NULL); empty-corpus kmeans hits this
+        return src.withColumn("cell", F.lit(None).cast("int"))
     C = np.asarray([[float(x) for x in c] for c in cents],
                    dtype=np.float64)
     c2 = (C * C).sum(axis=1)
