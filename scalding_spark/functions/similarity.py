@@ -63,15 +63,16 @@ def _greedy_smaller_id_hits(barr, thr: float) -> list:
     n = len(barr)
     order = sorted(range(n), key=lambda k: barr[k][0])
     mat = np.asarray([barr[k][1] for k in order], dtype=np.float64)
+    ids = np.asarray([barr[k][0] for k in order])
     eps = 1e-9
     hit = np.zeros(n, dtype=bool)
     B = 1024
     for j0 in range(0, n, B):
         j1 = min(j0 + B, n)
         dots = mat[j0:j1] @ mat.T  # (block of smaller-id side) × all
-        rows = np.arange(j0, j1)[:, None]
-        cols = np.arange(n)[None, :]
-        upper = rows < cols  # row j vets col i only when j < i (sorted)
+        # strict id-VALUE comparison, not sorted position: duplicate ids
+        # must never pair (the Column rule is r.id < l.id)
+        upper = ids[j0:j1, None] < ids[None, :]
         hit |= ((dots >= thr + eps) & upper).any(axis=0)
         for r, c in np.argwhere((dots >= thr - eps) & (dots < thr + eps)
                                 & upper):

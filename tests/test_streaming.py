@@ -629,3 +629,13 @@ def test_vectorized_store_probe_matches_hof_form(spark):
     expect = {i for i, bv in batch
               if any(_fold_dot(bv, sv) >= thr for sv in stored)}
     assert got == expect
+
+
+def test_greedy_kernel_duplicate_ids_never_pair():
+    """The drop rule is strict id-VALUE comparison (r.id < l.id): rows
+    sharing an id must not vet each other even though they occupy
+    different sorted positions — pins the value-mask against a
+    positional-mask regression."""
+    from scalding_spark.functions.similarity import _greedy_smaller_id_hits
+    barr = [(1, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])]
+    assert _greedy_smaller_id_hits(barr, 0.9) == [2]
