@@ -4110,6 +4110,20 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(tp + fp + tn + fn AS DOUBLE)
                    END AS accuracy
             FROM a
+            UNION ALL
+            -- zero judged rows: the operator's one-row-per-threshold
+            -- contract (all-zero counts, NULL rates — ADVICE r08 #3);
+            -- without this branch the empty per-score table never
+            -- explodes and the sweep returns 0 rows
+            SELECT th.threshold, 0, 0, 0, 0,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM (SELECT unnest([CAST(0.1 AS DOUBLE),
+                                 CAST(0.25 AS DOUBLE),
+                                 CAST(0.5 AS DOUBLE),
+                                 CAST(0.75 AS DOUBLE),
+                                 CAST(0.9 AS DOUBLE)]) AS threshold) th
+            WHERE (SELECT count(*) FROM t) = 0
         """,
         "q_exact_dedup": f"""
             SELECT doc_id, source FROM (

@@ -219,9 +219,10 @@ def confusion_at(df: DataFrame, score_col: str, label_col: str,
                  threshold: float) -> DataFrame:
     """Confusion matrix + derived rates at ONE decision threshold
     (predict positive iff score ≥ threshold) → one row ``(threshold, tp,
-    fp, tn, fn, precision, recall, f1, accuracy)``. Rates with an empty
-    denominator are NULL. Exactly :func:`threshold_sweep` at a single
-    literal; one aggregated pass."""
+    fp, tn, fn, precision, recall, f1, accuracy)`` — INCLUDING on zero
+    judged rows (all-zero counts, NULL rates; the sweep's empty branch).
+    Rates with an empty denominator are NULL. Exactly
+    :func:`threshold_sweep` at a single literal; one aggregated pass."""
     return threshold_sweep(df, score_col, label_col, [threshold])
 
 
@@ -235,7 +236,14 @@ def threshold_sweep(df: DataFrame, score_col: str, label_col: str,
     shuffle); the per-score table then cross-joins the LITERAL threshold
     array and re-aggregates — corpus cost is independent of len(thresholds),
     the second pass is |distinct scores| × |thresholds| on two BIGINTs.
-    All counts exact; each rate is one final division."""
+    All counts exact; each rate is one final division.
+
+    ALWAYS len(thresholds) rows, the roc_auc contract (callers read one
+    row per cutoff positionally): zero JUDGED rows (empty input, or all
+    scores/labels NULL) yields one all-zero-counts / NULL-rates row per
+    threshold via an explicit empty branch — without it the empty
+    per-score table never explodes and the sweep silently vanished
+    (ADVICE r08 #3)."""
     if not thresholds:
         raise ValueError("thresholds: want at least one cutoff")
     t = _scored(df, score_col, label_col)
@@ -256,9 +264,22 @@ def threshold_sweep(df: DataFrame, score_col: str, label_col: str,
         return F.when(den > 0, num.cast("double") / den.cast("double"))
 
     tp, fp, tn, fn = (F.col(c) for c in ("tp", "fp", "tn", "fn"))
-    return agg.select(
+    filled = agg.select(
         "threshold", "tp", "fp", "tn", "fn",
         ratio(tp, tp + fp).alias("precision"),
         ratio(tp, tp + fn).alias("recall"),
         ratio(2 * tp, 2 * tp + fp + fn).alias("f1"),
         ratio(tp + tn, tp + fp + tn + fn).alias("accuracy"))
+    # zero judged rows → g is empty and the explode never happens; the
+    # contract is one row per threshold regardless (roc_auc's empty
+    # branch, ADVICE r08 #3): all counts 0, every rate NULL (0/0)
+    zero = F.lit(0).cast("bigint")
+    nul = F.lit(None).cast("double")
+    empty = (t.agg(F.count(F.lit(1)).alias("__nall"))
+             .where(F.col("__nall") == 0)
+             .select(th.alias("threshold"))
+             .select("threshold", zero.alias("tp"), zero.alias("fp"),
+                     zero.alias("tn"), zero.alias("fn"),
+                     nul.alias("precision"), nul.alias("recall"),
+                     nul.alias("f1"), nul.alias("accuracy")))
+    return filled.unionByName(empty)

@@ -58,9 +58,22 @@ def _greedy_smaller_id_hits(barr, thr: float) -> list:
     returned ids are bit-identical to the Column-expression form. Id
     comparison is python ``<``: identical to Spark's ordering for
     integral and string ids (UTF-8 byte order == code-point order).
-    Assumes fixed-dim vectors (the kmeans/SemDeDup contract)."""
+    Assumes fixed-dim vectors (the kmeans/SemDeDup contract).
+
+    NULL ids violate the non-null-id contract and raise a descriptive
+    error up front (ADVICE r08 #4): the replaced Column rule
+    ``r.id < l.id`` silently never paired NULL ids, but here a None
+    would surface as an opaque ``sorted()`` TypeError / numpy dtype
+    mishap deep in the kernel — contract violations should fail loudly
+    at the boundary instead."""
     import numpy as np
     n = len(barr)
+    if any(b[0] is None for b in barr):
+        raise ValueError(
+            "_greedy_smaller_id_hits: NULL id in the group — the "
+            "SemDeDup/stream-semantic contract requires non-null ids "
+            "(the greedy drop rule orders by id value); filter NULL-id "
+            "rows upstream")
     order = sorted(range(n), key=lambda k: barr[k][0])
     mat = np.asarray([barr[k][1] for k in order], dtype=np.float64)
     ids = np.asarray([barr[k][0] for k in order])
@@ -377,14 +390,20 @@ def _assign_cells_bcast(src: DataFrame, cents: list[list[float]]) -> DataFrame:
       (plan-pinned), centroids cost k·dim·8 bytes per task closure.
 
     EXACTNESS: the expansion-form distances decide only when clear of
-    the minimum by an absolute ±1e-6 band (fold/expansion float64 error
-    is ≲1e-10 at embedding magnitudes); rows whose candidate set within
-    the band exceeds one — or contains non-finite distances — are
-    re-decided per centroid by the exact sequential fold the Column
-    expression computes (per-element double subtract/square,
-    left-to-right adds, Spark's NaN-is-greatest min and first-match
-    equality), so the assigned cell is bit-identical to the HOF/literal
-    forms. Expects ``src`` with columns (id, v); returns (id, v, cell).
+    the minimum by a band scaled to the ROW'S MAGNITUDE —
+    ``1e-6 · max(1, ‖x‖² + max_c ‖c‖²)`` — because expansion-form
+    cancellation error grows with the operand magnitudes
+    (≈ dim·1e-16·(‖x‖²+‖c‖²): an ABSOLUTE 1e-6 band silently under-covers
+    unnormalized vectors with norms ≳1e3 at high dim, and kmeans is
+    public API over arbitrary vectors, not just unit embeddings —
+    ADVICE r08 #1). Rows whose candidate set within the band exceeds
+    one — or contains non-finite distances — are re-decided per centroid
+    by the exact sequential fold the Column expression computes
+    (per-element double subtract/square, left-to-right adds, Spark's
+    NaN-is-greatest min and first-match equality), so the assigned cell
+    is bit-identical to the HOF/literal forms (a wider band only routes
+    MORE rows through the exact fold — it can never flip a decision).
+    Expects ``src`` with columns (id, v); returns (id, v, cell).
     NULL vectors (contract: dropped upstream by ``_drop_null_vecs``)
     pass through with cell NULL.
     """
@@ -439,11 +458,15 @@ def _assign_cells_bcast(src: DataFrame, cents: list[list[float]]) -> DataFrame:
                     continue
                 X = np.asarray([np.asarray(block[i], dtype=np.float64)
                                 for i in ok])
-                D = ((X * X).sum(axis=1)[:, None] + c2[None, :]
-                     - 2.0 * (X @ C.T))
+                x2 = (X * X).sum(axis=1)
+                D = x2[:, None] + c2[None, :] - 2.0 * (X @ C.T)
+                # per-row band: relative to the distance magnitudes in
+                # play (‖x‖²+max‖c‖²), floored at the old absolute 1e-6
+                # so unit-embedding behavior is unchanged (ADVICE r08 #1)
                 with np.errstate(invalid="ignore"):
+                    band = eps * np.maximum(1.0, x2 + c2.max())
                     m = np.nanmin(D, axis=1)
-                    cand = D <= (m + 2 * eps)[:, None]
+                    cand = D <= (m + 2 * band)[:, None]
                 counts = cand.sum(axis=1)
                 firsts = cand.argmax(axis=1)
                 finite = np.isfinite(D).all(axis=1)
@@ -585,13 +608,23 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     loser-dropping tier. Use dedup.dedup_clusters over the pair list when
     component-exact semantics matter.
 
-    Scale: clustering bounds the quadratic — the self-join runs per cell
-    (Σ n_c² work, co-partitioned by one exchange on cell), so ``k`` is the
-    knob that caps cell sizes; pairs below the join carry (id_a, id_b)
-    only, and the final anti-join shuffles ids, never vectors. Assignment
-    inherits kmeans's map-only broadcast-centroid contract. Near-cell-
-    boundary pairs that land in different cells are missed by design
-    (SemDeDup's documented recall trade).
+    Scale: clustering bounds the quadratic — the within-cell pair pass
+    runs per cell as ONE ``applyInPandas`` group (Σ n_c²·dim blocked-BLAS
+    work behind a single exchange on cell), so ``k`` is the knob that
+    caps cell sizes; only loser ids cross the post-pass exchange, never
+    vectors. MEMORY BOUND (r08 plan change, ADVICE r08 #2): each cell
+    materializes in one task as a pandas group — n_c·dim·8 bytes of
+    vectors plus the kernel's ~1024·n_c·8-byte dot block — unlike the
+    streamed cell self-join it replaced, which bounded memory per PAIR.
+    With auto-k (the default) cells average ``target_cell_size`` and a
+    1500×64 cell is <1 MB; with a USER-PINNED small k over skewed data a
+    hot cell must fit in a single task's heap — raise k, switch to
+    auto-k, or pass pre-trained ``centroids`` if a cell outgrows
+    executor memory (the same worst-case-cell caveat as below, now with
+    a concrete per-task bound). Assignment inherits kmeans's map-only
+    broadcast-centroid contract. Near-cell-boundary pairs that land in
+    different cells are missed by design (SemDeDup's documented recall
+    trade).
 
     ``k=None`` (the default) derives k = ceil(n / target_cell_size) from
     one column-pruned count of the non-null vectors, so the within-cell
@@ -669,7 +702,14 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
         barr = list(zip(pdf["id"].tolist(), pdf["vec"].tolist()))
         return pd.DataFrame({id_col: _greedy_smaller_id_hits(barr, thr)})
 
-    losers = e.groupBy("cell").applyInPandas(_cell_losers, out_schema)
+    # NULL cells never reach the kernel (ADVICE r08 #4): unreachable
+    # under the documented contracts (assignment only emits NULL for
+    # NULL vectors, which _drop_null_vecs removed; an EMPTY centroids=[]
+    # makes every cell NULL), but groupBy('cell') would hand them one
+    # unbounded all-pairs group where the old equi-join excluded them —
+    # an unassigned row duplicates nothing, same as a NULL-vector row.
+    losers = (e.where(F.col("cell").isNotNull())
+              .groupBy("cell").applyInPandas(_cell_losers, out_schema))
     return df.join(losers, id_col, "left_anti")
 
 
