@@ -2500,6 +2500,36 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       [0.1, 0.25, 0.5, 0.75, 0.9])
 
 
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluation.pr_auc (r09): exact average precision (step-interpolated
+    PR-AUC, the sklearn AP form) of the length heuristic predicting
+    lang='en' — the metric an IMBALANCED quality filter is audited with
+    (ROC-AUC flatters 1:50 labels; AP degrades honestly). Heavy integer
+    tie classes exercise the one-term-per-distinct-score convention.
+    Exact BIGINT TP/CNT cumulatives, one double division per tie class
+    tie-rounded to DECIMAL(27,9), exact decimal sum, one final division
+    — bit-stable across layouts and engines (calibration_bins' decimal
+    recipe). Same scale shape as roc_auc: groupBy(score) + the key-less
+    range-partition prefix pattern, descending."""
+    from scalding_spark.functions import evaluation
+    return evaluation.pr_auc(_eval_scored(spark, sf_dir), "score", "label")
+
+
+def q_pr_auc_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluation.pr_auc(by=['lang','source']) (r09): per-slice average
+    precision of n_chars predicting the near-dup marker — the slice-audit
+    form (q_auc_by_slice's fixture). Many slices have zero positives →
+    NULL pr_auc rows (the contract); descending cumulative windows
+    partition by slice, per-slice task size is DISTINCT-score count."""
+    from scalding_spark.functions import evaluation
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", "source", F.col("n_chars").alias("score"),
+        F.col("text").contains("dup").cast("int").alias("label"))
+    return evaluation.pr_auc(scored, "score", "label",
+                             by=["lang", "source"])
+
+
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity.semantic_decontaminate: drop corpus embeddings with
     cosine ≥ 0.8 to ANY benchmark embedding (every 37th vector) — the
@@ -2688,40 +2718,107 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
-    # r08 window (VERDICT r07 next-round #1 + ADVICE r07 #1): the two
-    # r04-stale entries the r07 window could not fit (q_winnow_fingerprints
-    # — displaced from position 50 by the q_matrix_scalar_pipe insertion —
-    # and q_winnow_overlap, which never fit), then q_url_canonical (its
-    # operator's default changed in r07 — bare `ref` no longer stripped,
-    # strip set parameterized, web.py:52-92 — after its last driver row in
-    # r06; the changed-operator re-verification rule puts it at the queue
-    # head, ADVICE r07 #1), then the four NEW r08 evaluation-module
-    # queries (never driver-checked — the rotation test requires
-    # never-checked entries inside the window), then the r05-green block
-    # in queue order (q_dedup_lines onward), as many as fit. The 7
-    # r05-green entries the window cannot fit (q7_volume_shipping /
-    # q8_market_share / q9_product_profit / q10_returned_items —
-    # displaced by the eval insertions — plus q11_important_parts /
-    # q13_customer_distribution / q14_promo_effect) sit directly below
-    # position 50 and lead the r09 window. Every insertion/displacement is ledgered at the displacement
-    # point so the header never overstates what the driver verified
-    # (ADVICE r06 #1).
+    # r09 window (VERDICT r08 next-round #1 + #3): the 7 r05-stale TPC-H
+    # entries lead (ledgered in r08 as the r09 queue head), then the two
+    # NEW r09 evaluation queries (q_pr_auc / q_pr_auc_by_slice — average
+    # precision, VERDICT r08 #3; never driver-checked, so the rotation
+    # test requires them inside the window), then q_threshold_sweep
+    # (changed-operator re-verification: its zero-judged-rows contract
+    # and oracle gained the one-row-per-threshold empty branch in r09,
+    # ADVICE r08 #3, after its r08 row), then the r06-green block in
+    # queue order (q_contamination_report onward), as many as fit. The 9
+    # r06-green entries the window cannot fit (q_text_quality, q_lang_id,
+    # q_fingerprint, q_vocabulary, q_tfidf_top_terms,
+    # q_multimodal_features, q_cosine_topk, q_embedding_neardup_exact,
+    # q_events_daily — displaced by the 7 TPC-H leads + the 2 insertions
+    # + the re-verification) sit directly below position 50 and lead the
+    # r10 window. Every insertion/displacement is ledgered at the
+    # displacement point so the header never overstates what the driver
+    # verified (ADVICE r06 #1).
     return {
-        # -- r08 window head: r04-stale pair carried over from r07 --
+        # -- r09 window head: the 7 r05-stale TPC-H entries (displaced
+        #    from the r08 window by the eval insertions; VERDICT r08 #1) --
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_effect": q14_promo_effect,
+        # -- r09 window: NEW average-precision queries (evaluation.pr_auc,
+        #    VERDICT r08 #3), first driver run --
+        "q_pr_auc": q_pr_auc,
+        "q_pr_auc_by_slice": q_pr_auc_by_slice,
+        # -- r09 window: changed-operator re-verification (ADVICE r08 #3:
+        #    threshold_sweep + its oracle gained the empty branch after
+        #    the r08 row) --
+        "q_threshold_sweep": q_threshold_sweep,
+        # -- r09 window: r06-green block, queue order (first 40 of 49;
+        #    the 9 displaced by the entries above are ledgered below
+        #    position 50 and lead the r10 window) --
+        "q_contamination_report": q_contamination_report,
+        "q_neardup_against": q_neardup_against,
+        "q_corpus_diff": q_corpus_diff,
+        "q_leakage_safe_split": q_leakage_safe_split,
+        "q_semantic_dedup_auto": q_semantic_dedup_auto,
+        "q_semantic_decontam": q_semantic_decontam,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "q22_idle_customers": q22_idle_customers,
+        "q_mkstring": q_mkstring,
+        "q_times_product": q_times_product,
+        "q_head_last": q_head_last,
+        "q_toset": q_toset,
+        "q_maplist": q_maplist,
+        "q_dot": q_dot,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q_matmul": q_matmul,
+        "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
+        "q_matrix_elementwise": q_matrix_elementwise,
+        "q_matrix_reductions": q_matrix_reductions,
+        "q_matrix_col_normalize": q_matrix_col_normalize,
+        "q_matrix_filter_ops": q_matrix_filter_ops,
+        "q_matrix_zip": q_matrix_zip,
+        "q_matrix_map_rows": q_matrix_map_rows,
+        "q_vector_matrix_product": q_vector_matrix_product,
+        "q_diag_inverse_trace": q_diag_inverse_trace,
+        "q_combinations": q_combinations,
+        "q_subset_sum": q_subset_sum,
+        "q_pagerank": q_pagerank,
+        "q_exact_dedup": q_exact_dedup,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_deterministic_sample": q_deterministic_sample,
+        "q_train_split": q_train_split,
+        "q_stratified_sample": q_stratified_sample,
+        # ---- position 50 ends here ----
+        # -- r10 queue head: the 9 r06-green entries displaced below
+        #    position 50 by the r09 head (7 TPC-H + q_pr_auc /
+        #    q_pr_auc_by_slice + q_threshold_sweep re-verification);
+        #    NOT re-verified this round --
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_vocabulary": q_vocabulary,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_multimodal_features": q_multimodal_features,
+        "q_cosine_topk": q_cosine_topk,
+        "q_embedding_neardup_exact": q_embedding_neardup_exact,
+        "q_events_daily": q_events_daily,
+        # -- r08-green block (CORRECTNESS_r08 verified all 50 in window
+        #    order; q_threshold_sweep moved to the r09 window head for
+        #    changed-operator re-verification, ADVICE r08 #3) --
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
-        # -- r08 window: changed-operator re-verification (ADVICE r07 #1;
-        #    canonicalize_url semantics changed in r07 after the r06 row) --
         "q_url_canonical": q_url_canonical,
-        # -- r08 window: NEW evaluation module (functions/evaluation.py),
-        #    first driver run --
         "q_quality_auc": q_quality_auc,
         "q_calibration_bins": q_calibration_bins,
-        "q_threshold_sweep": q_threshold_sweep,
         "q_auc_by_slice": q_auc_by_slice,
-        # -- r08 window: r05-green block, queue order (first 43 of 50;
-        #    the 7 displaced by the entries above are ledgered below
-        #    position 50 and lead the r09 window) --
         "q_dedup_lines": q_dedup_lines,
         "q_char_entropy": q_char_entropy,
         "q_duplicate_line_fraction": q_duplicate_line_fraction,
@@ -2765,68 +2862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority_exists": q4_order_priority_exists,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
-        # ---- position 50 ends here ----
-        # -- r09 queue head: the 7 r05-green entries displaced below
-        #    position 50 by the r08 head (winnow pair + q_url_canonical +
-        #    the 4 new evaluation queries); NOT re-verified this round --
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q11_important_parts": q11_important_parts,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_effect": q14_promo_effect,
-        # -- r06-green block (q_url_canonical moved to the r08 window
-        #    head for changed-operator re-verification, ADVICE r07 #1) --
-        "q_contamination_report": q_contamination_report,
-        "q_neardup_against": q_neardup_against,
-        "q_corpus_diff": q_corpus_diff,
-        "q_leakage_safe_split": q_leakage_safe_split,
-        "q_semantic_dedup_auto": q_semantic_dedup_auto,
-        "q_semantic_decontam": q_semantic_decontam,
-        "q18_large_volume_customer": q18_large_volume_customer,
-        "q22_idle_customers": q22_idle_customers,
-        "q_mkstring": q_mkstring,
-        "q_times_product": q_times_product,
-        "q_head_last": q_head_last,
-        "q_toset": q_toset,
-        "q_maplist": q_maplist,
-        "q_dot": q_dot,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_count": q16_supplier_part_count,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q_matmul": q_matmul,
-        "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
-        "q_matrix_elementwise": q_matrix_elementwise,
-        "q_matrix_reductions": q_matrix_reductions,
-        "q_matrix_col_normalize": q_matrix_col_normalize,
-        "q_matrix_filter_ops": q_matrix_filter_ops,
-        "q_matrix_zip": q_matrix_zip,
-        "q_matrix_map_rows": q_matrix_map_rows,
-        "q_vector_matrix_product": q_vector_matrix_product,
-        "q_diag_inverse_trace": q_diag_inverse_trace,
-        "q_combinations": q_combinations,
-        "q_subset_sum": q_subset_sum,
-        "q_pagerank": q_pagerank,
-        "q_exact_dedup": q_exact_dedup,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_deterministic_sample": q_deterministic_sample,
-        "q_train_split": q_train_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_text_quality": q_text_quality,
-        "q_lang_id": q_lang_id,
-        "q_fingerprint": q_fingerprint,
-        "q_vocabulary": q_vocabulary,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_multimodal_features": q_multimodal_features,
-        "q_cosine_topk": q_cosine_topk,
-        "q_embedding_neardup_exact": q_embedding_neardup_exact,
-        "q_events_daily": q_events_daily,
         # -- r07-green block (freshest driver rows, tail of the rotation;
         #    CORRECTNESS_r07 verified all 50 in this order) --
         "q_matrix_scalar_pipe": q_matrix_scalar_pipe,
@@ -4124,6 +4159,84 @@ def oracle_sql() -> dict[str, str]:
                                  CAST(0.75 AS DOUBLE),
                                  CAST(0.9 AS DOUBLE)]) AS threshold) th
             WHERE (SELECT count(*) FROM t) = 0
+        """,
+        # average precision: one term per distinct-score class sweeping
+        # DESC — np·TP/CNT as one double division, tie-rounded to
+        # DECIMAL(27,9) (the calibration_bins cross-engine recipe), exact
+        # decimal sum, one final division by n_pos
+        "q_pr_auc": """
+            WITH t AS (
+                SELECT n_chars AS s,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            g AS (SELECT s, count(*) AS n, sum(y) AS np FROM t GROUP BY s),
+            c AS (
+                SELECT n, np,
+                       sum(np) OVER (ORDER BY s DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cpt,
+                       sum(n) OVER (ORDER BY s DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cnt
+                FROM g),
+            tot AS (SELECT CAST(coalesce(sum(y), 0) AS BIGINT) AS np_all,
+                           count(*) AS n_all FROM t)
+            SELECT CAST(np_all AS BIGINT) AS n_pos,
+                   CAST(n_all - np_all AS BIGINT) AS n_neg,
+                   CASE WHEN np_all > 0 THEN
+                       CAST(coalesce(sum(CASE WHEN np > 0 THEN
+                           CAST(CAST(np * cpt AS DOUBLE)
+                                / CAST(cnt AS DOUBLE)
+                                AS DECIMAL(27,9)) END), 0) AS DOUBLE)
+                       / CAST(np_all AS DOUBLE)
+                   END AS pr_auc
+            FROM c CROSS JOIN tot
+            GROUP BY np_all, n_all
+            UNION ALL
+            -- zero judged rows: the always-one-row contract
+            SELECT np_all AS n_pos, n_all - np_all AS n_neg,
+                   CAST(NULL AS DOUBLE) AS pr_auc
+            FROM tot WHERE n_all = 0
+        """,
+        # per-slice AP; two-branch CASE keeps NULL text → NULL label
+        # (the q_auc_by_slice fixture); zero-positive slices report NULL
+        "q_pr_auc_by_slice": """
+            WITH t AS (
+                SELECT lang, source, n_chars AS s,
+                       CASE WHEN text LIKE '%dup%' THEN 1
+                            WHEN text NOT LIKE '%dup%' THEN 0 END AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+            g AS (SELECT lang, source, s, count(*) AS n, sum(y) AS np
+                  FROM t GROUP BY 1, 2, 3),
+            c AS (
+                SELECT lang, source, n, np,
+                       sum(np) OVER (PARTITION BY lang, source
+                           ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS cpt,
+                       sum(n) OVER (PARTITION BY lang, source
+                           ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS cnt
+                FROM g),
+            tot AS (SELECT lang, source,
+                           CAST(sum(y) AS BIGINT) AS np_all,
+                           count(*) AS n_all
+                    FROM t GROUP BY 1, 2)
+            SELECT c.lang, c.source,
+                   CAST(np_all AS BIGINT) AS n_pos,
+                   CAST(n_all - np_all AS BIGINT) AS n_neg,
+                   CASE WHEN np_all > 0 THEN
+                       CAST(coalesce(sum(CASE WHEN np > 0 THEN
+                           CAST(CAST(np * cpt AS DOUBLE)
+                                / CAST(cnt AS DOUBLE)
+                                AS DECIMAL(27,9)) END), 0) AS DOUBLE)
+                       / CAST(np_all AS DOUBLE)
+                   END AS pr_auc
+            FROM c JOIN tot
+              ON c.lang IS NOT DISTINCT FROM tot.lang
+             AND c.source IS NOT DISTINCT FROM tot.source
+            GROUP BY c.lang, c.source, np_all, n_all
         """,
         "q_exact_dedup": f"""
             SELECT doc_id, source FROM (

@@ -95,6 +95,9 @@ HEADLINE = [
     # -- added r08 (evaluation module) --
     "q_quality_auc",             # exact AUC/KS (range-partition rank sums)
     "q_auc_by_slice",            # per-slice AUC/KS (null-safe slice join)
+    # -- added r09 --
+    "q_pr_auc",                  # exact average precision (desc range ranks)
+    "q_pr_auc_by_slice",         # per-slice AP (desc windows per slice)
 ]
 
 

@@ -1084,6 +1084,47 @@ def golden_components(nodes, edges):
     return {n: comp_min[find(n)] for n in nodes}
 
 
+def pr_auc_scalar(pairs):
+    """Pure-Python mirror of evaluation.pr_auc's EXACT arithmetic:
+    step-interpolated average precision over descending distinct-score
+    tie classes, each class contributing one double division
+    float(np·TP)/float(CNT) tie-rounded to DECIMAL(27,9) (HALF_UP over
+    the SHORTEST decimal representation — python ``repr`` matches Java
+    ``BigDecimal.valueOf``'s Double.toString, which is what Spark's
+    double→decimal cast rounds), summed exactly, one final double
+    division by n⁺. Returns (n_pos, n_neg, pr_auc|None); NULL scores or
+    labels are dropped (unjudged), NaN scores form one tie class that
+    sorts GREATEST (Spark groupBy/sort semantics)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    judged = [(s, int(y)) for s, y in pairs
+              if s is not None and y is not None]
+    npos = sum(y for _, y in judged)
+    nneg = len(judged) - npos
+    if npos == 0:
+        return npos, nneg, None
+    n_by, np_by, has_nan = {}, {}, [0, 0]
+    for s, y in judged:
+        if isinstance(s, float) and math.isnan(s):
+            has_nan[0] += 1
+            has_nan[1] += y
+        else:
+            n_by[s] = n_by.get(s, 0) + 1
+            np_by[s] = np_by.get(s, 0) + y
+    order = sorted(n_by, reverse=True)
+    classes = ([(has_nan[0], has_nan[1])] if has_nan[0] else []) \
+        + [(n_by[s], np_by[s]) for s in order]
+    q = Decimal(1).scaleb(-9)
+    total, tp, cnt = Decimal(0), 0, 0
+    for n, np_ in classes:
+        tp += np_
+        cnt += n
+        if np_ > 0:
+            term = float(np_ * tp) / float(cnt)
+            total += Decimal(repr(term)).quantize(q,
+                                                  rounding=ROUND_HALF_UP)
+    return npos, nneg, float(total) / float(npos)
+
+
 def compare_rows(rows, cols, golden_rows, golden_cols):
     """Same order-insensitive, column-name-sorted comparison as
     scripts/driver_check.norm; returns None on match, else an error."""

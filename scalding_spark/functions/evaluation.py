@@ -46,6 +46,44 @@ def _scored(df: DataFrame, score_col: str, label_col: str,
             .select(*(by or []), F.col(score_col).alias("s"), y.alias("y")))
 
 
+def _score_cum(t: DataFrame, desc: bool = False) -> DataFrame:
+    """Per-DISTINCT-score tie classes with GLOBAL cumulative counts,
+    computed in parallel: groupBy(s) (the one data-sized shuffle) →
+    range-partition by score → per-partition window cumulatives + a
+    broadcast #partitions-row prefix-offset table (grouping.py's
+    key-less range-partition pattern; the persist freezes the partition
+    universe the data and offsets branches must share — SCALING.md's
+    10× lesson). Returns one row per distinct score with
+    ``(n, np, cb, cpt, cnt)``: class size, class positives, count
+    BEFORE this class, positives/count THROUGH this class — cumulative
+    in ascending score order, or descending when ``desc`` (the
+    threshold direction PR metrics sweep)."""
+    from scalding_spark.session import register_persisted
+    g = t.groupBy("s").agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("y").alias("np"))
+    order = F.col("s").desc() if desc else F.col("s").asc()
+    d = (g.repartitionByRange(order)
+         .withColumn("__pid", F.spark_partition_id()).persist())
+    register_persisted(d)
+    w = Window.partitionBy("__pid").orderBy(order)
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    thru = w.rowsBetween(Window.unboundedPreceding, 0)
+    local = (d.withColumn("__lb", F.coalesce(F.sum("n").over(before), F.lit(0)))
+             .withColumn("__lpt", F.sum("np").over(thru))
+             .withColumn("__lnt", F.sum("n").over(thru)))
+    offw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (d.groupBy("__pid")
+            .agg(F.sum("n").alias("__tn"), F.sum("np").alias("__tp"))
+            .withColumn("__offn", F.coalesce(F.sum("__tn").over(offw), F.lit(0)))
+            .withColumn("__offp", F.coalesce(F.sum("__tp").over(offw), F.lit(0)))
+            .select("__pid", "__offn", "__offp"))
+    return (local.join(F.broadcast(offs), "__pid")
+            .select("n", "np",
+                    (F.col("__offn") + F.col("__lb")).alias("cb"),
+                    (F.col("__offp") + F.col("__lpt")).alias("cpt"),
+                    (F.col("__offn") + F.col("__lnt")).alias("cnt")))
+
+
 def roc_auc(df: DataFrame, score_col: str, label_col: str,
             by: list[str] | None = None) -> DataFrame:
     """Exact ROC-AUC and KS statistic → ONE row
@@ -84,30 +122,8 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str,
     """
     if by:
         return _roc_auc_by(df, score_col, label_col, list(by))
-    from scalding_spark.session import register_persisted
     t = _scored(df, score_col, label_col)
-    g = t.groupBy("s").agg(F.count(F.lit(1)).alias("n"),
-                           F.sum("y").alias("np"))
-    d = (g.repartitionByRange(F.col("s").asc())
-         .withColumn("__pid", F.spark_partition_id()).persist())
-    register_persisted(d)
-    w = Window.partitionBy("__pid").orderBy("s")
-    before = w.rowsBetween(Window.unboundedPreceding, -1)
-    thru = w.rowsBetween(Window.unboundedPreceding, 0)
-    local = (d.withColumn("__lb", F.coalesce(F.sum("n").over(before), F.lit(0)))
-             .withColumn("__lpt", F.sum("np").over(thru))
-             .withColumn("__lnt", F.sum("n").over(thru)))
-    offw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (d.groupBy("__pid")
-            .agg(F.sum("n").alias("__tn"), F.sum("np").alias("__tp"))
-            .withColumn("__offn", F.coalesce(F.sum("__tn").over(offw), F.lit(0)))
-            .withColumn("__offp", F.coalesce(F.sum("__tp").over(offw), F.lit(0)))
-            .select("__pid", "__offn", "__offp"))
-    cls = (local.join(F.broadcast(offs), "__pid")
-           .select("n", "np",
-                   (F.col("__offn") + F.col("__lb")).alias("cb"),
-                   (F.col("__offp") + F.col("__lpt")).alias("cpt"),
-                   (F.col("__offn") + F.col("__lnt")).alias("cnt")))
+    cls = _score_cum(t)
     tot = F.broadcast(t.agg(F.coalesce(F.sum("y"), F.lit(0)).alias("__npos"),
                             F.count(F.lit(1)).alias("__nall")))
     npos, nall = F.col("__npos"), F.col("__nall")
@@ -179,6 +195,100 @@ def _roc_auc_by(df: DataFrame, score_col: str, label_col: str,
                / (2 * npos * nneg).cast("double")).alias("auc"),
         F.when(defined, F.col("__ksn").cast("double")
                / (npos * nneg).cast("double")).alias("ks"))
+
+
+def pr_auc(df: DataFrame, score_col: str, label_col: str,
+           by: list[str] | None = None) -> DataFrame:
+    """Area under the precision-recall curve (average precision, the
+    step-interpolated sklearn AP form) → ONE row
+    ``(n_pos, n_neg, pr_auc)``, or one row PER GROUP with ``by=``.
+
+    The metric an IMBALANCED quality filter is actually audited with:
+    corpus quality labels are routinely 1-to-100 skewed, where ROC-AUC
+    flatters (the FPR denominator is the huge negative class) and
+    PR-AUC degrades honestly with precision.
+
+    AP = Σ over distinct-score threshold classes of
+    (ΔRecall · Precision) = (1/n⁺) · Σ_classes np · TP(s) / CNT(s),
+    sweeping thresholds DESCENDING (TP(s)/CNT(s) = positives/rows with
+    score ≥ s). Tie classes collapse to one term by construction, the
+    sklearn tie convention.
+
+    Determinism (the module contract, calibration_bins' recipe): TP and
+    CNT are exact BIGINTs; each class contributes ONE double division
+    (np·TP as an exact ≤2⁵³ integer over CNT), tie-rounded to
+    DECIMAL(27,9) and summed EXACTLY (layout-independent), with one
+    final double division by n⁺. Cross-engine the double→decimal cast
+    is a tie-round at the 10th digit (engines can disagree on exact
+    half-way ties — the calibration_bins caveat); within one engine any
+    input is bit-stable.
+
+    n⁺ = 0 (no positives, including zero judged rows) → pr_auc NULL
+    (undefined, not 0); n⁻ = 0 gives 1.0 naturally (precision is 1 at
+    every threshold). Always ≥1 row globally (the roc_auc empty-branch
+    contract); per-slice, every judged slice reports.
+
+    Scale: identical shape to :func:`roc_auc` — groupBy(score) is the
+    only data-sized shuffle, cumulatives run per range-partition in
+    parallel (``_score_cum(desc=True)``); the grouped form bounds each
+    slice's window task by its DISTINCT-score count."""
+    if by:
+        return _pr_auc_by(df, score_col, label_col, list(by))
+    t = _scored(df, score_col, label_col)
+    cls = _score_cum(t, desc=True)  # cpt/cnt = TP/COUNT at score ≥ s
+    tot = F.broadcast(t.agg(F.coalesce(F.sum("y"), F.lit(0)).alias("__npos"),
+                            F.count(F.lit(1)).alias("__nall")))
+    npos, nall = F.col("__npos"), F.col("__nall")
+    term = F.when(F.col("np") > 0,
+                  ((F.col("np") * F.col("cpt")).cast("double")
+                   / F.col("cnt").cast("double")).cast(_DEC))
+    agg = (cls.crossJoin(tot)
+           .groupBy("__npos", "__nall")
+           .agg(F.coalesce(F.sum(term), F.lit(0).cast(_DEC)).alias("__ap")))
+    one = agg.select(
+        npos.alias("n_pos"), (nall - npos).alias("n_neg"),
+        F.when(npos > 0, F.col("__ap").cast("double") / npos.cast("double"))
+        .alias("pr_auc"))
+    empty = tot.where(nall == 0).select(
+        npos.alias("n_pos"), (nall - npos).alias("n_neg"),
+        F.lit(None).cast("double").alias("pr_auc"))
+    return one.unionByName(empty)
+
+
+def _pr_auc_by(df: DataFrame, score_col: str, label_col: str,
+               by: list[str]) -> DataFrame:
+    """Per-slice AP (see :func:`pr_auc`): descending cumulative windows
+    partition by the slice key (per-slice task size is DISTINCT-score
+    count), slice totals join back null-safely — the _roc_auc_by
+    machinery with the threshold direction flipped."""
+    t = _scored(df, score_col, label_col, by)
+    g = t.groupBy(*by, "s").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("y").alias("np"))
+    w = Window.partitionBy(*by).orderBy(F.col("s").desc())
+    thru = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = (g.withColumn("cpt", F.sum("np").over(thru))
+         .withColumn("cnt", F.sum("n").over(thru)))
+    tot = t.groupBy(*by).agg(F.sum("y").alias("__npos"),
+                             F.count(F.lit(1)).alias("__nall"))
+    tot = tot.select(*[F.col(k).alias(f"__k{i}")
+                       for i, k in enumerate(by)], "__npos", "__nall")
+    cond = None
+    for i, k in enumerate(by):
+        e = c[k].eqNullSafe(F.col(f"__k{i}"))
+        cond = e if cond is None else cond & e
+    npos, nall = F.col("__npos"), F.col("__nall")
+    term = F.when(F.col("np") > 0,
+                  ((F.col("np") * F.col("cpt")).cast("double")
+                   / F.col("cnt").cast("double")).cast(_DEC))
+    agg = (c.join(tot, cond)
+           .drop(*[f"__k{i}" for i in range(len(by))])
+           .groupBy(*by, "__npos", "__nall")
+           .agg(F.coalesce(F.sum(term), F.lit(0).cast(_DEC)).alias("__ap")))
+    return agg.select(
+        *by,
+        npos.alias("n_pos"), (nall - npos).alias("n_neg"),
+        F.when(npos > 0, F.col("__ap").cast("double") / npos.cast("double"))
+        .alias("pr_auc"))
 
 
 def calibration_bins(df: DataFrame, score_col: str, label_col: str,

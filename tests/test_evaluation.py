@@ -205,3 +205,128 @@ def test_grouped_auc_layout_invariant(spark):
                ev.roc_auc(_gdf(spark, rows).repartition(23),
                           "s", "y", by=["grp"]).collect())
     assert a == b  # bit-identical
+
+
+# --- pr_auc / average precision (r09) ------------------------------------------
+
+def test_pr_auc_perfect_and_all_positive(spark):
+    pairs = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    r = _one(ev.pr_auc(_df(spark, pairs), "s", "y"))
+    assert (r.n_pos, r.n_neg, r.pr_auc) == (50, 50, 1.0)
+    # no negatives: precision is 1 at every threshold
+    r = _one(ev.pr_auc(_df(spark, [(1.0, 1), (2.0, 1)]), "s", "y"))
+    assert (r.n_pos, r.n_neg, r.pr_auc) == (2, 0, 1.0)
+
+
+def test_pr_auc_no_positives_and_empty_are_null(spark):
+    r = _one(ev.pr_auc(_df(spark, [(1.0, 0), (2.0, 0)]), "s", "y"))
+    assert (r.n_pos, r.n_neg, r.pr_auc) == (0, 2, None)
+    r = _one(ev.pr_auc(_df(spark, []), "s", "y"))
+    assert (r.n_pos, r.n_neg, r.pr_auc) == (0, 0, None)
+    # NULL scores/labels are unjudged
+    r = _one(ev.pr_auc(_df(spark, [(None, 1), (3.0, None)]), "s", "y"))
+    assert (r.n_pos, r.n_neg, r.pr_auc) == (0, 0, None)
+
+
+def test_pr_auc_known_value_with_ties(spark):
+    # desc classes: s=3 (1 pos) -> P=1, R=1/2; s=2 (1 pos, 1 neg of 2)
+    # -> TP=2, CNT=3, term = 1*2/3; s=1 (neg only) -> no term
+    # AP = (1*1/1 + 1*2/3) / 2 = 5/6
+    pairs = [(3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)]
+    r = _one(ev.pr_auc(_df(spark, pairs), "s", "y"))
+    import py_reference as pr
+    npos, nneg, want = pr.pr_auc_scalar(pairs)
+    assert (r.n_pos, r.n_neg) == (npos, nneg) == (2, 2)
+    assert r.pr_auc == want
+    assert math.isclose(want, 5.0 / 6.0, rel_tol=0, abs_tol=1e-9)
+
+
+def test_pr_auc_flatters_less_than_roc_on_imbalance(spark):
+    """The reason the metric exists: a mediocre ranker over 1:50 labels
+    keeps a high ROC-AUC while PR-AUC collapses."""
+    import random
+    rng = random.Random(5)
+    pairs = []
+    for i in range(1020):
+        pos = i % 51 == 0
+        s = rng.random() + (0.15 if pos else 0.0)  # weak signal
+        pairs.append((round(s, 3), 1 if pos else 0))
+    roc = _one(ev.roc_auc(_df(spark, pairs), "s", "y")).auc
+    pr = _one(ev.pr_auc(_df(spark, pairs), "s", "y")).pr_auc
+    assert roc > 0.55
+    assert pr < roc - 0.2
+
+
+def test_pr_auc_matches_python_mirror_bit_exactly(spark):
+    """Hypothesis parity: the Spark plan and the pure-Python mirror in
+    py_reference.py agree BIT-FOR-BIT (same per-class division, same
+    decimal tie-round, same exact sum) on arbitrary judged corpora."""
+    from hypothesis import given, settings, strategies as st
+    import py_reference as pr
+
+    pair = st.tuples(
+        st.one_of(st.none(),
+                  st.floats(min_value=-5, max_value=5, allow_nan=False,
+                            width=32).map(lambda x: round(x, 2))),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=1)))
+
+    @given(st.lists(pair, max_size=120))
+    @settings(max_examples=25, deadline=None)
+    def check(pairs):
+        pairs = [(float(s) if s is not None else None, y)
+                 for s, y in pairs]
+        npos, nneg, want = pr.pr_auc_scalar(pairs)
+        r = _one(ev.pr_auc(
+            spark.createDataFrame(pairs, "s double, y int"), "s", "y"))
+        assert (r.n_pos, r.n_neg) == (npos, nneg)
+        assert r.pr_auc == want  # bit-identical, not isclose
+
+    check()
+
+
+def test_pr_auc_layout_invariant(spark):
+    import random
+    rng = random.Random(17)
+    pairs = [(round(rng.random(), 2), rng.randint(0, 1)) for _ in range(300)]
+    a = _one(ev.pr_auc(_df(spark, pairs).repartition(1), "s", "y"))
+    b = _one(ev.pr_auc(_df(spark, pairs).repartition(17), "s", "y"))
+    assert a.pr_auc == b.pr_auc  # bit-identical
+
+
+def test_pr_auc_has_no_data_sized_single_partition_window(spark):
+    pairs = [(float(i % 97), i % 2) for i in range(400)]
+    plan = ev.pr_auc(_df(spark, pairs), "s", "y") \
+        ._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "__pid" not in line:
+            raise AssertionError(f"data-sized global window in plan: {line}")
+
+
+def test_grouped_pr_auc_matches_per_group_global(spark):
+    import random
+    import py_reference as pr
+    rng = random.Random(29)
+    rows = [(f"g{i % 3}", round(rng.random(), 1), rng.randint(0, 1))
+            for i in range(300)]
+    got = {r.grp: r for r in
+           ev.pr_auc(_gdf(spark, rows), "s", "y", by=["grp"]).collect()}
+    assert set(got) == {"g0", "g1", "g2"}
+    for grp in got:
+        sub = [(s, y) for g, s, y in rows if g == grp]
+        npos, nneg, want = pr.pr_auc_scalar(sub)
+        r = got[grp]
+        assert (r.n_pos, r.n_neg) == (npos, nneg)
+        assert r.pr_auc == want
+
+
+def test_grouped_pr_auc_null_slice_and_no_positive_slice(spark):
+    rows = [("a", 1.0, 0), ("a", 2.0, 1),     # perfect slice
+            (None, 1.0, 1), (None, 2.0, 0),   # NULL key, reversed
+            ("b", 5.0, 0), ("b", 6.0, 0)]     # no positives
+    got = {r.grp: r for r in
+           ev.pr_auc(_gdf(spark, rows), "s", "y", by=["grp"]).collect()}
+    assert set(got) == {"a", None, "b"}
+    assert got["a"].pr_auc == 1.0
+    assert got[None].pr_auc == 0.5   # pos ranked 2nd of 2: AP = 1/2
+    assert got["b"].pr_auc is None
+    assert (got["b"].n_pos, got["b"].n_neg) == (0, 2)
