@@ -442,10 +442,19 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
       volume (validated exhaustively against brute-force edit distance
       over all 2-letter strings to length 7, plus randomized longer
       pairs; the suite's differential tests pin it end-to-end).
-    - Both key tables carry ONLY (id, string) — payloads never ride the
-      candidate exchange; they re-attach by id at the end.
-    - equi-join on the key → distinct candidate id pairs → exact
-      ``levenshtein`` verification.
+    - The whole candidate pipeline runs in DISTINCT-STRING space (r09,
+      VERDICT r08 #2): each side first aggregates to (string, row
+      multiplicity) — distinct and counts in ONE pass — so the key
+      tables, the candidate equi-join, the distinct, and the exact
+      ``levenshtein`` verify all cost |distinct strings|, not |rows|.
+      Ids re-attach at the end by two string equi-joins over the
+      verified pairs. With key multiplicity m the old id-space plan paid
+      m² in candidate exchange + verify (the sf1 gate corpus: 300
+      distinct strings × 150k rows → 37.4M id-pair verifies where ≤90k
+      string-pair verifies suffice); the output id-pair materialization
+      floor is unchanged — it IS the answer.
+    - equi-join on the key → distinct candidate STRING pairs → exact
+      ``levenshtein`` verification once per string pair → id expansion.
 
     Strings shorter than k+1 chars have no k+1-segment split; those RIGHT
     rows take a dedicated broadcast nested-loop path against the (also
@@ -455,10 +464,15 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
 
     Exactness: the filter window is a superset of the tight PassJoin
     bound (recall-complete) and verification is exact — output equals the
-    brute-force inequality join. Self-join dedup/ordering is the caller's
-    concern (filter ``id_a < id_b`` downstream). Hot shared substrings
-    (constant prefixes) inflate candidates; AQE skew-join splits the
-    bucket — or strip known-constant prefixes before joining.
+    brute-force inequality join (each side's duplicate (id, string) rows
+    collapse to one output pair on the main path, the historical distinct
+    contract). Self-join dedup/ordering is the caller's concern (filter
+    ``id_a < id_b`` downstream). Hot shared substrings (constant
+    prefixes) inflate candidates; AQE skew-join splits the bucket — or
+    strip known-constant prefixes before joining. The id-expansion joins
+    hash on the STRING, so a very hot key concentrates its expansion in
+    one task — AQE skew-join splits that too (the output multiplicity
+    itself is irreducible).
 
     Returns (left_id, left_col, right_id, right_col, ``out_distance``);
     join payloads back by id.
@@ -467,16 +481,19 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
     keys — can make the candidate join quadratic):
 
     - ``max_candidates``: CIRCUIT BREAKER. Before running the candidate
-      join, the exact candidate volume Σ_key |L_key|·|R_key| is computed
-      from the two (tiny, map-side-aggregated) per-key count tables; if it
-      exceeds the cap the join raises ``ValueError`` LOUDLY instead of
-      launching a runaway shuffle. Costs one extra pass over the key
-      tables (counts only — the strings never re-shuffle), so leave it
-      None unless key hygiene is unknown.
+      join, the exact ID-LEVEL candidate volume Σ_key |L_key|·|R_key|
+      (|·| counts ROWS, via the multiplicities the distinct-string
+      tables carry — the same number the id-space plan measured) is
+      computed from the two tiny per-key count tables; if it exceeds the
+      cap the join raises ``ValueError`` LOUDLY instead of launching a
+      runaway expansion. Costs one extra pass over the key tables
+      (counts only — the strings never re-shuffle), so leave it None
+      unless key hygiene is unknown.
     - ``counter``: registers an Observation of that name on the candidate
       stage (read with ``counters(name)`` after the action: metric
-      ``n_candidates`` = pre-distinct joined rows — free, no extra pass)
-      for monitoring candidate blowup in production runs.
+      ``n_candidates`` = id-level pre-distinct candidate pairs,
+      Σ lm·rm over joined key rows — free, no extra pass) for monitoring
+      candidate blowup in production runs.
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance}")
@@ -499,14 +516,21 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
     rn = F.length(F.col(right_col))
     ln = F.length(F.col(left_col))
 
+    # distinct strings + row multiplicity per side, in ONE aggregation
+    # (a groupBy-count IS a distinct, with the counts free): everything
+    # until the final id expansion runs per distinct string
+    lm, rm = "__fz_lm", "__fz_rm"
+    l_sd = ldf.groupBy(left_col).agg(F.count(F.lit(1)).alias(lm))
+    r_sd = rdf.groupBy(right_col).agg(F.count(F.lit(1)).alias(rm))
+
     # main path: rights long enough to have k+1 nonempty segments
-    r_long = rdf.where(rn > k)
+    r_long = r_sd.where(rn > k)
     r_keys = F.array(*[
         F.struct(rn.cast("int").alias("l"), F.lit(i).alias("i"),
                  F.substring(F.col(right_col), *seg_bounds(rn, i)).alias("s"))
         for i in range(k + 1)])
-    r_ex = r_long.select(right_id, right_col, F.explode(r_keys).alias("__k")) \
-                 .select(right_id, right_col, "__k.*")
+    r_ex = r_long.select(right_col, rm, F.explode(r_keys).alias("__k")) \
+                 .select(right_col, rm, "__k.*")
 
     def allowed_shifts(i: int, delta: int) -> list[int]:
         """Sound start-shift window for segment slot ``i`` at length
@@ -532,15 +556,16 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
                              F.substring(F.col(left_col), p, li).alias("s"))))
     l_keys = F.array_distinct(
         F.filter(F.array(*cands), lambda x: x.isNotNull()))
-    l_ex = ldf.select(left_id, left_col, F.explode(l_keys).alias("__k")) \
-              .select(left_id, left_col, "__k.*")
+    l_ex = l_sd.select(left_col, lm, F.explode(l_keys).alias("__k")) \
+               .select(left_col, lm, "__k.*")
 
     if max_candidates is not None:
-        # exact candidate volume from per-key COUNTS (map-side combined;
-        # the join of two ≤#distinct-key tables is tiny next to the real
-        # candidate join it guards)
-        lc = l_ex.groupBy("l", "i", "s").agg(F.count(F.lit(1)).alias("ln_"))
-        rc = r_ex.groupBy("l", "i", "s").agg(F.count(F.lit(1)).alias("rn_"))
+        # exact ID-LEVEL candidate volume from per-key multiplicity sums
+        # (map-side combined; the join of two ≤#distinct-key tables is
+        # tiny next to the expansion it guards) — same number the
+        # id-space plan measured, so caps tuned against it carry over
+        lc = l_ex.groupBy("l", "i", "s").agg(F.sum(lm).alias("ln_"))
+        rc = r_ex.groupBy("l", "i", "s").agg(F.sum(rm).alias("rn_"))
         vol = (lc.join(rc, ["l", "i", "s"])
                .agg(F.coalesce(F.sum(F.col("ln_") * F.col("rn_")),
                                F.lit(0))).collect()[0][0])
@@ -553,25 +578,37 @@ def fuzzy_join(left, right, left_col: str, right_col: str,
 
     joined = l_ex.join(r_ex, ["l", "i", "s"])
     if counter is not None:
+        # id-level candidates = Σ lm·rm over joined key rows (bit-same
+        # number as the id-space plan's pre-distinct row count)
         joined = Pipe(joined).observe(
-            counter, n_candidates=F.count(F.lit(1))).df
-    main = (joined
-            .select(left_id, left_col, right_id, right_col)
-            .distinct())
+            counter, n_candidates=F.coalesce(
+                F.sum(F.col(lm) * F.col(rm)), F.lit(0).cast("bigint"))).df
+
+    # banded verify ONCE PER DISTINCT STRING PAIR (r09): the 3-arg
+    # levenshtein computes only the ±k diagonal band, O((k+1)·n) instead
+    # of O(n²) per pair, early-exiting to -1 above the threshold — same
+    # kept rows and distances as the unbounded form filtered by <= k
+    # (for kept pairs the band contains the true distance).
+    ver_str = (joined
+               .select(left_col, right_col).distinct()
+               .withColumn(out_distance,
+                           F.levenshtein(F.col(left_col), F.col(right_col),
+                                         k))
+               .where(F.col(out_distance) >= 0))
+    # id expansion: re-attach each side's distinct (id, string) rows by
+    # string equality — the only stage that touches id-level multiplicity,
+    # and it only materializes TRUE pairs (the output floor)
+    main = (ver_str
+            .join(ldf.distinct(), left_col)
+            .join(rdf.distinct(), right_col)
+            .select(left_id, left_col, right_id, right_col, out_distance))
 
     # short-right path: no segment split exists; ed <= k forces the left
     # side short too (len(s) <= len(r) + k <= 2k) — tiny × tiny, broadcast
     short = (ldf.where(ln <= 2 * k)
-             .join(F.broadcast(rdf.where(rn <= k))))
-
-    # banded verify: the 3-arg levenshtein computes only the ±k diagonal
-    # band, O((k+1)·n) instead of O(n²) per pair, early-exiting to -1
-    # above the threshold — same kept rows and distances as the unbounded
-    # form filtered by <= k (for kept pairs the band contains the true
-    # distance), at a fraction of the per-candidate cost.
-    verified = (main.unionByName(short)
-                .withColumn(out_distance,
-                            F.levenshtein(F.col(left_col), F.col(right_col),
-                                          k))
-                .where(F.col(out_distance) >= 0))
-    return Pipe(verified)
+             .join(F.broadcast(rdf.where(rn <= k)))
+             .withColumn(out_distance,
+                         F.levenshtein(F.col(left_col), F.col(right_col),
+                                       k))
+             .where(F.col(out_distance) >= 0))
+    return Pipe(main.unionByName(short))

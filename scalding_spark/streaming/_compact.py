@@ -1,0 +1,198 @@
+"""Store/corpus compaction for the streaming ingest tiers.
+
+Every micro-batch epoch writes its own ``__batch=<run_tag>-<epoch>``
+partition (the idempotent-replay contract: a replayed epoch dynamically
+overwrites exactly its own namespace). A month-long ingest therefore
+leaves one small parquet file set PER EPOCH — the classic small-files
+trap: at 100 TB the store probe's scan planning, footer reads, and task
+scheduling degrade with file count, not byte count. ``compact_store``
+rewrites CLOSED epochs into one consolidated ``__batch=<run_tag>-c<n>``
+partition while preserving every rule the ingest tiers rely on:
+
+- **Never touch a possibly-uncommitted epoch.** foreachBatch starts
+  epoch e+1 only after epoch e's commit marker is written, so any epoch
+  numerically below the newest on disk (per run_tag) is committed; only
+  those are eligible. The newest epoch per run_tag — the only one a
+  restart can replay — is never read, moved, or deleted.
+- **The replay-hole filter keeps working.** The ingest excludes its own
+  ``<run_tag>-<epoch>`` namespace when probing the store; compacted
+  partitions are named ``<run_tag>-c<n>`` (monotonic generation), which
+  can never equal an epoch namespace, so replayed epochs still see all
+  compacted history and never their own half-written rows.
+- **Partition pruning survives.** Sub-partition columns (the semantic
+  store's sign-LSH ``__bucket``) are preserved: the compacted data is
+  repartitioned BY the bucket column and rewritten under the same
+  ``__bucket=...`` directory layout, so multi-probe pruning scans the
+  same directories it did before.
+- **Crash-safe, duplicates-transient.** The rewrite goes to a temp dir
+  NEXT TO the dataset (never visible to readers), records its source
+  partitions in a ``_SOURCES`` manifest (underscore files are invisible
+  to parquet readers), is renamed INTO the dataset, and only then are
+  the source partitions deleted. A crash before the rename loses
+  nothing (temp is invisible; rerun overwrites it). A crash after the
+  rename and before/mid source-deletion leaves the moved copy AND some
+  sources — transient DUPLICATE rows, which are correctness-safe for
+  every consumer here (the stores are membership sets: a fingerprint,
+  signature, or vector present twice yields the same dedup decisions)
+  — and the next ``compact_store`` call finishes the deletion from the
+  manifest before doing anything else.
+
+Compaction is INCREMENTAL by default: previously compacted ``c<n>``
+partitions are left alone (each cycle adds one consolidated partition —
+partition count grows with compaction cycles, not epochs). Pass
+``include_compacted=True`` for a full rewrite into a single partition
+(O(store) I/O — the tiered/incremental default is the 100 TB shape).
+
+Applies to any ``__batch``-partitioned dataset the tiers write: the
+three stores AND the corpus outputs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession, functions as F
+
+_EPOCH_RE = re.compile(r"^(?P<tag>.+)-(?P<epoch>\d+)$")
+_CGEN_RE = re.compile(r"^(?P<tag>.+)-c(?P<gen>\d+)$")
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _read_manifest(fs, jvm, mpath) -> list[str]:
+    stream = fs.open(mpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return [ln for ln in text.splitlines() if ln]
+
+
+def _write_manifest(fs, jvm, mpath, names: list[str]) -> None:
+    out = fs.create(mpath, True)
+    try:
+        out.write(bytearray("\n".join(names).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _finish_pending_deletions(spark, fs, jvm, root, batches: list) -> None:
+    """Crash recovery: any compacted partition whose ``_SOURCES``
+    manifest still lists existing source dirs owns those rows (the
+    rename committed) — delete the leftovers before planning, so the
+    transient-duplicate window closes and re-planning never double-reads
+    them."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    for name in batches:
+        if not _CGEN_RE.match(name.split("=", 1)[1]):
+            continue
+        mpath = Path(root, name + "/_SOURCES")
+        if not fs.exists(mpath):
+            continue
+        for src in _read_manifest(fs, jvm, mpath):
+            sp = Path(root, src)
+            if fs.exists(sp):
+                fs.delete(sp, True)
+
+
+def compact_store(spark: SparkSession, path: str,
+                  min_batches: int = 2,
+                  rows_per_file: int = 4_000_000,
+                  include_compacted: bool = False) -> dict:
+    """Consolidate closed ``__batch`` epoch partitions of ``path`` (a
+    streaming-tier store or corpus) into one ``<run_tag>-c<n>`` partition
+    per run_tag. See the module docstring for the invariants.
+
+    - ``min_batches``: skip a run_tag with fewer than this many eligible
+      closed partitions (compacting one partition into one is churn).
+    - ``rows_per_file``: target consolidation granularity — the rewrite
+      uses ``ceil(rows / rows_per_file)`` tasks (fingerprint rows are
+      ~32 B, so the 4M default targets ~128 MB files).
+    - ``include_compacted``: also rewrite previous ``c<n>`` partitions
+      (full compaction; O(store) I/O per call).
+
+    Returns ``{run_tag: {"sources": [...], "target": str, "rows": int}}``
+    for the run_tags compacted; an empty dict when nothing was eligible.
+    Safe to call while no ingest query is RUNNING for the dataset —
+    compacting under a live writer is not supported (the newest-epoch
+    exclusion protects a CRASHED writer's replay, not concurrent
+    writes)."""
+    fs, root, jvm = _fs_for(spark, path)
+    if not fs.exists(root):
+        return {}
+    Path = jvm.org.apache.hadoop.fs.Path
+    batches = [st.getPath().getName() for st in fs.listStatus(root)
+               if st.isDirectory()
+               and st.getPath().getName().startswith("__batch=")]
+    _finish_pending_deletions(spark, fs, jvm, root, batches)
+    batches = [st.getPath().getName() for st in fs.listStatus(root)
+               if st.isDirectory()
+               and st.getPath().getName().startswith("__batch=")]
+    # group by run_tag; epochs and compaction generations parse from the
+    # partition value (run_tags are dash-free md5 hex, so rsplit is safe)
+    by_tag: dict[str, dict] = {}
+    for name in batches:
+        val = name.split("=", 1)[1]
+        m = _EPOCH_RE.match(val)
+        if m:
+            d = by_tag.setdefault(m.group("tag"), {"epochs": {}, "cgens": {}})
+            d["epochs"][int(m.group("epoch"))] = name
+            continue
+        m = _CGEN_RE.match(val)
+        if m:
+            d = by_tag.setdefault(m.group("tag"), {"epochs": {}, "cgens": {}})
+            d["cgens"][int(m.group("gen"))] = name
+        # unknown namespace: leave it alone
+    result: dict[str, dict] = {}
+    for tag, d in sorted(by_tag.items()):
+        epochs = d["epochs"]
+        if not epochs:
+            continue
+        newest = max(epochs)
+        eligible = [epochs[e] for e in sorted(epochs) if e != newest]
+        if include_compacted:
+            eligible += [d["cgens"][g] for g in sorted(d["cgens"])]
+        if len(eligible) < min_batches:
+            continue
+        gen = max(d["cgens"], default=0) + 1
+        target_val = f"{tag}-c{gen}"
+        src_vals = [n.split("=", 1)[1] for n in eligible]
+        df = (spark.read.parquet(path)
+              .where(F.col("__batch").isin(src_vals)))
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // int(rows_per_file)))
+        sub_parts = [c for c in df.columns
+                     if c.startswith("__") and c != "__batch"
+                     and c in ("__bucket",)]
+        out = df.withColumn("__batch", F.lit(target_val))
+        if sub_parts:
+            # one task per (hash of) sub-partition value: each bucket's
+            # rows land whole in one task → one file per bucket dir
+            out = out.repartition(max(n_files, 1), *sub_parts)
+        else:
+            out = out.coalesce(n_files)
+        tmp = path.rstrip("/") + f".__compact_tmp_{tag}"
+        tmp_path = Path(tmp)
+        if fs.exists(tmp_path):
+            fs.delete(tmp_path, True)
+        (out.write.mode("overwrite")
+         .partitionBy("__batch", *sub_parts).parquet(tmp))
+        tmp_part = Path(tmp, f"__batch={target_val}")
+        _write_manifest(fs, jvm, Path(tmp_part, "_SOURCES"), eligible)
+        # COMMIT POINT: the rename publishes the consolidated partition;
+        # everything after is cleanup the next call can finish
+        fs.rename(tmp_part, Path(root, f"__batch={target_val}"))
+        for name in eligible:
+            sp = Path(root, name)
+            if fs.exists(sp):
+                fs.delete(sp, True)
+        fs.delete(tmp_path, True)
+        result[tag] = {"sources": eligible,
+                       "target": f"__batch={target_val}",
+                       "rows": n_rows}
+    return result

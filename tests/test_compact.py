@@ -1,0 +1,182 @@
+"""compact_store (streaming/_compact.py): consolidating closed
+``__batch`` epoch partitions without breaking the ingest tiers'
+replay-hole idempotency, batch≡stream parity, or (for the bucketed
+semantic store) partition pruning."""
+
+import glob
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalding_spark import streaming
+
+DOC_SCHEMA = "doc_id long, text string"
+VEC_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _paths(tmp_path, *names):
+    return tuple(str(tmp_path / n) for n in names)
+
+
+def _ingest_epoch(spark, src, corpus, store, ckpt, rows):
+    """Append ``rows`` to the source dir and drain one availableNow
+    epoch through the exact-dedup tier."""
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode("append").parquet(src)
+    q = streaming.stream_ingest_dedup(
+        streaming.stream_from_parquet_dir(spark, src, DOC_SCHEMA),
+        corpus_path=corpus, store_path=store, checkpoint=ckpt,
+        text_col="text", id_col="doc_id")
+    q.awaitTermination(120)
+
+
+def _parquet_files(root):
+    return [p for p in glob.glob(os.path.join(root, "**", "*.parquet"),
+                                 recursive=True)]
+
+
+def _batch_dirs(root):
+    return sorted(os.path.basename(p) for p in
+                  glob.glob(os.path.join(root, "__batch=*")))
+
+
+def test_compact_consolidates_closed_epochs_only(spark, tmp_path):
+    src, corpus, store, ckpt = _paths(tmp_path, "src", "corpus", "store",
+                                      "ckpt")
+    run_tag = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(0, "aa"), (1, "bb")])
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(2, "cc")])
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(3, "dd"), (4, "ee")])
+    before_fps = sorted(r.fp for r in spark.read.parquet(store).collect())
+    files_before = len(_parquet_files(store))
+    got = streaming.compact_store(spark, store)
+    assert run_tag in got and got[run_tag]["rows"] == 3  # epochs 0+1
+    # newest epoch untouched, closed epochs replaced by ONE c-partition
+    assert _batch_dirs(store) == [f"__batch={run_tag}-2",
+                                  f"__batch={run_tag}-c1"]
+    after_fps = sorted(r.fp for r in spark.read.parquet(store).collect())
+    assert after_fps == before_fps  # content bit-identical
+    assert len(_parquet_files(store)) < files_before  # the point
+
+
+def test_compact_noop_below_min_batches(spark, tmp_path):
+    src, corpus, store, ckpt = _paths(tmp_path, "src", "corpus", "store",
+                                      "ckpt")
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(0, "aa")])
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(1, "bb")])
+    # one closed epoch < min_batches=2 → no-op
+    assert streaming.compact_store(spark, store) == {}
+    assert len(_batch_dirs(store)) == 2
+    # nonexistent path → no-op, not an error
+    assert streaming.compact_store(spark, str(tmp_path / "nope")) == {}
+
+
+def test_ingest_parity_across_compaction(spark, tmp_path):
+    """batch≡stream across a mid-stream compaction: the compacted store
+    must keep deduplicating exactly as the uncompacted one would."""
+    src, corpus, store, ckpt = _paths(tmp_path, "src", "corpus", "store",
+                                      "ckpt")
+    b1 = [(0, "alpha"), (1, "beta")]
+    b2 = [(2, "gamma"), (3, "alpha")]      # 3 dups 0 cross-epoch
+    b3 = [(4, "delta")]
+    _ingest_epoch(spark, src, corpus, store, ckpt, b1)
+    _ingest_epoch(spark, src, corpus, store, ckpt, b2)
+    _ingest_epoch(spark, src, corpus, store, ckpt, b3)
+    assert streaming.compact_store(spark, store)
+    # post-compaction epochs: duplicates of COMPACTED history must still
+    # be caught, novelty must still pass
+    b4 = [(5, "beta"), (6, "epsilon"), (7, "gamma")]
+    _ingest_epoch(spark, src, corpus, store, ckpt, b4)
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    # batch oracle: first doc_id per distinct text across all batches
+    texts = {}
+    for i, t in b1 + b2 + b3 + b4:
+        texts.setdefault(t, i)
+    assert got == sorted(texts.values())
+
+
+def test_replay_idempotent_after_compaction(spark, tmp_path):
+    """The test_advice_r04 crash simulation, run AGAINST a compacted
+    store: the next epoch's store partition is pre-committed (crash
+    between store write and checkpoint commit), then the epoch replays —
+    its docs must survive, and the compacted history must still dedupe
+    everything it holds."""
+    from scalding_spark.functions.text import normalize_for_fingerprint
+    src, corpus, store, ckpt = _paths(tmp_path, "src", "corpus", "store",
+                                      "ckpt")
+    run_tag = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(0, "aa"), (1, "bb")])
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(2, "cc")])
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(3, "dd")])
+    assert streaming.compact_store(spark, store)  # epochs 0,1 → c1
+    # pre-commit epoch 3's partition: what a crash after the store write
+    # leaves behind; 'ff' is novel, 'aa' duplicates COMPACTED history
+    replay = [(8, "ff"), (9, "aa")]
+    (spark.createDataFrame(replay, DOC_SCHEMA)
+     .select(F.md5(normalize_for_fingerprint(F.col("text"))).alias("fp"),
+             F.lit(f"{run_tag}-3").alias("__batch"))
+     .write.mode("append").partitionBy("__batch").parquet(store))
+    _ingest_epoch(spark, src, corpus, store, ckpt, replay)
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    # 8 survives its own replayed partition (the hole filter), 9 is a
+    # dup of compacted 'aa' and must NOT land
+    assert got == [0, 1, 2, 3, 8], got
+    # the replayed partition was rewritten, not duplicated
+    assert spark.read.parquet(store).where(
+        F.col("__batch") == f"{run_tag}-3").count() == 1
+
+
+def test_crash_between_rename_and_delete_is_recovered(spark, tmp_path):
+    """Simulate a crash after the c-partition rename but before the
+    source deletion: re-create a compacted source partition, then call
+    compact_store again — the _SOURCES manifest must finish the deletion
+    (and the store must hold no duplicate rows afterward)."""
+    import shutil
+    src, corpus, store, ckpt = _paths(tmp_path, "src", "corpus", "store",
+                                      "ckpt")
+    run_tag = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(0, "aa"), (1, "bb")])
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(2, "cc")])
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(3, "dd")])
+    stash = str(tmp_path / "stash")
+    shutil.copytree(os.path.join(store, f"__batch={run_tag}-0"), stash)
+    assert streaming.compact_store(spark, store)
+    n_clean = spark.read.parquet(store).count()
+    # resurrect the deleted source: the crash-window state (duplicates
+    # transiently present — correctness-safe set semantics)
+    shutil.copytree(stash, os.path.join(store, f"__batch={run_tag}-0"))
+    assert spark.read.parquet(store).count() > n_clean
+    streaming.compact_store(spark, store)  # recovery pass runs first
+    assert not os.path.exists(os.path.join(store, f"__batch={run_tag}-0"))
+    assert spark.read.parquet(store).count() == n_clean
+
+
+def test_compact_semantic_bucketed_store_preserves_pruning(spark, tmp_path):
+    """The semantic store's __bucket sub-partitioning must survive
+    compaction (the multi-probe pruning contract) and the layout check
+    plus dedup behavior must be unchanged afterward."""
+    src, corpus, store, ckpt = _paths(tmp_path, "srcS", "corpusS", "storeS",
+                                      "ckptS")
+    run_tag = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+
+    def ingest_vec_epoch(rows):
+        spark.createDataFrame(rows, VEC_SCHEMA) \
+            .write.mode("append").parquet(src)
+        q = streaming.stream_ingest_semantic(
+            streaming.stream_from_parquet_dir(spark, src, VEC_SCHEMA),
+            corpus_path=corpus, store_path=store, checkpoint=ckpt,
+            threshold=0.95, store_buckets=3)
+        q.awaitTermination(120)
+
+    ingest_vec_epoch([(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])])
+    ingest_vec_epoch([(2, [0.0, 0.0, 1.0])])
+    ingest_vec_epoch([(3, [0.5, 0.5, 0.0])])
+    assert streaming.compact_store(spark, store)
+    cpart = os.path.join(store, f"__batch={run_tag}-c1")
+    buckets = glob.glob(os.path.join(cpart, "__bucket=*"))
+    assert buckets, "bucket sub-partitions lost in compaction"
+    # near-dup of compacted vec 0 must still be dropped; novel passes
+    ingest_vec_epoch([(4, [0.999, 0.01, 0.0]), (5, [-1.0, 0.2, 0.3])])
+    got = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert got == [0, 1, 2, 3, 5], got

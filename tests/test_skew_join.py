@@ -217,3 +217,38 @@ def test_fuzzy_join_null_strings_excluded(spark):
     from scalding_spark.joins import fuzzy_join
     out = fuzzy_join(ldf, rdf, "ls", "rs", "lid", "rid", 1).df.collect()
     assert {(r.lid, r.rid) for r in out} == {(1, 10)}
+
+
+def test_fuzzy_join_verifies_distinct_string_pairs(spark):
+    """r09 plan pin (VERDICT r08 #2): the candidate distinct + exact
+    verify must run in DISTINCT-STRING space — the plan contains an
+    aggregate keyed on the two STRING columns only (no ids), and the id
+    columns only re-attach via the expansion joins above it. The old
+    id-space plan's distinct was keyed on all four columns."""
+    from scalding_spark.joins import fuzzy_join
+    ldf = spark.createDataFrame([(i, "kitten") for i in range(5)],
+                                "lid long, ls string")
+    rdf = spark.createDataFrame([(100 + i, "sitten") for i in range(5)],
+                                "rid long, rs string")
+    plan = fuzzy_join(ldf, rdf, "ls", "rs", "lid", "rid", 1).df \
+        ._jdf.queryExecution().executedPlan().toString()
+    string_only_agg = [
+        ln for ln in plan.splitlines()
+        if "HashAggregate" in ln and "keys=[" in ln
+        and "ls#" in ln and "rs#" in ln
+        and "lid#" not in ln and "rid#" not in ln]
+    assert string_only_agg, (
+        "no distinct over (ls, rs) string pairs in the plan — the verify "
+        "stage is running per id pair again:\n" + plan)
+
+
+def test_fuzzy_join_duplicate_rows_collapse_on_main_path(spark):
+    """Historical distinct contract: duplicate (id, string) input rows
+    contribute ONE main-path output pair (the id-space plan's distinct
+    did this; the expansion joins must too, via each side's distinct)."""
+    from scalding_spark.joins import fuzzy_join
+    ldf = spark.createDataFrame([(1, "kitten"), (1, "kitten")],
+                                "lid long, ls string")
+    rdf = spark.createDataFrame([(2, "sitten")], "rid long, rs string")
+    out = fuzzy_join(ldf, rdf, "ls", "rs", "lid", "rid", 1).df.collect()
+    assert [(r.lid, r.rid, r.distance) for r in out] == [(1, 2, 1)]
