@@ -380,38 +380,52 @@ def train_logistic_quality(df, text_col: str, label_col,
         *[fq[k].alias(k) for k in names],
         (label_col if isinstance(label_col, Column) else F.col(label_col))
         .cast("int").alias("__y"))
+    # iterative-read amortization (the kmeans persist, r09 — measured at
+    # sf1: one feature pass is 3.4 s and the 3-iteration training was
+    # 11.6 s ≈ 3 full re-tokenizations; with the persist, iterations 2+
+    # aggregate the cached (k+1)-number rows instead of re-running the
+    # tokenize/stopword/entropy expressions over the corpus text). The
+    # cached row is ~7 numbers per doc — 3 orders smaller than the text
+    # it replaces — and values are bit-identical (the same per-row
+    # deterministic expressions, materialized once). Unpersisted before
+    # returning, even when an iteration throws.
+    from pyspark import StorageLevel
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     weights = {k: 0.0 for k in names}
     bias = 0.0
     loss_path: list[float] = []
     n_docs = None
-    for _ in range(iters):
-        z = F.lit(float(bias))
-        for k in names:
-            z = z + F.lit(float(weights[k])) * F.col(k)
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), feat_decimals)
-        err = p - y.cast("double")
-        aggs = [F.sum(F.round(err * gscale).cast("long")).alias("__gb")]
-        aggs += [F.sum(F.round(err * F.col(k) * gscale).cast("long")).alias(f"__g_{k}")
-                 for k in names]
-        # mean log-loss on the same fixed-point contract (clamped away from
-        # ln(0): p is quantized, so 0 and 1 are reachable)
-        pc = F.least(F.greatest(p, F.lit(10.0 ** -feat_decimals)),
-                     F.lit(1.0 - 10.0 ** -feat_decimals))
-        ll = -(y * F.log(pc) + (1 - y) * F.log(F.lit(1.0) - pc))
-        aggs += [F.sum(F.round(ll * gscale).cast("long")).alias("__ll"),
-                 F.count(F.lit(1)).alias("__n")]
-        row = base.agg(*aggs).collect()[0]
-        n_docs = row["__n"]
-        if n_docs == 0:
-            # empty training slice: keep the zero-initialized model (the
-            # gradient sums are NULL; there is nothing to descend on)
-            break
-        n = float(n_docs)
-        bias = bias - lr * ((row["__gb"] / gscale) / n)
-        for k in names:
-            weights[k] = weights[k] - lr * ((row[f"__g_{k}"] / gscale) / n)
-        loss_path.append((row["__ll"] / gscale) / n)
+    try:
+        for _ in range(iters):
+            z = F.lit(float(bias))
+            for k in names:
+                z = z + F.lit(float(weights[k])) * F.col(k)
+            p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), feat_decimals)
+            err = p - y.cast("double")
+            aggs = [F.sum(F.round(err * gscale).cast("long")).alias("__gb")]
+            aggs += [F.sum(F.round(err * F.col(k) * gscale).cast("long")).alias(f"__g_{k}")
+                     for k in names]
+            # mean log-loss on the same fixed-point contract (clamped away from
+            # ln(0): p is quantized, so 0 and 1 are reachable)
+            pc = F.least(F.greatest(p, F.lit(10.0 ** -feat_decimals)),
+                         F.lit(1.0 - 10.0 ** -feat_decimals))
+            ll = -(y * F.log(pc) + (1 - y) * F.log(F.lit(1.0) - pc))
+            aggs += [F.sum(F.round(ll * gscale).cast("long")).alias("__ll"),
+                     F.count(F.lit(1)).alias("__n")]
+            row = base.agg(*aggs).collect()[0]
+            n_docs = row["__n"]
+            if n_docs == 0:
+                # empty training slice: keep the zero-initialized model (the
+                # gradient sums are NULL; there is nothing to descend on)
+                break
+            n = float(n_docs)
+            bias = bias - lr * ((row["__gb"] / gscale) / n)
+            for k in names:
+                weights[k] = weights[k] - lr * ((row[f"__g_{k}"] / gscale) / n)
+            loss_path.append((row["__ll"] / gscale) / n)
+    finally:
+        base.unpersist()
     if stats is not None:
         stats["n_docs"] = n_docs
         stats["loss_path"] = loss_path
