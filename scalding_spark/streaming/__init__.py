@@ -203,11 +203,34 @@ def _reject_reserved_batch_col(stream_df: DataFrame) -> None:
             "idempotent-replay contract); rename it before ingesting")
 
 
+def _validate_compact_every(n: int | None) -> None:
+    if n is not None and n < 1:
+        raise ValueError(f"compact_every_n_epochs={n}: want >= 1 (or None "
+                         f"to disable in-stream compaction)")
+
+
+def _maybe_compact(spark, epoch_id: int, every: int | None,
+                   *paths: str) -> None:
+    """End-of-epoch compaction hook shared by the three ingest tiers:
+    every ``every`` epochs, consolidate closed ``__batch`` partitions of
+    each path (:func:`compact_store`). Runs INSIDE foreachBatch — the
+    only writer — after the epoch's own writes, so the just-written
+    epoch is the newest and compaction never touches it; a replayed
+    epoch re-runs an idempotent compaction (already-merged history is
+    simply no longer eligible)."""
+    if not every or (int(epoch_id) + 1) % every:
+        return
+    from scalding_spark.streaming._compact import compact_store
+    for p in paths:
+        compact_store(spark, p)
+
+
 def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,
                         store_path: str, checkpoint: str, text_col: str,
                         id_col: str, use_bloom: bool = True,
                         bloom_fpp: float = 0.01,
-                        available_now: bool = True):
+                        available_now: bool = True,
+                        compact_every_n_epochs: int | None = None):
     """Streaming incremental corpus ingestion: every micro-batch is
     deduped against the persistent fingerprint store, novel docs append to
     the corpus, and their fingerprints advance the store — the streaming
@@ -232,12 +255,24 @@ def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,
     partition instead of appending duplicates — idempotent under
     foreachBatch's replay semantics — while a fresh checkpoint writes a
     disjoint partition namespace. Returns the started StreamingQuery.
+
+    ``compact_every_n_epochs=N``: every N epochs the tier runs
+    :func:`compact_store` on the store AND corpus at the END of the
+    epoch's ingest — safe in-stream because foreachBatch is the only
+    writer and the just-written epoch is the newest, which compaction
+    never touches; a replayed epoch simply re-runs an (idempotent)
+    compaction. Long-running ingests otherwise accumulate one small
+    parquet file set per epoch (the 100 TB small-files trap). External
+    corpus readers concurrent with a compaction can transiently observe
+    duplicate rows (the documented compact_store crash-window
+    semantics); schedule reads around compaction epochs if that matters.
     """
     from scalding_spark.functions.dedup import (dedup_against_fingerprints,
                                                 exact_dedup)
     from scalding_spark.functions.text import normalize_for_fingerprint
     import hashlib
     _reject_reserved_batch_col(stream_df)
+    _validate_compact_every(compact_every_n_epochs)
     run_tag = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def ingest(batch: DataFrame, epoch_id: int) -> None:
@@ -268,6 +303,8 @@ def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,
          .write.mode("overwrite").partitionBy("__batch")
          .option("partitionOverwriteMode", "dynamic")
          .parquet(store_path))
+        _maybe_compact(spark, epoch_id, compact_every_n_epochs,
+                       store_path, corpus_path)
 
     w = (stream_df.writeStream.foreachBatch(ingest)
          .option("checkpointLocation", checkpoint))

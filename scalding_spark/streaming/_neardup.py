@@ -9,7 +9,8 @@ def stream_ingest_neardup(stream_df: DataFrame, corpus_path: str,
                           store_path: str, checkpoint: str, text_col: str,
                           id_col: str, num_hashes: int = 64, bands: int = 16,
                           shingle_n: int = 3, threshold: float = 0.7,
-                          available_now: bool = True):
+                          available_now: bool = True,
+                          compact_every_n_epochs: int | None = None):
     """Streaming incremental NEAR-dup ingestion — the MinHash upgrade of
     :func:`stream_ingest_dedup`: each micro-batch is near-dup-checked
     against every document ever kept, using only a persistent signature
@@ -40,6 +41,10 @@ def stream_ingest_neardup(stream_df: DataFrame, corpus_path: str,
     Exact duplicates of stored docs estimate at 1.0 and are caught by the
     same probe; token-less docs carry no signature and always pass.
 
+    ``compact_every_n_epochs=N``: end-of-epoch store+corpus compaction
+    every N epochs (see stream_ingest_dedup — same hook, same replay
+    safety).
+
     100 TB note: the per-batch store cost is two map-only scans (band
     probe + candidate verify). When the store outgrows one scan per
     micro-batch, write it partitioned by a band-hash bucket so the probe
@@ -55,8 +60,10 @@ def stream_ingest_neardup(stream_df: DataFrame, corpus_path: str,
     # partition namespace: stable across restarts of THIS checkpoint (so a
     # replayed epoch overwrites itself), distinct for a fresh checkpoint
     # (so it cannot overwrite partitions an earlier run wrote)
-    from scalding_spark.streaming import _reject_reserved_batch_col
+    from scalding_spark.streaming import (_reject_reserved_batch_col,
+                                          _validate_compact_every)
     _reject_reserved_batch_col(stream_df)
+    _validate_compact_every(compact_every_n_epochs)
     run_tag = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def ingest(batch: DataFrame, epoch_id: int) -> None:
@@ -127,6 +134,9 @@ def stream_ingest_neardup(stream_df: DataFrame, corpus_path: str,
          .write.mode("overwrite").partitionBy("__batch")
          .option("partitionOverwriteMode", "dynamic")
          .parquet(store_path))
+        from scalding_spark.streaming import _maybe_compact
+        _maybe_compact(spark, epoch_id, compact_every_n_epochs,
+                       store_path, corpus_path)
 
     w = (stream_df.writeStream.foreachBatch(ingest)
          .option("checkpointLocation", checkpoint))

@@ -15,6 +15,7 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
                            threshold: float = 0.95,
                            max_batch: int = 20_000,
                            store_buckets: int | None = None,
+                           compact_every_n_epochs: int | None = None,
                            probe_hamming: int = 1,
                            seed: int = 42,
                            available_now: bool = True):
@@ -60,6 +61,11 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
     can never vet others); zero vectors are kept for any threshold > 0
     and not stored (they match nothing).
 
+    ``compact_every_n_epochs=N``: end-of-epoch store+corpus compaction
+    every N epochs (see stream_ingest_dedup — same hook, same replay
+    safety; the bucketed store's ``__bucket`` layout is preserved, so
+    multi-probe pruning survives compaction).
+
     100 TB note — the ``store_buckets`` lever (r08, the upgrade the r07
     docstring promised): with ``store_buckets=None`` (default) the store
     probe is one map-only scan doing |store| × |batch| × dim multiplies
@@ -84,8 +90,10 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
                                                      lsh_bucket,
                                                      random_hyperplanes)
     import hashlib
-    from scalding_spark.streaming import _reject_reserved_batch_col
+    from scalding_spark.streaming import (_reject_reserved_batch_col,
+                                          _validate_compact_every)
     _reject_reserved_batch_col(stream_df)
+    _validate_compact_every(compact_every_n_epochs)
     run_tag = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
     thr = float(threshold)
     if store_buckets is not None and not 1 <= store_buckets <= 16:
@@ -199,6 +207,9 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
         (wdf.write.mode("overwrite").partitionBy(*part_cols)
          .option("partitionOverwriteMode", "dynamic")
          .parquet(store_path))
+        from scalding_spark.streaming import _maybe_compact
+        _maybe_compact(spark, epoch_id, compact_every_n_epochs,
+                       store_path, corpus_path)
 
     w = (stream_df.writeStream.foreachBatch(ingest)
          .option("checkpointLocation", checkpoint))

@@ -180,3 +180,51 @@ def test_compact_semantic_bucketed_store_preserves_pruning(spark, tmp_path):
     ingest_vec_epoch([(4, [0.999, 0.01, 0.0]), (5, [-1.0, 0.2, 0.3])])
     got = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
     assert got == [0, 1, 2, 3, 5], got
+
+
+def test_compact_every_n_epochs_in_stream(spark, tmp_path):
+    """The in-stream hook: every N epochs the tier compacts store AND
+    corpus at the end of its own ingest — the just-written epoch is the
+    newest, so it survives; dedup across the compaction boundary keeps
+    working; the knob validates at builder time."""
+    src, corpus, store, ckpt = _paths(tmp_path, "src", "corpus", "store",
+                                      "ckpt")
+    run_tag = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+
+    def epoch(rows):
+        spark.createDataFrame(rows, DOC_SCHEMA) \
+            .write.mode("append").parquet(src)
+        q = streaming.stream_ingest_dedup(
+            streaming.stream_from_parquet_dir(spark, src, DOC_SCHEMA),
+            corpus_path=corpus, store_path=store, checkpoint=ckpt,
+            text_col="text", id_col="doc_id", compact_every_n_epochs=2)
+        q.awaitTermination(120)
+
+    epoch([(0, "aa"), (1, "bb")])          # epoch 0
+    epoch([(2, "cc"), (3, "aa")])          # epoch 1 → compaction fires:
+    # eligible = {epoch 0} only (epoch 1 is newest) < min_batches → no-op
+    assert _batch_dirs(store) == [f"__batch={run_tag}-0",
+                                  f"__batch={run_tag}-1"]
+    epoch([(4, "dd")])                     # epoch 2
+    epoch([(5, "bb"), (6, "ee")])          # epoch 3 → compacts 0,1,2
+    assert _batch_dirs(store) == [f"__batch={run_tag}-3",
+                                  f"__batch={run_tag}-c1"]
+    assert _batch_dirs(corpus) == [f"__batch={run_tag}-3",
+                                   f"__batch={run_tag}-c1"]
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [0, 1, 2, 4, 6]          # 3 dup of 0, 5 dup of 1
+    # dups of compacted history still caught after the in-stream pass
+    epoch([(7, "cc"), (8, "ff")])          # epoch 4
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [0, 1, 2, 4, 6, 8]
+
+
+def test_compact_every_n_epochs_validates(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "x")], DOC_SCHEMA).write.parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, DOC_SCHEMA)
+    with pytest.raises(ValueError, match="compact_every_n_epochs"):
+        streaming.stream_ingest_dedup(
+            stream, corpus_path=str(tmp_path / "c"),
+            store_path=str(tmp_path / "s"), checkpoint=str(tmp_path / "k"),
+            text_col="text", id_col="doc_id", compact_every_n_epochs=0)
