@@ -41,10 +41,16 @@ class StreamingIngestJob(Job):
             "schema", "doc_id long, text string")
         stream = streaming.stream_from_parquet_dir(
             self.spark, self.args("src"), schema)
+        cev = self.args.getOrElse("compact-every", None)
         common = dict(corpus_path=self.args("corpus"),
                       store_path=self.args("store"),
                       checkpoint=self.args("checkpoint"),
-                      available_now=not self.args.boolean("continuous"))
+                      available_now=not self.args.boolean("continuous"),
+                      # --compact-every N: consolidate closed __batch
+                      # epoch partitions every N epochs (the long-running
+                      # small-files lever; see streaming.compact_store)
+                      compact_every_n_epochs=None if cev is None
+                      else int(cev))
         if mode == "exact":
             q = streaming.stream_ingest_dedup(
                 stream, text_col=self.args.getOrElse("text-col", "text"),
