@@ -185,8 +185,15 @@ def compact_store(spark: SparkSession, path: str,
         tmp_part = Path(tmp, f"__batch={target_val}")
         _write_manifest(fs, jvm, Path(tmp_part, "_SOURCES"), eligible)
         # COMMIT POINT: the rename publishes the consolidated partition;
-        # everything after is cleanup the next call can finish
-        fs.rename(tmp_part, Path(root, f"__batch={target_val}"))
+        # everything after is cleanup the next call can finish. Hadoop
+        # rename() reports failure as a FALSE return, not an exception —
+        # an unguarded failure here followed by the source deletion
+        # below would LOSE the compacted rows, so it must abort loudly.
+        if not fs.rename(tmp_part, Path(root, f"__batch={target_val}")):
+            raise IOError(
+                f"compact_store: rename {tmp_part} -> "
+                f"__batch={target_val} failed (target exists or "
+                f"filesystem refused); sources left untouched")
         for name in eligible:
             sp = Path(root, name)
             if fs.exists(sp):
