@@ -26,12 +26,29 @@ from pyspark.sql import functions as F
 
 # --- 1. changed-operator re-verification in the window -----------------------
 
-def test_url_canonical_is_in_the_r08_window():
+def test_url_canonical_reverified_after_r07_semantics_change():
+    """Durable form of the pin: canonicalize_url's default changed in
+    r07, so q_url_canonical must either sit in the CURRENT window or
+    already hold a post-change (r08+) driver row. The original r08-only
+    window-membership assert was satisfied by CORRECTNESS_r08 (hash
+    green) and then correctly rotated out in r09."""
+    import json
+    import os
+
     import __spark_entry__ as e
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for r in range(8, 30):
+        fp = os.path.join(here, f"CORRECTNESS_r{r:02d}.json")
+        if not os.path.exists(fp):
+            continue
+        row = json.load(open(fp)).get("q_url_canonical")
+        if row and row.get("hash_match"):
+            return  # re-verified post-change
     names = list(e.queries())
     assert "q_url_canonical" in names[:50], (
         "canonicalize_url's default changed in r07 after its last driver "
-        "row; q_url_canonical must be re-verified in the r08 window")
+        "row and no post-change driver row exists yet; q_url_canonical "
+        "must be re-verified in the current window")
 
 
 # --- 2. availableNow drains fully --------------------------------------------
