@@ -112,7 +112,16 @@ def compact_store(spark: SparkSession, path: str,
       closed partitions (compacting one partition into one is churn).
     - ``rows_per_file``: target consolidation granularity — the rewrite
       uses ``ceil(rows / rows_per_file)`` tasks (fingerprint rows are
-      ~32 B, so the 4M default targets ~128 MB files).
+      ~32 B, so the 4M default targets ~128 MB files, the size parquet
+      row groups and scan splits want at cluster scale). SIZE THIS TO
+      PRESERVE SCAN PARALLELISM: a parquet file smaller than one row
+      group is unsplittable, so compacting a small store into one file
+      serializes every later probe scan (measured, SCALING.md r09: a
+      2M-row store compacted 320→9 files made the probe 2.4× SLOWER —
+      one 60 MB file, one task — while the same store compacted with
+      ``rows_per_file`` ≈ rows/parallelism kept ~16 files and a 5000-
+      file variant sped up 2.4×). Rule of thumb below cluster scale:
+      ``rows_per_file ≈ total_rows / defaultParallelism``.
     - ``include_compacted``: also rewrite previous ``c<n>`` partitions
       (full compaction; O(store) I/O per call).
 
