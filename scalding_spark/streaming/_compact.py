@@ -110,18 +110,17 @@ def compact_store(spark: SparkSession, path: str,
 
     - ``min_batches``: skip a run_tag with fewer than this many eligible
       closed partitions (compacting one partition into one is churn).
-    - ``rows_per_file``: target consolidation granularity — the rewrite
-      uses ``ceil(rows / rows_per_file)`` tasks (fingerprint rows are
-      ~32 B, so the 4M default targets ~128 MB files, the size parquet
-      row groups and scan splits want at cluster scale). SIZE THIS TO
-      PRESERVE SCAN PARALLELISM: a parquet file smaller than one row
-      group is unsplittable, so compacting a small store into one file
-      serializes every later probe scan (measured, SCALING.md r09: a
-      2M-row store compacted 320→9 files made the probe 2.4× SLOWER —
-      one 60 MB file, one task — while the same store compacted with
-      ``rows_per_file`` ≈ rows/parallelism kept ~16 files and a 5000-
-      file variant sped up 2.4×). Rule of thumb below cluster scale:
-      ``rows_per_file ≈ total_rows / defaultParallelism``.
+    - ``rows_per_file``: target consolidation granularity — file count
+      is ``max(ceil(rows / rows_per_file), parallelism floor)``. The 4M
+      default targets ~128 MB fingerprint files (the parquet row-group /
+      scan-split unit at cluster scale); the floor keeps at least
+      ``defaultParallelism`` files (unless files would drop under ~64k
+      rows) because a parquet file smaller than one row group is
+      UNSPLITTABLE — compacting a sub-cluster-scale store into one file
+      by size alone serialized every later probe scan (measured,
+      SCALING.md r09: 320→9 files made the probe 2.4× SLOWER before the
+      floor existed, while a 5000-file store compacted with sane
+      granularity sped up 2.4×).
     - ``include_compacted``: also rewrite previous ``c<n>`` partitions
       (full compaction; O(store) I/O per call).
 
@@ -174,7 +173,17 @@ def compact_store(spark: SparkSession, path: str,
         df = (spark.read.parquet(path)
               .where(F.col("__batch").isin(src_vals)))
         n_rows = df.count()
-        n_files = max(1, -(-n_rows // int(rows_per_file)))
+        # two constraints, take the binding one: file SIZE (rows_per_file
+        # targets ~128 MB files — the cluster-scale row-group/split unit)
+        # and scan PARALLELISM (a store smaller than parallelism×128 MB
+        # compacted by size alone lands in files below one row group,
+        # which are unsplittable — the measured 2.4× probe slowdown in
+        # SCALING.md r09; floor at defaultParallelism files unless that
+        # would make files pointlessly tiny, < ~64k rows)
+        size_files = -(-n_rows // int(rows_per_file))
+        par_floor = min(spark.sparkContext.defaultParallelism,
+                        -(-n_rows // 65_536))
+        n_files = max(1, size_files, par_floor)
         sub_parts = [c for c in df.columns
                      if c.startswith("__") and c != "__batch"
                      and c in ("__bucket",)]

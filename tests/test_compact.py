@@ -228,3 +228,33 @@ def test_compact_every_n_epochs_validates(spark, tmp_path):
             stream, corpus_path=str(tmp_path / "c"),
             store_path=str(tmp_path / "s"), checkpoint=str(tmp_path / "k"),
             text_col="text", id_col="doc_id", compact_every_n_epochs=0)
+
+
+def test_compact_keeps_scan_parallelism_floor(spark, tmp_path):
+    """Sub-cluster-scale stores must not collapse into one unsplittable
+    file: the default sizing floors the compacted file count at
+    defaultParallelism (unless files would drop under ~64k rows)."""
+    store = str(tmp_path / "bigstore")
+    tag = "cafecafecafe"
+    for e in range(3):
+        (spark.range(e * 400_000, (e + 1) * 400_000)
+         .select(F.md5(F.col("id").cast("string")).alias("fp"),
+                 F.lit(f"{tag}-{e}").alias("__batch"))
+         .repartition(8)
+         .write.mode("append").partitionBy("__batch").parquet(store))
+    got = streaming.compact_store(spark, store)
+    assert got[tag]["rows"] == 800_000
+    cpart = os.path.join(store, f"__batch={tag}-c1")
+    n = len(glob.glob(os.path.join(cpart, "*.parquet")))
+    floor = min(spark.sparkContext.defaultParallelism, 800_000 // 65_536)
+    assert n >= floor, (n, floor)
+    # and a genuinely tiny store still compacts to ONE file
+    small = str(tmp_path / "smallstore")
+    for e in range(3):
+        (spark.createDataFrame([(f"fp{e}",)], "fp string")
+         .withColumn("__batch", F.lit(f"{tag}-{e}"))
+         .write.mode("append").partitionBy("__batch").parquet(small))
+    streaming.compact_store(spark, small)
+    n_small = len(glob.glob(os.path.join(
+        small, f"__batch={tag}-c1", "*.parquet")))
+    assert n_small == 1
