@@ -2751,10 +2751,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pr_auc_by_slice": q_pr_auc_by_slice,
         # -- r09 window: changed-operator re-verification (ADVICE r08 #3:
         #    threshold_sweep + its oracle gained the empty branch after
-        #    the r08 row) --
+        #    the r08 row; and the r09 PLAN rewrites — fuzzy_join's
+        #    distinct-string-pair verification, train_logistic_quality's
+        #    feature persist — are value-pinned bit-identical by their
+        #    suites, but the re-verification rule's spirit puts their
+        #    r07-green gate rows back under the driver too) --
         "q_threshold_sweep": q_threshold_sweep,
-        # -- r09 window: r06-green block, queue order (first 40 of 49;
-        #    the 9 displaced by the entries above are ledgered below
+        "q_fuzzy_join": q_fuzzy_join,
+        "q_train_quality": q_train_quality,
+        # -- r09 window: r06-green block, queue order (first 38 of 49;
+        #    the 11 displaced by the entries above are ledgered below
         #    position 50 and lead the r10 window) --
         "q_contamination_report": q_contamination_report,
         "q_neardup_against": q_neardup_against,
@@ -2794,13 +2800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_dedup_clusters": q_dedup_clusters,
         "q_deterministic_sample": q_deterministic_sample,
+        # ---- position 50 ends here ----
+        # -- r10 queue head: the 11 r06-green entries displaced below
+        #    position 50 by the r09 head (7 TPC-H + q_pr_auc /
+        #    q_pr_auc_by_slice + the q_threshold_sweep / q_fuzzy_join /
+        #    q_train_quality re-verifications); NOT re-verified this
+        #    round --
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
-        # ---- position 50 ends here ----
-        # -- r10 queue head: the 9 r06-green entries displaced below
-        #    position 50 by the r09 head (7 TPC-H + q_pr_auc /
-        #    q_pr_auc_by_slice + q_threshold_sweep re-verification);
-        #    NOT re-verified this round --
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -2894,7 +2901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk_ivf": q_cosine_topk_ivf,
         "q_embedding_neardup": q_embedding_neardup,
         "q_hll_distinct": q_hll_distinct,
-        "q_train_quality": q_train_quality,
+        # (q_train_quality moved to the r09 window head — plan-rewrite
+        #  re-verification)
         "q_weighted_sample": q_weighted_sample,
         "q_mix_proportions": q_mix_proportions,
         "q_dedup_against": q_dedup_against,
@@ -2911,7 +2919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_top_fraction": q_top_fraction,
         "q_corpus_kl": q_corpus_kl,
-        "q_fuzzy_join": q_fuzzy_join,
+        # (q_fuzzy_join moved to the r09 window head — plan-rewrite
+        #  re-verification)
         "q_bloom_anti_join": q_bloom_anti_join,
         "q_dsir_weights": q_dsir_weights,
     }
