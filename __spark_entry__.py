@@ -2725,13 +2725,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test requires them inside the window), then q_threshold_sweep
     # (changed-operator re-verification: its zero-judged-rows contract
     # and oracle gained the one-row-per-threshold empty branch in r09,
-    # ADVICE r08 #3, after its r08 row), then the r06-green block in
-    # queue order (q_contamination_report onward), as many as fit. The 9
-    # r06-green entries the window cannot fit (q_text_quality, q_lang_id,
-    # q_fingerprint, q_vocabulary, q_tfidf_top_terms,
-    # q_multimodal_features, q_cosine_topk, q_embedding_neardup_exact,
-    # q_events_daily — displaced by the 7 TPC-H leads + the 2 insertions
-    # + the re-verification) sit directly below position 50 and lead the
+    # ADVICE r08 #3, after its r08 row), then q_fuzzy_join and
+    # q_train_quality (r09 PLAN rewrites — distinct-string-pair
+    # verification and the GD feature persist — value-pinned
+    # bit-identical, re-verified under the driver per the rule's
+    # spirit), then the r06-green block in queue order
+    # (q_contamination_report onward), as many as fit. The 11
+    # r06-green entries the window cannot fit (q_train_split,
+    # q_stratified_sample, q_text_quality, q_lang_id, q_fingerprint,
+    # q_vocabulary, q_tfidf_top_terms, q_multimodal_features,
+    # q_cosine_topk, q_embedding_neardup_exact, q_events_daily —
+    # displaced by the 7 TPC-H leads + the 2 insertions + the 3
+    # re-verifications) sit directly below position 50 and lead the
     # r10 window. Every insertion/displacement is ledgered at the
     # displacement point so the header never overstates what the driver
     # verified (ADVICE r06 #1).
