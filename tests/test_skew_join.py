@@ -252,3 +252,28 @@ def test_fuzzy_join_duplicate_rows_collapse_on_main_path(spark):
     rdf = spark.createDataFrame([(2, "sitten")], "rid long, rs string")
     out = fuzzy_join(ldf, rdf, "ls", "rs", "lid", "rid", 1).df.collect()
     assert [(r.lid, r.rid, r.distance) for r in out] == [(1, 2, 1)]
+
+
+def test_fuzzy_join_equals_bruteforce_k4(spark):
+    """k=4 differential (the window derivation is general in k; the
+    k=1..3 suite never exercises a 5-segment split or the wider shift
+    windows). Smaller corpus keeps the brute-force side cheap."""
+    import random
+    rnd = random.Random(97)
+    alpha = "ab"
+    R = [(1000 + i, "".join(rnd.choice(alpha)
+                            for _ in range(rnd.randint(5, 14))))
+         for i in range(25)]
+    L = []
+    for i in range(40):
+        s = list(rnd.choice(R)[1])
+        for _ in range(rnd.randint(0, 4)):
+            op = rnd.choice("ids")
+            if op == "i":
+                s.insert(rnd.randint(0, len(s)), rnd.choice(alpha))
+            elif op == "d" and s:
+                del s[rnd.randint(0, len(s) - 1)]
+            elif s:
+                s[rnd.randint(0, len(s) - 1)] = rnd.choice(alpha)
+        L.append((i, "".join(s)))
+    assert _fuzzy(spark, L, R, 4) == _brute(spark, L, R, 4)
