@@ -2530,6 +2530,24 @@ def q_pr_auc_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
                              by=["lang", "source"])
 
 
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluation.cohens_kappa (r09): chance-corrected agreement between
+    the gold ``lang`` column and a deterministic second 'rater' that
+    agrees on n_chars%3==0 rows, votes 'en' on %3==1, and abstains
+    (NULL → unjudged) on the rest — exercises partial agreement,
+    skewed marginals, and the dropped-rating rule. Exact-integer
+    identity: κ numerator/denominator are BIGINTs, po/pe/κ are one
+    double division each → hash-exact vs DuckDB. One category-pair
+    groupBy; no data-sized exchange beyond it."""
+    from scalding_spark.functions import evaluation
+    docs = _t(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.col("lang").alias("rater_a"),
+        F.when(F.col("n_chars") % 3 == 0, F.col("lang"))
+        .when(F.col("n_chars") % 3 == 1, F.lit("en")).alias("rater_b"))
+    return evaluation.cohens_kappa(rated, "rater_a", "rater_b")
+
+
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity.semantic_decontaminate: drop corpus embeddings with
     cosine ≥ 0.8 to ANY benchmark embedding (every 37th vector) — the
@@ -2719,10 +2737,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
     # r09 window (VERDICT r08 next-round #1 + #3): the 7 r05-stale TPC-H
-    # entries lead (ledgered in r08 as the r09 queue head), then the two
-    # NEW r09 evaluation queries (q_pr_auc / q_pr_auc_by_slice — average
-    # precision, VERDICT r08 #3; never driver-checked, so the rotation
-    # test requires them inside the window), then q_threshold_sweep
+    # entries lead (ledgered in r08 as the r09 queue head), then the
+    # three NEW r09 evaluation queries (q_pr_auc / q_pr_auc_by_slice —
+    # average precision, VERDICT r08 #3 — and q_cohens_kappa,
+    # chance-corrected rater agreement; never driver-checked, so the
+    # rotation test requires them inside the window), then q_threshold_sweep
     # (changed-operator re-verification: its zero-judged-rows contract
     # and oracle gained the one-row-per-threshold empty branch in r09,
     # ADVICE r08 #3, after its r08 row), then q_fuzzy_join and
@@ -2730,14 +2749,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verification and the GD feature persist — value-pinned
     # bit-identical, re-verified under the driver per the rule's
     # spirit), then the r06-green block in queue order
-    # (q_contamination_report onward), as many as fit. The 11
-    # r06-green entries the window cannot fit (q_train_split,
-    # q_stratified_sample, q_text_quality, q_lang_id, q_fingerprint,
-    # q_vocabulary, q_tfidf_top_terms, q_multimodal_features,
-    # q_cosine_topk, q_embedding_neardup_exact, q_events_daily —
-    # displaced by the 7 TPC-H leads + the 2 insertions + the 3
-    # re-verifications) sit directly below position 50 and lead the
-    # r10 window. Every insertion/displacement is ledgered at the
+    # (q_contamination_report onward), as many as fit. The 12
+    # r06-green entries the window cannot fit (q_deterministic_sample,
+    # q_train_split, q_stratified_sample, q_text_quality, q_lang_id,
+    # q_fingerprint, q_vocabulary, q_tfidf_top_terms,
+    # q_multimodal_features, q_cosine_topk, q_embedding_neardup_exact,
+    # q_events_daily — displaced by the 7 TPC-H leads + the 3
+    # insertions + the 3 re-verifications) sit directly below position
+    # 50 and lead the r10 window. Every insertion/displacement is ledgered at the
     # displacement point so the header never overstates what the driver
     # verified (ADVICE r06 #1).
     return {
@@ -2754,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    VERDICT r08 #3), first driver run --
         "q_pr_auc": q_pr_auc,
         "q_pr_auc_by_slice": q_pr_auc_by_slice,
+        "q_cohens_kappa": q_cohens_kappa,
         # -- r09 window: changed-operator re-verification (ADVICE r08 #3:
         #    threshold_sweep + its oracle gained the empty branch after
         #    the r08 row; and the r09 PLAN rewrites — fuzzy_join's
@@ -2804,13 +2824,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_dedup_clusters": q_dedup_clusters,
-        "q_deterministic_sample": q_deterministic_sample,
         # ---- position 50 ends here ----
-        # -- r10 queue head: the 11 r06-green entries displaced below
+        # -- r10 queue head: the 12 r06-green entries displaced below
         #    position 50 by the r09 head (7 TPC-H + q_pr_auc /
-        #    q_pr_auc_by_slice + the q_threshold_sweep / q_fuzzy_join /
-        #    q_train_quality re-verifications); NOT re-verified this
-        #    round --
+        #    q_pr_auc_by_slice / q_cohens_kappa insertions + the
+        #    q_threshold_sweep / q_fuzzy_join / q_train_quality
+        #    re-verifications); NOT re-verified this round --
+        "q_deterministic_sample": q_deterministic_sample,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
         "q_text_quality": q_text_quality,
@@ -4212,6 +4232,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT np_all AS n_pos, n_all - np_all AS n_neg,
                    CAST(NULL AS DOUBLE) AS pr_auc
             FROM tot WHERE n_all = 0
+        """,
+        # Cohen's kappa via the exact-integer identity:
+        # k = (n*agree - sum_k a_k*b_k) / (n^2 - sum_k a_k*b_k);
+        # NULL ratings are unjudged, both-constant-equal -> NULL (0/0)
+        "q_cohens_kappa": """
+            WITH t AS (
+                SELECT CAST(lang AS VARCHAR) AS a,
+                       CAST(CASE WHEN n_chars % 3 = 0 THEN lang
+                                 WHEN n_chars % 3 = 1 THEN 'en'
+                            END AS VARCHAR) AS b
+                FROM documents
+                WHERE lang IS NOT NULL
+                  AND (CASE WHEN n_chars % 3 = 0 THEN lang
+                            WHEN n_chars % 3 = 1 THEN 'en'
+                       END) IS NOT NULL),
+            pairs AS (SELECT a, b, count(*) AS c FROM t GROUP BY a, b),
+            am AS (SELECT a, CAST(sum(c) AS BIGINT) AS ak
+                   FROM pairs GROUP BY a),
+            bm AS (SELECT b, CAST(sum(c) AS BIGINT) AS bk
+                   FROM pairs GROUP BY b),
+            prod AS (SELECT CAST(coalesce(sum(ak * bk), 0) AS BIGINT)
+                         AS pab
+                     FROM am JOIN bm ON am.a = bm.b),
+            agg AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+                           CAST(coalesce(sum(CASE WHEN a = b THEN c END),
+                                         0) AS BIGINT) AS agree
+                    FROM pairs)
+            SELECT n,
+                   CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+                   CAST(pab AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+                   CASE WHEN n * n - pab <> 0 THEN
+                       CAST(n * agree - pab AS DOUBLE)
+                       / CAST(n * n - pab AS DOUBLE)
+                   END AS kappa
+            FROM agg CROSS JOIN prod
+            WHERE n > 0
+            UNION ALL
+            SELECT n, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE)
+            FROM agg WHERE n = 0
         """,
         # per-slice AP; two-branch CASE keeps NULL text → NULL label
         # (the q_auc_by_slice fixture); zero-positive slices report NULL

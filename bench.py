@@ -98,6 +98,7 @@ HEADLINE = [
     # -- added r09 --
     "q_pr_auc",                  # exact average precision (desc range ranks)
     "q_pr_auc_by_slice",         # per-slice AP (desc windows per slice)
+    "q_cohens_kappa",            # chance-corrected rater agreement (pair groupBy)
 ]
 
 

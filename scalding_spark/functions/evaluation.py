@@ -291,6 +291,119 @@ def _pr_auc_by(df: DataFrame, score_col: str, label_col: str,
         .alias("pr_auc"))
 
 
+def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str,
+                 by: list[str] | None = None) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two raters →
+    ONE row ``(n, po, pe, kappa)``, or one row PER GROUP with ``by=``.
+
+    The label-QA metric for the human/model annotations that feed
+    quality classifiers (train_logistic_quality's labels): raw percent
+    agreement flatters whenever one category dominates; kappa subtracts
+    the agreement two INDEPENDENT raters with the same marginals would
+    reach by chance (κ = (p_o − p_e)/(1 − p_e)).
+
+    Exactness (the module contract): with n judged rows, per-category
+    marginals a_k/b_k, and agree = Σ_k diag_k, the identity
+    κ = (n·agree − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k) makes numerator
+    and denominator exact BIGINTs — κ, p_o = agree/n and
+    p_e = Σ a_k b_k / n² are each ONE double division, bit-identical
+    under any partition layout and across engines. Ratings compare by
+    VALUE (cast to string so heterogeneous label types still pair);
+    rows where either rating is NULL are unjudged and dropped — n
+    counts judged rows. Both raters constant AND equal → p_e = 1 and κ
+    is NULL (0/0: agreement indistinguishable from chance); zero judged
+    rows → the always-one-row contract (n=0, NULL metrics). NULL slice
+    keys form their own group in the ``by=`` form (the roc_auc rule).
+
+    Scale: one groupBy((a, b) pair) over the corpus — category-pair
+    cardinality rows, map-side combined; the marginal products reduce
+    driver-free via two more tiny aggregations of that pair table. The
+    pair table is PERSISTED (the roc_auc pattern): the marginals, the
+    agreement sum, and the empty branch are four consumers, and without
+    the persist each re-runs the corpus scan — one scan instead of
+    four. No data-sized exchange beyond the first groupBy."""
+    if by:
+        return _cohens_kappa_by(df, rater_a, rater_b, list(by))
+    from scalding_spark.session import register_persisted
+    a = F.col(rater_a).cast("string")
+    b = F.col(rater_b).cast("string")
+    t = (df.where(a.isNotNull() & b.isNotNull())
+         .select(a.alias("__a"), b.alias("__b")))
+    pairs = t.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("c")) \
+        .persist()
+    register_persisted(pairs)
+    am = pairs.groupBy("__a").agg(F.sum("c").alias("ak"))
+    bm = pairs.groupBy("__b").agg(F.sum("c").alias("bk"))
+    prod = (am.join(bm, am["__a"] == bm["__b"])
+            .agg(F.coalesce(F.sum(F.col("ak") * F.col("bk")),
+                            F.lit(0)).alias("__pab")))
+    agg = pairs.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__n"),
+        F.coalesce(F.sum(F.when(F.col("__a") == F.col("__b"),
+                                F.col("c"))), F.lit(0)).alias("__agree"))
+    n, agree, pab = F.col("__n"), F.col("__agree"), F.col("__pab")
+    one = (agg.crossJoin(F.broadcast(prod))
+           .where(n > 0)
+           .select(n.alias("n"),
+                   (agree.cast("double") / n.cast("double")).alias("po"),
+                   (pab.cast("double") / (n * n).cast("double")).alias("pe"),
+                   F.when(n * n - pab != 0,
+                          (n * agree - pab).cast("double")
+                          / (n * n - pab).cast("double")).alias("kappa")))
+    empty = agg.where(n == 0).select(
+        n.alias("n"), F.lit(None).cast("double").alias("po"),
+        F.lit(None).cast("double").alias("pe"),
+        F.lit(None).cast("double").alias("kappa"))
+    return one.unionByName(empty)
+
+
+def _cohens_kappa_by(df: DataFrame, rater_a: str, rater_b: str,
+                     by: list[str]) -> DataFrame:
+    """Per-slice kappa (see :func:`cohens_kappa`): the pair table,
+    marginals, and products all carry the slice key; every judged slice
+    reports one row. The marginal product joins null-safely on the
+    slice key (NULL keys are their own group). The per-slice pair
+    table persists for the same four-consumer reason as the global
+    form."""
+    from scalding_spark.session import register_persisted
+    a = F.col(rater_a).cast("string")
+    b = F.col(rater_b).cast("string")
+    t = (df.where(a.isNotNull() & b.isNotNull())
+         .select(*by, a.alias("__a"), b.alias("__b")))
+    pairs = (t.groupBy(*by, "__a", "__b")
+             .agg(F.count(F.lit(1)).alias("c")).persist())
+    register_persisted(pairs)
+    am = pairs.groupBy(*by, "__a").agg(F.sum("c").alias("ak"))
+    bm = (pairs.groupBy(*by, "__b").agg(F.sum("c").alias("bk"))
+          .select(*[F.col(k).alias(f"__k{i}") for i, k in enumerate(by)],
+                  "__b", "bk"))
+    cond = am["__a"] == bm["__b"]
+    for i, k in enumerate(by):
+        cond = cond & am[k].eqNullSafe(F.col(f"__k{i}"))
+    prod = (am.join(bm, cond)
+            .groupBy(*[am[k] for k in by])
+            .agg(F.sum(F.col("ak") * F.col("bk")).alias("__pab")))
+    agg = pairs.groupBy(*by).agg(
+        F.sum("c").alias("__n"),
+        F.coalesce(F.sum(F.when(F.col("__a") == F.col("__b"),
+                                F.col("c"))), F.lit(0)).alias("__agree"))
+    prod = prod.select(*[F.col(k).alias(f"__j{i}")
+                         for i, k in enumerate(by)], "__pab")
+    cond = None
+    for i, k in enumerate(by):
+        e = agg[k].eqNullSafe(F.col(f"__j{i}"))
+        cond = e if cond is None else cond & e
+    n, agree, pab = F.col("__n"), F.col("__agree"), F.col("__pab")
+    return (agg.join(prod, cond)
+            .drop(*[f"__j{i}" for i in range(len(by))])
+            .select(*by, n.alias("n"),
+                    (agree.cast("double") / n.cast("double")).alias("po"),
+                    (pab.cast("double") / (n * n).cast("double")).alias("pe"),
+                    F.when(n * n - pab != 0,
+                           (n * agree - pab).cast("double")
+                           / (n * n - pab).cast("double")).alias("kappa")))
+
+
 def calibration_bins(df: DataFrame, score_col: str, label_col: str,
                      bins: int = 10) -> DataFrame:
     """Reliability-diagram table for a probability-scored classifier →

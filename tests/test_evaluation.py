@@ -330,3 +330,97 @@ def test_grouped_pr_auc_null_slice_and_no_positive_slice(spark):
     assert got[None].pr_auc == 0.5   # pos ranked 2nd of 2: AP = 1/2
     assert got["b"].pr_auc is None
     assert (got["b"].n_pos, got["b"].n_neg) == (0, 2)
+
+
+# --- cohens_kappa (r09) ---------------------------------------------------------
+
+def _py_kappa(pairs):
+    """Pure-python mirror: exact-integer kappa identity."""
+    judged = [(str(a), str(b)) for a, b in pairs
+              if a is not None and b is not None]
+    n = len(judged)
+    if n == 0:
+        return 0, None, None, None
+    agree = sum(1 for a, b in judged if a == b)
+    am, bm = {}, {}
+    for a, b in judged:
+        am[a] = am.get(a, 0) + 1
+        bm[b] = bm.get(b, 0) + 1
+    pab = sum(am[k] * bm.get(k, 0) for k in am)
+    po = agree / n
+    pe = pab / (n * n)
+    kappa = (n * agree - pab) / (n * n - pab) if n * n != pab else None
+    return n, po, pe, kappa
+
+
+def _kdf(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+def test_kappa_perfect_and_independent(spark):
+    pairs = [(str(i % 3), str(i % 3)) for i in range(60)]
+    r = _one(ev.cohens_kappa(_kdf(spark, pairs), "a", "b"))
+    assert (r.n, r.po, r.kappa) == (60, 1.0, 1.0)
+    # marginals independent: po == pe exactly -> kappa 0
+    pairs = [(str(i % 2), str((i // 2) % 2)) for i in range(40)]
+    r = _one(ev.cohens_kappa(_kdf(spark, pairs), "a", "b"))
+    assert r.kappa == 0.0
+
+
+def test_kappa_matches_python_mirror_bit_exactly(spark):
+    import random
+    rng = random.Random(23)
+    pairs = []
+    for _ in range(400):
+        a = rng.choice(["x", "y", "z", None])
+        b = a if rng.random() < 0.6 else rng.choice(["x", "y", "z", None])
+        pairs.append((a, b))
+    n, po, pe, kappa = _py_kappa(pairs)
+    r = _one(ev.cohens_kappa(_kdf(spark, pairs), "a", "b"))
+    assert (r.n, r.po, r.pe, r.kappa) == (n, po, pe, kappa)
+
+
+def test_kappa_constant_raters_and_empty(spark):
+    # both raters constant and equal: pe = 1, kappa undefined -> NULL
+    r = _one(ev.cohens_kappa(_kdf(spark, [("x", "x")] * 5), "a", "b"))
+    assert (r.n, r.po, r.pe, r.kappa) == (5, 1.0, 1.0, None)
+    r = _one(ev.cohens_kappa(_kdf(spark, []), "a", "b"))
+    assert (r.n, r.po, r.pe, r.kappa) == (0, None, None, None)
+    # NULL ratings are unjudged
+    r = _one(ev.cohens_kappa(
+        _kdf(spark, [("x", None), (None, "y"), ("x", "x")]), "a", "b"))
+    assert (r.n, r.kappa) == (1, None)  # single constant pair -> pe=1
+
+
+def test_kappa_heterogeneous_types_compare_by_value(spark):
+    df = spark.createDataFrame([(1, "1"), (2, "2"), (3, "4")],
+                               "a int, b string")
+    r = _one(ev.cohens_kappa(df, "a", "b"))
+    assert r.n == 3 and r.po == 2 / 3
+
+
+def test_kappa_layout_invariant(spark):
+    import random
+    rng = random.Random(31)
+    pairs = [(str(rng.randint(0, 3)), str(rng.randint(0, 3)))
+             for _ in range(300)]
+    x = _one(ev.cohens_kappa(_kdf(spark, pairs).repartition(1), "a", "b"))
+    y = _one(ev.cohens_kappa(_kdf(spark, pairs).repartition(13), "a", "b"))
+    assert (x.po, x.pe, x.kappa) == (y.po, y.pe, y.kappa)
+
+
+def test_grouped_kappa_matches_per_group_global(spark):
+    import random
+    rng = random.Random(37)
+    rows = [(rng.choice(["g0", "g1", None]),
+             str(rng.randint(0, 2)), str(rng.randint(0, 2)))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "grp string, a string, b string")
+    got = {r.grp: r for r in
+           ev.cohens_kappa(df, "a", "b", by=["grp"]).collect()}
+    assert set(got) == {"g0", "g1", None}  # NULL slice kept
+    for grp in got:
+        sub = [(a, b) for g, a, b in rows if g == grp]
+        n, po, pe, kappa = _py_kappa(sub)
+        r = got[grp]
+        assert (r.n, r.po, r.pe, r.kappa) == (n, po, pe, kappa)
