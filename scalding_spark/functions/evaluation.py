@@ -20,9 +20,13 @@ Scale shapes:
   prefix-offset pattern (grouping.py's ``SortedGroup`` machinery — ties
   co-locate by construction, per-partition windows run in parallel, and
   only a #partitions-row offsets table crosses a single-task window);
+- :func:`pr_auc` shares roc_auc's shape with the cumulative direction
+  flipped (thresholds sweep descending);
 - :func:`calibration_bins` / :func:`confusion_at` /
   :func:`threshold_sweep` are single partial-aggregated passes (bins /
-  thresholds are plan literals), map-side combined like any groupBy.
+  thresholds are plan literals), map-side combined like any groupBy;
+- :func:`cohens_kappa` is one category-pair groupBy plus tiny marginal
+  aggregations of the (persisted) pair table.
 """
 
 from __future__ import annotations
