@@ -38,6 +38,19 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 # 1e12 unit-scale scores stay exact
 _DEC = "decimal(27,9)"
 
+# wide-count operand: BIGINT → DECIMAL(19,0), so products of two counts
+# land in DECIMAL(38,0) EXACTLY (wrap-free up to ~9.2e18 per operand).
+# The same products in BIGINT silently wrap past 2⁶³ in non-ANSI mode —
+# for the rank identity that's only ~3e9 judged rows (s2 ≈ n²), squarely
+# reachable at 100 TB. Decimal overflow past 38 digits (n ≳ 7e18 rows)
+# returns NULL rather than a wrong number — loud, not silent.
+_D19 = "decimal(19,0)"
+_DEC0 = "decimal(38,0)"
+
+
+def _wide(c: Column) -> Column:
+    return c.cast(_D19)
+
 
 def _scored(df: DataFrame, score_col: str, label_col: str,
             by: list[str] | None = None) -> DataFrame:
@@ -50,42 +63,68 @@ def _scored(df: DataFrame, score_col: str, label_col: str,
             .select(*(by or []), F.col(score_col).alias("s"), y.alias("y")))
 
 
-def _score_cum(t: DataFrame, desc: bool = False) -> DataFrame:
-    """Per-DISTINCT-score tie classes with GLOBAL cumulative counts,
-    computed in parallel: groupBy(s) (the one data-sized shuffle) →
-    range-partition by score → per-partition window cumulatives + a
-    broadcast #partitions-row prefix-offset table (grouping.py's
-    key-less range-partition pattern; the persist freezes the partition
-    universe the data and offsets branches must share — SCALING.md's
-    10× lesson). Returns one row per distinct score with
-    ``(n, np, cb, cpt, cnt)``: class size, class positives, count
-    BEFORE this class, positives/count THROUGH this class — cumulative
-    in ascending score order, or descending when ``desc`` (the
-    threshold direction PR metrics sweep)."""
+def _score_cum(t: DataFrame, desc: bool = False,
+               by: list[str] | None = None) -> DataFrame:
+    """Per-DISTINCT-score tie classes with cumulative counts, computed in
+    parallel: groupBy([by,] s) (the one data-sized shuffle) →
+    range-partition by (by, score) → per-(partition, slice) window
+    cumulatives + a small per-(partition, slice) prefix-offset table
+    (grouping.py's key-less range-partition pattern; the persist freezes
+    the partition universe the data and offsets branches must share —
+    SCALING.md's 10× lesson). Returns one row per distinct ([by,] score)
+    with ``(*by, n, np, cb, cpt, cnt)``: class size, class positives,
+    count BEFORE this class, positives/count THROUGH this class —
+    cumulative WITHIN the slice in ascending score order, or descending
+    when ``desc`` (the threshold direction PR metrics sweep).
+
+    With ``by``, no task is ever sized by a slice's full distinct-score
+    table: the cumulative windows partition by (partition-id, slice), so
+    a dominant slice with continuous scores spreads across the range
+    partitions like any other data, and only the offsets table — one row
+    per (partition, slice) pair actually touched, two BIGINTs wide —
+    crosses the per-slice sequential window."""
     from scalding_spark.session import register_persisted
-    g = t.groupBy("s").agg(F.count(F.lit(1)).alias("n"),
-                           F.sum("y").alias("np"))
+    by = list(by or [])
+    g = t.groupBy(*by, "s").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("y").alias("np"))
     order = F.col("s").desc() if desc else F.col("s").asc()
-    d = (g.repartitionByRange(order)
+    d = (g.repartitionByRange(*[F.col(k) for k in by], order)
          .withColumn("__pid", F.spark_partition_id()).persist())
     register_persisted(d)
-    w = Window.partitionBy("__pid").orderBy(order)
+    w = Window.partitionBy("__pid", *by).orderBy(order)
     before = w.rowsBetween(Window.unboundedPreceding, -1)
     thru = w.rowsBetween(Window.unboundedPreceding, 0)
     local = (d.withColumn("__lb", F.coalesce(F.sum("n").over(before), F.lit(0)))
              .withColumn("__lpt", F.sum("np").over(thru))
              .withColumn("__lnt", F.sum("n").over(thru)))
-    offw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (d.groupBy("__pid")
+    offw = (Window.partitionBy(*by).orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (d.groupBy("__pid", *by)
             .agg(F.sum("n").alias("__tn"), F.sum("np").alias("__tp"))
             .withColumn("__offn", F.coalesce(F.sum("__tn").over(offw), F.lit(0)))
             .withColumn("__offp", F.coalesce(F.sum("__tp").over(offw), F.lit(0)))
-            .select("__pid", "__offn", "__offp"))
-    return (local.join(F.broadcast(offs), "__pid")
-            .select("n", "np",
-                    (F.col("__offn") + F.col("__lb")).alias("cb"),
-                    (F.col("__offp") + F.col("__lpt")).alias("cpt"),
-                    (F.col("__offn") + F.col("__lnt")).alias("cnt")))
+            .select(F.col("__pid").alias("__opid"),
+                    *[F.col(k).alias(f"__o{i}") for i, k in enumerate(by)],
+                    "__offn", "__offp"))
+    if by:
+        # NULL-safe slice-key equality: a NULL slice key is its own group
+        # (the module rule); a name-list join would silently drop it.
+        # Both sides descend from the persisted ``d`` (a self-join), so
+        # the offsets keys are RENAMED before the condition — dataframe-
+        # qualified columns resolve trivially-true on shared lineage
+        cond = F.col("__pid") == F.col("__opid")
+        for i, k in enumerate(by):
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__o{i}"))
+        joined = (local.join(offs, cond)
+                  .drop("__opid", *[f"__o{i}" for i in range(len(by))]))
+    else:
+        joined = local.join(
+            F.broadcast(offs.withColumnRenamed("__opid", "__pid")), "__pid")
+    return joined.select(
+        *by, "n", "np",
+        (F.col("__offn") + F.col("__lb")).alias("cb"),
+        (F.col("__offp") + F.col("__lpt")).alias("cpt"),
+        (F.col("__offn") + F.col("__lnt")).alias("cnt"))
 
 
 def roc_auc(df: DataFrame, score_col: str, label_col: str,
@@ -115,14 +154,20 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str,
     classes (quantized scores) are exactly the case this wins: one row
     per DISTINCT score, never one partition per tie class.
 
-    Grouped form (``by=[...]``): the cumulative windows partition by the
-    slice key instead of the range-partition machinery — per-slice rows
-    after the (by, score) aggregation are DISTINCT-score counts, so a
-    slice's window task is bounded by its score cardinality, not its row
-    count. NULL slice keys form their own group (a missing ``lang`` is a
+    Grouped form (``by=[...]``): the cumulatives use the SAME
+    range-partition prefix-offset machinery, range-partitioned on
+    (slice, score) with windows per (partition, slice) — a dominant
+    slice with continuous scores spreads across partitions like any
+    other data; no task is ever sized by a slice's full distinct-score
+    table. NULL slice keys form their own group (a missing ``lang`` is a
     slice worth auditing, not a row to drop); slices with one label
     class report NULL auc/ks. Zero judged rows → zero result rows (there
     is no slice universe to report over).
+
+    Wrap safety (ADVICE r09): every product in the rank identity runs in
+    DECIMAL(38,0) — the BIGINT form silently wrapped past 2⁶³, which for
+    s2 ≈ n² is only ~3e9 judged rows. Past 38 digits (~7e18 rows) the
+    decimal overflows to NULL — loud, never silently wrong.
     """
     if by:
         return _roc_auc_by(df, score_col, label_col, list(by))
@@ -134,18 +179,25 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str,
     nneg = nall - npos
     agg = (cls.crossJoin(tot)
            .groupBy("__npos", "__nall")
-           .agg(F.sum(F.col("np") * (2 * F.col("cb") + F.col("n") + 1))
+           .agg(F.sum(_wide(F.col("np"))
+                      * _wide(2 * F.col("cb") + F.col("n") + 1))
                 .alias("__s2"),
-                F.max(F.abs(F.col("cpt") * nneg
-                            - (F.col("cnt") - F.col("cpt")) * npos))
+                F.max(F.abs(_wide(F.col("cpt")) * _wide(nneg)
+                            - _wide(F.col("cnt") - F.col("cpt"))
+                            * _wide(npos)))
                 .alias("__ksn")))
     defined = (npos > 0) & (nneg > 0)
+    # doubling AFTER the cast is bit-identical to casting 2·p while p
+    # fits a BIGINT (×2.0 only bumps the exponent) and wrap-free when it
+    # doesn't — the denominator products stay in DECIMAL(38,0)
     one = (agg.select(
         npos.alias("n_pos"), nneg.alias("n_neg"),
-        F.when(defined, (F.col("__s2") - npos * (npos + 1)).cast("double")
-               / (2 * npos * nneg).cast("double")).alias("auc"),
+        F.when(defined,
+               (F.col("__s2") - _wide(npos) * _wide(npos + 1)).cast("double")
+               / (F.lit(2.0) * (_wide(npos) * _wide(nneg)).cast("double")))
+        .alias("auc"),
         F.when(defined, F.col("__ksn").cast("double")
-               / (npos * nneg).cast("double")).alias("ks")))
+               / (_wide(npos) * _wide(nneg)).cast("double")).alias("ks")))
     # zero judged rows → the groupBy above yields NO row; the contract is
     # always-one-row (callers read metrics positionally)
     empty = tot.where(nall == 0).select(
@@ -158,19 +210,13 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str,
 def _roc_auc_by(df: DataFrame, score_col: str, label_col: str,
                 by: list[str]) -> DataFrame:
     """Per-slice AUC/KS (see :func:`roc_auc`): same exact-integer rank
-    algebra, with the cumulative windows partitioned by the slice key
-    and the slice totals joined back on already-aligned partitioning
-    (the (by, s) aggregation, the by-window, and the totals aggregation
-    all hash on ``by`` prefixes)."""
+    algebra, with the per-slice cumulatives from
+    :func:`_score_cum(by=...)` — the (by, score) range-partition
+    prefix-offset pattern, so a dominant slice's distinct-score table
+    never funnels through one window task — and the slice totals joined
+    back null-safely (a NULL slice key is its own group)."""
     t = _scored(df, score_col, label_col, by)
-    g = t.groupBy(*by, "s").agg(F.count(F.lit(1)).alias("n"),
-                                F.sum("y").alias("np"))
-    w = Window.partitionBy(*by).orderBy("s")
-    before = w.rowsBetween(Window.unboundedPreceding, -1)
-    thru = w.rowsBetween(Window.unboundedPreceding, 0)
-    c = (g.withColumn("cb", F.coalesce(F.sum("n").over(before), F.lit(0)))
-         .withColumn("cpt", F.sum("np").over(thru))
-         .withColumn("cnt", F.sum("n").over(thru)))
+    c = _score_cum(t, by=by)
     tot = t.groupBy(*by).agg(F.sum("y").alias("__npos"),
                              F.count(F.lit(1)).alias("__nall"))
     # NULL-safe join keys: a NULL slice key is its own group (groupBy
@@ -186,19 +232,23 @@ def _roc_auc_by(df: DataFrame, score_col: str, label_col: str,
     agg = (c.join(tot, cond)
            .drop(*[f"__k{i}" for i in range(len(by))])
            .groupBy(*by, "__npos", "__nall")
-           .agg(F.sum(F.col("np") * (2 * F.col("cb") + F.col("n") + 1))
+           .agg(F.sum(_wide(F.col("np"))
+                      * _wide(2 * F.col("cb") + F.col("n") + 1))
                 .alias("__s2"),
-                F.max(F.abs(F.col("cpt") * nneg
-                            - (F.col("cnt") - F.col("cpt")) * npos))
+                F.max(F.abs(_wide(F.col("cpt")) * _wide(nneg)
+                            - _wide(F.col("cnt") - F.col("cpt"))
+                            * _wide(npos)))
                 .alias("__ksn")))
     defined = (npos > 0) & (nneg > 0)
     return agg.select(
         *by,
         npos.alias("n_pos"), nneg.alias("n_neg"),
-        F.when(defined, (F.col("__s2") - npos * (npos + 1)).cast("double")
-               / (2 * npos * nneg).cast("double")).alias("auc"),
+        F.when(defined,
+               (F.col("__s2") - _wide(npos) * _wide(npos + 1)).cast("double")
+               / (F.lit(2.0) * (_wide(npos) * _wide(nneg)).cast("double")))
+        .alias("auc"),
         F.when(defined, F.col("__ksn").cast("double")
-               / (npos * nneg).cast("double")).alias("ks"))
+               / (_wide(npos) * _wide(nneg)).cast("double")).alias("ks"))
 
 
 def pr_auc(df: DataFrame, score_col: str, label_col: str,
@@ -219,8 +269,11 @@ def pr_auc(df: DataFrame, score_col: str, label_col: str,
     sklearn tie convention.
 
     Determinism (the module contract, calibration_bins' recipe): TP and
-    CNT are exact BIGINTs; each class contributes ONE double division
-    (np·TP as an exact ≤2⁵³ integer over CNT), tie-rounded to
+    CNT are exact BIGINTs; each class contributes ONE double division —
+    np·TP computed wrap-free in DECIMAL(38,0) over CNT (exact to the
+    last bit while np·TP ≤ 2⁵³, i.e. ≲9e7 rows tied at one positive
+    score; beyond that the division rounds at the 53rd bit, a relative
+    1e-16, never a wrong magnitude — ADVICE r09) — tie-rounded to
     DECIMAL(27,9) and summed EXACTLY (layout-independent), with one
     final double division by n⁺. Cross-engine the double→decimal cast
     is a tie-round at the 10th digit (engines can disagree on exact
@@ -234,8 +287,9 @@ def pr_auc(df: DataFrame, score_col: str, label_col: str,
 
     Scale: identical shape to :func:`roc_auc` — groupBy(score) is the
     only data-sized shuffle, cumulatives run per range-partition in
-    parallel (``_score_cum(desc=True)``); the grouped form bounds each
-    slice's window task by its DISTINCT-score count."""
+    parallel (``_score_cum(desc=True)``); the grouped form
+    range-partitions on (slice, score), so no task is ever sized by a
+    slice's distinct-score table."""
     if by:
         return _pr_auc_by(df, score_col, label_col, list(by))
     t = _scored(df, score_col, label_col)
@@ -243,9 +297,7 @@ def pr_auc(df: DataFrame, score_col: str, label_col: str,
     tot = F.broadcast(t.agg(F.coalesce(F.sum("y"), F.lit(0)).alias("__npos"),
                             F.count(F.lit(1)).alias("__nall")))
     npos, nall = F.col("__npos"), F.col("__nall")
-    term = F.when(F.col("np") > 0,
-                  ((F.col("np") * F.col("cpt")).cast("double")
-                   / F.col("cnt").cast("double")).cast(_DEC))
+    term = _ap_term()
     agg = (cls.crossJoin(tot)
            .groupBy("__npos", "__nall")
            .agg(F.coalesce(F.sum(term), F.lit(0).cast(_DEC)).alias("__ap")))
@@ -259,19 +311,28 @@ def pr_auc(df: DataFrame, score_col: str, label_col: str,
     return one.unionByName(empty)
 
 
+def _ap_term() -> Column:
+    """One tie class's AP contribution: np·TP as an exact DECIMAL(38,0)
+    product (wrap-free where the BIGINT form wrapped past ~3e9 tied
+    positives — ADVICE r09), one double division by CNT, tie-rounded to
+    DECIMAL(27,9). Exact while np·TP ≤ 2⁵³ (~9e7 heavily-tied rows);
+    above that the product itself never wraps but the double division
+    rounds at the 53rd bit — a relative 1e-16 on the term, never a wrong
+    order of magnitude."""
+    return F.when(F.col("np") > 0,
+                  ((_wide(F.col("np")) * _wide(F.col("cpt"))).cast("double")
+                   / F.col("cnt").cast("double")).cast(_DEC))
+
+
 def _pr_auc_by(df: DataFrame, score_col: str, label_col: str,
                by: list[str]) -> DataFrame:
-    """Per-slice AP (see :func:`pr_auc`): descending cumulative windows
-    partition by the slice key (per-slice task size is DISTINCT-score
-    count), slice totals join back null-safely — the _roc_auc_by
-    machinery with the threshold direction flipped."""
+    """Per-slice AP (see :func:`pr_auc`): descending per-slice
+    cumulatives from :func:`_score_cum(desc=True, by=...)` — the
+    (by, score) range-partition prefix-offset pattern, no slice-sized
+    window task — with slice totals joined back null-safely; the
+    _roc_auc_by machinery with the threshold direction flipped."""
     t = _scored(df, score_col, label_col, by)
-    g = t.groupBy(*by, "s").agg(F.count(F.lit(1)).alias("n"),
-                                F.sum("y").alias("np"))
-    w = Window.partitionBy(*by).orderBy(F.col("s").desc())
-    thru = w.rowsBetween(Window.unboundedPreceding, 0)
-    c = (g.withColumn("cpt", F.sum("np").over(thru))
-         .withColumn("cnt", F.sum("n").over(thru)))
+    c = _score_cum(t, desc=True, by=by)
     tot = t.groupBy(*by).agg(F.sum("y").alias("__npos"),
                              F.count(F.lit(1)).alias("__nall"))
     tot = tot.select(*[F.col(k).alias(f"__k{i}")
@@ -281,9 +342,7 @@ def _pr_auc_by(df: DataFrame, score_col: str, label_col: str,
         e = c[k].eqNullSafe(F.col(f"__k{i}"))
         cond = e if cond is None else cond & e
     npos, nall = F.col("__npos"), F.col("__nall")
-    term = F.when(F.col("np") > 0,
-                  ((F.col("np") * F.col("cpt")).cast("double")
-                   / F.col("cnt").cast("double")).cast(_DEC))
+    term = _ap_term()
     agg = (c.join(tot, cond)
            .drop(*[f"__k{i}" for i in range(len(by))])
            .groupBy(*by, "__npos", "__nall")
@@ -309,7 +368,10 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str,
     Exactness (the module contract): with n judged rows, per-category
     marginals a_k/b_k, and agree = Σ_k diag_k, the identity
     κ = (n·agree − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k) makes numerator
-    and denominator exact BIGINTs — κ, p_o = agree/n and
+    and denominator exact integers, computed in DECIMAL(38,0) — in
+    BIGINT, n² silently wraps past n ≈ 3.04e9 judged rows (ADVICE r09);
+    the decimal form is wrap-free to n ≈ 9.2e18 and overflows to NULL,
+    never a wrong number, beyond. κ, p_o = agree/n and
     p_e = Σ a_k b_k / n² are each ONE double division, bit-identical
     under any partition layout and across engines. Ratings compare by
     VALUE (cast to string so heterogeneous label types still pair);
@@ -339,8 +401,8 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str,
     am = pairs.groupBy("__a").agg(F.sum("c").alias("ak"))
     bm = pairs.groupBy("__b").agg(F.sum("c").alias("bk"))
     prod = (am.join(bm, am["__a"] == bm["__b"])
-            .agg(F.coalesce(F.sum(F.col("ak") * F.col("bk")),
-                            F.lit(0)).alias("__pab")))
+            .agg(F.coalesce(F.sum(_wide(F.col("ak")) * _wide(F.col("bk"))),
+                            F.lit(0).cast(_DEC0)).alias("__pab")))
     agg = pairs.agg(
         F.coalesce(F.sum("c"), F.lit(0)).alias("__n"),
         F.coalesce(F.sum(F.when(F.col("__a") == F.col("__b"),
@@ -348,12 +410,7 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str,
     n, agree, pab = F.col("__n"), F.col("__agree"), F.col("__pab")
     one = (agg.crossJoin(F.broadcast(prod))
            .where(n > 0)
-           .select(n.alias("n"),
-                   (agree.cast("double") / n.cast("double")).alias("po"),
-                   (pab.cast("double") / (n * n).cast("double")).alias("pe"),
-                   F.when(n * n - pab != 0,
-                          (n * agree - pab).cast("double")
-                          / (n * n - pab).cast("double")).alias("kappa")))
+           .select(n.alias("n"), *_kappa_cols(n, agree, pab)))
     empty = agg.where(n == 0).select(
         n.alias("n"), F.lit(None).cast("double").alias("po"),
         F.lit(None).cast("double").alias("pe"),
@@ -361,11 +418,32 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str,
     return one.unionByName(empty)
 
 
+def _kappa_cols(n: Column, agree: Column, pab: Column) -> list[Column]:
+    """po/pe/kappa from the identity's exact integers. The identity's
+    products (n², n·agree, Σ aₖbₖ) run in DECIMAL(38,0): BIGINT wraps
+    silently past n ≈ 3.04e9 judged rows (ADVICE r09); decimal is
+    wrap-free to ~9.2e18 and NULLs (loudly) past 38 digits. One double
+    division per metric — bit-identical under any layout."""
+    n2 = _wide(n) * _wide(n)
+    na = _wide(n) * _wide(agree)
+    return [
+        (agree.cast("double") / n.cast("double")).alias("po"),
+        (pab.cast("double") / n2.cast("double")).alias("pe"),
+        F.when(n2 - pab != 0,
+               (na - pab).cast("double")
+               / (n2 - pab).cast("double")).alias("kappa"),
+    ]
+
+
 def _cohens_kappa_by(df: DataFrame, rater_a: str, rater_b: str,
                      by: list[str]) -> DataFrame:
     """Per-slice kappa (see :func:`cohens_kappa`): the pair table,
     marginals, and products all carry the slice key; every judged slice
-    reports one row. The marginal product joins null-safely on the
+    reports one row — INCLUDING slices whose two raters share no
+    categories (Σ aₖbₖ has no terms → p_e = 0, κ = p_o; the final join
+    is a LEFT join with __pab coalesced to 0, mirroring the global
+    form's coalesce — an inner join silently dropped such slices,
+    ADVICE r09 high). The marginal product joins null-safely on the
     slice key (NULL keys are their own group). The per-slice pair
     table persists for the same four-consumer reason as the global
     form."""
@@ -386,7 +464,8 @@ def _cohens_kappa_by(df: DataFrame, rater_a: str, rater_b: str,
         cond = cond & am[k].eqNullSafe(F.col(f"__k{i}"))
     prod = (am.join(bm, cond)
             .groupBy(*[am[k] for k in by])
-            .agg(F.sum(F.col("ak") * F.col("bk")).alias("__pab")))
+            .agg(F.sum(_wide(F.col("ak")) * _wide(F.col("bk")))
+                 .alias("__pab")))
     agg = pairs.groupBy(*by).agg(
         F.sum("c").alias("__n"),
         F.coalesce(F.sum(F.when(F.col("__a") == F.col("__b"),
@@ -397,15 +476,14 @@ def _cohens_kappa_by(df: DataFrame, rater_a: str, rater_b: str,
     for i, k in enumerate(by):
         e = agg[k].eqNullSafe(F.col(f"__j{i}"))
         cond = e if cond is None else cond & e
-    n, agree, pab = F.col("__n"), F.col("__agree"), F.col("__pab")
-    return (agg.join(prod, cond)
+    n, agree = F.col("__n"), F.col("__agree")
+    # LEFT join: a slice with disjoint rater category sets has NO
+    # marginal-product row (the am×bm join matched nothing) — it is
+    # still a judged slice and must report, with Σ aₖbₖ = 0
+    pab = F.coalesce(F.col("__pab"), F.lit(0).cast(_DEC0))
+    return (agg.join(prod, cond, "left")
             .drop(*[f"__j{i}" for i in range(len(by))])
-            .select(*by, n.alias("n"),
-                    (agree.cast("double") / n.cast("double")).alias("po"),
-                    (pab.cast("double") / (n * n).cast("double")).alias("pe"),
-                    F.when(n * n - pab != 0,
-                           (n * agree - pab).cast("double")
-                           / (n * n - pab).cast("double")).alias("kappa")))
+            .select(*by, n.alias("n"), *_kappa_cols(n, agree, pab)))
 
 
 def calibration_bins(df: DataFrame, score_col: str, label_col: str,
