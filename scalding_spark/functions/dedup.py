@@ -575,8 +575,16 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     ``connected_components_star`` / ``kmeans``).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # persist the symmetrized edge list ALREADY hash-partitioned on the
+    # per-round join key (`b`): every iteration's `sym.join(labels, ...)`
+    # then reuses the in-memory partitioning and exchanges only the
+    # (node-sized) labels side — without this BOTH sides exchanged every
+    # round, and sym (2×edges, the biggest table here) dominated
+    # (VERDICT r09 #2; the one-time repartition pays for itself from
+    # round 2). distinct() already shuffles, so the extra exchange at
+    # build time is edge-list-sized, once.
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
-        .distinct().persist()
+        .distinct().repartition(F.col("b")).persist()
     rounds = 0
     try:
         # inside the try: this EAGER materialize is the first action over
