@@ -258,3 +258,95 @@ def test_compact_keeps_scan_parallelism_floor(spark, tmp_path):
     n_small = len(glob.glob(os.path.join(
         small, f"__batch={tag}-c1", "*.parquet")))
     assert n_small == 1
+
+
+def test_compact_aborts_when_epoch_lands_mid_compaction(spark, tmp_path,
+                                                        monkeypatch):
+    """VERDICT r09 #5: the live-writer contract is enforced, not
+    advisory — an epoch landing between planning and the commit rename
+    (simulated inside _write_manifest, the last pre-commit step) must
+    ABORT the compaction: loud error, sources untouched, no c-partition,
+    temp gone, lease released (so a retry after stopping the writer
+    succeeds)."""
+    import scalding_spark.streaming._compact as _c
+    src, corpus, store, ckpt = _paths(tmp_path, "src", "corpus", "store",
+                                      "ckpt")
+    run_tag = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(0, "aa"), (1, "bb")])
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(2, "cc")])
+    _ingest_epoch(spark, src, corpus, store, ckpt, [(3, "dd")])
+    orig = _c._write_manifest
+
+    def landing_writer(fs, jvm, mpath, names):
+        (spark.createDataFrame([("zz",)], "fp string")
+         .withColumn("__batch", F.lit(f"{run_tag}-3"))
+         .write.mode("append").partitionBy("__batch").parquet(store))
+        return orig(fs, jvm, mpath, names)
+
+    monkeypatch.setattr(_c, "_write_manifest", landing_writer)
+    with pytest.raises(RuntimeError, match="mid-compaction"):
+        streaming.compact_store(spark, store)
+    monkeypatch.setattr(_c, "_write_manifest", orig)
+    # sources untouched, nothing published, lease released
+    assert _batch_dirs(store) == [f"__batch={run_tag}-{e}"
+                                  for e in range(4)]
+    assert not glob.glob(os.path.join(str(tmp_path), "*__compact_tmp*"))
+    assert not os.path.exists(os.path.join(store, "_COMPACT_LOCK"))
+    # writer stopped → the retry compacts epochs 0-2 (3 now newest)
+    got = streaming.compact_store(spark, store)
+    assert got[run_tag]["rows"] == 4
+    assert _batch_dirs(store) == [f"__batch={run_tag}-3",
+                                  f"__batch={run_tag}-c1"]
+
+
+def test_compact_lease_refuses_concurrent_then_steals_stale(spark, tmp_path):
+    """A live _COMPACT_LOCK (younger than lease_ttl_sec) refuses a second
+    compaction; a stale one (crashed run) is stolen and compaction
+    proceeds."""
+    src, corpus, store, ckpt = _paths(tmp_path, "src", "corpus", "store",
+                                      "ckpt")
+    run_tag = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    for rows in ([(0, "aa")], [(1, "bb")], [(2, "cc")]):
+        _ingest_epoch(spark, src, corpus, store, ckpt, rows)
+    lock = os.path.join(store, "_COMPACT_LOCK")
+    with open(lock, "w") as f:
+        f.write("123\n")
+    with pytest.raises(RuntimeError, match="another compaction"):
+        streaming.compact_store(spark, store)
+    assert os.path.exists(lock), "a refused call must not steal the lease"
+    # age the lock past the TTL → stale leftover of a crashed run
+    os.utime(lock, (1, 1))
+    got = streaming.compact_store(spark, store)
+    assert got[run_tag]["rows"] == 2
+    assert not os.path.exists(lock)
+
+
+def test_compact_bucketed_store_respects_per_bucket_file_target(spark,
+                                                                tmp_path):
+    """ADVICE r09 #3: repartition(n, '__bucket') collapsed every bucket
+    into one task/file regardless of rows_per_file. The salted layout
+    must give each bucket a file count ~proportional to its rows while
+    preserving the __bucket dirs and the content."""
+    store = str(tmp_path / "bstore")
+    tag = "beefbeefbeef"
+    for e in range(3):
+        (spark.range(e * 40_000, (e + 1) * 40_000)
+         .select(F.md5(F.col("id").cast("string")).alias("fp"),
+                 (F.col("id") % 2).cast("int").alias("__bucket"),
+                 F.lit(f"{tag}-{e}").alias("__batch"))
+         .write.mode("append")
+         .partitionBy("__batch", "__bucket").parquet(store))
+    before = sorted(r.fp for r in spark.read.parquet(store)
+                    .where(F.col("__batch") != f"{tag}-2").collect())
+    got = streaming.compact_store(spark, store, rows_per_file=10_000)
+    assert got[tag]["rows"] == 80_000
+    cpart = os.path.join(store, f"__batch={tag}-c1")
+    for b in (0, 1):
+        bdir = os.path.join(cpart, f"__bucket={b}")
+        n = len(glob.glob(os.path.join(bdir, "*.parquet")))
+        # 40k rows / 10k rows_per_file → ~4 slots; hash collisions can
+        # merge a couple, but one-file-per-bucket is the pinned bug
+        assert n >= 2, (b, n)
+    after = sorted(r.fp for r in spark.read.parquet(store)
+                   .where(F.col("__batch") == f"{tag}-c1").collect())
+    assert after == before
