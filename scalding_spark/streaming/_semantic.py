@@ -18,6 +18,7 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
                            compact_every_n_epochs: int | None = None,
                            probe_hamming: int = 1,
                            seed: int = 42,
+                           store_dtype: str = "float64",
                            available_now: bool = True):
     """Streaming incremental SEMANTIC-dup ingestion — the embedding tier
     of the store-probe family (exact: :func:`stream_ingest_dedup`,
@@ -85,6 +86,25 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
     restores exactness (the parity test's configuration). A store
     written under one layout cannot be reopened under the other — the
     mismatch raises rather than silently degrading.
+
+    100 TB note — ``store_dtype`` (r10, VERDICT r09 #6): the store
+    persists normalized vectors at dim × 8 B/doc by default
+    (``"float64"``). Opt-in ``"float32"`` HALVES the store's bytes and
+    therefore every later probe's scan I/O — at 100 TB the store scan
+    is the semantic tier's recurring cost, the write is one-time.
+    Tolerance contract (explicit, the VERDICT's condition): the probe
+    decision becomes the cosine against the float32-ROUNDED stored
+    vector — fully deterministic and replay-stable (the rounding
+    happens once, at write), but relative to the float64 tier a pair
+    whose true cosine lies within ~√dim · 2⁻²⁴ of the threshold
+    (≈ 2e-6 at dim 1024) may decide differently; pairs outside that
+    band decide identically, so the batch≡stream parity suite (margins
+    ≫ 1e-5 by construction, like any real threshold choice) holds
+    bit-for-bit under either dtype. The default stays float64 — narrow
+    deliberately, not by default. A store written under one dtype
+    cannot be reopened under the other (raises, like the bucket
+    layout check — mixed-precision parquet fragments would corrupt the
+    scan schema).
     """
     from scalding_spark.functions.similarity import (_drop_null_vecs,
                                                      lsh_bucket,
@@ -100,6 +120,11 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
         raise ValueError(
             f"store_buckets={store_buckets}: want 1..16 hyperplanes "
             f"(2..65536 store partitions)")
+    if store_dtype not in ("float64", "float32"):
+        raise ValueError(
+            f"store_dtype={store_dtype!r}: want 'float64' (exact tier) "
+            f"or 'float32' (half the store scan I/O; ~2e-6 cosine "
+            f"tolerance band around the threshold)")
     # hyperplanes depend only on (seed, dim) — derived from the first
     # batch that carries vectors, deterministic across restarts
     planes: list = []
@@ -162,6 +187,17 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
             from scalding_spark.streaming import _read_store
             store = _read_store(spark, store_path)
             if store is not None:
+                stored_elem = store.schema["vecn"].dataType.elementType \
+                    .simpleString()
+                want_elem = "double" if store_dtype == "float64" else "float"
+                if stored_elem != want_elem:
+                    raise ValueError(
+                        f"store dtype mismatch at {store_path}: store "
+                        f"holds array<{stored_elem}> vectors but "
+                        f"store_dtype={store_dtype!r} — reopen with the "
+                        f"dtype the store was written under (appending "
+                        f"mixed-precision fragments would corrupt the "
+                        f"scan schema)")
                 has_buckets = "__bucket" in store.columns
                 if (store_buckets is not None) != has_buckets:
                     raise ValueError(
@@ -192,6 +228,12 @@ def stream_ingest_semantic(stream_df: DataFrame, corpus_path: str,
          .option("partitionOverwriteMode", "dynamic")
          .parquet(corpus_path))
         vecn = _normalized(vec_col)
+        if store_dtype == "float32":
+            # narrow at WRITE time: the rounding happens exactly once,
+            # so every later probe sees the same float32 values
+            # regardless of replay/compaction (the tolerance contract
+            # in the docstring)
+            vecn = vecn.cast("array<float>")
         wdf = (_drop_null_vecs(novel, vec_col)
                .select(F.col(id_col).alias("id"), vecn.alias("vecn"))
                .where(F.exists(F.col("vecn"), lambda x: x != 0))

@@ -329,14 +329,16 @@ def test_semantic_decontaminate_is_stream_compatible(spark, tmp_path):
 EMB_SCHEMA = "vec_id long, embedding array<double>"
 
 
-def _run_semantic(spark, batch_rows, paths, threshold=0.9):
+def _run_semantic(spark, batch_rows, paths, threshold=0.9,
+                  store_dtype="float64"):
     src, corpus, store, ckpt = paths
     spark.createDataFrame(batch_rows, EMB_SCHEMA) \
         .write.mode("append").parquet(src)
     stream = streaming.stream_from_parquet_dir(spark, src, EMB_SCHEMA)
     q = streaming.stream_ingest_semantic(
         stream, corpus_path=corpus, store_path=store, checkpoint=ckpt,
-        vec_col="embedding", id_col="vec_id", threshold=threshold)
+        vec_col="embedding", id_col="vec_id", threshold=threshold,
+        store_dtype=store_dtype)
     q.awaitTermination(120)
 
 
@@ -639,3 +641,63 @@ def test_greedy_kernel_duplicate_ids_never_pair():
     from scalding_spark.functions.similarity import _greedy_smaller_id_hits
     barr = [(1, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])]
     assert _greedy_smaller_id_hits(barr, 0.9) == [2]
+
+
+# --- store_dtype='float32' (VERDICT r09 #6) -----------------------------------
+
+def test_stream_ingest_semantic_float32_store_parity(spark, tmp_path):
+    """The float32 store tier must match the batch operators' kept-id
+    sets whenever no pair sits inside the ~2e-6 tolerance band around
+    the threshold (the documented contract) — this is the float64
+    parity test's corpus, margins ≫ 1e-5."""
+    from scalding_spark.functions import similarity
+    paths = tuple(str(tmp_path / p) for p in ("s32", "c32", "st32", "ck32"))
+    b1 = [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.05, 0.0]),
+          (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.98, 0.1])]
+    b2 = [(10, [0.99, 0.0, 0.05]), (11, [0.0, 0.0, 1.0]),
+          (12, [0.05, 0.05, 0.99])]
+    _run_semantic(spark, b1, paths, threshold=0.95, store_dtype="float32")
+    _run_semantic(spark, b2, paths, threshold=0.95, store_dtype="float32")
+    stream_kept = sorted(
+        r.vec_id for r in spark.read.parquet(paths[1]).collect())
+    s1 = similarity.semantic_dedup(
+        spark.createDataFrame(b1, EMB_SCHEMA), threshold=0.95, k=1)
+    df2 = similarity.semantic_dedup(
+        spark.createDataFrame(b2, EMB_SCHEMA), threshold=0.95, k=1)
+    s2 = similarity.semantic_decontaminate(df2, s1, threshold=0.95)
+    batch_kept = sorted([r.vec_id for r in s1.collect()]
+                        + [r.vec_id for r in s2.collect()])
+    assert stream_kept == batch_kept
+    # the store really is narrowed on disk (half the scan bytes)
+    elem = spark.read.parquet(paths[2]).schema["vecn"] \
+        .dataType.elementType.simpleString()
+    assert elem == "float"
+
+
+def test_stream_ingest_semantic_store_dtype_mismatch_raises(spark, tmp_path):
+    """A store written float32 cannot be silently reopened float64 (and
+    vice versa): mixed-precision fragments would corrupt the scan
+    schema — the reopen must raise, mirroring the bucket layout check."""
+    paths = tuple(str(tmp_path / p) for p in ("sm", "cm", "stm", "ckm"))
+    _run_semantic(spark, [(0, [1.0, 0.0])], paths, store_dtype="float32")
+    src = paths[0]
+    spark.createDataFrame([(1, [0.9, 0.1])], EMB_SCHEMA) \
+        .write.mode("append").parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, EMB_SCHEMA)
+    q = streaming.stream_ingest_semantic(
+        stream, corpus_path=paths[1], store_path=paths[2],
+        checkpoint=paths[3], vec_col="embedding", id_col="vec_id")
+    with pytest.raises(Exception, match="dtype mismatch"):
+        q.awaitTermination(120)
+        raise RuntimeError(q.exception() or "query ended cleanly")
+
+
+def test_stream_ingest_semantic_store_dtype_validates(spark, tmp_path):
+    src = str(tmp_path / "vsrc")
+    spark.createDataFrame([(0, [1.0])], EMB_SCHEMA).write.parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, EMB_SCHEMA)
+    with pytest.raises(ValueError, match="store_dtype"):
+        streaming.stream_ingest_semantic(
+            stream, corpus_path=str(tmp_path / "c"),
+            store_path=str(tmp_path / "s"), checkpoint=str(tmp_path / "k"),
+            store_dtype="float16")
