@@ -1152,6 +1152,120 @@ def compare_rows(rows, cols, golden_rows, golden_cols):
     return None
 
 
+# -- image perceptual hashing (r10, VERDICT r09 #7) --------------------------
+
+def _pnm_gray_int(content: bytes):
+    """Pure-Python binary PNM (P5/P6) parse → (integer luminance rows —
+    channel SUMS, the comparison-equivalent of the mean — width, height).
+    Independent reimplementation of the PNM spec; the operator side is
+    multimodal._pnm_raw + numpy."""
+    assert content[:2] in (b"P5", b"P6"), content[:2]
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(content) and content[i:i + 1].isspace():
+            i += 1
+        if content[i:i + 1] == b"#":
+            while i < len(content) and content[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j:j + 1].isspace():
+            j += 1
+        toks.append(int(content[i:j]))
+        i = j
+    i += 1
+    w, h, maxval = toks
+    ch = 1 if content[:2] == b"P5" else 3
+    wide = maxval >= 256
+
+    def sample(k):
+        if wide:
+            o = i + 2 * k
+            return (content[o] << 8) | content[o + 1]
+        return content[i + k]
+
+    lum = [[sum(sample((y * w + x) * ch + c) for c in range(ch))
+            for x in range(w)] for y in range(h)]
+    return lum, w, h
+
+
+def golden_image_dhash(content: bytes, hash_size: int = 8) -> int:
+    """UNSIGNED dHash mirror of multimodal._dhash_int (which returns the
+    same 64 bits as a signed bigint): bit y·hs+x set iff the
+    nearest-neighbor luminance grid has g[y, x] > g[y, x+1]."""
+    lum, w, h = _pnm_gray_int(content)
+    ys = [(y * h) // hash_size for y in range(hash_size)]
+    xs = [(x * w) // (hash_size + 1) for x in range(hash_size + 1)]
+    v = 0
+    for yi in range(hash_size):
+        row = lum[ys[yi]]
+        for xi in range(hash_size):
+            if row[xs[xi]] > row[xs[xi + 1]]:
+                v |= 1 << (yi * hash_size + xi)
+    return v
+
+
+def golden_image_ahash(content: bytes, hash_size: int = 8) -> int:
+    """UNSIGNED aHash mirror of multimodal._ahash_int: bit set iff
+    g[y, x]·hs² > Σ grid (integer cross-multiplication)."""
+    lum, w, h = _pnm_gray_int(content)
+    ys = [(y * h) // hash_size for y in range(hash_size)]
+    xs = [(x * w) // hash_size for x in range(hash_size)]
+    grid = [[lum[y][x] for x in xs] for y in ys]
+    total = sum(sum(r) for r in grid)
+    n = hash_size * hash_size
+    v = 0
+    for yi in range(hash_size):
+        for xi in range(hash_size):
+            if grid[yi][xi] * n > total:
+                v |= 1 << (yi * hash_size + xi)
+    return v
+
+
+def image_media(sf_dir: str):
+    """The q_image_neardup fabrication, mirrored byte-for-byte: per doc a
+    16×16 P5 image whose body is md5-derived from the doc's FAMILY
+    (doc_id % 100) with pixel (0,0) replaced by (doc_id % 4)·64 — family
+    members are near-identical (dhash hamming ≤ 1), cross-family images
+    are effectively random."""
+    import hashlib as _hl
+    out = []
+    for i, _txt in _documents(sf_dir):
+        fam = str(i % 100)
+        body = b"".join(_hl.md5(f"{fam}-{j}".encode()).digest()
+                        for j in range(16))
+        out.append((i, b"P5\n16 16\n255\n"
+                    + bytes([(i % 4) * 64]) + body[1:]))
+    return out
+
+
+def golden_image_neardup(sf_dir: str):
+    """Mirror of q_image_neardup: dHash over the fabricated media, then
+    the (max_hamming+1)-chunk pigeonhole banding (golden_simhash_pairs'
+    candidate scheme) at max_hamming=2."""
+    max_hamming = 2
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    hashes = {i: golden_image_dhash(c) for i, c in image_media(sf_dir)}
+    chunk_map = {}
+    for i, hv in hashes.items():
+        for c in range(chunks):
+            key = (c, (hv >> (c * width)) & ((1 << width) - 1))
+            chunk_map.setdefault(key, []).append(i)
+    cands = set()
+    for ids_ in chunk_map.values():
+        ids_ = sorted(ids_)
+        for ai in range(len(ids_)):
+            for bi in range(ai + 1, len(ids_)):
+                cands.add((ids_[ai], ids_[bi]))
+    out = []
+    for a, b in sorted(cands):
+        ham = bin(hashes[a] ^ hashes[b]).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return out, ["id_a", "id_b", "hamming"]
+
+
 def golden_checker(golden_fn):
     """Lift a golden (sf_dir → (rows, cols)) into the checker signature
     (sf_dir, rows, cols → error | None)."""

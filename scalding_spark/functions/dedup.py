@@ -519,13 +519,27 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, banded:
-    split the 64-bit hash into (max_hamming+1) chunks — any pair within the
-    distance budget must agree exactly on ≥1 chunk (pigeonhole), so the join
-    key is a 16-bit chunk value + chunk id, never all-pairs."""
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, banded
+    (see :func:`hamming_band_pairs` — the shared 64-bit banding kernel,
+    also under multimodal.image_neardup_pairs' perceptual hashes)."""
+    sims = simhash64(df, text_col, id_col)
+    return hamming_band_pairs(sims, "id", "simhash", max_hamming)
+
+
+def hamming_band_pairs(hashes: DataFrame, id_col: str, hash_col: str,
+                       max_hamming: int) -> DataFrame:
+    """Pairs of 64-bit hashes within hamming distance ≤ max_hamming →
+    (id_a, id_b, hamming), banded: split the hash into (max_hamming+1)
+    chunks — any pair within the distance budget must agree exactly on
+    ≥1 chunk (pigeonhole; chunks cover the low (max_hamming+1)·⌊64/(m+1)⌋
+    bits, and ≤ max_hamming differing bits anywhere still leave one
+    covered chunk clean), so the join key is a chunk value + chunk id,
+    never all-pairs. Works on signed bigints (shiftrightunsigned /
+    bit_count are two's-complement-correct)."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sims = simhash64(df, text_col, id_col)
+    sims = hashes.select(F.col(id_col).alias("id"),
+                         F.col(hash_col).alias("simhash"))
     chunk_cols = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned("simhash", c * width).bitwiseAND(

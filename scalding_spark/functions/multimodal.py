@@ -71,6 +71,16 @@ def _parse_pnm(content: bytes):
     """Binary PPM/PGM (P5 grayscale / P6 RGB) → (numpy grayscale array in
     [0,1], width, height). No codec libs needed — the raw-pixel formats
     every toolchain can emit."""
+    px, w, h, maxval = _pnm_raw(content)
+    gray = px.astype("float64") / maxval
+    return gray.mean(axis=2), w, h
+
+
+def _pnm_raw(content: bytes):
+    """Binary PPM/PGM → (numpy INTEGER pixel array h×w×ch, width, height,
+    maxval) — the shared parse under :func:`_parse_pnm` (float luminance)
+    and the perceptual hashes (integer luminance: exact, so the
+    py_reference mirror is bit-trivial)."""
     import numpy as np
     if not content.startswith((b"P5", b"P6")):
         raise NotImplementedError(
@@ -115,8 +125,7 @@ def _parse_pnm(content: bytes):
             f"malformed PNM: pixel section truncated "
             f"({len(content) - i} bytes, need {need})")
     px = np.frombuffer(content, dtype=dt, count=w * h * ch, offset=i)
-    px = px.reshape(h, w, ch).astype("float64") / maxval
-    return px.mean(axis=2), w, h
+    return px.reshape(h, w, ch), w, h, maxval
 
 
 def decode_image_real(content: bytes) -> list[float]:
@@ -335,3 +344,128 @@ def repartition_by_bytes(df: DataFrame, total_bytes_col: str = None,
     total = df.agg(F.sum(size_expr).alias("b")).collect()[0].b or 0
     n = max(1, int(total // target_partition_bytes) + 1)
     return df.repartition(n)
+
+
+# -- perceptual hashing / image near-dup (r10, VERDICT r09 #7) ----------------
+
+def _luma_grid(content: bytes, rows: int, cols: int):
+    """INTEGER luminance sampled on a rows×cols nearest-neighbor grid.
+
+    All-integer on purpose: the hash bits below compare luminance values
+    (dHash) or cross-multiplied sums (aHash), so no float division or
+    float mean ever happens — the pure-Python py_reference mirror is
+    bit-trivial (float means would drag numpy's pairwise-summation
+    rounding into the goldens). Luminance = the channel SUM (comparisons
+    of r+g+b order identically to comparisons of their mean). PNM parses
+    dependency-free; other formats go through PIL (convert("L") —
+    integer bytes) when installed, else raise NotImplementedError like
+    the rest of the module."""
+    import numpy as np
+    if content.startswith((b"P5", b"P6")):
+        px, w, h, _maxval = _pnm_raw(bytes(content))
+        lum = px.astype("int64").sum(axis=2)
+    elif _HAS_PIL:
+        import io
+        img = _PILImage.open(io.BytesIO(bytes(content))).convert("L")
+        lum = np.asarray(img, dtype="int64")
+        h, w = lum.shape
+    else:
+        raise NotImplementedError(
+            f"no codec for magic {bytes(content)[:2]!r} (PIL absent; only "
+            f"binary PPM/PGM decodable without it)")
+    ys = (np.arange(rows) * h) // rows
+    xs = (np.arange(cols) * w) // cols
+    return lum[np.ix_(ys, xs)]
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _dhash_int(content: bytes, hash_size: int) -> int:
+    """Difference hash: bit y·hs+x set iff grid[y, x] > grid[y, x+1] on a
+    hs×(hs+1) nearest-neighbor luminance grid (the classic dHash with
+    deterministic point sampling instead of area averaging — exactness
+    over a marginally smoother downsample; the whole point of the grid
+    is comparisons, which integer samples decide exactly)."""
+    g = _luma_grid(content, hash_size, hash_size + 1)
+    v = 0
+    for y in range(hash_size):
+        for x in range(hash_size):
+            if g[y, x] > g[y, x + 1]:
+                v |= 1 << (y * hash_size + x)
+    return _to_signed64(v)
+
+
+def _ahash_int(content: bytes, hash_size: int) -> int:
+    """Average hash: bit y·hs+x set iff grid[y, x]·hs² > Σ grid (the
+    strict per-pixel 'above mean' test as an exact integer
+    cross-multiplication — the Gopher-gate trick, no float mean)."""
+    g = _luma_grid(content, hash_size, hash_size)
+    total = int(g.sum())
+    n = hash_size * hash_size
+    v = 0
+    for y in range(hash_size):
+        for x in range(hash_size):
+            if int(g[y, x]) * n > total:
+                v |= 1 << (y * hash_size + x)
+    return _to_signed64(v)
+
+
+def _phash_column(df: DataFrame, content_col: str, out_col: str,
+                  hash_size: int, kernel) -> DataFrame:
+    if not 2 <= hash_size <= 8:
+        raise ValueError(f"hash_size={hash_size}: want 2..8 "
+                         f"(hash_size² bits must fit one BIGINT)")
+    fields = df.schema.fields
+    out_schema = T.StructType(
+        list(fields) + [T.StructField(out_col, T.LongType())])
+
+    def run(batches):
+        for pdf in batches:
+            # NULL content → NULL hash (the extract_image_features rule:
+            # one missing blob among billions must not kill the job)
+            pdf[out_col] = pdf[content_col].map(
+                lambda c: None if c is None else kernel(c, hash_size))
+            pdf[out_col] = pdf[out_col].astype("Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_dhash(df: DataFrame, content_col: str = "content",
+                out_col: str = "dhash", hash_size: int = 8) -> DataFrame:
+    """64-bit (hash_size=8) difference hash per image — the perceptual
+    fingerprint near-dup image dedup keys on. Zero-shuffle mapInPandas
+    (the module's decode shape); the hash survives re-encoding and
+    small pixel noise, unlike the exact-dedup byte fingerprint."""
+    return _phash_column(df, content_col, out_col, hash_size, _dhash_int)
+
+
+def image_ahash(df: DataFrame, content_col: str = "content",
+                out_col: str = "ahash", hash_size: int = 8) -> DataFrame:
+    """Average hash (above-mean bits) — cheaper and blunter than dHash;
+    same plumbing, same banding compatibility."""
+    return _phash_column(df, content_col, out_col, hash_size, _ahash_int)
+
+
+def image_neardup_pairs(df: DataFrame, id_col: str = "media_id",
+                        content_col: str = "content",
+                        max_hamming: int = 2, hash_size: int = 8,
+                        method: str = "dhash") -> DataFrame:
+    """Near-duplicate image pairs → (id_a, id_b, hamming): perceptual
+    hash (dHash default, aHash opt-in) + the SimHash hamming-band
+    candidate machinery (dedup.hamming_band_pairs — (max_hamming+1)
+    chunks, pigeonhole-exact, never all-pairs). Completes the
+    store-probe dedup family for images: one map-only hash pass over
+    the binary column, then banding shuffles 8-byte hashes — the image
+    bytes never shuffle (the decontaminate/text rule at 100 TB)."""
+    from scalding_spark.functions.dedup import hamming_band_pairs
+    kernels = {"dhash": image_dhash, "ahash": image_ahash}
+    if method not in kernels:
+        raise ValueError(f"method={method!r}: want one of {sorted(kernels)}")
+    hashes = kernels[method](
+        df.select(F.col(id_col).alias("id"), F.col(content_col)),
+        content_col=content_col, out_col="__ph", hash_size=hash_size) \
+        .where(F.col("__ph").isNotNull()).select("id", "__ph")
+    return hamming_band_pairs(hashes, "id", "__ph", max_hamming)
