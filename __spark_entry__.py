@@ -1797,6 +1797,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("f0"), 6).alias("avg_f0")))
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup tier (multimodal.image_neardup_pairs, r10): dHash
+    perceptual fingerprints over REAL decoded pixels (16×16 binary P5
+    images fabricated per doc from md5 bytes — family doc_id%100 shares a
+    body, pixel (0,0) varies by doc_id%4, so family members sit at dhash
+    hamming ≤ 1) + the SimHash pigeonhole banding at max_hamming=2.
+    py-golden (py_reference.golden_image_neardup mirrors the PNM parse,
+    the integer-luminance grid, and the banding — all-integer, so the
+    mirror is exact by construction)."""
+    from scalding_spark.functions import multimodal as mm
+    docs = _t(spark, sf_dir, "documents")
+    fam = (F.col("doc_id") % 100).cast("string")
+    body = F.concat(*[F.unhex(F.md5(F.concat(fam, F.lit(f"-{j}"))))
+                      for j in range(16)])
+    delta = F.unhex(F.lpad(F.hex((F.col("doc_id") % 4) * 64), 2, "0"))
+    content = F.concat(F.lit(b"P5\n16 16\n255\n"),
+                       delta, F.substring(body, 2, 255))
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        content.alias("content"))
+    return mm.image_neardup_pairs(media, id_col="media_id",
+                                  content_col="content", max_hamming=2)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -2736,100 +2759,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
-    # r09 window (VERDICT r08 next-round #1 + #3): the 7 r05-stale TPC-H
-    # entries lead (ledgered in r08 as the r09 queue head), then the
-    # three NEW r09 evaluation queries (q_pr_auc / q_pr_auc_by_slice —
-    # average precision, VERDICT r08 #3 — and q_cohens_kappa,
-    # chance-corrected rater agreement; never driver-checked, so the
-    # rotation test requires them inside the window), then q_threshold_sweep
-    # (changed-operator re-verification: its zero-judged-rows contract
-    # and oracle gained the one-row-per-threshold empty branch in r09,
-    # ADVICE r08 #3, after its r08 row), then q_fuzzy_join and
-    # q_train_quality (r09 PLAN rewrites — distinct-string-pair
-    # verification and the GD feature persist — value-pinned
-    # bit-identical, re-verified under the driver per the rule's
-    # spirit), then the r06-green block in queue order
-    # (q_contamination_report onward), as many as fit. The 12
-    # r06-green entries the window cannot fit (q_deterministic_sample,
-    # q_train_split, q_stratified_sample, q_text_quality, q_lang_id,
-    # q_fingerprint, q_vocabulary, q_tfidf_top_terms,
-    # q_multimodal_features, q_cosine_topk, q_embedding_neardup_exact,
-    # q_events_daily — displaced by the 7 TPC-H leads + the 3
-    # insertions + the 3 re-verifications) sit directly below position
-    # 50 and lead the r10 window. Every insertion/displacement is ledgered at the
-    # displacement point so the header never overstates what the driver
-    # verified (ADVICE r06 #1).
+    # r10 window (VERDICT r09 next-round #1): the 12 r06-stale entries
+    # lead (ledgered in r09 as the r10 queue head), then the NEW
+    # q_image_neardup (perceptual-hash image near-dup tier, VERDICT r09
+    # #7; never driver-checked, so the rotation test requires it inside
+    # the window), then 8 changed-operator re-verifications —
+    # q_cohens_kappa (the by-form's disjoint-slice LEFT-join fix +
+    # DECIMAL(38,0) identity, ADVICE r09 #1/#2), q_pr_auc /
+    # q_pr_auc_by_slice / q_quality_auc (wide-decimal rank/AP products,
+    # ADVICE r09 #2 + VERDICT r09 #4), q_auc_by_slice (grouped
+    # range-partition prefix-offset rewrite, VERDICT r09 #3),
+    # q_dedup_clusters / q_cc_star (connected-components pre-partitioned
+    # edge persist, VERDICT r09 #2 — bit-identical by the union-find
+    # suite, re-verified under the driver per the rule), and
+    # q_simhash_pairs (banding extracted into dedup.hamming_band_pairs
+    # for the image tier — expression-identical, same rule) — then the
+    # r07-green block in queue order (q_matrix_scalar_pipe onward,
+    # first 29 of the 46 not already placed above; q_cc_star and
+    # q_simhash_pairs are r07-block members pulled into the
+    # re-verification slots). The 17 r07-green entries the window cannot
+    # fit (q_mix_proportions … q_dsir_weights) sit directly below
+    # position 50 and lead the r11 window. Every insertion/displacement
+    # is ledgered at the displacement point so the header never
+    # overstates what the driver verified (ADVICE r06 #1).
     return {
-        # -- r09 window head: the 7 r05-stale TPC-H entries (displaced
-        #    from the r08 window by the eval insertions; VERDICT r08 #1) --
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q11_important_parts": q11_important_parts,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_effect": q14_promo_effect,
-        # -- r09 window: NEW average-precision queries (evaluation.pr_auc,
-        #    VERDICT r08 #3), first driver run --
-        "q_pr_auc": q_pr_auc,
-        "q_pr_auc_by_slice": q_pr_auc_by_slice,
-        "q_cohens_kappa": q_cohens_kappa,
-        # -- r09 window: changed-operator re-verification (ADVICE r08 #3:
-        #    threshold_sweep + its oracle gained the empty branch after
-        #    the r08 row; and the r09 PLAN rewrites — fuzzy_join's
-        #    distinct-string-pair verification, train_logistic_quality's
-        #    feature persist — are value-pinned bit-identical by their
-        #    suites, but the re-verification rule's spirit puts their
-        #    r07-green gate rows back under the driver too) --
-        "q_threshold_sweep": q_threshold_sweep,
-        "q_fuzzy_join": q_fuzzy_join,
-        "q_train_quality": q_train_quality,
-        # -- r09 window: r06-green block, queue order (first 38 of 49;
-        #    the 11 displaced by the entries above are ledgered below
-        #    position 50 and lead the r10 window) --
-        "q_contamination_report": q_contamination_report,
-        "q_neardup_against": q_neardup_against,
-        "q_corpus_diff": q_corpus_diff,
-        "q_leakage_safe_split": q_leakage_safe_split,
-        "q_semantic_dedup_auto": q_semantic_dedup_auto,
-        "q_semantic_decontam": q_semantic_decontam,
-        "q18_large_volume_customer": q18_large_volume_customer,
-        "q22_idle_customers": q22_idle_customers,
-        "q_mkstring": q_mkstring,
-        "q_times_product": q_times_product,
-        "q_head_last": q_head_last,
-        "q_toset": q_toset,
-        "q_maplist": q_maplist,
-        "q_dot": q_dot,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_count": q16_supplier_part_count,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q_matmul": q_matmul,
-        "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
-        "q_matrix_elementwise": q_matrix_elementwise,
-        "q_matrix_reductions": q_matrix_reductions,
-        "q_matrix_col_normalize": q_matrix_col_normalize,
-        "q_matrix_filter_ops": q_matrix_filter_ops,
-        "q_matrix_zip": q_matrix_zip,
-        "q_matrix_map_rows": q_matrix_map_rows,
-        "q_vector_matrix_product": q_vector_matrix_product,
-        "q_diag_inverse_trace": q_diag_inverse_trace,
-        "q_combinations": q_combinations,
-        "q_subset_sum": q_subset_sum,
-        "q_pagerank": q_pagerank,
-        "q_exact_dedup": q_exact_dedup,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_dedup_clusters": q_dedup_clusters,
-        # ---- position 50 ends here ----
-        # -- r10 queue head: the 12 r06-green entries displaced below
-        #    position 50 by the r09 head (7 TPC-H + q_pr_auc /
-        #    q_pr_auc_by_slice / q_cohens_kappa insertions + the
-        #    q_threshold_sweep / q_fuzzy_join / q_train_quality
-        #    re-verifications); NOT re-verified this round --
+        # -- r10 window head: the 12 r06-stale entries (displaced from
+        #    the r09 window by its head insertions; VERDICT r09 #1) --
         "q_deterministic_sample": q_deterministic_sample,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
@@ -2842,15 +2797,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_neardup_exact": q_embedding_neardup_exact,
         "q_events_daily": q_events_daily,
-        # -- r08-green block (CORRECTNESS_r08 verified all 50 in window
-        #    order; q_threshold_sweep moved to the r09 window head for
-        #    changed-operator re-verification, ADVICE r08 #3) --
+        # -- r10 window: NEW image near-dup tier (multimodal.image_dhash
+        #    + hamming banding, VERDICT r09 #7), first driver run --
+        "q_image_neardup": q_image_neardup,
+        # -- r10 window: changed-operator re-verification (see header) --
+        "q_cohens_kappa": q_cohens_kappa,
+        "q_pr_auc": q_pr_auc,
+        "q_pr_auc_by_slice": q_pr_auc_by_slice,
+        "q_auc_by_slice": q_auc_by_slice,
+        "q_quality_auc": q_quality_auc,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_cc_star": q_cc_star,
+        "q_simhash_pairs": q_simhash_pairs,
+        # -- r10 window: r07-green block, queue order (first 29 of the
+        #    46 not placed above; the 17 displaced are ledgered below
+        #    position 50 and lead the r11 window) --
+        "q_matrix_scalar_pipe": q_matrix_scalar_pipe,
+        "q_events_rollup": q_events_rollup,
+        "q_session_window": q_session_window,
+        "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_cube_agg": q_cube_agg,
+        "q_substring_spans": q_substring_spans,
+        "q_unigram_lm": q_unigram_lm,
+        "q_linear_quality": q_linear_quality,
+        "q_global_rank_scan": q_global_rank_scan,
+        "q_bigram_lm": q_bigram_lm,
+        "q_kmeans": q_kmeans,
+        "q_map_stream": q_map_stream,
+        "q_chunk_documents": q_chunk_documents,
+        "q_topk_window": q_topk_window,
+        "q_rank_by_value": q_rank_by_value,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_shards": q_pack_shards,
+        "q_domain_cap": q_domain_cap,
+        "q12_priority_by_flag": q12_priority_by_flag,
+        "q_pii_redact": q_pii_redact,
+        "q_top_word_fraction": q_top_word_fraction,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_cosine_topk_lsh": q_cosine_topk_lsh,
+        "q_cosine_topk_ivf": q_cosine_topk_ivf,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_hll_distinct": q_hll_distinct,
+        "q_weighted_sample": q_weighted_sample,
+        # ---- position 50 ends here ----
+        # -- r11 queue head: the 17 r07-green entries displaced below
+        #    position 50 by the r10 head (12 r06 leads + q_image_neardup
+        #    + the 8 re-verifications); NOT re-verified this round --
+        "q_mix_proportions": q_mix_proportions,
+        "q_dedup_against": q_dedup_against,
+        "q_pack_sequences": q_pack_sequences,
+        "q_top_bigram_fraction": q_top_bigram_fraction,
+        "q_gopher_quality": q_gopher_quality,
+        "q_bm25_search": q_bm25_search,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_corpus_stats": q_corpus_stats,
+        "q_collocations": q_collocations,
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_cut_spans": q_cut_spans,
+        "q_ntile_ranks": q_ntile_ranks,
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_top_fraction": q_top_fraction,
+        "q_corpus_kl": q_corpus_kl,
+        "q_bloom_anti_join": q_bloom_anti_join,
+        "q_dsir_weights": q_dsir_weights,
+        # -- r08-green block (CORRECTNESS_r08 verified these in window
+        #    order; q_quality_auc and q_auc_by_slice moved to the r10
+        #    window head for changed-operator re-verification) --
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
         "q_url_canonical": q_url_canonical,
-        "q_quality_auc": q_quality_auc,
         "q_calibration_bins": q_calibration_bins,
-        "q_auc_by_slice": q_auc_by_slice,
         "q_dedup_lines": q_dedup_lines,
         "q_char_entropy": q_char_entropy,
         "q_duplicate_line_fraction": q_duplicate_line_fraction,
@@ -2894,60 +2912,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority_exists": q4_order_priority_exists,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
-        # -- r07-green block (freshest driver rows, tail of the rotation;
-        #    CORRECTNESS_r07 verified all 50 in this order) --
-        "q_matrix_scalar_pipe": q_matrix_scalar_pipe,
-        "q_events_rollup": q_events_rollup,
-        "q_session_window": q_session_window,
-        "q_sessionize": q_sessionize,
-        "q_cc_star": q_cc_star,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_cube_agg": q_cube_agg,
-        "q_substring_spans": q_substring_spans,
-        "q_unigram_lm": q_unigram_lm,
-        "q_linear_quality": q_linear_quality,
-        "q_global_rank_scan": q_global_rank_scan,
-        "q_bigram_lm": q_bigram_lm,
-        "q_kmeans": q_kmeans,
-        "q_map_stream": q_map_stream,
-        "q_chunk_documents": q_chunk_documents,
-        "q_topk_window": q_topk_window,
-        "q_rank_by_value": q_rank_by_value,
-        "q_decontaminate": q_decontaminate,
-        "q_pack_shards": q_pack_shards,
-        "q_domain_cap": q_domain_cap,
-        "q12_priority_by_flag": q12_priority_by_flag,
-        "q_pii_redact": q_pii_redact,
-        "q_top_word_fraction": q_top_word_fraction,
-        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_cosine_topk_lsh": q_cosine_topk_lsh,
-        "q_cosine_topk_ivf": q_cosine_topk_ivf,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_hll_distinct": q_hll_distinct,
-        # (q_train_quality moved to the r09 window head — plan-rewrite
-        #  re-verification)
-        "q_weighted_sample": q_weighted_sample,
-        "q_mix_proportions": q_mix_proportions,
-        "q_dedup_against": q_dedup_against,
-        "q_pack_sequences": q_pack_sequences,
-        "q_top_bigram_fraction": q_top_bigram_fraction,
-        "q_gopher_quality": q_gopher_quality,
-        "q_bm25_search": q_bm25_search,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_corpus_stats": q_corpus_stats,
-        "q_collocations": q_collocations,
-        "q_dedup_keep_best": q_dedup_keep_best,
-        "q_cut_spans": q_cut_spans,
-        "q_ntile_ranks": q_ntile_ranks,
-        "q_ccnet_buckets": q_ccnet_buckets,
-        "q_top_fraction": q_top_fraction,
-        "q_corpus_kl": q_corpus_kl,
-        # (q_fuzzy_join moved to the r09 window head — plan-rewrite
-        #  re-verification)
-        "q_bloom_anti_join": q_bloom_anti_join,
-        "q_dsir_weights": q_dsir_weights,
+        # -- r09-green block (freshest driver rows, tail of the rotation;
+        #    CORRECTNESS_r09 verified these in window order; q_pr_auc /
+        #    q_pr_auc_by_slice / q_cohens_kappa / q_dedup_clusters moved
+        #    to the r10 window head for re-verification) --
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_effect": q14_promo_effect,
+        "q_threshold_sweep": q_threshold_sweep,
+        "q_fuzzy_join": q_fuzzy_join,
+        "q_train_quality": q_train_quality,
+        "q_contamination_report": q_contamination_report,
+        "q_neardup_against": q_neardup_against,
+        "q_corpus_diff": q_corpus_diff,
+        "q_leakage_safe_split": q_leakage_safe_split,
+        "q_semantic_dedup_auto": q_semantic_dedup_auto,
+        "q_semantic_decontam": q_semantic_decontam,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "q22_idle_customers": q22_idle_customers,
+        "q_mkstring": q_mkstring,
+        "q_times_product": q_times_product,
+        "q_head_last": q_head_last,
+        "q_toset": q_toset,
+        "q_maplist": q_maplist,
+        "q_dot": q_dot,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q_matmul": q_matmul,
+        "q_matrix_rownorm_topk": q_matrix_rownorm_topk,
+        "q_matrix_elementwise": q_matrix_elementwise,
+        "q_matrix_reductions": q_matrix_reductions,
+        "q_matrix_col_normalize": q_matrix_col_normalize,
+        "q_matrix_filter_ops": q_matrix_filter_ops,
+        "q_matrix_zip": q_matrix_zip,
+        "q_matrix_map_rows": q_matrix_map_rows,
+        "q_vector_matrix_product": q_vector_matrix_product,
+        "q_diag_inverse_trace": q_diag_inverse_trace,
+        "q_combinations": q_combinations,
+        "q_subset_sum": q_subset_sum,
+        "q_pagerank": q_pagerank,
+        "q_exact_dedup": q_exact_dedup,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     }
 
 
@@ -3160,6 +3174,10 @@ def py_oracle() -> dict[str, Callable]:
         "q_semantic_decontam": pr.golden_checker(
             pr.golden_semantic_decontam),
         "q_hll_distinct": pr.check_hll_distinct,
+        # r10: image near-dup tier — the PNM parse, integer-luminance
+        # grid, dHash bits, and banding are all-integer, so the mirror
+        # is exact by construction (no SQL: binary image decode)
+        "q_image_neardup": pr.golden_checker(pr.golden_image_neardup),
     }
 
 

@@ -195,3 +195,38 @@ def test_r09_ledger_comment_arithmetic_corrected():
     with open(path, encoding="utf-8") as f:
         text = f.read()
     assert "first 38 of 49" not in text
+
+
+# --- r10 changed-operator re-verification (DURABLE pin form) -----------------
+
+def test_r10_changed_operators_reverified_or_in_window():
+    """Every operator whose semantics or plan changed in r10 (plus the
+    new image tier) must be re-verified by the driver: a hash-green
+    CORRECTNESS row from round >= 10, OR a seat in the current 50-entry
+    window (the durable form — window membership alone would break when
+    a later rotation correctly moves a re-verified query out)."""
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    changed = ["q_image_neardup", "q_cohens_kappa", "q_pr_auc",
+               "q_pr_auc_by_slice", "q_auc_by_slice", "q_quality_auc",
+               "q_dedup_clusters", "q_cc_star", "q_simhash_pairs"]
+    green_since_10 = set()
+    for fn in os.listdir(here):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            rnd = int(fn[len("CORRECTNESS_r"):-len(".json")])
+            if rnd < 10:
+                continue
+            data = json.load(open(os.path.join(here, fn)))
+            for k, v in data.items():
+                if v.get("rows_match") and v.get("err") is None:
+                    green_since_10.add(k)
+    window = set(list(e.queries())[:50])
+    missing = [q for q in changed
+               if q not in green_since_10 and q not in window]
+    assert not missing, (
+        f"r10-changed operators with no round>=10 green row and no "
+        f"window seat: {missing}")
