@@ -99,6 +99,8 @@ HEADLINE = [
     "q_pr_auc",                  # exact average precision (desc range ranks)
     "q_pr_auc_by_slice",         # per-slice AP (desc windows per slice)
     "q_cohens_kappa",            # chance-corrected rater agreement (pair groupBy)
+    # -- added r10 --
+    "q_image_neardup",           # dHash perceptual image near-dup (map-only hash + banding)
 ]
 
 

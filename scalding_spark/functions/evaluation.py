@@ -8,10 +8,13 @@ No reference analog (the reference ships no eval ops; this module is
 part of the LLM-pipeline extension surface, like dedup.py/sampling.py).
 
 Determinism contract (the same one train_logistic_quality pins): every
-metric is accumulated in EXACT integer / decimal arithmetic — rank sums
-as BIGINTs, score sums as DECIMAL(27,9) — with one IEEE division at the
-end, so results are bit-identical under any partition layout and across
-engines (the driver's value-hash gate compares against DuckDB).
+metric is accumulated in EXACT integer / decimal arithmetic — rank and
+marginal PRODUCTS in DECIMAL(38,0) (wrap-free where BIGINT silently
+wraps past 2⁶³, ~3e9 judged rows for the rank identity — ADVICE r09),
+tie-class counts as BIGINTs, score sums as DECIMAL(27,9) — with one
+IEEE division at the end, so results are bit-identical under any
+partition layout and across engines (the driver's value-hash gate
+compares against DuckDB).
 
 Scale shapes:
 

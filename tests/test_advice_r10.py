@@ -230,3 +230,58 @@ def test_r10_changed_operators_reverified_or_in_window():
     assert not missing, (
         f"r10-changed operators with no round>=10 green row and no "
         f"window seat: {missing}")
+
+
+# --- 2b. hypothesis: wide-decimal identities across the >2⁵³ space -----------
+
+def test_kappa_identity_hypothesis_big_counts(spark):
+    """VERDICT r09 #4's Done-condition: hypothesis-generated
+    pre-aggregated counts with products beyond 2⁵³ (and mostly beyond
+    2⁶³) must match the Python big-int mirror bit-for-bit — or the
+    decimal must NULL loudly, never wrap."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(n=st.integers(min_value=2**31, max_value=2**62),
+           agree_frac=st.integers(min_value=0, max_value=1000),
+           pab_frac=st.integers(min_value=0, max_value=1000))
+    def check(n, agree_frac, pab_frac):
+        agree = n * agree_frac // 1000
+        pab = (n * n) * pab_frac // 1000
+        d = (spark.createDataFrame([(n, agree)], "n long, agree long")
+             .withColumn("pab", F.expr(f"cast('{pab}' as decimal(38,0))"))
+             .select(*ev._kappa_cols(F.col("n"), F.col("agree"),
+                                     F.col("pab"))))
+        row = d.first()
+        assert row["po"] == float(agree) / float(n)
+        assert row["pe"] == float(pab) / float(n * n)
+        if n * n - pab != 0:
+            assert row["kappa"] == \
+                float(n * agree - pab) / float(n * n - pab)
+        else:
+            assert row["kappa"] is None
+
+    check()
+
+
+def test_ap_term_hypothesis_big_counts(spark):
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(np_=st.integers(min_value=2**27, max_value=2**31),
+           extra=st.integers(min_value=0, max_value=2**31),
+           slack=st.integers(min_value=0, max_value=2**31))
+    def check(np_, extra, slack):
+        cpt = np_ + extra
+        cnt = cpt + slack
+        d = (spark.createDataFrame([(np_, cpt, cnt)],
+                                   "np long, cpt long, cnt long")
+             .select(ev._ap_term().alias("term")))
+        got = d.first()["term"]
+        want = Decimal(repr(float(np_ * cpt) / float(cnt))).quantize(
+            Decimal("1.000000000"), rounding=ROUND_HALF_UP)
+        assert got == want
+
+    check()
