@@ -526,6 +526,21 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     return hamming_band_pairs(sims, "id", "simhash", max_hamming)
 
 
+def hamming_chunk_cols(hash_col, max_hamming: int) -> Column:
+    """The pigeonhole band key array for a 64-bit hash: (max_hamming+1)
+    ``struct(chunk, key)`` entries — a pair within the hamming budget
+    must agree exactly on ≥1 entry (see :func:`hamming_band_pairs`).
+    Shared by the batch pair generator and the streaming image tier's
+    store probe (same chunking ⇒ same recall guarantee)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    return F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned(hash_col, c * width).bitwiseAND(
+                     F.lit((1 << width) - 1)).alias("key"))
+        for c in range(chunks)])
+
+
 def hamming_band_pairs(hashes: DataFrame, id_col: str, hash_col: str,
                        max_hamming: int) -> DataFrame:
     """Pairs of 64-bit hashes within hamming distance ≤ max_hamming →
@@ -536,16 +551,11 @@ def hamming_band_pairs(hashes: DataFrame, id_col: str, hash_col: str,
     covered chunk clean), so the join key is a chunk value + chunk id,
     never all-pairs. Works on signed bigints (shiftrightunsigned /
     bit_count are two's-complement-correct)."""
-    chunks = max_hamming + 1
-    width = 64 // chunks
     sims = hashes.select(F.col(id_col).alias("id"),
                          F.col(hash_col).alias("simhash"))
-    chunk_cols = F.array(*[
-        F.struct(F.lit(c).alias("chunk"),
-                 F.shiftrightunsigned("simhash", c * width).bitwiseAND(
-                     F.lit((1 << width) - 1)).alias("key"))
-        for c in range(chunks)])
-    exploded = sims.select("id", "simhash", F.explode(chunk_cols).alias("ck"))
+    exploded = sims.select(
+        "id", "simhash",
+        F.explode(hamming_chunk_cols("simhash", max_hamming)).alias("ck"))
     l, r = exploded.alias("l"), exploded.alias("r")
     cands = (l.join(r, (F.col("l.ck") == F.col("r.ck")) & (F.col("l.id") < F.col("r.id")))
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),

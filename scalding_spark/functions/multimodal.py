@@ -422,12 +422,18 @@ def _phash_column(df: DataFrame, content_col: str, out_col: str,
         list(fields) + [T.StructField(out_col, T.LongType())])
 
     def run(batches):
+        import pandas as pd
         for pdf in batches:
             # NULL content → NULL hash (the extract_image_features rule:
-            # one missing blob among billions must not kill the job)
-            pdf[out_col] = pdf[content_col].map(
-                lambda c: None if c is None else kernel(c, hash_size))
-            pdf[out_col] = pdf[out_col].astype("Int64")
+            # one missing blob among billions must not kill the job).
+            # Built as an OBJECT series first: Series.map would infer
+            # float64 for a batch mixing ints and None (None → NaN) and
+            # silently round 64-bit hashes at the 2⁵³ boundary — caught
+            # by the streaming tier's mixed-batch parity test.
+            vals = [None if c is None else kernel(c, hash_size)
+                    for c in pdf[content_col]]
+            pdf[out_col] = pd.Series(vals, dtype="object",
+                                     index=pdf.index).astype("Int64")
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

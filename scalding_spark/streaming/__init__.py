@@ -138,6 +138,7 @@ def stateful_map(df: DataFrame, keys: list[str], fn, state_schema: str,
 from scalding_spark.streaming._compact import compact_store  # noqa: E402,F401
 from scalding_spark.streaming._neardup import stream_ingest_neardup  # noqa: E402,F401
 from scalding_spark.streaming._semantic import stream_ingest_semantic  # noqa: E402,F401
+from scalding_spark.streaming._phash import stream_ingest_phash  # noqa: E402,F401
 
 
 def stream_from_parquet_dir(spark: SparkSession, path: str, schema) -> DataFrame:

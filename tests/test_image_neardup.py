@@ -118,3 +118,23 @@ def test_ahash_flat_image_all_zero_bits(spark):
                                "media_id long, content binary")
     assert mm.image_dhash(df).first()["dhash"] == 0
     assert mm.image_ahash(df).first()["ahash"] == 0
+
+
+def test_mixed_null_batch_hashes_stay_exact(spark):
+    """A single Arrow batch holding BOTH bytes and NULL content must not
+    round the hashes: pandas Series.map infers float64 for mixed
+    int/None results, silently corrupting 64-bit hashes past 2⁵³ —
+    caught via the streaming tier, fixed with an explicit object-dtype
+    series."""
+    import random
+    rng = random.Random(21)
+    content = _p5(16, 16, [rng.randrange(256) for _ in range(256)])
+    want = pr.golden_image_dhash(content)
+    assert want > 2**53, "regression needs a hash above the float53 edge"
+    df = spark.createDataFrame(
+        [(0, content), (1, None), (2, content)],
+        "media_id long, content binary").coalesce(1)
+    got = {r.media_id: r.dhash for r in mm.image_dhash(df).collect()}
+    assert got[1] is None
+    assert got[0] & ((1 << 64) - 1) == want
+    assert got[2] & ((1 << 64) - 1) == want

@@ -701,3 +701,114 @@ def test_stream_ingest_semantic_store_dtype_validates(spark, tmp_path):
             stream, corpus_path=str(tmp_path / "c"),
             store_path=str(tmp_path / "s"), checkpoint=str(tmp_path / "k"),
             store_dtype="float16")
+
+
+# --- stream_ingest_phash (image tier, r10) ------------------------------------
+
+IMG_SCHEMA = "media_id long, content binary"
+
+
+def _p5img(pixels, w=16, h=16):
+    return b"P5\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def _run_phash(spark, batch_rows, paths, **kw):
+    src, corpus, store, ckpt = paths
+    spark.createDataFrame(batch_rows, IMG_SCHEMA) \
+        .write.mode("append").parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, IMG_SCHEMA)
+    q = streaming.stream_ingest_phash(
+        stream, corpus_path=corpus, store_path=store, checkpoint=ckpt,
+        content_col="content", id_col="media_id", **kw)
+    q.awaitTermination(120)
+
+
+def test_stream_ingest_phash_within_and_cross_batch(spark, tmp_path):
+    import random
+    rng = random.Random(21)
+    base = [rng.randrange(256) for _ in range(256)]
+    near1 = list(base); near1[0] = (near1[0] + 50) % 256   # hamming <= 1
+    near2 = list(base); near2[0] = (near2[0] + 120) % 256
+    other = [rng.randrange(256) for _ in range(256)]
+    paths = tuple(str(tmp_path / p) for p in ("ps", "pc", "pt", "pk"))
+    # epoch 1: base, its near-dup (dropped within batch), a distinct
+    # image, and a NULL blob (kept, never stored)
+    _run_phash(spark, [(0, _p5img(base)), (1, _p5img(near1)),
+                       (2, _p5img(other)), (3, None)], paths)
+    got = sorted(r.media_id for r in spark.read.parquet(paths[1]).collect())
+    assert got == [0, 2, 3]
+    store = spark.read.parquet(paths[2])
+    assert sorted(r.id for r in store.collect()) == [0, 2]
+    # epoch 2: near-dup of the STORED base (only hashes remain on disk)
+    # is dropped; a novel image lands
+    novel = [rng.randrange(256) for _ in range(256)]
+    _run_phash(spark, [(10, _p5img(near2)), (11, _p5img(novel))], paths)
+    got = sorted(r.media_id for r in spark.read.parquet(paths[1]).collect())
+    assert got == [0, 2, 3, 11]
+    assert sorted(r.id for r in
+                  spark.read.parquet(paths[2]).collect()) == [0, 2, 11]
+
+
+def test_stream_ingest_phash_matches_python_golden(spark, tmp_path):
+    """batch ≡ stream vs the pure-Python mirror of the tier's rule:
+    within a batch drop i when ANY smaller-id batch image sits within
+    max_hamming; survivors drop against the cumulative kept-hash store;
+    kept hash-bearing images extend the store."""
+    import random
+
+    import py_reference as pr
+    rng = random.Random(33)
+
+    def img(seed_px=None, tweak=None):
+        px = list(seed_px) if seed_px else [rng.randrange(256)
+                                            for _ in range(256)]
+        if tweak is not None:
+            px[0] = (px[0] + tweak) % 256
+        return px
+
+    a, b, c = img(), img(), img()
+    batches = [
+        [(0, _p5img(a)), (1, _p5img(img(a, 40))), (2, _p5img(b)), (3, None)],
+        [(10, _p5img(img(a, 90))), (11, _p5img(c)),
+         (12, _p5img(img(b, 70))), (13, _p5img(img(c, 30)))],
+    ]
+    max_h = 2
+    paths = tuple(str(tmp_path / p) for p in ("gs", "gc", "gt", "gk"))
+    for rows in batches:
+        _run_phash(spark, rows, paths, max_hamming=max_h)
+    got = sorted(r.media_id for r in spark.read.parquet(paths[1]).collect())
+    # pure-python mirror
+    store, kept = [], []
+    for rows in batches:
+        hs = {i: (None if ct is None else pr.golden_image_dhash(ct))
+              for i, ct in rows}
+        drop = set()
+        for i in sorted(hs):
+            if hs[i] is None:
+                continue
+            if any(j < i and hs[j] is not None
+                   and bin(hs[i] ^ hs[j]).count("1") <= max_h
+                   for j in hs):
+                drop.add(i)
+        for i, _ct in rows:
+            if i in drop:
+                continue
+            if hs[i] is not None and any(
+                    bin(hs[i] ^ s).count("1") <= max_h for s in store):
+                continue
+            kept.append(i)
+            if hs[i] is not None:
+                store.append(hs[i])
+    assert got == sorted(kept)
+
+
+def test_stream_ingest_phash_validates_method(spark, tmp_path):
+    src = str(tmp_path / "vsrc2")
+    spark.createDataFrame([(0, b"P5\n1 1\n255\n\x00")], IMG_SCHEMA) \
+        .write.parquet(src)
+    stream = streaming.stream_from_parquet_dir(spark, src, IMG_SCHEMA)
+    with pytest.raises(ValueError, match="method"):
+        streaming.stream_ingest_phash(
+            stream, corpus_path=str(tmp_path / "c2"),
+            store_path=str(tmp_path / "s2"),
+            checkpoint=str(tmp_path / "k2"), method="xhash")
