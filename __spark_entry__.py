@@ -2523,6 +2523,38 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       [0.1, 0.25, 0.5, 0.75, 0.9])
 
 
+def q_calibration_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluation.calibration_bins(by=['source']) (r10): per-slice
+    reliability table — a globally calibrated filter is routinely
+    mis-calibrated per source, which breaks any per-slice probability
+    use of its scores. Same exact DECIMAL(27,9) mean accumulation, one
+    partial-aggregated pass with the slice key in the grouping."""
+    from scalding_spark.functions import evaluation
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        ((F.col("n_chars") % 1000) / F.lit(1000.0)).alias("prob"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    return evaluation.calibration_bins(scored, "prob", "label",
+                                       bins=10, by=["source"])
+
+
+def q_sweep_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluation.threshold_sweep(by=['source']) (r10): per-slice
+    operating characteristics at 3 cutoffs — the cutoff a filter ships
+    globally is rarely the right operating point per slice. Corpus
+    aggregates per (slice, DISTINCT score) once; every judged slice
+    reports one row per cutoff."""
+    from scalding_spark.functions import evaluation
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        ((F.col("n_chars") % 1000) / F.lit(1000.0)).alias("prob"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    return evaluation.threshold_sweep(scored, "prob", "label",
+                                      [0.25, 0.5, 0.75], by=["source"])
+
+
 def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """evaluation.pr_auc (r09): exact average precision (step-interpolated
     PR-AUC, the sklearn AP form) of the length heuristic predicting
@@ -2777,8 +2809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r07-green block in queue order (q_matrix_scalar_pipe onward,
     # first 29 of the 46 not already placed above; q_cc_star and
     # q_simhash_pairs are r07-block members pulled into the
-    # re-verification slots). The 17 r07-green entries the window cannot
-    # fit (q_mix_proportions … q_dsir_weights) sit directly below
+    # re-verification slots). Two more NEW r10 entries
+    # (q_calibration_by_slice, q_sweep_by_slice — the per-slice
+    # calibration/operating-point forms) sit with q_image_neardup, so
+    # the r07 block contributes its first 27. The 19 r07-green entries
+    # the window cannot fit (q_hll_distinct, q_weighted_sample,
+    # q_mix_proportions … q_dsir_weights) sit directly below
     # position 50 and lead the r11 window. Every insertion/displacement
     # is ledgered at the displacement point so the header never
     # overstates what the driver verified (ADVICE r06 #1).
@@ -2800,6 +2836,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r10 window: NEW image near-dup tier (multimodal.image_dhash
         #    + hamming banding, VERDICT r09 #7), first driver run --
         "q_image_neardup": q_image_neardup,
+        # -- r10 window: NEW per-slice calibration + operating-point
+        #    sweep (evaluation.calibration_bins / threshold_sweep
+        #    by=[...]), first driver run — displacing q_hll_distinct and
+        #    q_weighted_sample from the window tail to the r11 queue head --
+        "q_calibration_by_slice": q_calibration_by_slice,
+        "q_sweep_by_slice": q_sweep_by_slice,
         # -- r10 window: changed-operator re-verification (see header) --
         "q_cohens_kappa": q_cohens_kappa,
         "q_pr_auc": q_pr_auc,
@@ -2809,8 +2851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_cc_star": q_cc_star,
         "q_simhash_pairs": q_simhash_pairs,
-        # -- r10 window: r07-green block, queue order (first 29 of the
-        #    46 not placed above; the 17 displaced are ledgered below
+        # -- r10 window: r07-green block, queue order (first 27 of the
+        #    46 not placed above; the 19 displaced are ledgered below
         #    position 50 and lead the r11 window) --
         "q_matrix_scalar_pipe": q_matrix_scalar_pipe,
         "q_events_rollup": q_events_rollup,
@@ -2839,12 +2881,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk_lsh": q_cosine_topk_lsh,
         "q_cosine_topk_ivf": q_cosine_topk_ivf,
         "q_embedding_neardup": q_embedding_neardup,
+        # ---- position 50 ends here ----
+        # -- r11 queue head: the 19 r07-green entries displaced below
+        #    position 50 by the r10 head (12 r06 leads + q_image_neardup
+        #    + q_calibration_by_slice + q_sweep_by_slice + the 8
+        #    re-verifications); NOT re-verified this round --
         "q_hll_distinct": q_hll_distinct,
         "q_weighted_sample": q_weighted_sample,
-        # ---- position 50 ends here ----
-        # -- r11 queue head: the 17 r07-green entries displaced below
-        #    position 50 by the r10 head (12 r06 leads + q_image_neardup
-        #    + the 8 re-verifications); NOT re-verified this round --
         "q_mix_proportions": q_mix_proportions,
         "q_dedup_against": q_dedup_against,
         "q_pack_sequences": q_pack_sequences,
@@ -4152,6 +4195,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(s AS DECIMAL(27,9))) AS DOUBLE)
                        / CAST(count(*) AS DOUBLE) AS mean_score
             FROM t GROUP BY 1
+        """,
+        "q_calibration_by_slice": """
+            WITH t AS (
+                SELECT source, (n_chars % 1000) / 1000.0 AS s,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+            SELECT source, CAST(least(floor(s * 10), 9) AS INT) AS bin,
+                   count(*) AS n,
+                   CAST(sum(y) AS BIGINT) AS pos,
+                   CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS frac_pos,
+                   CAST(sum(CAST(s AS DECIMAL(27,9))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS mean_score
+            FROM t GROUP BY 1, 2
+        """,
+        "q_sweep_by_slice": """
+            WITH t AS (
+                SELECT source, (n_chars % 1000) / 1000.0 AS s,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            g AS (SELECT source, s, count(*) AS n, sum(y) AS np
+                  FROM t GROUP BY 1, 2),
+            x AS (SELECT g.source, th.threshold, g.s, g.n, g.np
+                  FROM g CROSS JOIN (
+                      SELECT unnest([CAST(0.25 AS DOUBLE),
+                                     CAST(0.5 AS DOUBLE),
+                                     CAST(0.75 AS DOUBLE)]) AS threshold
+                  ) th),
+            a AS (
+                SELECT source, threshold,
+                    CAST(coalesce(sum(CASE WHEN s >= threshold THEN np END),
+                                  0) AS BIGINT) AS tp,
+                    CAST(coalesce(sum(CASE WHEN s >= threshold
+                                           THEN n - np END), 0) AS BIGINT)
+                        AS fp,
+                    CAST(coalesce(sum(CASE WHEN s < threshold
+                                           THEN n - np END), 0) AS BIGINT)
+                        AS tn,
+                    CAST(coalesce(sum(CASE WHEN s < threshold THEN np END),
+                                  0) AS BIGINT) AS fn
+                FROM x GROUP BY 1, 2)
+            SELECT source, threshold, tp, fp, tn, fn,
+                   CASE WHEN tp + fp > 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                   END AS "precision",
+                   CASE WHEN tp + fn > 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                   END AS recall,
+                   CASE WHEN 2 * tp + fp + fn > 0 THEN
+                       CAST(2 * tp AS DOUBLE)
+                       / CAST(2 * tp + fp + fn AS DOUBLE)
+                   END AS f1,
+                   CASE WHEN tp + fp + tn + fn > 0 THEN
+                       CAST(tp + tn AS DOUBLE)
+                       / CAST(tp + fp + tn + fn AS DOUBLE)
+                   END AS accuracy
+            FROM a
         """,
         "q_threshold_sweep": """
             WITH t AS (

@@ -101,6 +101,8 @@ HEADLINE = [
     "q_cohens_kappa",            # chance-corrected rater agreement (pair groupBy)
     # -- added r10 --
     "q_image_neardup",           # dHash perceptual image near-dup (map-only hash + banding)
+    "q_calibration_by_slice",    # per-slice reliability table (one grouped pass)
+    "q_sweep_by_slice",          # per-slice operating points (distinct-score reagg)
 ]
 
 

@@ -490,7 +490,8 @@ def _cohens_kappa_by(df: DataFrame, rater_a: str, rater_b: str,
 
 
 def calibration_bins(df: DataFrame, score_col: str, label_col: str,
-                     bins: int = 10) -> DataFrame:
+                     bins: int = 10,
+                     by: list[str] | None = None) -> DataFrame:
     """Reliability-diagram table for a probability-scored classifier →
     ``(bin, n, pos, frac_pos, mean_score)``, one row per OCCUPIED bin of
     [0,1) split ``bins`` ways (scores of exactly 1.0 land in the top bin).
@@ -507,16 +508,25 @@ def calibration_bins(df: DataFrame, score_col: str, label_col: str,
     10th digit, and engines disagree on ties); within one engine any
     score is deterministic. One partial-aggregated pass; bin count is a
     literal.
+
+    Grouped form (``by=[...]``, r10): one row per OCCUPIED (slice, bin)
+    — a filter calibrated globally is routinely mis-calibrated per
+    language/source, which silently breaks any per-slice use of its
+    scores as probabilities. Still ONE partial-aggregated pass (the
+    slice key just joins the grouping); NULL slice keys are their own
+    group (the module rule); zero judged rows → zero rows (no slice
+    universe).
     """
     if bins < 1:
         raise ValueError(f"bins={bins}: want >= 1")
-    t = _scored(df, score_col, label_col)
+    by = list(by or [])
+    t = _scored(df, score_col, label_col, by)
     b = F.least(F.floor(F.col("s") * bins).cast("int"), F.lit(bins - 1))
-    return (t.groupBy(b.alias("bin"))
+    return (t.groupBy(*by, b.alias("bin"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("y").alias("pos"),
                  F.sum(F.col("s").cast(_DEC)).alias("__ssum"))
-            .select("bin", "n", "pos",
+            .select(*by, "bin", "n", "pos",
                     (F.col("pos").cast("double") / F.col("n").cast("double"))
                     .alias("frac_pos"),
                     (F.col("__ssum").cast("double") / F.col("n").cast("double"))
@@ -524,18 +534,20 @@ def calibration_bins(df: DataFrame, score_col: str, label_col: str,
 
 
 def confusion_at(df: DataFrame, score_col: str, label_col: str,
-                 threshold: float) -> DataFrame:
+                 threshold: float,
+                 by: list[str] | None = None) -> DataFrame:
     """Confusion matrix + derived rates at ONE decision threshold
     (predict positive iff score ≥ threshold) → one row ``(threshold, tp,
     fp, tn, fn, precision, recall, f1, accuracy)`` — INCLUDING on zero
     judged rows (all-zero counts, NULL rates; the sweep's empty branch).
     Rates with an empty denominator are NULL. Exactly
     :func:`threshold_sweep` at a single literal; one aggregated pass."""
-    return threshold_sweep(df, score_col, label_col, [threshold])
+    return threshold_sweep(df, score_col, label_col, [threshold], by=by)
 
 
 def threshold_sweep(df: DataFrame, score_col: str, label_col: str,
-                    thresholds: list[float]) -> DataFrame:
+                    thresholds: list[float],
+                    by: list[str] | None = None) -> DataFrame:
     """Operating-characteristic sweep: one confusion row PER candidate
     threshold — how a filter cutoff is actually chosen (pick recall floor,
     read off precision).
@@ -551,16 +563,25 @@ def threshold_sweep(df: DataFrame, score_col: str, label_col: str,
     scores/labels NULL) yields one all-zero-counts / NULL-rates row per
     threshold via an explicit empty branch — without it the empty
     per-score table never explodes and the sweep silently vanished
-    (ADVICE r08 #3)."""
+    (ADVICE r08 #3).
+
+    Grouped form (``by=[...]``, r10): one row per (judged slice,
+    threshold) — the cutoff a filter ships globally is rarely the right
+    operating point per slice. Every JUDGED slice reports all
+    len(thresholds) rows by construction (the explode runs per
+    distinct-score row, every judged slice has one); zero judged rows →
+    zero rows (no slice universe — the by-form rule), so the global
+    empty branch stays global-only."""
     if not thresholds:
         raise ValueError("thresholds: want at least one cutoff")
-    t = _scored(df, score_col, label_col)
-    g = t.groupBy("s").agg(F.count(F.lit(1)).alias("n"),
-                           F.sum("y").alias("np"))
+    by = list(by or [])
+    t = _scored(df, score_col, label_col, by)
+    g = t.groupBy(*by, "s").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("y").alias("np"))
     th = F.explode(F.array(*[F.lit(float(x)) for x in thresholds]))
     pos_pred = F.col("s") >= F.col("threshold")
-    agg = (g.select("s", "n", "np", th.alias("threshold"))
-           .groupBy("threshold")
+    agg = (g.select(*by, "s", "n", "np", th.alias("threshold"))
+           .groupBy(*by, "threshold")
            .agg(F.coalesce(F.sum(F.when(pos_pred, F.col("np"))), F.lit(0)).alias("tp"),
                 F.coalesce(F.sum(F.when(pos_pred, F.col("n") - F.col("np"))),
                            F.lit(0)).alias("fp"),
@@ -573,11 +594,13 @@ def threshold_sweep(df: DataFrame, score_col: str, label_col: str,
 
     tp, fp, tn, fn = (F.col(c) for c in ("tp", "fp", "tn", "fn"))
     filled = agg.select(
-        "threshold", "tp", "fp", "tn", "fn",
+        *by, "threshold", "tp", "fp", "tn", "fn",
         ratio(tp, tp + fp).alias("precision"),
         ratio(tp, tp + fn).alias("recall"),
         ratio(2 * tp, 2 * tp + fp + fn).alias("f1"),
         ratio(tp + tn, tp + fp + tn + fn).alias("accuracy"))
+    if by:
+        return filled
     # zero judged rows → g is empty and the explode never happens; the
     # contract is one row per threshold regardless (roc_auc's empty
     # branch, ADVICE r08 #3): all counts 0, every rate NULL (0/0)

@@ -213,7 +213,8 @@ def test_r10_changed_operators_reverified_or_in_window():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     changed = ["q_image_neardup", "q_cohens_kappa", "q_pr_auc",
                "q_pr_auc_by_slice", "q_auc_by_slice", "q_quality_auc",
-               "q_dedup_clusters", "q_cc_star", "q_simhash_pairs"]
+               "q_dedup_clusters", "q_cc_star", "q_simhash_pairs",
+               "q_calibration_by_slice", "q_sweep_by_slice"]
     green_since_10 = set()
     for fn in os.listdir(here):
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):

@@ -424,3 +424,58 @@ def test_grouped_kappa_matches_per_group_global(spark):
         n, po, pe, kappa = _py_kappa(sub)
         r = got[grp]
         assert (r.n, r.po, r.pe, r.kappa) == (n, po, pe, kappa)
+
+
+# --- grouped calibration / sweep (r10) ----------------------------------------
+
+def test_calibration_by_slice_matches_per_slice_global(spark):
+    rows = [("a", 0.05, 1), ("a", 0.05, 0), ("a", 0.95, 1),
+            ("b", 0.5, 0), ("b", 1.0, 1), (None, 0.3, 1)]
+    df = spark.createDataFrame(rows, "src string, s double, y int")
+    got = {(r["src"], r["bin"]): (r["n"], r["pos"], r["frac_pos"],
+                                  r["mean_score"])
+           for r in ev.calibration_bins(df, "s", "y", bins=10,
+                                        by=["src"]).collect()}
+    keys = {r[0] for r in rows}
+    assert {k[0] for k in got} == keys, "NULL slice key must report"
+    for key in keys:
+        cond = F.col("src").eqNullSafe(F.lit(key))
+        for g in ev.calibration_bins(df.where(cond), "s", "y",
+                                     bins=10).collect():
+            assert got[(key, g["bin"])] == (g["n"], g["pos"], g["frac_pos"],
+                                            g["mean_score"]), (key, g)
+
+
+def test_sweep_by_slice_matches_per_slice_global(spark):
+    rows = [("a", 0.2, 1), ("a", 0.7, 0), ("b", 0.9, 1), (None, 0.4, 0)]
+    df = spark.createDataFrame(rows, "src string, s double, y int")
+    ths = [0.25, 0.5, 0.75]
+    out = ev.threshold_sweep(df, "s", "y", ths, by=["src"]).collect()
+    assert len(out) == 3 * len(ths), "every judged slice reports per cutoff"
+    got = {(r["src"], r["threshold"]): (r["tp"], r["fp"], r["tn"], r["fn"],
+                                        r["precision"], r["recall"],
+                                        r["f1"], r["accuracy"])
+           for r in out}
+    for key in ("a", "b", None):
+        cond = F.col("src").eqNullSafe(F.lit(key))
+        for g in ev.threshold_sweep(df.where(cond), "s", "y",
+                                    ths).collect():
+            assert got[(key, g["threshold"])] == (
+                g["tp"], g["fp"], g["tn"], g["fn"], g["precision"],
+                g["recall"], g["f1"], g["accuracy"]), (key, g)
+    # confusion_at passes the slice through
+    one = ev.confusion_at(df, "s", "y", 0.5, by=["src"]).collect()
+    assert {(r["src"], r["threshold"]) for r in one} == \
+        {("a", 0.5), ("b", 0.5), (None, 0.5)}
+
+
+def test_grouped_calibration_and_sweep_empty_and_validation(spark):
+    df = spark.createDataFrame([], "src string, s double, y int")
+    assert ev.calibration_bins(df, "s", "y", by=["src"]).count() == 0
+    assert ev.threshold_sweep(df, "s", "y", [0.5], by=["src"]).count() == 0
+    # the GLOBAL contracts are unchanged: one row per threshold on empty
+    assert ev.threshold_sweep(df, "s", "y", [0.1, 0.9]).count() == 2
+    with pytest.raises(ValueError, match="bins"):
+        ev.calibration_bins(df, "s", "y", bins=0, by=["src"])
+    with pytest.raises(ValueError, match="threshold"):
+        ev.threshold_sweep(df, "s", "y", [], by=["src"])
