@@ -4,6 +4,7 @@ examples/incremental_corpus_job.py, with the dedup tier selectable:
   --mode exact     md5 fingerprint store (32 B/doc)      — byte-identical dups
   --mode neardup   MinHash signature store (512 B/doc)   — edited/boilerplate dups
   --mode semantic  normalized-vector store (dim×8 B/doc) — paraphrased dups
+  --mode image     perceptual-hash store (8 B/image)     — re-encoded/retouched dups
 
 All three tiers share the store-probe contract (scalding_spark.streaming):
 each micro-batch is checked within itself and against everything ever
@@ -17,8 +18,9 @@ fresh checkpoint cannot clobber an earlier run's partitions.
 Stores are interchangeable with the batch operators: a corpus ingested
 by `--mode neardup` is probe-able by batch `dedup.neardup_against`
 without re-signing (same seeds and (band, hash) buckets), `--mode exact`
-by `dedup.dedup_against_fingerprints`, and `--mode semantic` composes
-with `similarity.semantic_decontaminate` semantics.
+by `dedup.dedup_against_fingerprints`, `--mode semantic` composes
+with `similarity.semantic_decontaminate` semantics, and `--mode image`
+shares `multimodal.image_neardup_pairs`' dHash + pigeonhole banding.
 
 Run (the source dir is watched as an append-only parquet stream):
     python -m scalding_spark.tool \
@@ -73,9 +75,16 @@ class StreamingIngestJob(Job):
                 store_buckets=None if sb is None else int(sb),
                 probe_hamming=int(self.args.getOrElse("probe-hamming", "1")),
                 **common)
+        elif mode == "image":
+            q = streaming.stream_ingest_phash(
+                stream,
+                content_col=self.args.getOrElse("content-col", "content"),
+                id_col=self.args.getOrElse("id-col", "media_id"),
+                max_hamming=int(self.args.getOrElse("max-hamming", "2")),
+                **common)
         else:
             raise ValueError(
-                f"--mode must be exact|neardup|semantic, got {mode!r}")
+                f"--mode must be exact|neardup|semantic|image, got {mode!r}")
         # availableNow (default): drain what's there and stop — the cron/
         # airflow shape. No timeout: awaitTermination() returns exactly
         # when the backlog is drained; a timeout would let a large

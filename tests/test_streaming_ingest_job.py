@@ -51,3 +51,16 @@ def test_bad_mode_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="exact|neardup|semantic"):
         _run(spark, tmp_path, "bogus", [(1, "x")],
              "doc_id long, text string")
+
+
+def test_image_mode(spark, tmp_path):
+    import random
+    rng = random.Random(9)
+    base = [rng.randrange(256) for _ in range(256)]
+    near = list(base); near[0] = (near[0] + 60) % 256
+    other = [rng.randrange(256) for _ in range(256)]
+    def p5(px): return b"P5\n16 16\n255\n" + bytes(px)
+    out = _run(spark, tmp_path, "image",
+               [(1, p5(base)), (2, p5(near)), (3, p5(other))],
+               "media_id long, content binary")
+    assert sorted(r.media_id for r in out.collect()) == [1, 3]
