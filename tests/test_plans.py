@@ -531,3 +531,25 @@ def test_cc_round_join_reuses_sym_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_image_neardup_shuffles_hashes_never_bytes(spark):
+    """image_neardup_pairs' exchanges must carry 8-byte hashes/chunks and
+    ids only — the image BYTES stay in the map-only hash pass (the
+    decontaminate/text rule: payloads never cross an exchange)."""
+    import random
+    rng = random.Random(5)
+    rows = [(i, b"P5\n16 16\n255\n"
+             + bytes(rng.randrange(256) for _ in range(256)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    from scalding_spark.functions import multimodal as mm
+    out = mm.image_neardup_pairs(df, max_hamming=2)
+    out.collect()
+    exchanges = _shuffle_exchange_schemas(out)
+    assert exchanges, "banding self-join must plan at least one exchange"
+    for name, _part, cols in exchanges:
+        for col, typ in cols:
+            assert typ != "binary", (
+                f"{name} shuffles binary column {col!r} — image bytes "
+                f"must never cross an exchange:\n{exchanges}")
