@@ -531,9 +531,23 @@ def hamming_chunk_cols(hash_col, max_hamming: int) -> Column:
     ``struct(chunk, key)`` entries — a pair within the hamming budget
     must agree exactly on ≥1 entry (see :func:`hamming_band_pairs`).
     Shared by the batch pair generator and the streaming image tier's
-    store probe (same chunking ⇒ same recall guarantee)."""
+    store probe (same chunking ⇒ same recall guarantee).
+
+    ``max_hamming=0`` is exact-hash banding: ONE chunk holding the whole
+    hash (no shift/mask — a 64-bit mask literal doesn't fit a BIGINT).
+    Budgets past 16 are refused: the band width drops under 4 bits and
+    banding stops pruning (every chunk key collides)."""
+    if not 0 <= max_hamming <= 16:
+        raise ValueError(
+            f"max_hamming={max_hamming}: want 0..16 — 0 is exact-hash "
+            f"match; past 16 the 64-bit chunks narrow under 4 bits and "
+            f"the band join degenerates toward all-pairs")
     chunks = max_hamming + 1
     width = 64 // chunks
+    col = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    if chunks == 1:
+        return F.array(F.struct(F.lit(0).alias("chunk"),
+                                col.alias("key")))
     return F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(hash_col, c * width).bitwiseAND(

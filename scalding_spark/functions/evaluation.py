@@ -114,7 +114,12 @@ def _score_cum(t: DataFrame, desc: bool = False,
         # (the module rule); a name-list join would silently drop it.
         # Both sides descend from the persisted ``d`` (a self-join), so
         # the offsets keys are RENAMED before the condition — dataframe-
-        # qualified columns resolve trivially-true on shared lineage
+        # qualified columns resolve trivially-true on shared lineage.
+        # No broadcast HINT on offs (unlike the key-less branch): offs
+        # is one tiny row per (partition, slice) TOUCHED, but the slice
+        # count is user data — a hint would OOM the driver at extreme
+        # slice cardinalities, while AQE already converts this join to
+        # broadcast-hash at runtime whenever offs is actually small
         cond = F.col("__pid") == F.col("__opid")
         for i, k in enumerate(by):
             cond = cond & F.col(k).eqNullSafe(F.col(f"__o{i}"))
@@ -541,7 +546,12 @@ def confusion_at(df: DataFrame, score_col: str, label_col: str,
     fp, tn, fn, precision, recall, f1, accuracy)`` — INCLUDING on zero
     judged rows (all-zero counts, NULL rates; the sweep's empty branch).
     Rates with an empty denominator are NULL. Exactly
-    :func:`threshold_sweep` at a single literal; one aggregated pass."""
+    :func:`threshold_sweep` at a single literal; one aggregated pass.
+
+    With ``by=[...]``: one row per JUDGED slice — and, per the by-form
+    rule (see threshold_sweep), zero judged rows yield ZERO rows, not
+    the global form's always-one-row branch (there is no slice universe
+    to report over)."""
     return threshold_sweep(df, score_col, label_col, [threshold], by=by)
 
 
@@ -574,6 +584,13 @@ def threshold_sweep(df: DataFrame, score_col: str, label_col: str,
     empty branch stays global-only."""
     if not thresholds:
         raise ValueError("thresholds: want at least one cutoff")
+    if len({float(x) for x in thresholds}) != len(thresholds):
+        # the explode emits one copy per list element and the groupBy
+        # then MERGES them — a duplicated cutoff would silently
+        # double-count every class (and the empty branch would disagree,
+        # emitting one row per copy)
+        raise ValueError("thresholds: duplicate cutoffs would "
+                         "double-count; pass each threshold once")
     by = list(by or [])
     t = _scored(df, score_col, label_col, by)
     g = t.groupBy(*by, "s").agg(F.count(F.lit(1)).alias("n"),

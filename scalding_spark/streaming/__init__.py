@@ -218,12 +218,25 @@ def _maybe_compact(spark, epoch_id: int, every: int | None,
     only writer — after the epoch's own writes, so the just-written
     epoch is the newest and compaction never touches it; a replayed
     epoch re-runs an idempotent compaction (already-merged history is
-    simply no longer eligible)."""
+    simply no longer eligible).
+
+    A busy lease (a crashed run's still-young ``_COMPACT_LOCK``, or a
+    foreground compaction someone launched) SKIPS the cycle with a
+    warning instead of failing the epoch: compaction is optional
+    housekeeping, and killing the ingest query over it would wedge a
+    restarted stream for up to the lease TTL — the next cadence (or the
+    TTL expiry) retries naturally."""
     if not every or (int(epoch_id) + 1) % every:
         return
-    from scalding_spark.streaming._compact import compact_store
+    from scalding_spark.streaming._compact import (CompactionBusy,
+                                                   compact_store)
     for p in paths:
-        compact_store(spark, p)
+        try:
+            compact_store(spark, p)
+        except CompactionBusy as e:
+            import warnings
+            warnings.warn(f"in-stream compaction skipped for {p}: {e}",
+                          stacklevel=2)
 
 
 def stream_ingest_dedup(stream_df: DataFrame, corpus_path: str,

@@ -65,6 +65,24 @@ _CGEN_RE = re.compile(r"^(?P<tag>.+)-c(?P<gen>\d+)$")
 _LOCK_NAME = "_COMPACT_LOCK"
 
 
+class CompactionBusy(RuntimeError):
+    """Another compaction holds the dataset's lease. Callers that treat
+    compaction as optional housekeeping (the in-stream
+    ``compact_every_n_epochs`` hook) catch THIS and skip the cycle;
+    anything else raising out of compact_store is a real failure."""
+
+
+class CompactionAborted(RuntimeError):
+    """The live-writer guard fired mid-call. ``partial`` carries the
+    result ledger for run_tags ALREADY committed by this call (their
+    sources are deleted, their c<n> partitions published) — the abort
+    protects the remaining tags, it does not undo finished ones."""
+
+    def __init__(self, msg: str, partial: dict):
+        super().__init__(msg)
+        self.partial = partial
+
+
 def _fs_for(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -112,22 +130,44 @@ def _acquire_lease(fs, jvm, root, ttl_sec: int):
     """Create the ``_COMPACT_LOCK`` marker (invisible to parquet readers)
     atomically — ``fs.create(overwrite=False)`` fails if it exists. A
     live lock younger than ``ttl_sec`` means another compaction owns the
-    dataset → refuse loudly; an older one is a crashed run's leftover
-    (compaction is crash-safe, so stealing it is safe) and is replaced."""
+    dataset → :class:`CompactionBusy`; an older one is a crashed run's
+    leftover (compaction is crash-safe, so stealing it is safe).
+
+    The steal itself is made race-safe by RENAMING the stale lock to a
+    caller-unique name (rename is atomic — exactly one of N concurrent
+    stealers wins; losers' renames return false → busy) and then
+    RE-CHECKING the renamed file's age: if it turns out fresh (another
+    caller replaced the lock between our stat and our rename), it is
+    renamed back and we yield — never delete a lock we cannot prove
+    stale."""
+    import uuid as _uuid
     Path = jvm.org.apache.hadoop.fs.Path
     lock = Path(root, _LOCK_NAME)
     if fs.exists(lock):
         age = time.time() - fs.getFileStatus(lock).getModificationTime() / 1000.0
         if age < ttl_sec:
-            raise RuntimeError(
+            raise CompactionBusy(
                 f"compact_store: {lock} exists and is {age:.0f}s old "
                 f"(< lease_ttl_sec={ttl_sec}): another compaction owns "
                 "this dataset; refusing to run concurrently")
-        fs.delete(lock, False)
+        steal = Path(root, f"{_LOCK_NAME}.steal.{_uuid.uuid4().hex}")
+        if not fs.rename(lock, steal):
+            raise CompactionBusy(
+                f"compact_store: lost the stale-lock steal race on "
+                f"{lock}; another compaction is acquiring it")
+        age2 = time.time() - fs.getFileStatus(steal).getModificationTime() / 1000.0
+        if age2 < ttl_sec:
+            # we grabbed a FRESH lock (replaced between stat and rename):
+            # give it back and yield
+            fs.rename(steal, lock)
+            raise CompactionBusy(
+                f"compact_store: {lock} was refreshed concurrently; "
+                "another compaction owns this dataset")
+        fs.delete(steal, False)
     try:
         out = fs.create(lock, False)
     except Exception as exc:  # raced by a concurrent acquire
-        raise RuntimeError(
+        raise CompactionBusy(
             f"compact_store: could not create {lock} (concurrent "
             f"compaction?): {exc}") from None
     try:
@@ -180,21 +220,32 @@ def compact_store(spark: SparkSession, path: str,
       granularity sped up 2.4×).
     - ``include_compacted``: also rewrite previous ``c<n>`` partitions
       (full compaction; O(store) I/O per call).
+    - ``lease_ttl_sec``: a ``_COMPACT_LOCK`` younger than this refuses a
+      concurrent compaction; an older one is treated as a crashed run's
+      leftover and stolen (compaction is crash-safe, so stealing is
+      safe). Default 6 h — longer than any sane compaction, shorter
+      than an operator's patience.
 
     Returns ``{run_tag: {"sources": [...], "target": str, "rows": int}}``
     for the run_tags compacted; an empty dict when nothing was eligible.
 
-    Live-writer safety is ENFORCED, not advisory (VERDICT r09 #3): the
-    call takes a ``_COMPACT_LOCK`` lease at the dataset root (atomic
-    create-if-absent; a live lock younger than ``lease_ttl_sec`` refuses
-    a second concurrent compaction — two racing compactions would share
-    a temp dir and fight over the same generation number), and right
-    before each run_tag's COMMIT rename the epoch list is RE-READ: if
-    the newest epoch advanced since planning, an ingest query is running
-    against the dataset and the call ABORTS (temp deleted, sources
-    untouched). The newest-epoch exclusion alone only protects a CRASHED
-    writer's replay; this check turns "don't compact under a live
-    writer" into a mechanical invariant."""
+    Live-writer safety (VERDICT r09 #3): the call takes a
+    ``_COMPACT_LOCK`` lease at the dataset root (atomic
+    create-if-absent; a live lock younger than ``lease_ttl_sec`` raises
+    :class:`CompactionBusy` — two racing compactions would share a temp
+    dir and fight over the same generation number; compaction-vs-
+    compaction exclusion is therefore MECHANICAL). Right before each
+    run_tag's COMMIT rename the epoch list is RE-READ: if the newest
+    epoch advanced since planning, an ingest query is running against
+    the dataset and the call raises :class:`CompactionAborted` (this
+    tag's temp deleted, its sources untouched; ``.partial`` carries the
+    ledger for run_tags already committed earlier in the call). The
+    writer-vs-compaction check is BEST-EFFORT narrowing, not an
+    invariant: an epoch landing inside the rename-and-delete window
+    itself is still undetected — the contract remains "don't run a
+    foreground compaction under a live ingest" (use the in-stream
+    ``compact_every_n_epochs`` hook there, which compacts from the
+    writer's own cadence and treats a busy lease as skip-this-cycle)."""
     fs, root, jvm = _fs_for(spark, path)
     if not fs.exists(root):
         return {}
@@ -304,12 +355,14 @@ def _compact_locked(spark, path, fs, root, jvm, Path,
         cur_newest = _newest_epoch(fs, root, tag)
         if cur_newest != newest:
             fs.delete(tmp_path, True)
-            raise RuntimeError(
+            raise CompactionAborted(
                 f"compact_store: run_tag {tag!r} epoch advanced "
                 f"{newest} -> {cur_newest} mid-compaction: a live ingest "
-                "query is writing this dataset; compaction aborted "
-                "(sources untouched). Stop the query or compact from "
-                "its foreachBatch cadence instead")
+                "query is writing this dataset; compaction aborted for "
+                f"this and later run_tags (its sources untouched; "
+                f"{len(result)} earlier run_tag(s) already committed — "
+                "see .partial). Stop the query or compact from its "
+                "foreachBatch cadence instead", partial=dict(result))
         # COMMIT POINT: the rename publishes the consolidated partition;
         # everything after is cleanup the next call can finish. Hadoop
         # rename() reports failure as a FALSE return, not an exception —

@@ -73,6 +73,9 @@ def stream_ingest_phash(stream_df: DataFrame, corpus_path: str,
     kernels = {"dhash": image_dhash, "ahash": image_ahash}
     if method not in kernels:
         raise ValueError(f"method={method!r}: want one of {sorted(kernels)}")
+    # validate the hamming budget at BUILDER time (a bad budget must not
+    # surface as a per-epoch failure inside foreachBatch)
+    hamming_chunk_cols("__ph", max_hamming)
     run_tag = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def ingest(batch: DataFrame, epoch_id: int) -> None:

@@ -286,3 +286,106 @@ def test_ap_term_hypothesis_big_counts(spark):
         assert got == want
 
     check()
+
+
+# --- r10 self-review fixes (code-review pass over the round's diff) ----------
+
+def test_hamming_budget_zero_is_exact_match_and_bounds_validate(spark):
+    """max_hamming=0 must mean exact-hash banding (one whole-hash chunk
+    — the old mask literal (1<<64)-1 overflowed BIGINT and raised an
+    obscure literal error); out-of-range budgets must raise a clear
+    ValueError from every entry point."""
+    from scalding_spark.functions import dedup as dd
+    from scalding_spark.functions import multimodal as mm
+    hashes = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, -9223372036854775808), (4, 6)],
+        "id long, h long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dd.hamming_band_pairs(hashes, "id", "h", 0).collect()}
+    assert got == {(1, 2): 0}, got  # only the exact pair; min-long safe
+    for bad in (-1, 17):
+        with pytest.raises(ValueError, match="max_hamming"):
+            dd.hamming_chunk_cols("h", bad)
+        with pytest.raises(ValueError, match="max_hamming"):
+            mm_df = spark.createDataFrame([(0, None)],
+                                          "media_id long, content binary")
+            dd.hamming_band_pairs(hashes, "id", "h", bad)
+    # the streaming tier validates at BUILDER time, not per-epoch
+    from scalding_spark import streaming
+    src = spark.createDataFrame([(0, b"P5\n1 1\n255\n\x00")],
+                                "media_id long, content binary")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    src.write.mode("overwrite").parquet(os.path.join(d, "s"))
+    stream = streaming.stream_from_parquet_dir(
+        spark, os.path.join(d, "s"), "media_id long, content binary")
+    with pytest.raises(ValueError, match="max_hamming"):
+        streaming.stream_ingest_phash(
+            stream, corpus_path=os.path.join(d, "c"),
+            store_path=os.path.join(d, "t"),
+            checkpoint=os.path.join(d, "k"), max_hamming=17)
+
+
+def test_threshold_sweep_rejects_duplicate_cutoffs(spark):
+    """Duplicated thresholds double-counted every class through the
+    explode+merge (and the empty branch disagreed, emitting one row per
+    copy) — refused loudly now, in both forms."""
+    df = spark.createDataFrame([(0.6, 1)], "s double, y int")
+    with pytest.raises(ValueError, match="duplicate"):
+        ev.threshold_sweep(df, "s", "y", [0.5, 0.5])
+    with pytest.raises(ValueError, match="duplicate"):
+        ev.threshold_sweep(df, "s", "y", [0.5, 0.5], by=["s"])
+
+
+def test_in_stream_compaction_skips_busy_lease(spark, tmp_path):
+    """A crashed run's still-young _COMPACT_LOCK must not wedge a
+    restarted ingest: the in-stream hook treats CompactionBusy as
+    skip-this-cycle (warning), the epoch itself succeeds, and a
+    foreground call still refuses loudly."""
+    import hashlib
+    import warnings
+
+    from scalding_spark import streaming
+    src, corpus, store, ckpt = (str(tmp_path / p) for p in
+                                ("src", "corpus", "store", "ckpt"))
+    run_tag = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+
+    def epoch(rows):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.mode("append").parquet(src)
+        q = streaming.stream_ingest_dedup(
+            streaming.stream_from_parquet_dir(
+                spark, src, "doc_id long, text string"),
+            corpus_path=corpus, store_path=store, checkpoint=ckpt,
+            text_col="text", id_col="doc_id", compact_every_n_epochs=2)
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    epoch([(0, "aa"), (1, "bb")])
+    epoch([(2, "cc")])
+    epoch([(3, "dd")])
+    # a crashed compaction's fresh lock sits on the store
+    with open(f"{store}/_COMPACT_LOCK", "w") as f:
+        f.write("1\n")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        epoch([(4, "ee"), (5, "aa")])  # epoch 3 → compaction cadence fires
+    assert any("compaction skipped" in str(x.message) for x in w), \
+        [str(x.message) for x in w]
+    # the epoch itself succeeded: dedup kept working across the skip
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [0, 1, 2, 3, 4]
+    # foreground call still refuses while the lease is live
+    from scalding_spark.streaming._compact import CompactionBusy
+    with pytest.raises(CompactionBusy):
+        streaming.compact_store(spark, store)
+
+
+def test_compaction_abort_carries_partial_ledger():
+    """CompactionAborted.partial must exist (the abort protects later
+    run_tags; earlier commits in the same call are already destructive
+    and their ledger must not vanish with the exception)."""
+    from scalding_spark.streaming._compact import CompactionAborted
+    e = CompactionAborted("x", partial={"tag": {"rows": 1}})
+    assert e.partial == {"tag": {"rows": 1}}
+    assert isinstance(e, RuntimeError)
