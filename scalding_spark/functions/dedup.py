@@ -352,8 +352,20 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     sf0.1, and at 100 TB it removes a full-corpus exchange). Each shingle is
     string-hashed once (h0); the per-seed hashes derive from the 8-byte h0,
     and codegen-level common-subexpression elimination computes h0 once."""
-    from scalding_spark.functions.text import let_bound
     shs = shingles(F.col(text_col), shingle_n)
+    return (df.where(F.size(shs) > 0)
+            .select(F.col(id_col).alias("id"),
+                    _minhash_sig_expr(shs, num_hashes).alias("sig")))
+
+
+def _minhash_sig_expr(shs: Column, num_hashes: int) -> Column:
+    """The MinHash signature as a pure Column expression over a shingle
+    ARRAY (the kernel :func:`minhash_signatures` applies to text; also
+    applied directly to stored representative shingle sets in
+    :func:`minhash_lsh_pairs`). Depends on the shingle array only through
+    its SET — element order never changes a min."""
+    from scalding_spark.functions.text import let_bound
+
     # let-bound h0: as an inlined operand it would be re-derived (shingle
     # strings re-hashed) once per SEED — a num_hashes× factor, since
     # interpreted HOFs don't share subexpressions (see text.let_bound)
@@ -368,11 +380,9 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     def per_seed(h0: Column, s: int) -> Column:
         return F.array_min(F.transform(h0, lambda h: F.xxhash64(h, F.lit(s))))
 
-    sig = let_bound(
+    return let_bound(
         F.transform(shs, lambda x: F.xxhash64(x)),
         lambda h0: F.array(*[per_seed(h0, s) for s in range(num_hashes)]))
-    return (df.where(F.size(shs) > 0)
-            .select(F.col(id_col).alias("id"), sig.alias("sig")))
 
 
 def minhash_band_hashes(num_hashes: int, bands: int,
@@ -417,34 +427,77 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
       Jaccard on just the candidates.
 
     Band math: rows-per-band r = num_hashes/bands; P(candidate) = 1-(1-j^r)^b,
-    steep around j ≈ (1/b)^(1/r) — defaults target j ≈ 0.5-0.7."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    steep around j ≈ (1/b)^(1/r) — defaults target j ≈ 0.5-0.7.
+
+    Runs in DISTINCT SHINGLE-SET space (the fuzzy_join/hamming_band_pairs
+    recipe): signatures, band buckets, and exact Jaccard all depend on a
+    document only through its distinct shingle SET, so byte-identical
+    documents — and any documents whose texts shingle to the same set —
+    are signed, banded, and verified ONCE per distinct set and expanded
+    to id pairs afterwards by a straight membership equi-join. n
+    byte-identical documents therefore cost 1 signature + 1 verify
+    instead of n signatures + C(n,2) banded verifies; their C(n,2)
+    (jaccard = 1.0) output pairs — the answer itself, hence the floor —
+    come from the membership self-join, exactly output-sized, and AQE
+    skew-split can divide a hot set's expansion across tasks. Set
+    identity keys on md5 of the sorted shingle array (tokens are
+    alphanumeric, shingles space-joined, so the newline join is
+    unambiguous); ``persist_signatures`` persists the per-set frame
+    (MEMORY_AND_DISK — it carries the representative shingle arrays for
+    the verify, the ngram index-persist tradeoff) plus the tiny
+    (id, set-key) membership map used four times downstream."""
+    shs_expr = shingles(F.col(text_col), shingle_n)
+    docs = (df.select(F.col(id_col).alias("id"), shs_expr.alias("__shs"))
+            .where(F.size("__shs") > 0)
+            .withColumn("__g", F.md5(F.array_join(F.array_sort("__shs"),
+                                                  "\n"))))
+    members = docs.select("id", "__g")
+    # min(__shs) is deterministic AND immaterial: every array in a group
+    # holds the same SET, and sig/intersect/size depend only on the set
+    groups = docs.groupBy("__g").agg(F.min("__shs").alias("__shs"))
+    gsigs = groups.select(
+        "__g", "__shs",
+        _minhash_sig_expr(F.col("__shs"), num_hashes).alias("sig"))
     if persist_signatures:
-        # Signatures are map-only now, so without a persist BOTH sides of the
-        # bucket self-join recompute them (no exchange to reuse). They're tiny
-        # (num_hashes × 8 B per doc) — persisting is the 100 TB-safe choice,
-        # unlike shingle arrays (corpus-sized). ~2× faster at sf0.1.
+        from pyspark import StorageLevel
+
         from scalding_spark.session import register_persisted
-        sigs = sigs.persist()
-        register_persisted(sigs)  # released via release_materialized()
+        members = members.persist()
+        register_persisted(members)  # released via release_materialized()
+        gsigs = gsigs.persist(StorageLevel.MEMORY_AND_DISK)
+        register_persisted(gsigs)
     band_arr = minhash_band_hashes(num_hashes, bands)
-    buckets = sigs.select("id", F.explode(band_arr).alias("bucket"))
+    buckets = gsigs.select("__g", F.explode(band_arr).alias("bucket"))
     l, r = buckets.alias("l"), buckets.alias("r")
-    cands = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
-                    & (F.col("l.id") < F.col("r.id")))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-             .distinct())
-    # exact verify on candidates only
-    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("shs"))
-    sa = sh.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
-    verified = (cands.join(sa, "id_a").join(sb, "id_b")
-                .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
-                .withColumn("uni", F.size("shs_a") + F.size("shs_b") - F.col("inter"))
-                .withColumn("jaccard", F.when(F.col("uni") > 0,
-                                              F.col("inter") / F.col("uni")).otherwise(0.0))
-                .where(F.col("jaccard") >= threshold))
-    return verified.select("id_a", "id_b", "jaccard")
+    gcands = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                     & (F.col("l.__g") < F.col("r.__g")))
+              .select(F.col("l.__g").alias("__ga"),
+                      F.col("r.__g").alias("__gb"))
+              .distinct())
+    # exact verify ONCE per candidate set pair
+    ga = gsigs.select(F.col("__g").alias("__ga"), F.col("__shs").alias("shs_a"))
+    gb = gsigs.select(F.col("__g").alias("__gb"), F.col("__shs").alias("shs_b"))
+    ver = (gcands.join(ga, "__ga").join(gb, "__gb")
+           .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
+           .withColumn("uni", F.size("shs_a") + F.size("shs_b") - F.col("inter"))
+           .withColumn("jaccard", F.when(F.col("uni") > 0,
+                                         F.col("inter") / F.col("uni")).otherwise(0.0))
+           .where(F.col("jaccard") >= threshold)
+           .select("__ga", "__gb", "jaccard"))
+    ma = members.select(F.col("__g").alias("__ga"), F.col("id").alias("__ia"))
+    mb = members.select(F.col("__g").alias("__gb"), F.col("id").alias("__ib"))
+    cross = (ver.join(ma, "__ga").join(mb, "__gb")
+             .select(F.least("__ia", "__ib").alias("id_a"),
+                     F.greatest("__ia", "__ib").alias("id_b"), "jaccard"))
+    # same-set pairs: identical shingle sets share every band bucket
+    # (always candidates) and verify to EXACTLY 1.0 (size/size in double)
+    sa, sb = members.alias("sa"), members.alias("sb")
+    same = (sa.join(sb, (F.col("sa.__g") == F.col("sb.__g"))
+                    & (F.col("sa.id") < F.col("sb.id")))
+            .select(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"),
+                    F.lit(1.0).alias("jaccard"))
+            .where(F.lit(1.0) >= F.lit(float(threshold))))
+    return same.unionByName(cross)
 
 
 def neardup_against(new: DataFrame, store_sigs: DataFrame, text_col: str,
@@ -556,7 +609,9 @@ def hamming_chunk_cols(hash_col, max_hamming: int) -> Column:
 
 
 def hamming_band_pairs(hashes: DataFrame, id_col: str, hash_col: str,
-                       max_hamming: int) -> DataFrame:
+                       max_hamming: int,
+                       max_chunk_freq: int | None = None,
+                       stats: dict | None = None) -> DataFrame:
     """Pairs of 64-bit hashes within hamming distance ≤ max_hamming →
     (id_a, id_b, hamming), banded: split the hash into (max_hamming+1)
     chunks — any pair within the distance budget must agree exactly on
@@ -564,21 +619,75 @@ def hamming_band_pairs(hashes: DataFrame, id_col: str, hash_col: str,
     bits, and ≤ max_hamming differing bits anywhere still leave one
     covered chunk clean), so the join key is a chunk value + chunk id,
     never all-pairs. Works on signed bigints (shiftrightunsigned /
-    bit_count are two's-complement-correct)."""
+    bit_count are two's-complement-correct).
+
+    Banding runs in DISTINCT-HASH space (the fuzzy_join recipe): a crawl
+    corpus with n byte-identical or flat images (blank thumbnails, logos
+    — all dHash 0) used to put n identical hashes in every chunk bucket,
+    paying C(n,2)·(max_hamming+1) self-join hits before the distinct.
+    Banding over distinct hash VALUES makes an identical-hash group cost
+    ONE row per chunk; its (id_a, id_b) pairs — which ARE the answer, so
+    their count is the output floor — come from a straight equi-join on
+    the hash value instead (exactly output-sized, no distinct over a
+    quadratic candidate set, and AQE skew-split can divide a hot hash's
+    expansion across tasks).
+
+    ``max_chunk_freq``: optionally drop chunk keys shared by more than
+    this many DISTINCT hashes from the banding (the ngram stop-shingle
+    precedent, in distinct-hash space). A chunk key collapsing d distinct
+    hashes still yields C(d,2) cross-hash candidates — near-flat image
+    corpora concentrate there — so the cap bounds that blowup.
+    RECALL-TRADING, unlike the default: a pair whose only clean chunk is
+    dropped disappears. Default None = exact.
+
+    ``stats``: pass a dict to record hot-chunk observability counters
+    (exact, distinct-hash space; costs one extra aggregation job):
+    ``distinct_hashes``, ``max_chunk_distinct_hashes`` (the hottest chunk
+    bucket), and ``cross_hash_candidates`` (Σ C(d,2) over chunk buckets —
+    the band join's true row count before the hamming filter)."""
     sims = hashes.select(F.col(id_col).alias("id"),
                          F.col(hash_col).alias("simhash"))
-    exploded = sims.select(
-        "id", "simhash",
+    dh = sims.select("simhash").distinct()
+    exploded = dh.select(
+        "simhash",
         F.explode(hamming_chunk_cols("simhash", max_hamming)).alias("ck"))
+    if stats is not None:
+        freq = exploded.groupBy("ck").agg(F.count(F.lit(1)).alias("d"))
+        row = freq.agg(
+            F.coalesce(F.max("d"), F.lit(0)).alias("mx"),
+            F.coalesce(F.sum(F.col("d") * (F.col("d") - 1) / 2),
+                       F.lit(0.0)).alias("cands")).collect()[0]
+        stats["distinct_hashes"] = dh.count()
+        stats["max_chunk_distinct_hashes"] = int(row["mx"])
+        stats["cross_hash_candidates"] = int(row["cands"])
+    if max_chunk_freq is not None:
+        # per-partition window count, not groupBy+anti-join — the
+        # measured-cheaper hot-key filter shape (see ngram_jaccard_pairs)
+        w = Window.partitionBy("ck")
+        exploded = (exploded
+                    .withColumn("__cf", F.count(F.lit(1)).over(w))
+                    .where(F.col("__cf") <= max_chunk_freq).drop("__cf"))
     l, r = exploded.alias("l"), exploded.alias("r")
-    cands = (l.join(r, (F.col("l.ck") == F.col("r.ck")) & (F.col("l.id") < F.col("r.id")))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"))
-             .distinct())
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cands.withColumn("hamming", hamming)
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    hp = (l.join(r, (F.col("l.ck") == F.col("r.ck"))
+                 & (F.col("l.simhash") < F.col("r.simhash")))
+          .select(F.col("l.simhash").alias("sh_a"),
+                  F.col("r.simhash").alias("sh_b"))
+          .distinct()
+          .withColumn("hamming",
+                      F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+          .where(F.col("hamming") <= max_hamming))
+    ia = sims.select(F.col("id").alias("__ia"), F.col("simhash").alias("sh_a"))
+    ib = sims.select(F.col("id").alias("__ib"), F.col("simhash").alias("sh_b"))
+    cross = (hp.join(ia, "sh_a").join(ib, "sh_b")
+             .select(F.least("__ia", "__ib").alias("id_a"),
+                     F.greatest("__ia", "__ib").alias("id_b"),
+                     F.col("hamming")))
+    a, b = sims.alias("a"), sims.alias("b")
+    same = (a.join(b, (F.col("a.simhash") == F.col("b.simhash"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.lit(0).cast("int").alias("hamming")))
+    return same.unionByName(cross)
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",

@@ -357,17 +357,24 @@ def _luma_grid(content: bytes, rows: int, cols: int):
     bit-trivial (float means would drag numpy's pairwise-summation
     rounding into the goldens). Luminance = the channel SUM (comparisons
     of r+g+b order identically to comparisons of their mean). PNM parses
-    dependency-free; other formats go through PIL (convert("L") —
-    integer bytes) when installed, else raise NotImplementedError like
-    the rest of the module."""
+    dependency-free; other formats go through PIL when installed, else
+    raise NotImplementedError like the rest of the module. The PIL path
+    computes the SAME channel-sum luminance (convert("RGB") then sum —
+    NOT convert("L")'s ITU-R-weighted luma): hash bits compare luminance
+    values within one image, and r+g+b orders identically to the mean,
+    so the same picture decoded as PPM/PGM here or re-encoded
+    PNG/JPEG-lossless through PIL produces the same bits — the
+    'survives re-encoding' claim holds ACROSS codec paths, not just
+    within one (ADVICE r10 #3; a grayscale source triples to 3·gray on
+    the RGB path, a monotone map that flips no comparison)."""
     import numpy as np
     if content.startswith((b"P5", b"P6")):
         px, w, h, _maxval = _pnm_raw(bytes(content))
         lum = px.astype("int64").sum(axis=2)
     elif _HAS_PIL:
         import io
-        img = _PILImage.open(io.BytesIO(bytes(content))).convert("L")
-        lum = np.asarray(img, dtype="int64")
+        img = _PILImage.open(io.BytesIO(bytes(content))).convert("RGB")
+        lum = np.asarray(img, dtype="int64").sum(axis=2)
         h, w = lum.shape
     else:
         raise NotImplementedError(

@@ -228,12 +228,20 @@ def _maybe_compact(spark, epoch_id: int, every: int | None,
     TTL expiry) retries naturally."""
     if not every or (int(epoch_id) + 1) % every:
         return
-    from scalding_spark.streaming._compact import (CompactionBusy,
+    from scalding_spark.streaming._compact import (CompactionAborted,
+                                                   CompactionBusy,
                                                    compact_store)
     for p in paths:
         try:
             compact_store(spark, p)
-        except CompactionBusy as e:
+        except (CompactionBusy, CompactionAborted) as e:
+            # Busy lease OR a mid-call live-writer/lease abort (e.g. two
+            # queries mistakenly sharing a store path): both leave the
+            # dataset consistent — the abort deletes its temp and keeps
+            # sources — so neither may fail the ingest EPOCH: raising out
+            # of foreachBatch would lose the .partial run-tag ledger of
+            # already-committed batches (ADVICE r10 #4). Warn and retry
+            # at the next cadence.
             import warnings
             warnings.warn(f"in-stream compaction skipped for {p}: {e}",
                           stacklevel=2)

