@@ -2791,101 +2791,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates exactly the FIRST 50 dict entries.
-    # r10 window (VERDICT r09 next-round #1): the 12 r06-stale entries
-    # lead (ledgered in r09 as the r10 queue head), then the NEW
-    # q_image_neardup (perceptual-hash image near-dup tier, VERDICT r09
-    # #7; never driver-checked, so the rotation test requires it inside
-    # the window), then 8 changed-operator re-verifications —
-    # q_cohens_kappa (the by-form's disjoint-slice LEFT-join fix +
-    # DECIMAL(38,0) identity, ADVICE r09 #1/#2), q_pr_auc /
-    # q_pr_auc_by_slice / q_quality_auc (wide-decimal rank/AP products,
-    # ADVICE r09 #2 + VERDICT r09 #4), q_auc_by_slice (grouped
-    # range-partition prefix-offset rewrite, VERDICT r09 #3),
-    # q_dedup_clusters / q_cc_star (connected-components pre-partitioned
-    # edge persist, VERDICT r09 #2 — bit-identical by the union-find
-    # suite, re-verified under the driver per the rule), and
-    # q_simhash_pairs (banding extracted into dedup.hamming_band_pairs
-    # for the image tier — expression-identical, same rule) — then the
-    # r07-green block in queue order (q_matrix_scalar_pipe onward,
-    # first 29 of the 46 not already placed above; q_cc_star and
-    # q_simhash_pairs are r07-block members pulled into the
-    # re-verification slots). Two more NEW r10 entries
-    # (q_calibration_by_slice, q_sweep_by_slice — the per-slice
-    # calibration/operating-point forms) sit with q_image_neardup, so
-    # the r07 block contributes its first 27. The 19 r07-green entries
-    # the window cannot fit (q_hll_distinct, q_weighted_sample,
-    # q_mix_proportions … q_dsir_weights) sit directly below
-    # position 50 and lead the r11 window. Every insertion/displacement
-    # is ledgered at the displacement point so the header never
-    # overstates what the driver verified (ADVICE r06 #1).
+    # r11 window (VERDICT r10 next-round #1): the 19 r07-stale entries
+    # lead (ledgered in r10 as the r11 queue head: q_hll_distinct ...
+    # q_dsir_weights), then 5 changed-operator re-verifications for the
+    # distinct-hash/signature-space banding rewrites (VERDICT r10
+    # #2/#3) -- q_minhash_lsh_pairs (signs/bands/verifies once per
+    # DISTINCT shingle set), q_simhash_pairs and q_image_neardup (both
+    # consume the rewritten dedup.hamming_band_pairs, which now bands
+    # distinct hash VALUES and recovers id pairs by an output-sized
+    # equi-join), q_neardup_against (minhash_signatures' signature
+    # kernel extracted into _minhash_sig_expr -- expression-identical,
+    # same rule as the r10 q_simhash_pairs extraction), and
+    # q_dedup_clusters (VERDICT r10 #3 names it alongside the minhash
+    # rewrite) -- then the r08-green block in queue order
+    # (q_winnow_fingerprints onward, first 26 of the 47). The 21
+    # r08-green entries the window cannot fit (q_groupall ...
+    # q6_forecast_revenue) sit directly below position 50 and lead the
+    # r12 window. Every insertion/displacement is ledgered at the
+    # displacement point so the header never overstates what the driver
+    # verified (ADVICE r06 #1).
     return {
-        # -- r10 window head: the 12 r06-stale entries (displaced from
-        #    the r09 window by its head insertions; VERDICT r09 #1) --
-        "q_deterministic_sample": q_deterministic_sample,
-        "q_train_split": q_train_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_text_quality": q_text_quality,
-        "q_lang_id": q_lang_id,
-        "q_fingerprint": q_fingerprint,
-        "q_vocabulary": q_vocabulary,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_multimodal_features": q_multimodal_features,
-        "q_cosine_topk": q_cosine_topk,
-        "q_embedding_neardup_exact": q_embedding_neardup_exact,
-        "q_events_daily": q_events_daily,
-        # -- r10 window: NEW image near-dup tier (multimodal.image_dhash
-        #    + hamming banding, VERDICT r09 #7), first driver run --
-        "q_image_neardup": q_image_neardup,
-        # -- r10 window: NEW per-slice calibration + operating-point
-        #    sweep (evaluation.calibration_bins / threshold_sweep
-        #    by=[...]), first driver run — displacing q_hll_distinct and
-        #    q_weighted_sample from the window tail to the r11 queue head --
-        "q_calibration_by_slice": q_calibration_by_slice,
-        "q_sweep_by_slice": q_sweep_by_slice,
-        # -- r10 window: changed-operator re-verification (see header) --
-        "q_cohens_kappa": q_cohens_kappa,
-        "q_pr_auc": q_pr_auc,
-        "q_pr_auc_by_slice": q_pr_auc_by_slice,
-        "q_auc_by_slice": q_auc_by_slice,
-        "q_quality_auc": q_quality_auc,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_cc_star": q_cc_star,
-        "q_simhash_pairs": q_simhash_pairs,
-        # -- r10 window: r07-green block, queue order (first 27 of the
-        #    46 not placed above; the 19 displaced are ledgered below
-        #    position 50 and lead the r11 window) --
-        "q_matrix_scalar_pipe": q_matrix_scalar_pipe,
-        "q_events_rollup": q_events_rollup,
-        "q_session_window": q_session_window,
-        "q_sessionize": q_sessionize,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_cube_agg": q_cube_agg,
-        "q_substring_spans": q_substring_spans,
-        "q_unigram_lm": q_unigram_lm,
-        "q_linear_quality": q_linear_quality,
-        "q_global_rank_scan": q_global_rank_scan,
-        "q_bigram_lm": q_bigram_lm,
-        "q_kmeans": q_kmeans,
-        "q_map_stream": q_map_stream,
-        "q_chunk_documents": q_chunk_documents,
-        "q_topk_window": q_topk_window,
-        "q_rank_by_value": q_rank_by_value,
-        "q_decontaminate": q_decontaminate,
-        "q_pack_shards": q_pack_shards,
-        "q_domain_cap": q_domain_cap,
-        "q12_priority_by_flag": q12_priority_by_flag,
-        "q_pii_redact": q_pii_redact,
-        "q_top_word_fraction": q_top_word_fraction,
-        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "q_cosine_topk_lsh": q_cosine_topk_lsh,
-        "q_cosine_topk_ivf": q_cosine_topk_ivf,
-        "q_embedding_neardup": q_embedding_neardup,
-        # ---- position 50 ends here ----
-        # -- r11 queue head: the 19 r07-green entries displaced below
-        #    position 50 by the r10 head (12 r06 leads + q_image_neardup
-        #    + q_calibration_by_slice + q_sweep_by_slice + the 8
-        #    re-verifications); NOT re-verified this round --
+        # -- r11 window head: the 19 r07-green entries (displaced from
+        #    the r10 window by its head insertions; ledgered in r10 as
+        #    the r11 queue head, VERDICT r10 #1) --
         "q_hll_distinct": q_hll_distinct,
         "q_weighted_sample": q_weighted_sample,
         "q_mix_proportions": q_mix_proportions,
@@ -2905,9 +2833,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_kl": q_corpus_kl,
         "q_bloom_anti_join": q_bloom_anti_join,
         "q_dsir_weights": q_dsir_weights,
-        # -- r08-green block (CORRECTNESS_r08 verified these in window
-        #    order; q_quality_auc and q_auc_by_slice moved to the r10
-        #    window head for changed-operator re-verification) --
+        # -- r11 window: changed-operator re-verification (see header;
+        #    the distinct-hash/signature-space rewrites of
+        #    dedup.hamming_band_pairs / dedup.minhash_lsh_pairs and the
+        #    _minhash_sig_expr extraction, VERDICT r10 #2/#3) --
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_image_neardup": q_image_neardup,
+        "q_neardup_against": q_neardup_against,
+        "q_dedup_clusters": q_dedup_clusters,
+        # -- r11 window: r08-green block, queue order (first 26 of the
+        #    47; the 21 displaced are ledgered below position 50 and
+        #    lead the r12 window) --
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
         "q_url_canonical": q_url_canonical,
@@ -2934,6 +2871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram_summary": q_histogram_summary,
         "q_pivot": q_pivot,
         "q_normalize": q_normalize,
+        # ---- position 50 ends here ----
+        # -- r12 queue head: the 21 r08-green entries the r11 window
+        #    could not fit (displaced by the 5 re-verifications above);
+        #    NOT re-verified this round --
         "q_groupall": q_groupall,
         "q_fold_reduce": q_fold_reduce,
         "q_topk_per_group": q_topk_per_group,
@@ -2955,10 +2896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority_exists": q4_order_priority_exists,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
-        # -- r09-green block (freshest driver rows, tail of the rotation;
-        #    CORRECTNESS_r09 verified these in window order; q_pr_auc /
-        #    q_pr_auc_by_slice / q_cohens_kappa / q_dedup_clusters moved
-        #    to the r10 window head for re-verification) --
+        # -- r09-green block (CORRECTNESS_r09 verified these in window
+        #    order; q_neardup_against moved to the r11 window head for
+        #    changed-operator re-verification) --
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -2970,7 +2910,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_join": q_fuzzy_join,
         "q_train_quality": q_train_quality,
         "q_contamination_report": q_contamination_report,
-        "q_neardup_against": q_neardup_against,
         "q_corpus_diff": q_corpus_diff,
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_semantic_dedup_auto": q_semantic_dedup_auto,
@@ -3005,6 +2944,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # -- r10-green block (freshest driver rows, tail of the rotation;
+        #    CORRECTNESS_r10 verified these in window order;
+        #    q_minhash_lsh_pairs / q_simhash_pairs / q_image_neardup /
+        #    q_dedup_clusters moved to the r11 window for
+        #    changed-operator re-verification) --
+        "q_deterministic_sample": q_deterministic_sample,
+        "q_train_split": q_train_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_vocabulary": q_vocabulary,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_multimodal_features": q_multimodal_features,
+        "q_cosine_topk": q_cosine_topk,
+        "q_embedding_neardup_exact": q_embedding_neardup_exact,
+        "q_events_daily": q_events_daily,
+        "q_calibration_by_slice": q_calibration_by_slice,
+        "q_sweep_by_slice": q_sweep_by_slice,
+        "q_cohens_kappa": q_cohens_kappa,
+        "q_pr_auc": q_pr_auc,
+        "q_pr_auc_by_slice": q_pr_auc_by_slice,
+        "q_auc_by_slice": q_auc_by_slice,
+        "q_quality_auc": q_quality_auc,
+        "q_cc_star": q_cc_star,
+        "q_matrix_scalar_pipe": q_matrix_scalar_pipe,
+        "q_events_rollup": q_events_rollup,
+        "q_session_window": q_session_window,
+        "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_cube_agg": q_cube_agg,
+        "q_substring_spans": q_substring_spans,
+        "q_unigram_lm": q_unigram_lm,
+        "q_linear_quality": q_linear_quality,
+        "q_global_rank_scan": q_global_rank_scan,
+        "q_bigram_lm": q_bigram_lm,
+        "q_kmeans": q_kmeans,
+        "q_map_stream": q_map_stream,
+        "q_chunk_documents": q_chunk_documents,
+        "q_topk_window": q_topk_window,
+        "q_rank_by_value": q_rank_by_value,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_shards": q_pack_shards,
+        "q_domain_cap": q_domain_cap,
+        "q12_priority_by_flag": q12_priority_by_flag,
+        "q_pii_redact": q_pii_redact,
+        "q_top_word_fraction": q_top_word_fraction,
+        "q_cosine_topk_lsh": q_cosine_topk_lsh,
+        "q_cosine_topk_ivf": q_cosine_topk_ivf,
+        "q_embedding_neardup": q_embedding_neardup,
     }
 
 
