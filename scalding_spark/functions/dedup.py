@@ -418,7 +418,8 @@ def signature_jaccard(sig_a: Column, sig_b: Column,
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.7,
-                      persist_signatures: bool = True) -> DataFrame:
+                      persist_signatures: bool = True,
+                      stats: dict | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
     Plan (all shuffles on 8-byte keys):
@@ -445,7 +446,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     unambiguous); ``persist_signatures`` persists the per-set frame
     (MEMORY_AND_DISK — it carries the representative shingle arrays for
     the verify, the ngram index-persist tradeoff) plus the tiny
-    (id, set-key) membership map used four times downstream."""
+    (id, set-key) membership map used four times downstream.
+
+    ``stats``: pass a dict to record candidate observability counters
+    (costs extra count jobs; the hamming_band_pairs precedent):
+    ``docs`` (non-empty-shingle documents), ``distinct_sets`` (the
+    banding's true input size), and ``candidate_set_pairs`` (distinct
+    set pairs the band join emits — the verify's true row count). On a
+    duplicate-heavy corpus candidate_set_pairs stays a function of the
+    DISTINCT corpus, independent of duplication multiplicity."""
     shs_expr = shingles(F.col(text_col), shingle_n)
     docs = (df.select(F.col(id_col).alias("id"), shs_expr.alias("__shs"))
             .where(F.size("__shs") > 0)
@@ -474,6 +483,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
               .select(F.col("l.__g").alias("__ga"),
                       F.col("r.__g").alias("__gb"))
               .distinct())
+    if stats is not None:
+        stats["docs"] = members.count()
+        stats["distinct_sets"] = gsigs.count()
+        stats["candidate_set_pairs"] = gcands.count()
     # exact verify ONCE per candidate set pair
     ga = gsigs.select(F.col("__g").alias("__ga"), F.col("__shs").alias("shs_a"))
     gb = gsigs.select(F.col("__g").alias("__gb"), F.col("__shs").alias("shs_b"))
