@@ -584,12 +584,16 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_chunk_freq: int | None = None,
+                       stats: dict | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, banded
     (see :func:`hamming_band_pairs` — the shared 64-bit banding kernel,
-    also under multimodal.image_neardup_pairs' perceptual hashes)."""
+    also under multimodal.image_neardup_pairs' perceptual hashes;
+    ``max_chunk_freq``/``stats`` pass through to it)."""
     sims = simhash64(df, text_col, id_col)
-    return hamming_band_pairs(sims, "id", "simhash", max_hamming)
+    return hamming_band_pairs(sims, "id", "simhash", max_hamming,
+                              max_chunk_freq=max_chunk_freq, stats=stats)
 
 
 def hamming_chunk_cols(hash_col, max_hamming: int) -> Column:

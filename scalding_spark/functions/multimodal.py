@@ -463,14 +463,20 @@ def image_ahash(df: DataFrame, content_col: str = "content",
 def image_neardup_pairs(df: DataFrame, id_col: str = "media_id",
                         content_col: str = "content",
                         max_hamming: int = 2, hash_size: int = 8,
-                        method: str = "dhash") -> DataFrame:
+                        method: str = "dhash",
+                        max_chunk_freq: int | None = None,
+                        stats: dict | None = None) -> DataFrame:
     """Near-duplicate image pairs → (id_a, id_b, hamming): perceptual
     hash (dHash default, aHash opt-in) + the SimHash hamming-band
     candidate machinery (dedup.hamming_band_pairs — (max_hamming+1)
-    chunks, pigeonhole-exact, never all-pairs). Completes the
-    store-probe dedup family for images: one map-only hash pass over
-    the binary column, then banding shuffles 8-byte hashes — the image
-    bytes never shuffle (the decontaminate/text rule at 100 TB)."""
+    chunks, pigeonhole-exact, never all-pairs, banded over DISTINCT
+    hashes so n byte-identical/flat thumbnails cost one band row).
+    Completes the store-probe dedup family for images: one map-only
+    hash pass over the binary column, then banding shuffles 8-byte
+    hashes — the image bytes never shuffle (the decontaminate/text rule
+    at 100 TB). ``max_chunk_freq``/``stats`` pass through to the
+    banding (hot-chunk cap for near-flat corpora — recall-trading,
+    default exact — and candidate observability counters)."""
     from scalding_spark.functions.dedup import hamming_band_pairs
     kernels = {"dhash": image_dhash, "ahash": image_ahash}
     if method not in kernels:
@@ -479,4 +485,5 @@ def image_neardup_pairs(df: DataFrame, id_col: str = "media_id",
         df.select(F.col(id_col).alias("id"), F.col(content_col)),
         content_col=content_col, out_col="__ph", hash_size=hash_size) \
         .where(F.col("__ph").isNotNull()).select("id", "__ph")
-    return hamming_band_pairs(hashes, "id", "__ph", max_hamming)
+    return hamming_band_pairs(hashes, "id", "__ph", max_hamming,
+                              max_chunk_freq=max_chunk_freq, stats=stats)
