@@ -91,17 +91,36 @@ def stream_ingest_phash(stream_df: DataFrame, corpus_path: str,
               .select(F.col(id_col).alias("id"), "__ph")
               .localCheckpoint())
         ck = hamming_chunk_cols("__ph", max_hamming)
-        bchunks = hs.select(F.col("id").alias("bid"),
-                            F.col("__ph").alias("bph"),
-                            F.explode(ck).alias("ck"))
-        # within-batch: band self-join + fused hamming verify; larger id
-        # loses to ANY qualifying smaller id
+        # Within-batch dedup in DISTINCT-HASH space (the r11
+        # hamming_band_pairs recipe): identical-hash members above the
+        # min id lose at hamming 0 BY DEFINITION (0 ≤ max_hamming), so
+        # they leave via a group-min lookup, never the band join — a
+        # crawl batch with n blank thumbnails costs one band row
+        # instead of C(n,2)·chunks self-join hits, and the store-probe
+        # BROADCAST below carries one row per distinct hash, not per
+        # image. Cross-hash losses reduce to the representatives:
+        # every non-rep member of a group shares its rep's hash, so
+        # "any smaller-id image within budget" holds for a rep iff it
+        # holds against some other group whose min id is smaller —
+        # exactly the rep-level band join (smaller-id-survives
+        # preserved; pinned by the batch≡stream parity suite).
+        reps = hs.groupBy("__ph").agg(F.min("id").alias("id"))
+        member_losers = (hs.join(reps.withColumnRenamed("id", "__rid"),
+                                 "__ph")
+                         .where(F.col("id") != F.col("__rid"))
+                         .select("id"))
+        bchunks = reps.select(F.col("id").alias("bid"),
+                              F.col("__ph").alias("bph"),
+                              F.explode(ck).alias("ck"))
+        # rep-level band self-join + fused hamming verify; larger rep
+        # loses to ANY qualifying smaller rep
         l, r = bchunks.alias("l"), bchunks.alias("r")
-        losers = (l.join(r, (F.col("l.ck") == F.col("r.ck"))
-                         & (F.col("l.bid") < F.col("r.bid")))
-                  .where(F.bit_count(F.col("l.bph").bitwiseXOR(
-                      F.col("r.bph"))) <= max_hamming)
-                  .select(F.col("r.bid").alias("id")).distinct())
+        rep_losers = (l.join(r, (F.col("l.ck") == F.col("r.ck"))
+                             & (F.col("l.bid") < F.col("r.bid")))
+                      .where(F.bit_count(F.col("l.bph").bitwiseXOR(
+                          F.col("r.bph"))) <= max_hamming)
+                      .select(F.col("r.bid").alias("id")).distinct())
+        losers = member_losers.unionByName(rep_losers).distinct()
         batch = batch.join(losers.withColumnRenamed("id", id_col),
                            id_col, "left_anti")
         hs = hs.join(losers, "id", "left_anti")

@@ -812,3 +812,36 @@ def test_stream_ingest_phash_validates_method(spark, tmp_path):
             stream, corpus_path=str(tmp_path / "c2"),
             store_path=str(tmp_path / "s2"),
             checkpoint=str(tmp_path / "k2"), method="xhash")
+
+
+def test_stream_ingest_phash_duplicate_heavy_batch(spark, tmp_path):
+    """r11 distinct-hash within-batch rewrite: a batch where most images
+    are byte-identical (the blank-thumbnail crawl shape) must keep
+    exactly the min-id copy per identical group and still apply the
+    smaller-id-survives rule ACROSS groups through the rep-level band
+    join — decisions identical to the per-image plan it replaced."""
+    import random
+    rng = random.Random(77)
+    blank = [0] * 256                          # 30 byte-identical copies
+    base = [rng.randrange(256) for _ in range(256)]
+    near = list(base); near[0] = (near[0] + 50) % 256  # cross-hash near-dup
+    far = [rng.randrange(256) for _ in range(256)]
+    rows = [(100 + i, _p5img(blank)) for i in range(30)]
+    rows += [(50, _p5img(base)), (51, _p5img(near)), (52, _p5img(far)),
+             (5, _p5img(blank))]               # id 5: the group's min id
+    paths = tuple(str(tmp_path / p) for p in ("ds", "dc", "dt", "dk"))
+    _run_phash(spark, rows, paths)
+    kept = sorted(r.media_id for r in spark.read.parquet(paths[1]).collect())
+    # blank group -> id 5 only; base survives; near loses to base (51>50);
+    # far is distinct
+    assert kept == [5, 50, 52]
+    assert sorted(r.id for r in
+                  spark.read.parquet(paths[2]).collect()) == [5, 50, 52]
+    # epoch 2: another flood of the SAME blank image + one novel -> the
+    # store probe (rep-space broadcast) drops every blank copy
+    novel = [rng.randrange(256) for _ in range(256)]
+    rows2 = [(200 + i, _p5img(blank)) for i in range(20)] + \
+        [(300, _p5img(novel))]
+    _run_phash(spark, rows2, paths)
+    kept = sorted(r.media_id for r in spark.read.parquet(paths[1]).collect())
+    assert kept == [5, 50, 52, 300]
