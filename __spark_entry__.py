@@ -1820,6 +1820,32 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   content_col="content", max_hamming=2)
 
 
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup tier (multimodal.audio_neardup_pairs, r11): the
+    energy-difference perceptual hash over REAL decoded PCM (256-sample
+    u8 mono WAVs fabricated per doc from md5 bytes — family doc_id%100
+    shares a body, sample 0 varies by doc_id%4, so family members sit
+    at aehash hamming ≤ 1) + the shared pigeonhole banding at
+    max_hamming=2. py-golden (py_reference.golden_audio_neardup mirrors
+    the stdlib-wave parse, the integer window energies, and the banding
+    — all-integer, so the mirror is exact by construction)."""
+    import struct
+    from scalding_spark.functions import multimodal as mm
+    docs = _t(spark, sf_dir, "documents")
+    fam = (F.col("doc_id") % 100).cast("string")
+    body = F.concat(*[F.unhex(F.md5(F.concat(fam, F.lit(f"-{j}"))))
+                      for j in range(16)])
+    delta = F.unhex(F.lpad(F.hex((F.col("doc_id") % 4) * 64), 2, "0"))
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 256) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+           + b"data" + struct.pack("<I", 256))
+    content = F.concat(F.lit(hdr), delta, F.substring(body, 2, 255))
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        content.alias("content"))
+    return mm.audio_neardup_pairs(media, id_col="media_id",
+                                  content_col="content", max_hamming=2)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -2803,9 +2829,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kernel extracted into _minhash_sig_expr -- expression-identical,
     # same rule as the r10 q_simhash_pairs extraction), and
     # q_dedup_clusters (VERDICT r10 #3 names it alongside the minhash
-    # rewrite) -- then the r08-green block in queue order
-    # (q_winnow_fingerprints onward, first 26 of the 47). The 21
-    # r08-green entries the window cannot fit (q_groupall ...
+    # rewrite) -- then the NEW q_audio_neardup (energy-hash audio
+    # near-dup tier, r11; never driver-checked, so the rotation test
+    # requires it inside the window) -- then the r08-green block in
+    # queue order (q_winnow_fingerprints onward, first 25 of the 47;
+    # q_normalize displaced by the audio insert). The 22 r08-green
+    # entries the window cannot fit (q_normalize, q_groupall ...
     # q6_forecast_revenue) sit directly below position 50 and lead the
     # r12 window. Every insertion/displacement is ledgered at the
     # displacement point so the header never overstates what the driver
@@ -2842,8 +2871,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_neardup": q_image_neardup,
         "q_neardup_against": q_neardup_against,
         "q_dedup_clusters": q_dedup_clusters,
-        # -- r11 window: r08-green block, queue order (first 26 of the
-        #    47; the 21 displaced are ledgered below position 50 and
+        # -- r11 window: NEW audio near-dup tier (multimodal.audio_ehash
+        #    + the shared hamming banding), first driver run —
+        #    displacing q_normalize from the window tail to the r12
+        #    queue head --
+        "q_audio_neardup": q_audio_neardup,
+        # -- r11 window: r08-green block, queue order (first 25 of the
+        #    47; the 22 displaced are ledgered below position 50 and
         #    lead the r12 window) --
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_overlap": q_winnow_overlap,
@@ -2870,11 +2904,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": q_histogram,
         "q_histogram_summary": q_histogram_summary,
         "q_pivot": q_pivot,
-        "q_normalize": q_normalize,
         # ---- position 50 ends here ----
-        # -- r12 queue head: the 21 r08-green entries the r11 window
-        #    could not fit (displaced by the 5 re-verifications above);
-        #    NOT re-verified this round --
+        # -- r12 queue head: the 22 r08-green entries the r11 window
+        #    could not fit (displaced by the 5 re-verifications and the
+        #    q_audio_neardup insert above); NOT re-verified this round --
+        "q_normalize": q_normalize,
         "q_groupall": q_groupall,
         "q_fold_reduce": q_fold_reduce,
         "q_topk_per_group": q_topk_per_group,
@@ -3211,6 +3245,10 @@ def py_oracle() -> dict[str, Callable]:
         # grid, dHash bits, and banding are all-integer, so the mirror
         # is exact by construction (no SQL: binary image decode)
         "q_image_neardup": pr.golden_checker(pr.golden_image_neardup),
+        # r11: audio near-dup tier — stdlib-wave integer PCM, exact
+        # integer window energies, same banding (no SQL: binary WAV
+        # decode)
+        "q_audio_neardup": pr.golden_checker(pr.golden_audio_neardup),
     }
 
 

@@ -1266,6 +1266,94 @@ def golden_image_neardup(sf_dir: str):
     return out, ["id_a", "id_b", "hamming"]
 
 
+def golden_audio_ehash(content: bytes, hash_size: int = 8) -> int:
+    """UNSIGNED energy-difference audio hash mirror of
+    multimodal._aehash_int (which returns the same 64 bits as a signed
+    bigint): stdlib-wave integer PCM (u8 centered at 128, 32-bit
+    samples >> 16, channels folded by integer SUM), numpy-array_split
+    window boundaries replicated exactly, per-window energy Σ sample²
+    in exact ints, bit i set iff E[i] > E[i+1]."""
+    import io as _io
+    import wave as _wave
+    with _wave.open(_io.BytesIO(bytes(content))) as wf:
+        nch, sw, _rate, nframes = wf.getparams()[:4]
+        raw = wf.readframes(nframes)
+    if sw == 1:
+        x = [b - 128 for b in raw]
+    elif sw == 2:
+        x = [int.from_bytes(raw[i:i + 2], "little", signed=True)
+             for i in range(0, len(raw), 2)]
+    elif sw == 4:
+        x = [int.from_bytes(raw[i:i + 4], "little", signed=True) >> 16
+             for i in range(0, len(raw), 4)]
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        n = (len(x) // nch) * nch
+        x = [sum(x[i:i + nch]) for i in range(0, n, nch)]
+    k = hash_size * hash_size + 1
+    # numpy array_split boundaries: the first (len % k) windows get
+    # ceil(len/k) samples, the rest floor(len/k)
+    n, e, pos = len(x), [], 0
+    for w in range(k):
+        size = n // k + (1 if w < n % k else 0)
+        e.append(sum(v * v for v in x[pos:pos + size]))
+        pos += size
+    v = 0
+    for i in range(k - 1):
+        if e[i] > e[i + 1]:
+            v |= 1 << i
+    return v
+
+
+def audio_media(sf_dir: str):
+    """The q_audio_neardup fabrication, mirrored byte-for-byte: per doc a
+    256-sample u8 mono PCM WAV whose body is md5-derived from the doc's
+    FAMILY (doc_id % 100) with sample 0 replaced by (doc_id % 4)·64 —
+    family members are near-identical (aehash hamming ≤ 1, only the
+    first window's energy moves), cross-family clips are effectively
+    random."""
+    import hashlib as _hl
+    import struct as _st
+    hdr = (b"RIFF" + _st.pack("<I", 36 + 256) + b"WAVEfmt "
+           + _st.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+           + b"data" + _st.pack("<I", 256))
+    out = []
+    for i, _txt in _documents(sf_dir):
+        fam = str(i % 100)
+        body = b"".join(_hl.md5(f"{fam}-{j}".encode()).digest()
+                        for j in range(16))
+        out.append((i, hdr + bytes([(i % 4) * 64]) + body[1:]))
+    return out
+
+
+def golden_audio_neardup(sf_dir: str):
+    """Mirror of q_audio_neardup: energy hash over the fabricated WAVs,
+    then the pigeonhole banding (golden_image_neardup's candidate
+    scheme) at max_hamming=2."""
+    max_hamming = 2
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    hashes = {i: golden_audio_ehash(c) for i, c in audio_media(sf_dir)}
+    chunk_map = {}
+    for i, hv in hashes.items():
+        for c in range(chunks):
+            key = (c, (hv >> (c * width)) & ((1 << width) - 1))
+            chunk_map.setdefault(key, []).append(i)
+    cands = set()
+    for ids_ in chunk_map.values():
+        ids_ = sorted(ids_)
+        for ai in range(len(ids_)):
+            for bi in range(ai + 1, len(ids_)):
+                cands.add((ids_[ai], ids_[bi]))
+    out = []
+    for a, b in sorted(cands):
+        ham = bin(hashes[a] ^ hashes[b]).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return out, ["id_a", "id_b", "hamming"]
+
+
 def golden_checker(golden_fn):
     """Lift a golden (sf_dir → (rows, cols)) into the checker signature
     (sf_dir, rows, cols → error | None)."""

@@ -487,3 +487,93 @@ def image_neardup_pairs(df: DataFrame, id_col: str = "media_id",
         .where(F.col("__ph").isNotNull()).select("id", "__ph")
     return hamming_band_pairs(hashes, "id", "__ph", max_hamming,
                               max_chunk_freq=max_chunk_freq, stats=stats)
+
+
+# -- audio perceptual hashing / near-dup (r11) --------------------------------
+
+def _wav_pcm_int(content: bytes):
+    """INTEGER PCM samples from a WAV container, mono-folded — the audio
+    hash's decode step. Parses with stdlib ``wave`` ALWAYS (never
+    soundfile, even when installed: hashing needs the integer-exact
+    sample values; soundfile decodes to floats whose scaling/rounding
+    would break the bit-for-bit py_reference mirror). u8 samples center
+    at 128; 32-bit samples pre-shift ``>> 16`` (a deterministic
+    precision trim, mirrored in py_reference, that keeps window energies
+    inside int64 — see :func:`_aehash_int`); multi-channel folds by
+    integer SUM across channels (comparisons of sums order identically
+    to comparisons of means — the channel-sum luma rule). A byte blob
+    that is not a parseable WAV raises NotImplementedError like the
+    image path: a corrupt/foreign codec is an upstream bug, not a row to
+    silently hash."""
+    import io
+    import wave
+
+    import numpy as np
+    try:
+        with wave.open(io.BytesIO(bytes(content))) as wf:
+            nch, sw, _rate, nframes = wf.getparams()[:4]
+            raw = wf.readframes(nframes)
+    except Exception as exc:
+        raise NotImplementedError(
+            f"audio hash: not a parseable PCM WAV container ({exc}); "
+            "transcode upstream (the multimodal no-codec rule)") from None
+    dt = {1: np.uint8, 2: "<i2", 4: "<i4"}.get(sw)
+    if dt is None:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    x = np.frombuffer(raw, dtype=dt).astype(np.int64)
+    if sw == 1:
+        x = x - 128
+    elif sw == 4:
+        x = x >> 16
+    if nch > 1:
+        n = (x.size // nch) * nch
+        x = x[:n].reshape(-1, nch).sum(axis=1)
+    return x
+
+
+def _aehash_int(content: bytes, hash_size: int) -> int:
+    """Audio energy-difference hash (the dHash idea on the time axis):
+    split the mono integer PCM into hash_size²+1 contiguous windows
+    (numpy array_split boundaries, mirrored exactly), per-window energy
+    E = Σ sample² (EXACT int64 — |sample| ≤ nch·2¹⁵ after the decode
+    trims, so energies stay exact for any clip under ~2³³/nch² samples
+    per window, i.e. days of audio), bit i set iff E[i] > E[i+1].
+    All-integer on purpose: no float RMS, no division — the pure-Python
+    mirror (py_reference.golden_audio_ehash) is bit-trivial, and the
+    hash survives uniform gain changes (energies scale together, no
+    comparison flips) the way image dHash survives brightness scaling."""
+    import numpy as np
+    x = _wav_pcm_int(content)
+    n_windows = hash_size * hash_size + 1
+    e = np.array([int(np.dot(w, w)) for w in np.array_split(x, n_windows)],
+                 dtype=object)
+    return _pack_bits_le(
+        (e[:-1] > e[1:]).reshape(hash_size, hash_size))
+
+
+def audio_ehash(df: DataFrame, content_col: str = "content",
+                out_col: str = "aehash", hash_size: int = 8) -> DataFrame:
+    """Energy-difference perceptual hash column for WAV audio blobs —
+    the audio member of the perceptual-hash family (image_dhash /
+    image_ahash): one Arrow-batched map-only pass, NULL content → NULL
+    hash, 64 bits in a signed BIGINT."""
+    return _phash_column(df, content_col, out_col, hash_size, _aehash_int)
+
+
+def audio_neardup_pairs(df: DataFrame, id_col: str = "media_id",
+                        content_col: str = "content",
+                        max_hamming: int = 2, hash_size: int = 8,
+                        max_chunk_freq: int | None = None,
+                        stats: dict | None = None) -> DataFrame:
+    """Near-duplicate audio pairs → (id_a, id_b, hamming): energy hash +
+    the shared hamming banding (dedup.hamming_band_pairs — pigeonhole-
+    exact over DISTINCT hashes, never all-pairs). Same 100 TB shape as
+    the image tier: one map-only decode/hash pass, then banding shuffles
+    8-byte hashes — audio bytes never cross an exchange."""
+    from scalding_spark.functions.dedup import hamming_band_pairs
+    hashes = (audio_ehash(
+        df.select(F.col(id_col).alias("id"), F.col(content_col)),
+        content_col=content_col, out_col="__ah", hash_size=hash_size)
+        .where(F.col("__ah").isNotNull()).select("id", "__ah"))
+    return hamming_band_pairs(hashes, "id", "__ah", max_hamming,
+                              max_chunk_freq=max_chunk_freq, stats=stats)

@@ -14,7 +14,9 @@ def stream_ingest_phash(stream_df: DataFrame, corpus_path: str,
                         method: str = "dhash",
                         compact_every_n_epochs: int | None = None,
                         available_now: bool = True):
-    """Streaming incremental IMAGE near-dup ingestion — the perceptual-
+    """Streaming incremental MEDIA near-dup ingestion (images by
+    default; ``method="aehash"`` ingests WAV audio blobs through the
+    same machinery) — the perceptual-
     hash tier completing the store-probe family (exact:
     :func:`stream_ingest_dedup`, MinHash: :func:`stream_ingest_neardup`,
     embeddings: :func:`stream_ingest_semantic`; batch shape:
@@ -65,12 +67,18 @@ def stream_ingest_phash(stream_df: DataFrame, corpus_path: str,
     import hashlib
 
     from scalding_spark.functions.dedup import hamming_chunk_cols
-    from scalding_spark.functions.multimodal import image_ahash, image_dhash
+    from scalding_spark.functions.multimodal import (audio_ehash,
+                                                     image_ahash,
+                                                     image_dhash)
     from scalding_spark.streaming import (_reject_reserved_batch_col,
                                           _validate_compact_every)
     _reject_reserved_batch_col(stream_df)
     _validate_compact_every(compact_every_n_epochs)
-    kernels = {"dhash": image_dhash, "ahash": image_ahash}
+    # the tier is modality-agnostic past the hash pass: "aehash" ingests
+    # AUDIO blobs (multimodal.audio_ehash — r11) through the identical
+    # store-probe/banding machinery
+    kernels = {"dhash": image_dhash, "ahash": image_ahash,
+               "aehash": audio_ehash}
     if method not in kernels:
         raise ValueError(f"method={method!r}: want one of {sorted(kernels)}")
     # validate the hamming budget at BUILDER time (a bad budget must not
