@@ -460,7 +460,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
             .where(F.size("__shs") > 0)
             .withColumn("__g", F.md5(F.array_join(F.array_sort("__shs"),
                                                   "\n"))))
-    members = docs.select("id", "__g")
+    # distinct: exact duplicate input rows must not duplicate output
+    # pairs (the pre-r11 candidate .distinct() contract)
+    members = docs.select("id", "__g").distinct()
     # min(__shs) is deterministic AND immaterial: every array in a group
     # holds the same SET, and sig/intersect/size depend only on the set
     groups = docs.groupBy("__g").agg(F.min("__shs").alias("__shs"))
@@ -500,6 +502,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     ma = members.select(F.col("__g").alias("__ga"), F.col("id").alias("__ia"))
     mb = members.select(F.col("__g").alias("__gb"), F.col("id").alias("__ib"))
     cross = (ver.join(ma, "__ga").join(mb, "__gb")
+             # an id appearing with two different texts sits in two set
+             # groups; a verified (g_a, g_b) pair between them must not
+             # expand to a self-row (pre-r11 strict-inequality contract)
+             .where(F.col("__ia") != F.col("__ib"))
              .select(F.least("__ia", "__ib").alias("id_a"),
                      F.greatest("__ia", "__ib").alias("id_b"), "jaccard"))
     # same-set pairs: identical shingle sets share every band bucket
@@ -628,7 +634,8 @@ def hamming_chunk_cols(hash_col, max_hamming: int) -> Column:
 def hamming_band_pairs(hashes: DataFrame, id_col: str, hash_col: str,
                        max_hamming: int,
                        max_chunk_freq: int | None = None,
-                       stats: dict | None = None) -> DataFrame:
+                       stats: dict | None = None,
+                       persist_hashes: bool = True) -> DataFrame:
     """Pairs of 64-bit hashes within hamming distance ≤ max_hamming →
     (id_a, id_b, hamming), banded: split the hash into (max_hamming+1)
     chunks — any pair within the distance budget must agree exactly on
@@ -661,9 +668,27 @@ def hamming_band_pairs(hashes: DataFrame, id_col: str, hash_col: str,
     (exact, distinct-hash space; costs one extra aggregation job):
     ``distinct_hashes``, ``max_chunk_distinct_hashes`` (the hottest chunk
     bucket), and ``cross_hash_candidates`` (Σ C(d,2) over chunk buckets —
-    the band join's true row count before the hamming filter)."""
-    sims = hashes.select(F.col(id_col).alias("id"),
-                         F.col(hash_col).alias("simhash"))
+    the band join's true row count before the hamming filter).
+
+    ``persist_hashes`` (default True): the (id, hash) frame feeds FIVE
+    scans downstream (the distinct-hash banding, both sides of the
+    same-hash self-join, both membership joins) — for image/audio
+    callers the upstream is an expensive Arrow decode+hash pass, so
+    without a persist that pass would re-execute per scan. The rows are
+    16 bytes each, the 100 TB-safe persist class (the minhash
+    persist_signatures rationale); released via release_materialized().
+    Exact duplicate (id, hash) rows are dropped up front and the
+    membership expansion never emits a self-pair, so an id appearing
+    twice (duplicate rows, or two hashes for one id) cannot produce
+    (X, X) rows or duplicated pairs — the strict-inequality contract of
+    the pre-r11 id-space join, preserved."""
+    sims = (hashes.select(F.col(id_col).alias("id"),
+                          F.col(hash_col).alias("simhash"))
+            .distinct())
+    if persist_hashes:
+        from scalding_spark.session import register_persisted
+        sims = sims.persist()
+        register_persisted(sims)  # released via release_materialized()
     dh = sims.select("simhash").distinct()
     exploded = dh.select(
         "simhash",
@@ -696,6 +721,10 @@ def hamming_band_pairs(hashes: DataFrame, id_col: str, hash_col: str,
     ia = sims.select(F.col("id").alias("__ia"), F.col("simhash").alias("sh_a"))
     ib = sims.select(F.col("id").alias("__ib"), F.col("simhash").alias("sh_b"))
     cross = (hp.join(ia, "sh_a").join(ib, "sh_b")
+             # one id carrying BOTH hashes of a near pair would expand
+             # to a self-row; the pre-r11 strict l.id < r.id join made
+             # that unrepresentable — keep it so
+             .where(F.col("__ia") != F.col("__ib"))
              .select(F.least("__ia", "__ib").alias("id_a"),
                      F.greatest("__ia", "__ib").alias("id_b"),
                      F.col("hamming")))

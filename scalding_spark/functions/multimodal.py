@@ -366,7 +366,14 @@ def _luma_grid(content: bytes, rows: int, cols: int):
     PNG/JPEG-lossless through PIL produces the same bits — the
     'survives re-encoding' claim holds ACROSS codec paths, not just
     within one (ADVICE r10 #3; a grayscale source triples to 3·gray on
-    the RGB path, a monotone map that flips no comparison)."""
+    the RGB path, a monotone map that flips no comparison).
+
+    COMPATIBILITY: this change (r11) alters hash VALUES for color
+    images decoded via PIL (the pre-r11 PIL path used ITU-R-weighted
+    convert('L')). A stream_ingest_phash store populated through the
+    old PIL path must be rebuilt before probing with r11 hashes —
+    PNM-decoded stores (the only path when PIL is absent) are
+    unaffected."""
     import numpy as np
     if content.startswith((b"P5", b"P6")):
         px, w, h, _maxval = _pnm_raw(bytes(content))

@@ -90,13 +90,16 @@ def _fs_for(spark: SparkSession, path: str):
     return fs, hpath, jvm
 
 
-def _read_manifest(fs, jvm, mpath) -> list[str]:
-    stream = fs.open(mpath)
+def _read_text(fs, jvm, path) -> str:
+    stream = fs.open(path)
     try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
-    return [ln for ln in text.splitlines() if ln]
+
+
+def _read_manifest(fs, jvm, mpath) -> list[str]:
+    return [ln for ln in _read_text(fs, jvm, mpath).splitlines() if ln]
 
 
 def _write_manifest(fs, jvm, mpath, names: list[str]) -> None:
@@ -126,19 +129,38 @@ def _newest_epoch(fs, root, tag: str):
     return newest
 
 
-def _read_lock_token(fs, jvm, lock) -> str | None:
-    """The owner token currently in the lock file (None if the lock is
-    missing or unreadable — either way, not provably ours)."""
+#: sentinel: the lock token could not be READ (transient fs error /
+#: missing file) — distinct from "read fine, different owner". A
+#: mismatch is proof of a steal; a failed read proves nothing and must
+#: be retried, never acted on (a single throttled GET latching a
+#: multi-hour compaction into an abort was the self-review r11 finding).
+_READ_FAILED = object()
+
+
+def _read_lock_token(fs, jvm, lock):
+    """The owner token currently in the lock file: a string, None (file
+    exists but holds no token), or :data:`_READ_FAILED` when the read
+    itself failed."""
     try:
-        stream = fs.open(lock)
-        try:
-            text = jvm.org.apache.commons.io.IOUtils.toString(stream,
-                                                              "UTF-8")
-        finally:
-            stream.close()
-        return text.strip() or None
+        return _read_text(fs, jvm, lock).strip() or None
     except Exception:
-        return None
+        return _READ_FAILED
+
+
+def _token_matches(fs, jvm, lock, token: str, attempts: int = 3,
+                   delay_sec: float = 1.0) -> bool:
+    """Ownership proof with transient-failure retries: True iff the lock
+    readably holds ``token``. Read failures are retried ``attempts``
+    times; if every read fails the answer is conservatively False (not
+    provably ours), which callers treat as 'do not publish / do not
+    delete' — never as a detected steal."""
+    for i in range(attempts):
+        got = _read_lock_token(fs, jvm, lock)
+        if got is not _READ_FAILED:
+            return got == token
+        if i + 1 < attempts:
+            time.sleep(delay_sec)
+    return False
 
 
 def _acquire_lease(fs, jvm, root, ttl_sec: int):
@@ -231,9 +253,15 @@ class _LeaseHeartbeat:
     def _run(self):
         while not self._stop.wait(self._interval):
             try:
-                if _read_lock_token(self._fs, self._jvm,
-                                    self._lock) != self._token:
-                    self.stolen = True
+                got = _read_lock_token(self._fs, self._jvm, self._lock)
+                if got is _READ_FAILED:
+                    # a transient READ failure proves nothing — skip
+                    # this beat and retry at the next; latching stolen
+                    # here would spuriously abort the whole compaction
+                    # off one throttled GET (self-review r11)
+                    continue
+                if got != self._token:
+                    self.stolen = True  # positive mismatch = real steal
                     return
                 now_ms = int(time.time() * 1000)
                 self._fs.setTimes(self._lock, now_ms, -1)
@@ -247,10 +275,11 @@ class _LeaseHeartbeat:
         self._thread.join(timeout=10)
 
     def owned(self) -> bool:
-        """Synchronous ownership proof — re-reads the token NOW (the
-        commit-point check; the async flag alone could lag a steal)."""
-        return (not self.stolen) and _read_lock_token(
-            self._fs, self._jvm, self._lock) == self._token
+        """Synchronous ownership proof — re-reads the token NOW with
+        transient-failure retries (the commit-point check; the async
+        flag alone could lag a steal)."""
+        return (not self.stolen) and _token_matches(
+            self._fs, self._jvm, self._lock, self._token)
 
 
 def _finish_pending_deletions(spark, fs, jvm, root, batches: list) -> None:
@@ -340,8 +369,11 @@ def compact_store(spark: SparkSession, path: str,
     finally:
         hb.stop()
         # release only a lock we still own: after a (TTL-outlived,
-        # heartbeat-dead-process) steal the path holds the THIEF's lease
-        if _read_lock_token(fs, jvm, lock) == token:
+        # heartbeat-dead-process) steal the path holds the THIEF's
+        # lease. Retried token read: a transient failure here must not
+        # orphan our own lock (it would block compactions for a full
+        # lease_ttl_sec — self-review r11).
+        if _token_matches(fs, jvm, lock, token):
             fs.delete(lock, False)
 
 

@@ -228,3 +228,58 @@ def test_stolen_lease_aborts_before_commit(spark, tmp_path, monkeypatch):
     # the thief's (fresh) lease still refuses a new compaction
     with pytest.raises(_c.CompactionBusy):
         streaming.compact_store(spark, store)
+
+
+# -- 6. self-review r11: transient read failures vs real steals -----------
+
+def test_token_matches_retries_transient_failures(monkeypatch):
+    """_token_matches must retry _READ_FAILED (proves nothing) and only
+    answer from a successful read; persistent failure answers False
+    conservatively (don't publish / don't delete), never 'stolen'."""
+    seq = [_c._READ_FAILED, _c._READ_FAILED, "tok"]
+    monkeypatch.setattr(_c, "_read_lock_token",
+                        lambda fs, jvm, lock: seq.pop(0))
+    monkeypatch.setattr(_c.time, "sleep", lambda s: None)
+    assert _c._token_matches(None, None, None, "tok") is True
+    seq = [_c._READ_FAILED] * 3
+    assert _c._token_matches(None, None, None, "tok") is False
+    seq = ["thief"]
+    assert _c._token_matches(None, None, None, "tok") is False
+
+
+def test_heartbeat_transient_read_does_not_latch_stolen(spark, tmp_path,
+                                                        monkeypatch):
+    """One throttled/failed token read inside the heartbeat must SKIP
+    the beat, not latch stolen=True (which would spuriously abort a
+    multi-hour compaction); a later positive mismatch still detects a
+    real steal."""
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    lock_path = os.path.join(store, "_COMPACT_LOCK")
+    with open(lock_path, "w") as f:
+        f.write("tok\n")
+    fs, root, jvm = _c._fs_for(spark, store)
+    Path = jvm.org.apache.hadoop.fs.Path
+    lock = Path(store, "_COMPACT_LOCK")
+    real = _c._read_lock_token
+    fails = {"n": 2}
+
+    def flaky(fs_, jvm_, lock_):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            return _c._READ_FAILED
+        return real(fs_, jvm_, lock_)
+
+    monkeypatch.setattr(_c, "_read_lock_token", flaky)
+    hb = _c._LeaseHeartbeat(fs, jvm, lock, "tok", interval_sec=0.25).start()
+    try:
+        _real_time.sleep(1.2)
+        assert hb.stolen is False          # failures skipped, not latched
+        assert hb.owned() is True
+        with open(lock_path, "w") as f:    # a REAL steal
+            f.write("thief\n")
+        _real_time.sleep(0.8)
+        assert hb.stolen is True
+        assert hb.owned() is False
+    finally:
+        hb.stop()

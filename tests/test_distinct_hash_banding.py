@@ -187,3 +187,40 @@ def test_changed_operators_have_fresh_driver_rows_or_sit_in_window():
     assert not missing, (
         f"changed operators neither re-verified since r11 nor scheduled "
         f"in the current window: {sorted(missing)}")
+
+
+def test_duplicate_id_inputs_cannot_self_pair_or_duplicate(spark):
+    """Self-review r11 pin: the membership expansion preserves the
+    pre-r11 strict-inequality contract — an id carrying two hashes
+    within budget yields no (X, X) row, and exact duplicate (id, hash)
+    rows do not duplicate output pairs."""
+    rows = [(7, 0b1), (7, 0b11),          # one id, two near hashes
+            (8, 0b1), (8, 0b1),           # exact duplicate rows
+            (9, 0x70F0F0F0F0F0F0F0)]      # genuinely far (many bits)
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = [(r.id_a, r.id_b, r.hamming)
+           for r in dedup.hamming_band_pairs(df, "id", "h", 2).collect()]
+    assert all(a < b for a, b, _ in got)
+    assert len(got) == len(set(got))      # no duplicated rows
+    # (7,8) legitimately appears per distinct hash pair it satisfies
+    assert set(got) == {(7, 8, 0), (7, 8, 1)}
+
+
+def test_minhash_duplicate_id_inputs_cannot_self_pair(spark):
+    """Same contract for the set-space expansion: an id appearing with
+    two near-duplicate TEXTS joins two set groups whose verified pair
+    must not expand to a self-row; duplicated (id, text) rows do not
+    duplicate pairs."""
+    t_a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    t_b = t_a + " india"                  # high-jaccard neighbor of t_a
+    rows = [(1, t_a), (1, t_b),           # one id, two texts
+            (2, t_a), (2, t_a),           # duplicate rows
+            (3, "zulu yankee xray whiskey victor uniform tango sierra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.id_a, r.id_b, r.jaccard)
+           for r in dedup.minhash_lsh_pairs(
+               df, "text", "doc_id", num_hashes=16, bands=8,
+               threshold=0.2).collect()]
+    assert all(a < b for a, b, _ in got)
+    assert len(got) == len(set(got))
+    assert (1, 2, 1.0) in got             # the same-set pair survives
