@@ -293,49 +293,104 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     ``threshold``. Pass ``max_doc_freq=None`` for exact semantics on corpora
     small enough that no shingle can blow up (e.g. oracle/test scale).
 
-    ``persist_index`` caches the exploded (id, shingle) index, which is
-    otherwise computed three times (both self-join sides + the size agg).
-    Regex tokenization is CPU-bound, so re-reading the spilled fixed-width
-    index beats recomputing it (measured 2.5s → 1.8s at sf0.1); at corpus
-    scale the index is ~10× the text in rows but narrow — MEMORY_AND_DISK
-    spills gracefully. Disable to trade CPU for executor storage."""
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(shingles(F.col(text_col), n)).alias("sh")))
+    Runs in DISTINCT SHINGLE-SET space (r11 — the minhash_lsh_pairs /
+    hamming_band_pairs recipe): the index holds one row per (set, shingle)
+    instead of (doc, shingle), so n byte-identical documents cost ONE index
+    entry per shingle instead of n — the inverted index's worst blowup
+    (n identical docs sharing ALL shingles used to put n copies in every
+    shingle bucket: n²·|shingles| candidate rows) collapses to the
+    output-sized membership expansion. The pruning contract is preserved
+    EXACTLY: the frequency window weights each set by its member count
+    (``Σ __m`` = true document frequency, not set frequency), sizes stay
+    unpruned, and same-set pairs score through the same
+    pruned-survivors formula (a group whose every shingle is a
+    stop-shingle disappears, a partially-pruned one scores the same
+    conservative under-estimate the doc-space plan produced). Duplicate
+    (id, text) input rows are dropped (pre-r11 they double-counted sizes
+    and frequencies — degenerate-input garbage) and the expansion never
+    emits a self-pair.
+
+    ``persist_index`` caches the per-set frame (representative shingle
+    array + member count — the minhash groups-persist rationale) and the
+    tiny (id, set) membership map; both otherwise recompute the
+    CPU-bound tokenization per consumer (two join sides, the survivor
+    agg, sizes, two expansions). MEMORY_AND_DISK spills gracefully."""
+    docs = (df.select(F.col(id_col).alias("id"),
+                      shingles(F.col(text_col), n).alias("__shs"))
+            .where(F.size("__shs") > 0)
+            .withColumn("__g", F.md5(F.array_join(F.array_sort("__shs"),
+                                                  "\n"))))
+    members = docs.select("id", "__g").distinct()
+    groups = (docs.groupBy("__g")
+              .agg(F.min("__shs").alias("__shs"),
+                   F.countDistinct("id").alias("__m")))
     if persist_index:
         from pyspark import StorageLevel
 
         from scalding_spark.session import register_persisted
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        register_persisted(sh)  # internal persist — released via
+        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+        register_persisted(groups)  # internal persist — released via
         # session.release_materialized() (callers never see this handle)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        members = members.persist()
+        register_persisted(members)
+    sizes = groups.select("__g", F.size("__shs").alias("sz"))
+    sh = groups.select("__g", "__m", F.explode("__shs").alias("sh"))
     if max_doc_freq is not None:
-        # window count over sh, not groupBy+anti-join. Measured reality
-        # (r08, sf0.1): each self-join side plans its OWN Exchange(sh) +
-        # Window over the persisted index — Catalyst does NOT emit the
-        # ReusedExchange this comment once hoped for — but the windowed
-        # output arrives hash-partitioned by sh, so the join itself adds
-        # no further shuffle (2 index exchanges total). The alternative
-        # (groupBy(sh) hot-set → broadcast left_anti per side) also pays
-        # 2 index exchanges PLUS the hot-set aggregation job and measured
-        # 2.5 s vs this path's 1.3 s steady-state at sf0.1 (SCALING.md
-        # r08) — the per-partition count window is cheaper than the
-        # anti-join it would replace.
+        # window count over sh, not groupBy+anti-join (r08 measurement:
+        # the hot-set broadcast anti-join alternative was ~2× slower).
+        # Each consumer plans its OWN Exchange(sh) + Window over the
+        # persisted groups (no ReusedExchange — measured), but the
+        # windowed output arrives hash-partitioned by sh so the
+        # self-join adds no further shuffle. THREE sh-exchanges since
+        # r11 (two join sides + the same-set survivor count below),
+        # each over GROUP-space rows — smaller than the two doc-space
+        # exchanges they replace on any corpus with duplicates.
         w = Window.partitionBy("sh")
-        sh = (sh.withColumn("__df", F.count(F.lit(1)).over(w))
-              .where(F.col("__df") <= max_doc_freq).drop("__df"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-              .agg(F.count(F.lit(1)).alias("shared")))
-    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (shared.join(sz_a, "id_a").join(sz_b, "id_b")
-            .withColumn("jaccard",
-                        F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+        sh = (sh.withColumn("__df", F.sum("__m").over(w))
+              .where(F.col("__df") <= max_doc_freq))
+    sh = sh.drop("__m", "__df")
+    # same-set pairs: every SURVIVING shingle of a set is shared by all
+    # its member pairs, so the group's score is s'/(2·sz − s') — exactly
+    # 1.0 when nothing was pruned, the doc-space plan's conservative
+    # under-estimate otherwise, and absent when everything was pruned
+    if max_doc_freq is None:
+        gsame = (sizes.withColumn("jaccard", F.lit(1.0))
+                 .where(F.lit(1.0) >= F.lit(float(threshold)))
+                 .select("__g", "jaccard"))
+    else:
+        gsame = (sh.groupBy("__g").agg(F.count(F.lit(1)).alias("shared"))
+                 .join(sizes, "__g")
+                 .withColumn("jaccard", F.col("shared")
+                             / (2 * F.col("sz") - F.col("shared")))
+                 .where(F.col("jaccard") >= threshold)
+                 .select("__g", "jaccard"))
+    m1 = members.select("__g", F.col("id").alias("__ia"))
+    m2 = members.select("__g", F.col("id").alias("__ib"))
+    same = (gsame.join(m1, "__g").join(m2, "__g")
+            .where(F.col("__ia") < F.col("__ib"))
+            .select(F.col("__ia").alias("id_a"),
+                    F.col("__ib").alias("id_b"), "jaccard"))
+    a, b = sh.alias("a"), sh.alias("b")
+    gshared = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                      & (F.col("a.__g") < F.col("b.__g")))
+               .groupBy(F.col("a.__g").alias("__ga"),
+                        F.col("b.__g").alias("__gb"))
+               .agg(F.count(F.lit(1)).alias("shared")))
+    sz_a = sizes.select(F.col("__g").alias("__ga"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("__g").alias("__gb"), F.col("sz").alias("sz_b"))
+    gcross = (gshared.join(sz_a, "__ga").join(sz_b, "__gb")
+              .withColumn("jaccard",
+                          F.col("shared") / (F.col("sz_a") + F.col("sz_b")
+                                             - F.col("shared")))
+              .where(F.col("jaccard") >= threshold)
+              .select("__ga", "__gb", "jaccard"))
+    ma = members.select(F.col("__g").alias("__ga"), F.col("id").alias("__ia"))
+    mb = members.select(F.col("__g").alias("__gb"), F.col("id").alias("__ib"))
+    cross = (gcross.join(ma, "__ga").join(mb, "__gb")
+             .where(F.col("__ia") != F.col("__ib"))
+             .select(F.least("__ia", "__ib").alias("id_a"),
+                     F.greatest("__ia", "__ib").alias("id_b"), "jaccard"))
+    return same.unionByName(cross)
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,

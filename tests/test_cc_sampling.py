@@ -818,3 +818,35 @@ def test_same_salt_stages_correlate_distinct_salts_compose(spark):
     assert set(mix) == {"train", "val", "test"}
     n = sum(mix.values())
     assert 0.85 < mix["train"] / n < 0.95
+
+
+def test_ngram_jaccard_cap_counts_duplicate_docs_not_sets(spark):
+    """r11 distinct-set-space pin: the stop-shingle cap is DOC frequency
+    (the set-space window weights each set by its member count), so 5
+    byte-identical docs push every one of their shingles past cap=3 —
+    all pruned, the identical pairs DISAPPEAR (the pre-r11 doc-space
+    semantics, which a naive set-frequency window would silently relax
+    to df=1). The golden is the same plain-Python contract."""
+    from scalding_spark.functions import dedup as dd
+    texts = {i: "five identical copies of this exact sentence here"
+             for i in range(1, 6)}
+    texts[7] = "a completely different document about rare words alpha"
+    texts[8] = "a completely different document about rare words beta"
+    df = spark.createDataFrame([(i, t) for i, t in texts.items()],
+                               ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): round(r.jaccard, 6)
+           for r in dd.ngram_jaccard_pairs(df, "text", "doc_id", n=3,
+                                           threshold=0.01, max_doc_freq=3,
+                                           persist_index=False).collect()}
+    expect = _golden_pairs(texts, max_doc_freq=3)
+    assert got == expect
+    assert not any(a < 6 and b < 6 for a, b in got)  # identical pairs gone
+    assert (7, 8) in got                             # rare-shingle pair kept
+    # and WITHOUT the cap the identical group scores exactly 1.0
+    got_nc = {(r.id_a, r.id_b): r.jaccard
+              for r in dd.ngram_jaccard_pairs(df, "text", "doc_id", n=3,
+                                              threshold=0.01,
+                                              max_doc_freq=None,
+                                              persist_index=False).collect()}
+    assert all(got_nc[(a, b)] == 1.0
+               for a in range(1, 6) for b in range(a + 1, 6))

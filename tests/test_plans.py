@@ -468,16 +468,20 @@ def test_matrix_scalar_pipe_reuses_coo_exchange(spark):
     assert "isFinalPlan=true" in p
     assert p.count("ReusedExchange") >= 2, p
 
-def test_ngram_jaccard_index_cached_and_double_windowed_cap(spark):
-    """ngram_jaccard_pairs' candidate stage (r08 investigation, SCALING.md):
-    the exploded shingle index is PERSISTED — every consumer (both join
-    sides + the size agg) reads InMemoryTableScan, never re-tokenizing the
-    corpus — and the stop-shingle cap costs exactly one Exchange(sh) +
-    Window per join side; the self-join adds no further index shuffle.
-    Catalyst plans NO ReusedExchange across the two sides (measured, both
-    pre- and post-AQE), and the measured alternative (hot-set broadcast
-    anti-join) was 2x slower, so 2 sh-exchanges + 2 windows IS the pinned
-    shape: one more of either means the cap path re-quadratified or the
+def test_ngram_jaccard_index_cached_and_triple_windowed_cap(spark):
+    """ngram_jaccard_pairs' candidate stage (r08 investigation; re-pinned
+    r11 for the distinct-set-space rewrite): the per-set groups frame is
+    PERSISTED — every consumer (both join sides, the same-set survivor
+    agg, sizes, the expansions) reads InMemoryTableScan, never
+    re-tokenizing the corpus — and the stop-shingle cap costs exactly
+    one Exchange(sh) + Window per consumer of the pruned index: the two
+    self-join sides plus (since r11) the same-set survivor count, each
+    over GROUP-space rows (smaller than the two doc-space exchanges
+    they replaced on any corpus with duplicates). The self-join itself
+    adds no further index shuffle (the windowed output arrives
+    hash-partitioned by sh), and the measured alternative (hot-set
+    broadcast anti-join) was 2x slower. 3 exchanges + 3 windows IS the
+    pinned shape: a fourth means a consumer re-quadratified or the
     persist was dropped."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     df = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", max_doc_freq=1000)
@@ -486,9 +490,9 @@ def test_ngram_jaccard_index_cached_and_double_windowed_cap(spark):
                     if "Exchange hashpartitioning(sh" in l]
     windows = [l for l in p.splitlines() if l.lstrip().startswith("+- Window")
                or ":- Window" in l or "- Window [" in l]
-    assert len(sh_exchanges) == 2, p
-    assert len(windows) == 2, p
-    assert p.count("InMemoryTableScan") >= 3, p
+    assert len(sh_exchanges) == 3, p
+    assert len(windows) == 3, p
+    assert p.count("InMemoryTableScan") >= 5, p
 
 
 def test_cc_round_join_reuses_sym_partitioning(spark):
