@@ -101,6 +101,7 @@ HEADLINE = [
     "q_cohens_kappa",            # chance-corrected rater agreement (pair groupBy)
     # -- added r10 --
     "q_image_neardup",           # dHash perceptual image near-dup (map-only hash + banding)
+    "q_audio_neardup",           # energy-hash audio near-dup (same banding, r11)
     "q_calibration_by_slice",    # per-slice reliability table (one grouped pass)
     "q_sweep_by_slice",          # per-slice operating points (distinct-score reagg)
 ]
