@@ -1249,7 +1249,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate generation at 100 TB.
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
                                       threshold=0.05, max_doc_freq=1000)
-    return dedup.dedup_clusters(docs, pairs, "doc_id") \
+    # algorithm="star" (r11 optimization): the EXPLORATORY 0.05 threshold
+    # chains clusters to diameter ~13, the regime where the O(log d)
+    # star contraction beats label propagation's O(d) rounds (the r08
+    # crossover measurement, SCALING.md) — labels are identical
+    # (comp = min id; oracle hash-match re-proven at sf0.001/sf0.01).
+    return dedup.dedup_clusters(docs, pairs, "doc_id", algorithm="star") \
         .select("doc_id", "cluster_id")
 
 
@@ -1487,7 +1492,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n=3, threshold=0.05)
     kept = dedup.select_representatives(
         docs, pairs.select("id_a", "id_b"), "doc_id",
-        order_by=[F.col("n_chars").desc()])
+        order_by=[F.col("n_chars").desc()], algorithm="star")
     return kept.select("doc_id", "source", "n_chars")
 
 
