@@ -91,12 +91,14 @@ def stream_ingest_phash(stream_df: DataFrame, corpus_path: str,
         batch = batch.dropDuplicates([id_col])
         # ONE hash pass; localCheckpoint: the hashes feed the self-join
         # (twice), the store probe, and the store write — and release
-        # with the batch (the _neardup.py persist rationale)
+        # with the batch (the _neardup.py persist rationale).
+        # keep=[id_col]: only (id, hash) returns from the Python pass —
+        # the media bytes cross the Arrow boundary once, never back
         hs = (kernels[method](batch.select(F.col(id_col), content_col),
                               content_col=content_col, out_col="__ph",
-                              hash_size=hash_size)
+                              hash_size=hash_size, keep=[id_col])
               .where(F.col("__ph").isNotNull())
-              .select(F.col(id_col).alias("id"), "__ph")
+              .withColumnRenamed(id_col, "id")
               .localCheckpoint())
         ck = hamming_chunk_cols("__ph", max_hamming)
         # Within-batch dedup in DISTINCT-HASH space (the r11

@@ -138,3 +138,21 @@ def test_mixed_null_batch_hashes_stay_exact(spark):
     assert got[1] is None
     assert got[0] & ((1 << 64) - 1) == want
     assert got[2] & ((1 << 64) - 1) == want
+
+
+def test_phash_keep_projection_matches_passthrough(spark):
+    """keep=[...] must return exactly those columns + the hash, with
+    values identical to the pass-through form — the near-dup/streaming
+    tiers rely on it so media bytes cross the Arrow boundary once (in),
+    never back out."""
+    rng = random.Random(33)
+    rows = [(i, f"x{i}", _rand_img(rng)) for i in range(6)] + [(6, "x6", None)]
+    df = spark.createDataFrame(rows, "media_id long, tag string, content binary")
+    full = {r.media_id: r.dhash for r in mm.image_dhash(df).collect()}
+    kept = mm.image_dhash(df, keep=["media_id"])
+    assert kept.columns == ["media_id", "dhash"]
+    assert {r.media_id: r.dhash for r in kept.collect()} == full
+    two = mm.image_dhash(df, keep=["tag", "media_id"])
+    assert two.columns == ["tag", "media_id", "dhash"]
+    with pytest.raises(ValueError, match="absent"):
+        mm.image_dhash(df, keep=["nope"])
