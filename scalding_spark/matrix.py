@@ -626,11 +626,37 @@ class Matrix:
         handle never reaches the caller, so it is LEDGERED
         (session.register_persisted) — release_materialized() frees it;
         without the ledger every gram() in a long-running driver leaks a
-        cache entry (the r04 leak class)."""
+        cache entry (the r04 leak class).
+
+        r11: the join is built directly (not via ``matmul(transpose())``)
+        so BOTH sides project the same columns in the same order from the
+        persisted COO — the inner dim is this matrix's ``col`` on either
+        side of A·Aᵀ. The two join-side shuffle subtrees then canonicalize
+        identically and the shuffle path plans ONE Exchange plus a
+        ReusedExchange instead of two full COO shuffles (matmul's generic
+        ``a_row,k,a_val`` / ``k,b_col,b_val`` projections differ in column
+        order, which defeats reuse). The broadcast dispatch and every
+        output value are unchanged (sums of the same operands; the
+        supplier×part gram is integral-double-exact, order-free)."""
         from scalding_spark.session import register_persisted
         self.df.persist()
         register_persisted(self.df)
-        return self.matmul(self.transpose())
+        t_hint = self.hint.transpose()
+        strategy = choose_product_strategy(self.hint, t_hint)
+        a = self.df.select(F.col("col").alias("k"), F.col("row").alias("a_row"),
+                           F.col("val").alias("a_val"))
+        b = self.df.select(F.col("col").alias("k"), F.col("row").alias("b_col"),
+                           F.col("val").alias("b_val"))
+        if strategy == "broadcast_left":
+            a = F.broadcast(a)
+        elif strategy == "broadcast_right":
+            b = F.broadcast(b)
+        prod = a.join(b, on="k")
+        out = (prod.groupBy(F.col("a_row").alias("row"),
+                            F.col("b_col").alias("col"))
+               .agg(F.sum(F.col("a_val") * F.col("b_val")).alias("val"))
+               .where(F.col("val") != 0))
+        return Matrix(out, hint=self.hint.times(t_hint))
 
     def propagate(self, vec: DataFrame) -> DataFrame:
         """Graph message passing: (bool) matrix × col vector

@@ -557,3 +557,35 @@ def test_image_neardup_shuffles_hashes_never_bytes(spark):
             assert typ != "binary", (
                 f"{name} shuffles binary column {col!r} — image bytes "
                 f"must never cross an exchange:\n{exchanges}")
+
+
+def test_gram_self_join_reuses_one_coo_exchange(spark):
+    """gram() = A·Aᵀ (r11): both join sides project the SAME columns in
+    the SAME order from the persisted COO (the inner dim is `col` on
+    either side), so on the shuffle path the second side's exchange is a
+    ReusedExchange — one COO shuffle, not two. Asserted with broadcast
+    disabled and AQE off (the static ReuseExchange rule; under AQE the
+    runtime stage cache performs the same dedup). matmul() with distinct
+    operands cannot reuse — gram is the self-product special case."""
+    from scalding_spark.matrix import Matrix
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    coo = (li.groupBy(F.col("l_suppkey").alias("row"),
+                      F.col("l_partkey").alias("col"))
+           .agg(F.sum("l_quantity").alias("val")))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        g = Matrix(coo).gram()
+        p = plan(g.df)
+        assert p.count("ReusedExchange") >= 1, p
+        join_side_ex = [l for l in p.splitlines()
+                        if "Exchange hashpartitioning(k#" in l
+                        and "ReusedExchange" not in l]
+        assert len(join_side_ex) == 1, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        from scalding_spark.session import release_materialized
+        release_materialized(spark)
