@@ -2661,17 +2661,25 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage guarantee says 0 everywhere)."""
     docs = _t(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5(F.col("text")))
-    labels = docs.select("doc_id",
-                         F.min("doc_id").over(w).alias("cluster_id"))
+    # materialize the label table ONCE (r11): it feeds both the split
+    # join inside leakage_safe_split and the audit join — without the
+    # lineage cut the md5(text) window (a full TEXT shuffle) replanned
+    # per consumer (measured: 8 parquet scans / 6 Window passes in the
+    # AQE-final plan; after: 1 of each). Same rows, oracle-verified.
+    from scalding_spark.session import materialize
+    labels = materialize(
+        docs.select("doc_id", F.min("doc_id").over(w).alias("cluster_id")))
     out = sampling_fns.leakage_safe_split(docs.select("doc_id"), "doc_id",
                                           labels)
     per = (out.join(labels, "doc_id")
            .groupBy("split", "cluster_id")
            .agg(F.count(F.lit(1)).alias("n")))
-    nsplits = per.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_splits"))
-    return (per.join(nsplits, "cluster_id")
-            .groupBy("split")
+    # n_splits via a window over per (r11): the groupBy self-join
+    # re-executed per's whole subtree as a second plan — the window
+    # reads the one per table it is already grouped from
+    per = per.withColumn(
+        "n_splits", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+    return (per.groupBy("split")
             .agg(F.sum("n").alias("n_docs"),
                  F.count(F.lit(1)).alias("n_clusters"),
                  F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
