@@ -653,11 +653,10 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     ``stats``: forwarded to :func:`kmeans` (reports ``iterations``);
     also records the ``k`` used (``stats['k']``).
     """
+    src = _drop_null_vecs(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if centroids is not None:
-        src = _drop_null_vecs(df, vec_col).select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        assigned = _assign_cells_bcast(
-            src, [list(map(float, c)) for c in centroids]).select("id", "cell")
+        cents = [list(map(float, c)) for c in centroids]
         if stats is not None:
             stats["k"] = len(centroids)
             stats["iterations"] = 0
@@ -667,19 +666,32 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
             k = max(1, -(-n // int(target_cell_size)))
         if stats is not None:
             stats["k"] = k
-        assigned, _ = kmeans(df, k=k, max_iter=max_iter, id_col=id_col,
-                             vec_col=vec_col, seed=seed, stats=stats)
+        # cents only: kmeans's returned assignment frame is a LAZY plan
+        # we never execute — re-assigning below against the final
+        # centroids yields bit-identical cells (the band + exact-fold
+        # kernel is partition-layout-free, pinned by
+        # test_kmeans_bcast_assignment_matches_literal) while letting
+        # the pair stage ride ONE corpus pass (see below).
+        _, cents = kmeans(df, k=k, max_iter=max_iter, id_col=id_col,
+                          vec_col=vec_col, seed=seed, stats=stats)
+    # ONE map-only pass carries (id, v, cell) straight into the pair
+    # stage (r11): assignment already holds the vectors, so re-scanning
+    # the corpus for them and id-joining the two frames back together —
+    # the pre-r11 shape — paid a second corpus scan plus a vector-
+    # carrying join exchange for data the pass had in hand (executed
+    # sf0.1 plan: 3 corpus scans → 2 and the id-join gone; the
+    # remaining two are this pass and the left_anti base over df).
+    assigned = _assign_cells_bcast(src, cents)
     # pre-normalize ONCE per row (cosine inside the pair join would
     # recompute BOTH norms per PAIR — 3x the quadratic-stage flops); a
     # zero vector normalizes to zeros, so its dot with anything is 0 and
     # it is never dropped (same contract as cosine's undefined-is-false)
-    v = F.col(vec_col)
+    v = F.col("v")
     nrm = _norm(v)
     vecn = F.when(nrm > 0, F.transform(
         v, lambda x: x.cast("double") / nrm)).otherwise(
         F.transform(v, lambda x: F.lit(0.0)))
-    e = (df.select(F.col(id_col).alias("id"), vecn.alias("vec"))
-         .join(assigned, "id"))
+    e = assigned.select("id", vecn.alias("vec"), "cell")
     # within-cell pass (r08 — replaced the cell self-join + per-pair HOF
     # _dot, which ground at ~40M multiply-adds/s and made the pair stage
     # the sf1 cost center at pinned k: Σ n_c²·dim fused-lambda ops): ONE
