@@ -310,6 +310,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     and frequencies — degenerate-input garbage) and the expansion never
     emits a self-pair.
 
+    The group key on the HOT path is ``gid`` = the group's min member id
+    (r11 optimization round): the md5 set-identity string stays inside
+    the group-forming aggregate only. Keying the candidate self-join and
+    its (ga, gb) aggregate on the 33-byte hex string measured 2× slower
+    than the identical plan over the 8-byte id (sf1 organic corpus:
+    48.8 vs 25.1 s on the candidate stage; full operator 62.8 → 31.6 s)
+    — never let a wide synthetic key flow through a quadratic stage.
+    Relabeling is exact: groups are in bijection with min member ids.
+
     ``persist_index`` caches the per-set frame (representative shingle
     array + member count — the minhash groups-persist rationale) and the
     tiny (id, set) membership map; both otherwise recompute the
@@ -320,10 +329,24 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .where(F.size("__shs") > 0)
             .withColumn("__g", F.md5(F.array_join(F.array_sort("__shs"),
                                                   "\n"))))
-    members = docs.select("id", "__g").distinct()
+    # The md5 set-identity (128-bit, collision-free in practice) is used
+    # ONLY to form the groups; every downstream key is the group's MIN
+    # MEMBER ID (`gid`, a plain column of the caller's id type) — an
+    # exact relabeling. r11 measurement (sf1 organic corpus, 50k docs,
+    # quadratic-candidate vocab): the candidate self-join + (ga, gb)
+    # aggregate over 33-byte md5 hex strings ran 2× slower than the
+    # identical plan over 8-byte ids (48.8 vs 25.1 s warm) — hash,
+    # compare, and shuffle costs all scale with key width, and the
+    # candidate stage is the operator's cost center. Never let a wide
+    # synthetic key flow through a quadratic stage.
+    members = (docs.select("id", "__g").distinct()
+               .withColumn("gid", F.min("id").over(Window.partitionBy("__g")))
+               .select("gid", "id"))
     groups = (docs.groupBy("__g")
-              .agg(F.min("__shs").alias("__shs"),
-                   F.countDistinct("id").alias("__m")))
+              .agg(F.min("id").alias("gid"),
+                   F.min("__shs").alias("__shs"),
+                   F.countDistinct("id").alias("__m"))
+              .select("gid", "__shs", "__m"))
     if persist_index:
         from pyspark import StorageLevel
 
@@ -333,8 +356,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         # session.release_materialized() (callers never see this handle)
         members = members.persist()
         register_persisted(members)
-    sizes = groups.select("__g", F.size("__shs").alias("sz"))
-    sh = groups.select("__g", "__m", F.explode("__shs").alias("sh"))
+    sizes = groups.select("gid", F.size("__shs").alias("sz"))
+    sh = groups.select("gid", "__m", F.explode("__shs").alias("sh"))
     if max_doc_freq is not None:
         # window count over sh, not groupBy+anti-join (r08 measurement:
         # the hot-set broadcast anti-join alternative was ~2× slower).
@@ -356,36 +379,36 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     if max_doc_freq is None:
         gsame = (sizes.withColumn("jaccard", F.lit(1.0))
                  .where(F.lit(1.0) >= F.lit(float(threshold)))
-                 .select("__g", "jaccard"))
+                 .select("gid", "jaccard"))
     else:
-        gsame = (sh.groupBy("__g").agg(F.count(F.lit(1)).alias("shared"))
-                 .join(sizes, "__g")
+        gsame = (sh.groupBy("gid").agg(F.count(F.lit(1)).alias("shared"))
+                 .join(sizes, "gid")
                  .withColumn("jaccard", F.col("shared")
                              / (2 * F.col("sz") - F.col("shared")))
                  .where(F.col("jaccard") >= threshold)
-                 .select("__g", "jaccard"))
-    m1 = members.select("__g", F.col("id").alias("__ia"))
-    m2 = members.select("__g", F.col("id").alias("__ib"))
-    same = (gsame.join(m1, "__g").join(m2, "__g")
+                 .select("gid", "jaccard"))
+    m1 = members.select("gid", F.col("id").alias("__ia"))
+    m2 = members.select("gid", F.col("id").alias("__ib"))
+    same = (gsame.join(m1, "gid").join(m2, "gid")
             .where(F.col("__ia") < F.col("__ib"))
             .select(F.col("__ia").alias("id_a"),
                     F.col("__ib").alias("id_b"), "jaccard"))
     a, b = sh.alias("a"), sh.alias("b")
     gshared = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                      & (F.col("a.__g") < F.col("b.__g")))
-               .groupBy(F.col("a.__g").alias("__ga"),
-                        F.col("b.__g").alias("__gb"))
+                      & (F.col("a.gid") < F.col("b.gid")))
+               .groupBy(F.col("a.gid").alias("__ga"),
+                        F.col("b.gid").alias("__gb"))
                .agg(F.count(F.lit(1)).alias("shared")))
-    sz_a = sizes.select(F.col("__g").alias("__ga"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("__g").alias("__gb"), F.col("sz").alias("sz_b"))
+    sz_a = sizes.select(F.col("gid").alias("__ga"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("gid").alias("__gb"), F.col("sz").alias("sz_b"))
     gcross = (gshared.join(sz_a, "__ga").join(sz_b, "__gb")
               .withColumn("jaccard",
                           F.col("shared") / (F.col("sz_a") + F.col("sz_b")
                                              - F.col("shared")))
               .where(F.col("jaccard") >= threshold)
               .select("__ga", "__gb", "jaccard"))
-    ma = members.select(F.col("__g").alias("__ga"), F.col("id").alias("__ia"))
-    mb = members.select(F.col("__g").alias("__gb"), F.col("id").alias("__ib"))
+    ma = members.select(F.col("gid").alias("__ga"), F.col("id").alias("__ia"))
+    mb = members.select(F.col("gid").alias("__gb"), F.col("id").alias("__ib"))
     cross = (gcross.join(ma, "__ga").join(mb, "__gb")
              .where(F.col("__ia") != F.col("__ib"))
              .select(F.least("__ia", "__ib").alias("id_a"),

@@ -488,11 +488,24 @@ def test_ngram_jaccard_index_cached_and_triple_windowed_cap(spark):
     p = plan(df)
     sh_exchanges = [l for l in p.splitlines()
                     if "Exchange hashpartitioning(sh" in l]
-    windows = [l for l in p.splitlines() if l.lstrip().startswith("+- Window")
-               or ":- Window" in l or "- Window [" in l]
+    # count the FREQ windows (sum(__m) over sh) specifically: the r11
+    # gid relabeling adds a min(id)-over-__g window inside the persisted
+    # members frame, whose cached lineage prints once per consumer
+    # without recomputing (InMemoryTableScan serves it)
+    windows = [l for l in p.splitlines()
+               if "Window [sum(__m" in l and "windowspecdefinition(sh" in l]
     assert len(sh_exchanges) == 3, p
     assert len(windows) == 3, p
     assert p.count("InMemoryTableScan") >= 5, p
+    # the candidate (ga, gb) aggregate keys on the bigint gid, never the
+    # 33-byte md5 string (the r11 wide-key finding: 2x on the hot
+    # stage); the string key is confined to the group-forming aggregate
+    # and the members window inside the persisted index build
+    import re
+    agg_keys = re.findall(
+        r"HashAggregate\(keys=\[gid#\d+(L?), gid#\d+(L?)\], "
+        r"functions=\[count\(1\)\], output=\[__ga", p)
+    assert agg_keys and all(a == "L" and b == "L" for a, b in agg_keys), p
 
 
 def test_cc_round_join_reuses_sym_partitioning(spark):
