@@ -120,6 +120,11 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Defend the one-line-JSON contract: stage-progress bars share the
+        # output stream and have clipped the JSON line out of a driver's
+        # finite tail window before (r10's record was unparseable for
+        # exactly this reason).
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -131,6 +136,7 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    first_runs: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         # Two runs, report the min: the first run pays whole-stage-codegen
@@ -159,6 +165,7 @@ def main() -> None:
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
+        first_runs[name] = round(runs[0], 3)
         # free library-internal persists between queries (ledger path) so a
         # 60-query session doesn't accumulate input-sized cache entries
         from scalding_spark.session import release_materialized
@@ -170,13 +177,28 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    record = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+        # Cold-run visibility (additions-only; headline metric unchanged):
+        # the min-of-2 protocol lets run 2 hit Spark's CacheManager for
+        # frames persisted inside run 1, so the first-run total quantifies
+        # that warm-cache flattery without changing the comparable metric.
+        "first_run_total": round(sum(first_runs.values()), 3),
+    }
+    line = json.dumps(record)
+    # Mirror the record to a file so a clipped/noisy stdout capture can
+    # never lose the round's numbers (the JSON line stays authoritative).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: the printed line still satisfies the contract
+    print(line)
 
 
 if __name__ == "__main__":
