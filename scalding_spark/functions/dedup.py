@@ -265,10 +265,19 @@ def remove_duplicate_lines(df: DataFrame, text_col: str, id_col: str,
                     F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
 
 
+# Stage-2 auto-decision threshold for ngram_jaccard_pairs: take doc-space
+# while the estimated candidate multiplication factor Σm²/n stays under
+# this. r12 calibration bracket: 25 → doc-space 2.05× faster, 250 →
+# parity, unbounded beyond (see the docstring's measured table).
+_DOC_SPACE_BLOWUP_FACTOR = 100.0
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.8,
                         max_doc_freq: int | None = 1000,
-                        persist_index: bool = True) -> DataFrame:
+                        persist_index: bool = True,
+                        space: str = "auto",
+                        organic_ratio: float = 0.98) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted shingle index.
 
     Plan: explode distinct shingles → self-join on shingle (the inverted
@@ -293,52 +302,168 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     ``threshold``. Pass ``max_doc_freq=None`` for exact semantics on corpora
     small enough that no shingle can blow up (e.g. oracle/test scale).
 
-    Runs in DISTINCT SHINGLE-SET space (r11 — the minhash_lsh_pairs /
-    hamming_band_pairs recipe): the index holds one row per (set, shingle)
-    instead of (doc, shingle), so n byte-identical documents cost ONE index
-    entry per shingle instead of n — the inverted index's worst blowup
-    (n identical docs sharing ALL shingles used to put n copies in every
-    shingle bucket: n²·|shingles| candidate rows) collapses to the
-    output-sized membership expansion. The pruning contract is preserved
-    EXACTLY: the frequency window weights each set by its member count
-    (``Σ __m`` = true document frequency, not set frequency), sizes stay
-    unpruned, and same-set pairs score through the same
-    pruned-survivors formula (a group whose every shingle is a
-    stop-shingle disappears, a partially-pruned one scores the same
-    conservative under-estimate the doc-space plan produced). Duplicate
-    (id, text) input rows are dropped (pre-r11 they double-counted sizes
-    and frequencies — degenerate-input garbage) and the expansion never
-    emits a self-pair.
+    ADAPTIVE pair generation (r12 — the r11 verdict's top item). Two
+    physically different but OUTPUT-IDENTICAL plans exist:
 
-    The group key on the HOT path is ``gid`` = the group's min member id
-    (r11 optimization round): the md5 set-identity string stays inside
-    the group-forming aggregate only. Keying the candidate self-join and
-    its (ga, gb) aggregate on the 33-byte hex string measured 2× slower
-    than the identical plan over the 8-byte id (sf1 organic corpus:
-    48.8 vs 25.1 s on the candidate stage; full operator 62.8 → 31.6 s)
-    — never let a wide synthetic key flow through a quadratic stage.
-    Relabeling is exact: groups are in bijection with min member ids.
+    - ``space='doc'`` — the classic index over (doc, shingle) rows: one
+      explode, two index exchanges (self-join sides), the candidate
+      aggregate keyed on raw doc ids. Cheapest on ORGANIC corpora, but n
+      byte-identical documents put n copies in every shingle bucket:
+      n²·|shingles| candidate rows, an algorithmic blowup.
+    - ``space='set'`` — the r11 distinct-shingle-set plan: documents are
+      grouped by identical shingle set (md5 set-identity, confined to
+      group formation; the hot-path key is ``gid`` = group-min id — the
+      r11 wide-key finding, 2× on the quadratic stage), the index holds
+      one row per (set, shingle), and same-set pairs come from an
+      output-sized membership expansion. C(n,2)-proof, but on organic
+      corpora (groups ≈ docs) the group-forming aggregate + membership
+      window are pure overhead — a measured ~1.3× premium.
 
-    ``persist_index`` caches the per-set frame (representative shingle
-    array + member count — the minhash groups-persist rationale) and the
-    tiny (id, set) membership map; both otherwise recompute the
-    CPU-bound tokenization per consumer (two join sides, the survivor
-    agg, sizes, two expansions). MEMORY_AND_DISK spills gracefully."""
+    ``space='auto'`` (default) decides in at most two cheap passes:
+
+    1. One scalar aggregate over the tokenized frame (count,
+       countDistinct(id), countDistinct(id,set), countDistinct(set)).
+       Distinct sets ≥ ``organic_ratio`` of docs → doc-space (the common
+       organic-corpus fast path: no md5-keyed exchange at all).
+    2. Otherwise (duplicate-heavy) a group-size aggregate estimates the
+       doc-space candidate multiplication factor Σm²/n (m = docs per
+       identical set; a group of m duplicates multiplies every one of
+       its shingles' index entries — and so candidate pairs — by ~m).
+       Factor ≤ 100 still takes doc-space; above it, set-space.
+       Calibrated r12 (sf0.1 + injected duplicate groups, warm min-of-2,
+       identical outputs asserted): factor ≈25 (100 groups × 50 copies)
+       → doc-space 2.05× FASTER (2.31 vs 4.74 s — group machinery is
+       pure overhead on small-m groups); factor ≈250 (10 × 500) →
+       parity (4.38 vs 4.30 s); beyond that set-space's bound wins and
+       doc-space's downside is unbounded (C(n,2) candidate rows), so
+       the threshold sits safely inside the measured bracket. Corpora
+       with duplicate (id, text) ROWS always take set-space, which
+       drops them per the documented contract.
+
+    The decision jobs are driver-side scalar work over map-side-combined
+    partial aggregates — they never collect data; the stage-2 exchange
+    (33-byte md5 keys, no payloads) is paid only on corpora already
+    known to be duplicate-heavy.
+
+    Precondition (both spaces): doc ids are UNIQUE — an id appearing
+    with two different texts would corrupt set-space's gid relabeling
+    (two groups can collide on one min id) and double-count doc-space
+    frequencies. ``space='auto'`` VALIDATES this (countDistinct(id) vs
+    countDistinct(id, set)) and raises ``ValueError`` instead of
+    returning corrupt pairs; explicit ``space=`` trusts the caller.
+
+    ``persist_index`` caches the tokenized (id, shingle-set) frame —
+    regex tokenization is the CPU cost center and every downstream
+    consumer (the decision pass, both join sides, sizes, group
+    formation) otherwise recomputes it — plus, in set-space, the per-set
+    groups frame and the (id, set) membership map (the r11 rationale).
+    MEMORY_AND_DISK spills gracefully."""
+    if space not in ("auto", "doc", "set"):
+        raise ValueError(f"space must be 'auto', 'doc' or 'set', got {space!r}")
     docs = (df.select(F.col(id_col).alias("id"),
                       shingles(F.col(text_col), n).alias("__shs"))
-            .where(F.size("__shs") > 0)
-            .withColumn("__g", F.md5(F.array_join(F.array_sort("__shs"),
-                                                  "\n"))))
-    # The md5 set-identity (128-bit, collision-free in practice) is used
-    # ONLY to form the groups; every downstream key is the group's MIN
-    # MEMBER ID (`gid`, a plain column of the caller's id type) — an
-    # exact relabeling. r11 measurement (sf1 organic corpus, 50k docs,
-    # quadratic-candidate vocab): the candidate self-join + (ga, gb)
-    # aggregate over 33-byte md5 hex strings ran 2× slower than the
-    # identical plan over 8-byte ids (48.8 vs 25.1 s warm) — hash,
-    # compare, and shuffle costs all scale with key width, and the
-    # candidate stage is the operator's cost center. Never let a wide
-    # synthetic key flow through a quadratic stage.
+            .where(F.size("__shs") > 0))
+    if persist_index:
+        from pyspark import StorageLevel
+
+        from scalding_spark.session import register_persisted
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        register_persisted(docs)  # internal persist — released via
+        # session.release_materialized() (callers never see this handle)
+    if space == "auto":
+        # Stage 1: one pass, four scalar aggregates (partial-agg combined
+        # map-side; the md5 set-identity is computed once per row inside
+        # the job and never persisted). Cost at sf0.1: ~0.15 s; at 100 TB
+        # it is one tokenization pass that the persisted index amortizes.
+        gkey = F.md5(F.array_join(F.array_sort("__shs"), "\n"))
+        st = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col("id")).alias("di"),
+            F.countDistinct(F.col("id"), gkey).alias("dg"),
+            F.countDistinct(gkey).alias("g")).first()
+        if st["dg"] > st["di"]:
+            raise ValueError(
+                "ngram_jaccard_pairs requires unique doc ids: "
+                f"{st['dg'] - st['di']} id(s) appear with more than one "
+                "distinct text (this would corrupt the group relabeling "
+                "and double-count document frequencies)")
+        if st["n"] == 0 or (st["n"] == st["dg"]
+                            and st["g"] >= organic_ratio * st["n"]):
+            space = "doc"
+        elif st["n"] > st["dg"]:
+            # duplicate (id, text) ROWS: only set-space's documented
+            # drop-them contract applies
+            space = "set"
+        else:
+            # Stage 2 (duplicate-heavy only): doc-space candidate
+            # multiplication factor Σm²/n. Keys are bare 33-byte md5,
+            # no payloads; hot groups collapse in the map-side combine.
+            f = (docs.groupBy(gkey.alias("__g"))
+                 .agg(F.count(F.lit(1)).alias("__m"))
+                 .agg((F.sum(F.col("__m") * F.col("__m"))
+                       / F.lit(float(max(st["n"], 1)))).alias("f"))
+                 .first()["f"])
+            space = "doc" if f <= _DOC_SPACE_BLOWUP_FACTOR else "set"
+    if space == "doc":
+        return _ngram_pairs_doc_space(docs, threshold, max_doc_freq)
+    return _ngram_pairs_set_space(docs, threshold, max_doc_freq,
+                                  persist_index)
+
+
+def _ngram_pairs_doc_space(docs: DataFrame, threshold: float,
+                           max_doc_freq: int | None) -> DataFrame:
+    """Doc-space inverted index (the pre-r11 plan, re-instated for organic
+    corpora where set-space's group machinery is pure overhead): explode
+    per-doc shingles, window-prune stop shingles, self-join on shingle,
+    count shared. Sizes come straight off the persisted tokenized frame
+    (``F.size`` — map-only, unlike the pre-r11 groupBy over the index).
+    Caller guarantees rows are distinct (id, set) units (the auto gate)."""
+    sizes = docs.select("id", F.size("__shs").alias("sz"))
+    sh = docs.select("id", F.explode("__shs").alias("sh"))
+    if max_doc_freq is not None:
+        # window count over sh, not groupBy+anti-join (r08 measurement:
+        # the hot-set broadcast anti-join alternative was ~2× slower).
+        # Each self-join side plans its OWN Exchange(sh) + Window over
+        # the persisted index (no ReusedExchange — measured), but the
+        # windowed output arrives hash-partitioned by sh so the join
+        # adds no further shuffle: 2 index exchanges total.
+        w = Window.partitionBy("sh")
+        sh = (sh.withColumn("__df", F.count(F.lit(1)).over(w))
+              .where(F.col("__df") <= max_doc_freq).drop("__df"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                     & (F.col("a.id") < F.col("b.id")))
+              .groupBy(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("shared")))
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (shared.join(sz_a, "id_a").join(sz_b, "id_b")
+            .withColumn("jaccard",
+                        F.col("shared") / (F.col("sz_a") + F.col("sz_b")
+                                           - F.col("shared")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def _ngram_pairs_set_space(docs: DataFrame, threshold: float,
+                           max_doc_freq: int | None,
+                           persist_index: bool) -> DataFrame:
+    """Distinct-shingle-set-space index (r11): one index row per (set,
+    shingle), so n byte-identical documents cost ONE entry per shingle —
+    the doc-space worst blowup (n²·|shingles| candidate rows) collapses
+    to the output-sized membership expansion. The pruning contract is
+    preserved EXACTLY: the frequency window weights each set by its
+    member count (``Σ __m`` = true document frequency), sizes stay
+    unpruned, and same-set pairs score through the same pruned-survivors
+    formula. Duplicate (id, text) input rows are dropped and the
+    expansion never emits a self-pair. Hot-path key is ``gid`` = group
+    min id (r11: 33-byte md5 keys measured 2× slower through the
+    quadratic stage — 48.8 vs 25.1 s sf1; never let a wide synthetic key
+    flow through a quadratic stage). Relabeling is exact given unique
+    ids: groups are in bijection with min member ids."""
+    docs = docs.withColumn("__g", F.md5(F.array_join(F.array_sort("__shs"),
+                                                     "\n")))
     members = (docs.select("id", "__g").distinct()
                .withColumn("gid", F.min("id").over(Window.partitionBy("__g")))
                .select("gid", "id"))

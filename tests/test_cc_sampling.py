@@ -199,6 +199,81 @@ def test_ngram_jaccard_stop_shingle_pruning(spark, cap):
                             for b in range(a + 1, 7)}
 
 
+def _ngram_space_of(df):
+    """Which pair-generation space a returned frame was planned in (the
+    set-space plan carries gid/__ga group columns; doc-space never does)."""
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    return "set" if ("gid" in p or "__ga" in p) else "doc"
+
+
+def test_ngram_adaptive_space_routing(spark):
+    """r12 adaptive pair generation (the r11 verdict's top item): auto
+    routes per corpus shape — doc-space on organic corpora AND on
+    small-duplicate-group corpora (measured 2× faster at blowup factor
+    ~25), set-space once the estimated candidate multiplication factor
+    Σm²/n exceeds the calibrated threshold or duplicate (id, text) rows
+    need the documented drop contract, and a hard ValueError (never
+    corrupt pairs) when one id carries two different texts."""
+    from scalding_spark.functions import dedup as dd
+    # organic: every text distinct → doc
+    org = spark.createDataFrame(
+        [(i, f"organic document number word{i} with tokens a{i} b{i} c{i}")
+         for i in range(1, 21)], ["doc_id", "text"])
+    assert _ngram_space_of(dd.ngram_jaccard_pairs(
+        org, "text", "doc_id", persist_index=False)) == "doc"
+    # small duplicate groups (factor ≈ 4 ≤ 100): still doc
+    small = spark.createDataFrame(
+        [(100 * g + c, f"duplicated group number{g} shared content here")
+         for g in range(1, 6) for c in range(4)], ["doc_id", "text"])
+    assert _ngram_space_of(dd.ngram_jaccard_pairs(
+        small, "text", "doc_id", persist_index=False)) == "doc"
+    # one big duplicate group (factor ≈ 150²/160 ≈ 140 > 100): set
+    big = spark.createDataFrame(
+        [(i, "the one hot duplicated document body shared everywhere")
+         for i in range(150)]
+        + [(1000 + i, f"organic filler doc u{i} v{i} w{i} x{i}")
+           for i in range(10)], ["doc_id", "text"])
+    assert _ngram_space_of(dd.ngram_jaccard_pairs(
+        big, "text", "doc_id", persist_index=False)) == "set"
+    # duplicate (id, text) ROWS: set space's documented drop contract
+    dup_rows = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff"), (1, "aa bb cc dd ee ff"),
+         (2, "gg hh ii jj kk ll")], ["doc_id", "text"])
+    assert _ngram_space_of(dd.ngram_jaccard_pairs(
+        dup_rows, "text", "doc_id", persist_index=False)) == "set"
+    # same id, two different texts: refuse (gid relabeling would corrupt)
+    bad = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff"), (1, "vv ww xx yy zz qq"),
+         (2, "gg hh ii jj kk ll")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unique doc ids"):
+        dd.ngram_jaccard_pairs(bad, "text", "doc_id", persist_index=False)
+
+
+def test_ngram_doc_and_set_space_outputs_identical(spark):
+    """The two pair-generation spaces are OUTPUT-IDENTICAL on the same
+    corpus (the adaptive choice is physical, never semantic), including
+    under stop-shingle pruning and with exact-duplicate groups, and both
+    match the plain-Python golden."""
+    from scalding_spark.functions import dedup as dd
+    texts = {i: f"organic doc {i} about subject s{i} t{i}" for i in range(1, 9)}
+    for i in (9, 10, 11):
+        texts[i] = "three identical copies of this exact duplicated sentence"
+    texts[12] = "common boiler plate shared tail words alpha"
+    texts[13] = "common boiler plate shared tail words beta"
+    df = spark.createDataFrame([(i, t) for i, t in texts.items()],
+                               ["doc_id", "text"])
+    for cap in (None, 3):
+        outs = {}
+        for sp in ("doc", "set"):
+            outs[sp] = {(r.id_a, r.id_b): round(r.jaccard, 6)
+                        for r in dd.ngram_jaccard_pairs(
+                            df, "text", "doc_id", n=3, threshold=0.01,
+                            max_doc_freq=cap, persist_index=False,
+                            space=sp).collect()}
+        assert outs["doc"] == outs["set"]
+        assert outs["doc"] == _golden_pairs(texts, max_doc_freq=cap)
+
+
 # --- large-star/small-star CC (round-2: the high-diameter path) ------------
 
 def test_star_cc_path_graph_converges_logarithmically(spark):

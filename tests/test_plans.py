@@ -468,28 +468,63 @@ def test_matrix_scalar_pipe_reuses_coo_exchange(spark):
     assert "isFinalPlan=true" in p
     assert p.count("ReusedExchange") >= 2, p
 
-def test_ngram_jaccard_index_cached_and_triple_windowed_cap(spark):
-    """ngram_jaccard_pairs' candidate stage (r08 investigation; re-pinned
-    r11 for the distinct-set-space rewrite): the per-set groups frame is
-    PERSISTED — every consumer (both join sides, the same-set survivor
-    agg, sizes, the expansions) reads InMemoryTableScan, never
-    re-tokenizing the corpus — and the stop-shingle cap costs exactly
-    one Exchange(sh) + Window per consumer of the pruned index: the two
-    self-join sides plus (since r11) the same-set survivor count, each
-    over GROUP-space rows (smaller than the two doc-space exchanges
-    they replaced on any corpus with duplicates). The self-join itself
-    adds no further index shuffle (the windowed output arrives
-    hash-partitioned by sh), and the measured alternative (hot-set
-    broadcast anti-join) was 2x slower. 3 exchanges + 3 windows IS the
-    pinned shape: a fourth means a consumer re-quadratified or the
-    persist was dropped."""
+def test_ngram_jaccard_doc_space_on_organic_corpus(spark):
+    """Adaptive pair generation (r12 — the r11 verdict's top item): on an
+    organic corpus (distinct shingle-sets ≈ docs, the driver's documents
+    table at every SF) ``space='auto'`` picks DOC space, so the md5
+    group machinery — group-forming aggregate, membership window, the
+    output expansion joins — is absent from the plan entirely. Pinned
+    shape: the tokenized (id, shingle-set) frame is PERSISTED (every
+    consumer — sizes ×2, the exploded index ×2 — reads
+    InMemoryTableScan, never re-tokenizing the corpus), the stop-shingle
+    cap costs exactly one Exchange(sh) + count-over-sh Window per
+    self-join side (2 each — the pre-r11 doc-space shape, measured
+    cheaper than hot-set anti-joins in r08), and the candidate aggregate
+    keys on the raw bigint doc ids. A third sh-exchange or any gid/__g
+    column means the set-space machinery leaked onto the organic path
+    (the r11 ~1.3× organic premium this rewrite removed: sf1 warm A/B
+    22.2 → 17.2 s)."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     df = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", max_doc_freq=1000)
     p = plan(df)
     sh_exchanges = [l for l in p.splitlines()
                     if "Exchange hashpartitioning(sh" in l]
-    # count the FREQ windows (sum(__m) over sh) specifically: the r11
-    # gid relabeling adds a min(id)-over-__g window inside the persisted
+    windows = [l for l in p.splitlines()
+               if "Window [count(1)" in l and "windowspecdefinition(sh" in l]
+    assert len(sh_exchanges) == 2, p
+    assert len(windows) == 2, p
+    assert p.count("InMemoryTableScan") >= 4, p
+    assert "gid" not in p and "__ga" not in p, p
+    # the candidate aggregate keys on the raw bigint ids (the r11
+    # wide-key finding transfers: never a wide synthetic key through
+    # the quadratic stage)
+    import re
+    agg_keys = re.findall(
+        r"HashAggregate\(keys=\[id#\d+(L?), id#\d+(L?)\], "
+        r"functions=\[count\(1\)\], output=\[id_a", p)
+    assert agg_keys and all(a == "L" and b == "L" for a, b in agg_keys), p
+
+
+def test_ngram_jaccard_set_space_shape_pinned(spark):
+    """The r11 distinct-set-space plan, still reachable via
+    ``space='set'`` (and chosen by auto on duplicate-heavy corpora —
+    the C(n,2) blowup protection): the per-set groups frame is
+    PERSISTED — every consumer (both join sides, the same-set survivor
+    agg, sizes, the expansions) reads InMemoryTableScan, never
+    re-tokenizing the corpus — and the stop-shingle cap costs exactly
+    one Exchange(sh) + Window per consumer of the pruned index: the two
+    self-join sides plus the same-set survivor count, each over
+    GROUP-space rows. 3 exchanges + 3 windows IS the pinned shape: a
+    fourth means a consumer re-quadratified or the persist was
+    dropped."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                   max_doc_freq=1000, space="set")
+    p = plan(df)
+    sh_exchanges = [l for l in p.splitlines()
+                    if "Exchange hashpartitioning(sh" in l]
+    # count the FREQ windows (sum(__m) over sh) specifically: the gid
+    # relabeling adds a min(id)-over-__g window inside the persisted
     # members frame, whose cached lineage prints once per consumer
     # without recomputing (InMemoryTableScan serves it)
     windows = [l for l in p.splitlines()
