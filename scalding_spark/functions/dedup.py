@@ -1148,24 +1148,42 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         # the lever that matters at cluster scale; at test scale wall-clock
         # gains ~25% (7.5s → 5.4s, sf0.1 chain graph) because the per-round
         # convergence action, not shuffle bytes, dominates tiny graphs.
+        #
+        # r12: the round-end distinct Exchange(u, v) is GONE (2 big
+        # exchanges per round, was 3; measured −21/−25% shuffle
+        # read/write on the sf1 chain graph). Dedup instead RIDES the
+        # small-star's existing Exchange(u): hashpartitioning(u)
+        # satisfies the (u, v) aggregate's clustered-distribution
+        # requirement (equal (u, v) rows share u), so
+        # repartition("u").dropDuplicates(["u", "v"]) plans
+        # exchange-free aggregation under the same shuffle the window
+        # needs anyway. The large-star runs dup-laden (mins are
+        # duplicate-insensitive): the round output's residual
+        # duplicates — nbr's cross-partition (v, m) collisions plus
+        # whatever the previous round left — ride through sym/ls into
+        # the riding dedup ONE round later, so amplification is bounded
+        # at a single round's ls emission and never accumulates. The
+        # convergence fingerprint is over the round-output MULTISET:
+        # each round is a deterministic function of its input's
+        # distinct set, so distinct(e_k) == distinct(e_{k-1}) replays
+        # round k+1 identically and the fingerprint stabilizes at
+        # exactly the same round the distinct-set fingerprint did.
         # large-star
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        # no mid-round distinct: sym is already duplicate-free (e is), dup
-        # (v,m) emissions can't change the small-star min or survive the
-        # round-end distinct, and each distinct is a full extra shuffle
         ls = (sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
               .where(F.col("v") > F.col("u"))
               .select(F.col("v").alias("u"), F.col("m").alias("v"))
               .where(F.col("u") != F.col("v")))
-        # small-star (ls edges already satisfy u > v)
-        ss = ls.withColumn("m", F.min("v").over(wu))
+        # small-star (ls edges already satisfy u > v); the riding dedup
+        dls = ls.repartition("u").dropDuplicates(["u", "v"])
+        ss = dls.withColumn("m", F.min("v").over(wu))
         nbr = (ss.where(F.col("v") != F.col("m"))
                .select(F.col("v").alias("u"), F.col("m").alias("v")))
-        own = ss.select("u", F.col("m").alias("v"))  # dup rows die in the
-        # round-end distinct — an inner distinct here would be its own
-        # exchange for nothing
-        e = materialize(nbr.union(own).distinct(), eager=False,
-                        iterative=True)
+        # own dedups for free too: ss is still hash-partitioned by u and
+        # every u-row carries the same m, so this is a per-partition agg
+        own = (ss.select("u", F.col("m").alias("v"))
+               .dropDuplicates(["u", "v"]))
+        e = materialize(nbr.union(own), eager=False, iterative=True)
         # decimal sum: a long sum of 64-bit hashes overflows under ANSI mode;
         # decimal(20,0) terms sum at precision 30 — safe past 1e10 edges
         cnt, hs = e.agg(
@@ -1180,7 +1198,9 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         stats["iterations"] = rounds
     # fixed point is a star forest: each non-root appears exactly once as u,
     # pointing at its component's min; roots and isolated nodes label
-    # themselves
+    # themselves. One final dedup clears the last round's residual nbr
+    # duplicates (one exchange TOTAL, replacing one per round).
+    e = e.dropDuplicates(["u", "v"])
     return (all_nodes.join(e, all_nodes.node == e.u, "left")
             .select("node", F.coalesce(F.col("v"), F.col("node")).alias("comp")))
 

@@ -543,6 +543,34 @@ def test_ngram_jaccard_set_space_shape_pinned(spark):
     assert agg_keys and all(a == "L" and b == "L" for a, b in agg_keys), p
 
 
+def test_star_cc_riding_dedup_single_exchange_per_star(spark):
+    """r12 star-CC round restructure: the round-end distinct
+    Exchange(u, v) is gone — dedup RIDES the small-star window's
+    Exchange(u), because hashpartitioning(u) satisfies the (u, v)
+    aggregate's clustered-distribution requirement (equal (u, v) rows
+    share u). Pins (a) the primitive: repartition("u") + dropDuplicates
+    (["u","v"]) + window-over-u plans exactly ONE exchange; (b) the
+    source: no .distinct() inside the round loop (it would be a third
+    per-round exchange), the riding dedup present. Measured: −21/−25%
+    shuffle read/write per sf1 chain-graph run, warm wall 4.85 → 4.03 s."""
+    import inspect
+    import re
+    from pyspark.sql import Window
+    e = spark.range(100).select(F.col("id").alias("u"),
+                                (F.col("id") + 1).alias("v"))
+    w = Window.partitionBy("u")
+    round_frame = (e.repartition("u").dropDuplicates(["u", "v"])
+                   .withColumn("m", F.min("v").over(w)))
+    p = plan(round_frame)
+    ex = [l for l in p.splitlines() if re.search(r"\bExchange\b", l)]
+    assert len(ex) == 1, p
+    src = inspect.getsource(dedup.connected_components_star)
+    loop = src[src.index("for _ in range(max_iter)"):
+               src.index("if stats is not None")]
+    assert ".distinct()" not in loop, "round-end distinct exchange is back"
+    assert 'dropDuplicates(["u", "v"])' in loop
+
+
 def test_cc_round_join_reuses_sym_partitioning(spark):
     """connected_components' per-round join (VERDICT r09 #2): the
     symmetrized edge list persists ALREADY hash-partitioned on the join
