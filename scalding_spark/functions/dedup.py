@@ -175,9 +175,20 @@ class FingerprintStore:
         self.path = path
 
     def _fps_of(self, df: DataFrame, text_col: str) -> DataFrame:
-        return df.select(
+        # One bucket-ALIGNED exchange (r12, guide §6): repartition(n, fp)
+        # is the same murmur3-pmod placement the bucketed write uses, so
+        # every task holds exactly one bucket → one file per bucket per
+        # write, where the old plain .distinct() exchanged to
+        # shuffle.partitions tasks and each wrote up to n_buckets bucket
+        # files (tasks × buckets small files per append — the small-file
+        # tax compounds on a store appended to daily). The dedup rides
+        # the same exchange: hashpartitioning(fp) satisfies the
+        # aggregate's clustered distribution.
+        return (df.select(
             F.md5(normalize_for_fingerprint(F.col(text_col)))
-            .alias(self.fp_col)).distinct()
+            .alias(self.fp_col))
+            .repartition(self.n_buckets, self.fp_col)
+            .dropDuplicates([self.fp_col]))
 
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.table)

@@ -95,4 +95,43 @@ def test_fingerprint_store_anti_join_never_exchanges_the_store(spark):
         f"expected exactly ONE shuffle (the batch side); plan:\n{plan}")
     # and the store scan reports its bucketing
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+    # probe-side pruning (r12 pin, guide §6): the store probe reads ONLY
+    # the fingerprint column — nothing else exists to read, and nothing
+    # else may ever be added to the probe's ReadSchema
+    import re
+    store_scans = [l for l in plan.splitlines()
+                   if "t_fp_store_plan" in l and "ReadSchema" in l]
+    assert store_scans, plan
+    assert all(re.search(r"ReadSchema: struct<fp:string>", l)
+               for l in store_scans), plan
     spark.sql("DROP TABLE t_fp_store_plan")
+
+
+def test_fingerprint_store_writes_one_file_per_bucket(spark, tmp_path):
+    """r12 (guide §6 output sizing): _fps_of repartitions by
+    (n_buckets, fp) — the same murmur3-pmod placement the bucketed
+    write uses — so each write task holds exactly one bucket and each
+    initialize/append lands ONE file per bucket, not tasks × buckets
+    small files (the small-file tax compounds on a daily-append store)."""
+    import glob
+    import os
+    from scalding_spark.functions.dedup import FingerprintStore
+    path = str(tmp_path / "store")
+    store = FingerprintStore(spark, "t_fp_store_files", n_buckets=4,
+                             path=path)
+    spark.sql("DROP TABLE IF EXISTS t_fp_store_files")
+    b0 = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(200)],
+        "doc_id long, text string")
+    store.initialize(b0, "text")
+    files_after_init = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files_after_init) == 4, files_after_init
+    b1 = spark.createDataFrame(
+        [(1000 + i, f"fresh doc {i}") for i in range(200)],
+        "doc_id long, text string")
+    store.append(store.dedup_new_batch(b1, "text"), "text")
+    files_after_append = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files_after_append) == 8, files_after_append
+    # the incremental semantics are untouched
+    assert store.fps().count() == 400
+    spark.sql("DROP TABLE t_fp_store_files")
