@@ -448,6 +448,18 @@ def _phash_column(df: DataFrame, content_col: str, out_col: str,
         out_fields = [by_name[c] for c in keep]
     else:
         out_fields = list(df.schema.fields)
+    # reject duplicate output names up front (ADVICE r11 #2): out_col in
+    # keep, repeated keep entries, or an input already carrying out_col
+    # would emit a schema with duplicate column names, which breaks
+    # downstream selects in confusing ways instead of here
+    names = [f.name for f in out_fields]
+    if out_col in names:
+        raise ValueError(
+            f"out_col {out_col!r} collides with a kept/input column — "
+            "rename one of them")
+    dupes = sorted({c for c in names if names.count(c) > 1})
+    if dupes:
+        raise ValueError(f"duplicate keep entries: {dupes}")
     out_schema = T.StructType(
         out_fields + [T.StructField(out_col, T.LongType())])
 

@@ -279,6 +279,27 @@ def choose_product_strategy(left: SizeHintBase, right: SizeHintBase) -> str:
     return "shuffle"
 
 
+def _coo_product(a: DataFrame, b: DataFrame, strategy: str) -> DataFrame:
+    """The shared A·B kernel over PRE-PROJECTED COO sides (ADVICE r11 #3:
+    matmul and gram previously copy-pasted this body and could silently
+    drift): join on the inner dim ``k``, multiply, partial-aggregated sum
+    over (row, col), prune structural zeros. Sides arrive as
+    (k, a_row, a_val) / (k, b_col, b_val) in whatever COLUMN ORDER the
+    caller chose — gram projects both sides identically so the
+    self-join's shuffle subtrees canonicalize and plan one Exchange +
+    ReusedExchange; matmul's two distinct operands cannot reuse and use
+    the generic projections."""
+    if strategy == "broadcast_left":
+        a = F.broadcast(a)
+    elif strategy == "broadcast_right":
+        b = F.broadcast(b)
+    return (a.join(b, on="k")
+            .groupBy(F.col("a_row").alias("row"),
+                     F.col("b_col").alias("col"))
+            .agg(F.sum(F.col("a_val") * F.col("b_val")).alias("val"))
+            .where(F.col("val") != 0))
+
+
 class Matrix:
     """Sparse matrix over a (row, col, val) DataFrame (Matrix.scala:184)."""
 
@@ -589,14 +610,7 @@ class Matrix:
         b = other.df.select(F.col("row").alias("k"), F.col("col").alias("b_col"),
                             F.col("val").alias("b_val"))
         strategy = choose_product_strategy(self.hint, other.hint)
-        if strategy == "broadcast_left":
-            a = F.broadcast(a)
-        elif strategy == "broadcast_right":
-            b = F.broadcast(b)
-        prod = a.join(b, on="k")
-        out = (prod.groupBy(F.col("a_row").alias("row"), F.col("b_col").alias("col"))
-               .agg(F.sum(F.col("a_val") * F.col("b_val")).alias("val"))
-               .where(F.col("val") != 0))
+        out = _coo_product(a, b, strategy)
         return Matrix(out, hint=self.hint.times(other.hint))
 
     def persist(self) -> "Matrix":
@@ -647,15 +661,7 @@ class Matrix:
                            F.col("val").alias("a_val"))
         b = self.df.select(F.col("col").alias("k"), F.col("row").alias("b_col"),
                            F.col("val").alias("b_val"))
-        if strategy == "broadcast_left":
-            a = F.broadcast(a)
-        elif strategy == "broadcast_right":
-            b = F.broadcast(b)
-        prod = a.join(b, on="k")
-        out = (prod.groupBy(F.col("a_row").alias("row"),
-                            F.col("b_col").alias("col"))
-               .agg(F.sum(F.col("a_val") * F.col("b_val")).alias("val"))
-               .where(F.col("val") != 0))
+        out = _coo_product(a, b, strategy)
         return Matrix(out, hint=self.hint.times(t_hint))
 
     def propagate(self, vec: DataFrame) -> DataFrame:

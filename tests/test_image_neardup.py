@@ -156,3 +156,11 @@ def test_phash_keep_projection_matches_passthrough(spark):
     assert two.columns == ["tag", "media_id", "dhash"]
     with pytest.raises(ValueError, match="absent"):
         mm.image_dhash(df, keep=["nope"])
+    # ADVICE r11 #2: duplicate output names must fail HERE, not as a
+    # confusing downstream select error
+    with pytest.raises(ValueError, match="collides"):
+        mm.image_dhash(df, keep=["media_id", "tag"], out_col="tag")
+    with pytest.raises(ValueError, match="duplicate keep"):
+        mm.image_dhash(df, keep=["media_id", "media_id"])
+    with pytest.raises(ValueError, match="collides"):
+        mm.image_dhash(df.withColumn("dhash", F.lit(1)))
