@@ -1138,14 +1138,22 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     """
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u") != F.col("v")))
-    all_nodes = materialize(
-        e.select(F.col("u").alias("node"))
-         .union(e.select(F.col("v").alias("node")))
-         .distinct(), eager=True, iterative=True)
+    # Cut the upstream ONCE, then derive all_nodes from the cut (r12):
+    # all_nodes and e used to be two separate eager materializations,
+    # EACH recomputing the caller's un-checkpointed upstream — for
+    # q_dedup_clusters that upstream is the entire quadratic ngram pair
+    # generation, executed twice (~17 s of the query's 44 s at sf1).
+    # The canonical edge set has the identical node population (the
+    # u != v filter precedes both), so all_nodes now reads e's
+    # checkpoint instead of the world.
     e = materialize(
         e.select(F.greatest("u", "v").alias("u"),
                  F.least("u", "v").alias("v")).distinct(),
         eager=True, iterative=True)
+    all_nodes = materialize(
+        e.select(F.col("u").alias("node"))
+         .union(e.select(F.col("v").alias("node")))
+         .distinct(), eager=True, iterative=True)
     prev_fp = None
     rounds = 0
     from pyspark.sql import Window

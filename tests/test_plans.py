@@ -569,6 +569,14 @@ def test_star_cc_riding_dedup_single_exchange_per_star(spark):
                src.index("if stats is not None")]
     assert ".distinct()" not in loop, "round-end distinct exchange is back"
     assert 'dropDuplicates(["u", "v"])' in loop
+    # upstream cut ONCE (r12): the canonical edge set is materialized
+    # first and all_nodes derives from that cut — two independent eager
+    # materializations each recomputed the caller's un-checkpointed
+    # upstream (the full ngram pair generation for q_dedup_clusters:
+    # ~17 s of its 44 s at sf1, paid twice)
+    init = src[:src.index("for _ in range(max_iter)")]
+    assert init.index("e = materialize") < init.index(
+        "all_nodes = materialize"), "all_nodes no longer reads e's cut"
 
 
 def test_cc_round_join_reuses_sym_partitioning(spark):
